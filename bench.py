@@ -1,0 +1,73 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced with a full-result action (count of the final
+DataFrame) so the whole plan executes; timings include Catalyst planning
+but exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship BM25 pipeline plus one representative of each
+# operator family (agg, window/top-k, join, sort, event windows, dedup, ANN).
+HEADLINE = [
+    "q_tf",
+    "q_topk_per_doc",
+    "q_df",
+    "q_tfidf",
+    "q_bm25_rank",
+    "q_tf_vector_sink",
+    "q_sort_desc",
+    "q_window_tumbling",
+    "q_running_total",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from flink_bm25_spark.session import get_spark
+
+    spark = get_spark(app_name="flink_bm25_spark_bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm the JVM + parquet footers with one cheap action.
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+
+    # Two timed iterations, report the min: the first run pays JVM JIT +
+    # whole-stage-codegen compilation, which would otherwise be billed to
+    # whichever query happens to run first.
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

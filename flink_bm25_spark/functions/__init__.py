@@ -1,0 +1,24 @@
+"""Column-expression library (all JVM-side built-ins; no Python UDFs)."""
+
+from flink_bm25_spark.functions.hashing import (
+    h60,
+    h_mod_p,
+    minhash_seed_a,
+    minhash_seed_b,
+    rolling_fingerprint,
+)
+from flink_bm25_spark.functions.text import quality_columns, tokenize_expr
+from flink_bm25_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+__all__ = [
+    "h60",
+    "h_mod_p",
+    "minhash_seed_a",
+    "minhash_seed_b",
+    "rolling_fingerprint",
+    "quality_columns",
+    "tokenize_expr",
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+]

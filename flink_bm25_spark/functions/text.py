@@ -1,0 +1,47 @@
+"""Text scalar expressions — tokenization and quality statistics.
+
+The reference tokenizes with the ansj CJK segmenter inside a Flink flatMap
+(``BatchBM25PreMain.java:183-196``).  For the synthetic fixtures the engine
+standardizes on a deterministic regex tokenizer (lowercase, split on
+whitespace) that is expressible identically in Spark and ANSI SQL
+(SURVEY.md §7 risk register: "tokenizer fidelity").  A pluggable
+Pandas-UDF tokenizer slot for CJK segmenters lives in
+:mod:`flink_bm25_spark.operators.tokenize`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import STOPWORDS
+
+TOKEN_SPLIT_PATTERN = r"\s+"
+
+
+def tokenize_expr(text: Column) -> Column:
+    """``array<string>`` of lowercase tokens (may contain '' at edges;
+    callers filter empties after explode, as the SQL twin does)."""
+    return F.split(F.lower(text), TOKEN_SPLIT_PATTERN)
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Document quality signals for pipeline filtering (LLM-data extension).
+
+    All built-in expressions (length, regexp counts, stopword ratio) — no
+    Python in the hot path, so the whole thing stays in WholeStageCodegen.
+    """
+    words = F.filter(tokenize_expr(text), lambda w: w != F.lit(""))
+    n_tokens = F.size(words)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "avg_word_len": F.round(
+            (n_chars - n_tokens + 1).cast("double") / n_tokens, 6
+        ),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_tokens, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+    }

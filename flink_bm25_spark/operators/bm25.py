@@ -1,0 +1,86 @@
+"""TF-IDF scoring and BM25 ranking (F2, F3 in SURVEY.md §2.4).
+
+The reference materializes per-doc TF (``MongoTFSink.java:43-58``), global
+DF (``BatchBM25PreMain.java:107-123``) and corpus size, then stops — the
+BM25 formula appears nowhere in its code (SURVEY.md §0).  This module is
+the natural completion: standard Robertson–Spärck Jones BM25 over exactly
+those statistics.
+
+Scale shape of :func:`bm25_rank` (the only joins in the engine —
+SURVEY.md §2.6):
+
+1. Filter the TF relation to the query's terms FIRST — the predicate
+   prunes the big fact table before any join (at 100 TB this is the
+   difference between joining billions and millions of rows).
+2. Broadcast the per-term IDF dictionary (|query| rows) — no shuffle.
+3. One shuffle join with doc lengths on ``doc_id``; AQE handles skew.
+4. Aggregate per document and take global top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import BM25_B, BM25_K1
+
+
+def tfidf(tf: DataFrame, idf_stats: DataFrame) -> DataFrame:
+    """``(doc_id, word, tfidf)`` = tf × idf (F2 — ``TfIdfUtil.java:126-137``).
+
+    The IDF side is one row per vocabulary word — orders of magnitude
+    smaller than TF — so it is broadcast: the join is map-side.
+    """
+    return tf.join(F.broadcast(idf_stats.select("word", "idf")), "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+
+
+def bm25_score_expr(tf, idf_col, dl, avgdl, k1: float = BM25_K1, b: float = BM25_B):
+    """Per-(doc, term) BM25 contribution:
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``."""
+    tf_d = tf.cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * dl.cast("double") / avgdl
+    )
+    return idf_col * (tf_d * F.lit(k1 + 1.0)) / denom
+
+
+def bm25_rank(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query — ``(doc_id, score, rk)``.
+
+    ``avgdl`` is a scalar aggregate broadcast into the expression; ranking
+    ties break on doc_id so output is deterministic.
+    """
+    avgdl = dlen.agg(F.avg("dl")).first()[0]
+    matches = tf.where(F.col("word").isin(*query_terms))
+    scored = (
+        matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"), F.col("idf"), F.col("dl"), F.lit(float(avgdl)), k1, b
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    # Global top-k as orderBy+limit: Spark plans TakeOrderedAndProject —
+    # each partition keeps a k-row heap, only k rows per partition move to
+    # the driver-side merge.  (A row_number window here would instead drag
+    # every scored doc into ONE partition — wrong at scale.)  The rank
+    # column is then added over the already-tiny k-row result.
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -1,0 +1,54 @@
+"""Document-frequency / IDF operators (A2, A3, A5, A6, F1 in SURVEY.md).
+
+Reference behavior: DF is accumulated either by a per-document Mongo
+``$inc`` upsert (``BatchBM25PreMain.java:107-123``) or by a growing
+``union().groupBy(0).sum(1)`` DAG re-built every loop iteration
+(``backup/BatchBM25PrePrint.java:213-215``).  Both are incremental
+maintenance of the same aggregate.
+
+Spark restatement: corpus-at-once.  The TF relation already has exactly
+one row per (doc_id, word), so DF is a single re-aggregation of it —
+``groupBy(word).count()`` — with no extra distinct pass.  We compute DF
+*before* the top-k truncation: the reference's A3 variant counts top-30
+membership instead of true containment (``backup/BMStream.java:318-321``),
+a quirk SURVEY.md §5 pins down as a bug we do not reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    """``(word, df)`` — #docs containing each word (A2).
+
+    Input is the TF relation (distinct (doc_id, word) by construction).
+    Map-side partial counts keep the shuffle tiny: the shuffled data is
+    one (word, partial_count) pair per word per partition, independent of
+    corpus row count — this is what makes DF cheap at 100 TB.
+    """
+    return tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+
+
+def distinct_words(tokens: DataFrame) -> DataFrame:
+    """Vocabulary (A5 — ``.distinct(0)``, ``backup/BatchBM25Pre.java:153``)."""
+    return tokens.select("word").distinct()
+
+
+def corpus_size(documents: DataFrame) -> int:
+    """Scalar corpus count N (A6 — ``DataSet.count()``,
+    ``backup/BMStream.java:328``)."""
+    return documents.count()
+
+
+def idf(df_stats: DataFrame, n_docs: int) -> DataFrame:
+    """``(word, df, idf)`` with ``idf = ln(N / (df + 1))`` (F1).
+
+    Float division by declaration — the reference's ``TfIdfUtil.java:121``
+    floor-divides two ints before ``log``, a silent quirk we deviate from
+    (SURVEY.md §5); the oracle SQL declares the same float semantics.
+    """
+    return df_stats.withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1)))
+    )

@@ -1,0 +1,52 @@
+"""Sink-shape operators (K1–K5 in SURVEY.md §2.7).
+
+The reference's TF sink upserts one nested Mongo document per doc_id:
+``{_id: pid, tf: [{w, c}, ...]}`` sorted desc by count
+(``MongoTFSink.java:43-58``, ``model/TF.java:66-74``).  Relational data
+stays exploded through the whole pipeline (spill-safe, SURVEY.md §4) and
+is only folded into the nested document shape at the sink boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tf_vectors(tf: DataFrame, k: int | None = None) -> DataFrame:
+    """``(doc_id, tf: array<struct<w,c>>)`` — the K1 document shape.
+
+    ``collect_list`` order is nondeterministic, so the list is sorted
+    after collection: ``sort_array`` on a (−c, w) key struct gives
+    count-desc / word-asc, matching the engine's deterministic tiebreak.
+    ``slice`` applies the reference's top-30 cap when ``k`` is given.
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct((-F.col("tf")).alias("negc"), F.col("word").alias("w")))
+    )
+    folded = tf.groupBy("doc_id").agg(arr.alias("sorted_keys"))
+    tf_col = F.transform(
+        F.col("sorted_keys"),
+        lambda s: F.struct(s["w"].alias("w"), (-s["negc"]).cast("long").alias("c")),
+    )
+    if k is not None:
+        tf_col = F.slice(tf_col, 1, k)
+    return folded.select("doc_id", tf_col.alias("tf"))
+
+
+def write_tf_parquet(tf_vecs: DataFrame, path: str) -> None:
+    """Persist the TF document table (K1's durable form).
+
+    Mongo's ``findOneAndUpdate(upsert)`` has no plain-parquet twin; the
+    batch equivalent is overwrite-by-run (or Delta MERGE where available —
+    not in this image, SURVEY.md §7).
+    """
+    tf_vecs.write.mode("overwrite").parquet(path)
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """K4 — ``writeAsText(OVERWRITE)`` analogue
+    (``backup/BatchBM25Pre.java:170-171``): one file per partition."""
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -1,0 +1,66 @@
+"""Parquet table loaders.
+
+The reference reads its corpus from MongoDB with hand-written projection
+pushdown (fetch only ``pid`` — ``BatchBM25PreMain.java:54-71``) and point
+lookups (``getByPid`` — ``BatchBM25PreMain.java:78-105``).  On Spark these
+become plain parquet scans: Catalyst pushes column pruning and predicates
+into the vectorized parquet reader automatically, so a
+``select("doc_id")`` never reads the ``text`` column off disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one fixture table (S1 — full scan; pruning/pushdown via Catalyst)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk, surfaced as long via
+        # spark.sql.legacy.parquet.nanosAsLong.  Truncate to microseconds
+        # (`div` = exact integer division; a double division would lose
+        # precision at ~1.7e18 nanos) — the same µs granularity SQL engines
+        # use, so ordering and window bucketing agree with the oracle.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_documents(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """The corpus table — analogue of Mongo ``candidate.file``
+    (``BatchBM25PreMain.java:55,90-97``)."""
+    return load_table(spark, "documents", sf_dir)
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

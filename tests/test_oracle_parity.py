@@ -1,0 +1,36 @@
+"""Replicates the driver's t2 gate locally: every queries() entry must be
+value-identical to its oracle_sql() twin on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, compare_spark_duck
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "queries() is empty"
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    extra = set(ORACLES) - set(QUERIES)
+    assert not extra, f"oracle_sql keys without queries(): {extra}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    compare_spark_duck(df, duck, ORACLES[name])
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    assert len(rows) >= 0
+    assert out.columns == ["doc_id", "score", "rk"]
