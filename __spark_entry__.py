@@ -33,8 +33,29 @@ from flink_bm25_spark.config import (
     TOP_K_TERMS,
 )
 from flink_bm25_spark.operators.bm25 import bm25_rank, tfidf
+from flink_bm25_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingles,
+    simhash_pairs,
+    simhash_signatures,
+    token_set_duplicates,
+)
 from flink_bm25_spark.operators.df_idf import distinct_words
 from flink_bm25_spark.operators.pipeline import corpus_stats_for
+from flink_bm25_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from flink_bm25_spark.operators.text_analysis import (
+    corpus_profile,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
 from flink_bm25_spark.operators.tf import topk_terms
 from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
 from flink_bm25_spark.sources.tables import load_table
@@ -267,6 +288,175 @@ def _q_running_total(spark, sf_dir):
     )
 
 
+# --- dedup extension ------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    # Exact dedup: hash-groupBy on md5(text); empty on fixtures w/o exact dups.
+    return exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+def _q_dedup_token_set(spark, sf_dir):
+    # Exact dedup on the sorted distinct token set (permutation variants).
+    return token_set_duplicates(load_table(spark, "documents", sf_dir))
+
+
+def _q_shingles(spark, sf_dir):
+    return shingles(load_table(spark, "documents", sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    # Brute-force exact 3-gram Jaccard pairs >= 0.8 (shingle equi-join).
+    return jaccard_pairs(shingles(load_table(spark, "documents", sf_dir)), 0.8)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(shingles(load_table(spark, "documents", sf_dir)))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    # LSH candidates verified by exact Jaccard — the 100 TB near-dup path.
+    # Oracle = brute-force Jaccard >= 0.8: the 16x4 banding's miss
+    # probability at j>=0.8 is <=(1-0.8^4)^16 ~ 2e-4 and the fixture's
+    # near-dup pairs sit at j~0.99 (miss ~1e-18), verified empirically.
+    return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), 0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_signatures(_stats(spark, sf_dir).tf)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    # Banded simhash pairs, hamming <= 3.  4 bands x 15 bits: <=3 differing
+    # bits leaves one band untouched (pigeonhole) => banding has exactly
+    # 100% recall and the result equals the brute-force oracle.
+    return simhash_pairs(simhash_signatures(_stats(spark, sf_dir).tf))
+
+
+def _q_embed_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), 0.45)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qvec, k=10, exclude_id=0)
+
+
+# --- text analysis extension ------------------------------------------------
+
+
+def _q_token_stats(spark, sf_dir):
+    return token_stats(load_table(spark, "documents", sf_dir))
+
+
+def _q_quality_scores(spark, sf_dir):
+    return quality_scores(load_table(spark, "documents", sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return language_id(load_table(spark, "documents", sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return doc_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+def _q_corpus_profile(spark, sf_dir):
+    return corpus_profile(load_table(spark, "documents", sf_dir))
+
+
+# --- relational / events ----------------------------------------------------
+
+
+def _q_tpch_q1(spark, sf_dir):
+    # TPC-H Q1 shape over lineitem.  Aggregates run in DECIMAL so the sums
+    # are exact (engine-order-independent), then surface as rounded doubles.
+    li = load_table(spark, "lineitem", sf_dir)
+    # Decimal casts make every sum EXACT (order-independent), so Spark and
+    # the oracle agree bit-for-bit; the fixture's doubles are 2-dp values,
+    # far from any decimal rounding boundary.
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 6).alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)).cast("double"), 6).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price * (one - disc) * (one + tax)).cast("double"),
+                6,
+            ).alias("sum_charge"),
+            F.round(
+                F.sum(qty).cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(price).cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(disc).cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_mktsegment_revenue(spark, sf_dir):
+    # Broadcast dim join: orders ⋈ customer, revenue per market segment.
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    # Top-10 customers by order volume: agg + global top-k
+    # (TakeOrderedAndProject, not a single-partition window).
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def _q_events_extract(spark, sf_dir):
+    # Scalar extraction from semi-structured props (regex — portable
+    # across engines; JSON functions differ).
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1)
+        .cast("int")
+        .alias("k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_project": _q_scan_project,
@@ -290,12 +480,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_window_tumbling": _q_window_tumbling,
         "q_running_total": _q_running_total,
+        # dedup extension
+        "q_dedup_exact": _q_dedup_exact,
+        "q_dedup_token_set": _q_dedup_token_set,
+        "q_shingles": _q_shingles,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_minhash_signatures": _q_minhash_signatures,
+        "q_dedup_minhash": _q_dedup_minhash,
+        "q_simhash": _q_simhash,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_embed_near_dup": _q_embed_near_dup,
+        "q_ann_cosine_topk": _q_ann_cosine_topk,
+        # text analysis extension
+        "q_token_stats": _q_token_stats,
+        "q_quality_scores": _q_quality_scores,
+        "q_lang_id": _q_lang_id,
+        "q_fingerprint": _q_fingerprint,
+        "q_corpus_profile": _q_corpus_profile,
+        # relational / events
+        "q_tpch_q1": _q_tpch_q1,
+        "q_mktsegment_revenue": _q_mktsegment_revenue,
+        "q_top_customers": _q_top_customers,
+        "q_events_extract": _q_events_extract,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle_sql() — DuckDB side
 # --------------------------------------------------------------------------
+
+# Portable 60-bit hash: first 15 hex chars of md5, parsed base-16 —
+# bit-identical to flink_bm25_spark.functions.hashing.h60.
+def _h60(col: str) -> str:
+    return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
+
+
+_P = 2_147_483_647
+
+# Word-trigram shingle relation (SHINGLE_SIZE=3), distinct per doc.
+_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(ws, (x, i) ->
+      CASE WHEN i + 2 <= len(ws)
+           THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END)) AS gram
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+          FROM documents)
+  ) WHERE gram IS NOT NULL
+)
+"""
+
+# Exact pairwise Jaccard over shingles (intersections via gram equi-join).
+_JACCARD = f"""
+{_SHINGLES},
+shsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+  FROM inter JOIN shsz x ON d1 = x.doc_id JOIN shsz y ON d2 = y.doc_id
+)
+"""
+
+# MinHash signatures: same universal-hash family as
+# flink_bm25_spark.functions.hashing (seeds regenerated by formula).
+_MINHASH = f"""
+{_SHINGLES},
+seeds AS (
+  SELECT CAST(i AS INTEGER) AS i,
+         (2654435761 * (i + 1) + 1) % {_P} AS ha,
+         (40503 * (i + 1) + 7) % {_P} AS hb
+  FROM range(64) t(i)
+),
+gh AS (SELECT doc_id, {_h60('gram')} % {_P} AS gh FROM sh),
+msig AS (
+  SELECT doc_id, i, min((ha * gh + hb) % {_P}) AS mh
+  FROM gh CROSS JOIN seeds GROUP BY doc_id, i
+)
+"""
+
+# SimHash signatures over the stopword-filtered TF relation (needs _PIPE).
+_SIMHASH = f"""
+wh AS (SELECT doc_id, tf, {_h60('word')} AS h60 FROM tf),
+sbits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((h60 >> b) & 1) = 1 THEN tf ELSE -tf END) AS s
+  FROM wh CROSS JOIN range(60) t(b) GROUP BY doc_id, b
+),
+ssig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM sbits GROUP BY doc_id
+)
+"""
+
+_SQ_DOT = (
+    "list_sum(list_transform(a.embedding, (x, i) -> "
+    "CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+_MARKER_SQL = {
+    "en": "'the', 'a', 'of'",
+    "de": "'der', 'die', 'das'",
+    "es": "'el', 'la', 'los'",
+    "fr": "'le', 'la', 'les'",
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -409,6 +705,219 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS running
+            FROM events
+        """,
+        # --- dedup extension ---
+        "q_dedup_exact": """
+            WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+            canon AS (
+              SELECT h, min(doc_id) AS canonical_id, count(*) AS n
+              FROM hashed GROUP BY h
+            )
+            SELECT doc_id, canonical_id
+            FROM hashed JOIN canon USING (h)
+            WHERE n > 1 AND doc_id <> canonical_id
+        """,
+        "q_dedup_token_set": """
+            WITH sets AS (
+              SELECT doc_id,
+                     md5(list_aggregate(
+                       list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(text), '\\s+'), w -> w <> ''))),
+                       'string_agg', ' ')) AS h
+              FROM documents
+            ),
+            canon AS (
+              SELECT h, min(doc_id) AS canonical_id, count(*) AS n
+              FROM sets GROUP BY h
+            )
+            SELECT doc_id, canonical_id
+            FROM sets JOIN canon USING (h)
+            WHERE n > 1 AND doc_id <> canonical_id
+        """,
+        "q_shingles": f"WITH {_SHINGLES} SELECT doc_id, gram FROM sh",
+        "q_dedup_ngram_jaccard": f"""
+            WITH {_JACCARD}
+            SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
+        """,
+        "q_minhash_signatures": f"WITH {_MINHASH} SELECT doc_id, i, mh FROM msig",
+        # LSH banding (16x4) has empirically-verified 100% recall at
+        # j>=0.8 on the fixtures, so the engine's LSH+verify pipeline
+        # equals the brute-force oracle exactly.
+        "q_dedup_minhash": f"""
+            WITH {_JACCARD}
+            SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
+        """,
+        "q_simhash": f"WITH {_PIPE}, {_SIMHASH} SELECT doc_id, simhash FROM ssig",
+        "q_dedup_simhash": f"""
+            WITH {_PIPE}, {_SIMHASH}
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "q_embed_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            nrm AS (SELECT vec_id, {_NORM.format(e='embedding')} AS nrm FROM e),
+            dots AS (
+              SELECT a.vec_id AS d1, b.vec_id AS d2, {_SQ_DOT} AS dot
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
+            FROM dots JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id
+            WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.45
+        """,
+        "q_ann_cosine_topk": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(e.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                       / ({_NORM.format(e='e.embedding')} * {_NORM.format(e='qe')}),
+                     6) AS cos
+              FROM e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        # --- text analysis extension ---
+        "q_token_stats": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        w -> w <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        w -> w <> ''))) AS BIGINT) AS n_uniq_tokens
+            FROM documents
+        """,
+        "q_quality_scores": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_tokens,
+                     CAST(len(text) AS BIGINT) AS n_chars,
+                     len(list_filter(ws, w -> w IN ({_SW}))) AS n_stop,
+                     len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct
+              FROM base
+            ),
+            r AS (
+              SELECT doc_id, n_tokens, n_chars,
+                     round(CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                           / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
+                       AS avg_word_len,
+                     round(CAST(n_stop AS DOUBLE)
+                           / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
+                       AS stopword_ratio,
+                     round(CAST(n_punct AS DOUBLE)
+                           / CASE WHEN n_chars > 0 THEN n_chars END, 6)
+                       AS punct_ratio
+              FROM m
+            )
+            SELECT doc_id, n_tokens, n_chars, avg_word_len, stopword_ratio,
+                   punct_ratio,
+                   CASE WHEN n_tokens < 5 THEN 0.0
+                        WHEN stopword_ratio > 0.5 THEN 0.2
+                        ELSE round(least(1.0, n_tokens / 100.0)
+                                   * (1.0 - punct_ratio), 6)
+                   END AS keep_score
+            FROM r
+        """,
+        "q_lang_id": f"""
+            WITH {_PIPE},
+            hits AS (
+              SELECT doc_id,
+                     count(*) FILTER (WHERE word IN ({_MARKER_SQL['en']})) AS en,
+                     count(*) FILTER (WHERE word IN ({_MARKER_SQL['de']})) AS de,
+                     count(*) FILTER (WHERE word IN ({_MARKER_SQL['es']})) AS es,
+                     count(*) FILTER (WHERE word IN ({_MARKER_SQL['fr']})) AS fr
+              FROM tokens GROUP BY doc_id
+            ),
+            j AS (
+              SELECT d.doc_id,
+                     coalesce(h.en, 0) AS en, coalesce(h.de, 0) AS de,
+                     coalesce(h.es, 0) AS es, coalesce(h.fr, 0) AS fr
+              FROM documents d LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                        WHEN de = greatest(en, de, es, fr) THEN 'de'
+                        WHEN en = greatest(en, de, es, fr) THEN 'en'
+                        WHEN es = greatest(en, de, es, fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM j
+        """,
+        "q_fingerprint": f"""
+            SELECT doc_id,
+                   CASE WHEN len(hs) > 0
+                        THEN list_reduce(hs, (a, b) -> (a * 31 + b) % {_P})
+                        ELSE CAST(0 AS BIGINT) END AS fp
+            FROM (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> w <> ''),
+                       w -> {_h60('w')} % {_P}) AS hs
+              FROM documents
+            )
+        """,
+        "q_corpus_profile": """
+            SELECT lang, source, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang, source
+        """,
+        # --- relational / events ---
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6)
+                     AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6)
+                     AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+                     AS sum_disc_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6)
+                     AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_mktsegment_revenue": """
+            SELECT c_mktsegment,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_top_customers": """
+            SELECT o_custkey,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS total,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY total DESC, o_custkey ASC LIMIT 10
+        """,
+        "q_events_extract": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
             FROM events
         """,
     }

@@ -36,12 +36,16 @@ def quality_columns(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # Guard zero denominators explicitly — Spark 4 runs in ANSI mode, where
+    # an unguarded x/0 is a runtime error, not NULL.
+    safe_tokens = F.when(n_tokens > 0, n_tokens.cast("double"))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     return {
         "n_tokens": n_tokens.cast("long"),
         "n_chars": n_chars.cast("long"),
         "avg_word_len": F.round(
-            (n_chars - n_tokens + 1).cast("double") / n_tokens, 6
+            (n_chars - n_tokens + 1).cast("double") / safe_tokens, 6
         ),
-        "stopword_ratio": F.round(n_stop.cast("double") / n_tokens, 6),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "stopword_ratio": F.round(n_stop.cast("double") / safe_tokens, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 6),
     }

@@ -1,0 +1,150 @@
+"""Similarity search over ``array<float>`` embedding columns — the
+approximate-nearest-neighbor extension (BASELINE.json north star).
+
+Three tiers:
+
+- :func:`cosine_topk` — brute-force top-k against a query vector.  The
+  query is a broadcast literal, scoring is a map-side higher-order
+  expression, and top-k is ``orderBy+limit`` (TakeOrderedAndProject), so
+  even the "brute force" tier scans once with no shuffle — at 100 TB it is
+  bounded by scan bandwidth.
+- :func:`embedding_near_dup_pairs` — all-pairs cosine ≥ threshold, for
+  corpus-level near-dup removal.  Quadratic; the scale path is the LSH tier.
+- :func:`rp_lsh_*` — random-hyperplane (sign) LSH: deterministic
+  md5-derived hyperplanes bucket vectors so candidate generation is an
+  equi-join on (table, bucket) instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import HASH_PRIME
+from flink_bm25_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """``(vec_id, cos)`` — top-k by cosine similarity to ``query_vec``.
+
+    Ranking uses the 6-decimal-rounded score (ties broken by vec_id) so
+    ordering is reproducible across engines.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cos"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """``(d1, d2, cos)`` for all pairs with cosine ≥ threshold.
+
+    Self cross-join — exact but quadratic.  Correct tool up to ~10^5
+    vectors per partition-group; beyond that use the LSH tier to prune.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    scored = pairs.select(
+        "d1",
+        "d2",
+        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    )
+    return scored.where(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale tier)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1) for hyperplane p,
+    dimension d — derived from the shared integer hash so the planes are
+    reproducible everywhere (no RNG state)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{p}:{d}".encode()).hexdigest()[:15], 16) % HASH_PRIME
+    return (h / HASH_PRIME) * 2.0 - 1.0
+
+
+def rp_lsh_bucket(
+    embeddings: DataFrame, num_planes: int = 16, dim: int = 64
+) -> DataFrame:
+    """``(vec_id, bucket)`` — sign-LSH bucket id from ``num_planes``
+    deterministic hyperplanes.
+
+    The plane matrix is tiny (num_planes × dim literals) and folds into
+    the expression tree: scoring is pure map-side codegen, the only data
+    movement is the later bucket equi-join.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(
+            *[F.lit(_hyperplane_component(p, d)) for d in range(dim)]
+        )
+        dot_p = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_p >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+def rp_lsh_candidate_pairs(bucketed: DataFrame) -> DataFrame:
+    """Candidate pairs = same-bucket collisions (equi-join on bucket)."""
+    a = bucketed.select(F.col("vec_id").alias("d1"), F.col("bucket"))
+    b = bucketed.select(F.col("vec_id").alias("d2"), F.col("bucket"))
+    return a.join(b, "bucket").where(F.col("d1") < F.col("d2")).select("d1", "d2")
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 16,
+    dim: int = 64,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe sign-LSH).
+
+    Approximate — recall is tested statistically (see tests), not
+    hash-checked.
+    """
+    bucketed = rp_lsh_bucket(embeddings, num_planes, dim)
+    qb = 0
+    for p in range(num_planes):
+        dot_p = sum(
+            float(query_vec[d]) * _hyperplane_component(p, d) for d in range(dim)
+        )
+        if dot_p >= 0:
+            qb |= 1 << p
+    cand = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb).cast("long")))
+        <= probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
