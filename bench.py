@@ -30,6 +30,11 @@ HEADLINE = [
     "q_sort_desc",
     "q_window_tumbling",
     "q_running_total",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_tpch_q1",
+    "q_mktsegment_revenue",
 ]
 
 

@@ -160,65 +160,78 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _seeds(spark, num_hashes: int) -> DataFrame:
-    i = F.col("id").cast("long")
-    return spark.range(num_hashes).select(
-        F.col("id").cast("int").alias("i"),
-        minhash_seed_a(i).alias("ha"),
-        minhash_seed_b(i).alias("hb"),
-    )
+def _seed_values(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Python-side seed literals — same formula as
+    :func:`flink_bm25_spark.functions.hashing.minhash_seed_a` / ``_b``."""
+    p = HASH_PRIME
+    return [
+        (i, (2_654_435_761 * (i + 1) + 1) % p, (40_503 * (i + 1) + 7) % p)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures_wide(
+    sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES
+) -> DataFrame:
+    """``(doc_id, mh_0 … mh_{k-1})`` — MinHash signature as one wide row.
+
+    The k universal hashes are k conditional-aggregate columns over ONE
+    ``groupBy(doc_id)`` — no row fanout, no seed join: each input gram is
+    hashed k times map-side inside the partial aggregate, and the shuffle
+    carries one k-column row per (doc, partition).  This is the shape that
+    scales: shuffle volume is O(docs × k), CPU is the unavoidable
+    grams × k hashing, and nothing is ever materialized per (gram, seed).
+    """
+    g = sh.withColumn("gh", h_mod_p(F.col("gram")))
+    aggs = [
+        F.min((F.lit(a) * F.col("gh") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
+            f"mh_{i}"
+        )
+        for i, a, b in _seed_values(num_hashes)
+    ]
+    return g.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES
 ) -> DataFrame:
-    """``(doc_id, i, mh)`` — MinHash signature rows.
-
-    The broadcast seed table fans each gram out to ``num_hashes`` rows
-    *map-side*; the partial MIN aggregate collapses them before the
-    shuffle, so shuffled volume is O(docs × num_hashes), independent of
-    document length.
-    """
-    spark = sh.sparkSession
-    seeds = F.broadcast(_seeds(spark, num_hashes))
-    g = sh.withColumn("gh", h_mod_p(F.col("gram")))
-    return (
-        g.crossJoin(seeds)
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("ha") * F.col("gh") + F.col("hb")) % F.lit(HASH_PRIME)).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
+    """``(doc_id, i, mh)`` — long-form MinHash signature rows (the
+    oracle-checkable relation); computed wide, then unpivoted (docs × k
+    rows — tiny next to the gram relation)."""
+    wide = minhash_signatures_wide(sh, num_hashes)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {stack_args}) AS (i, mh)"
+    ).select("doc_id", F.col("i").cast("int"), "mh")
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame,
+    sigs_wide: DataFrame,
     bands: int = MINHASH_BANDS,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become ``(d1, d2)``
-    candidates.  Band keys are md5 digests of the concatenated signature
-    slice, so the self-join key is short and uniform."""
-    banded = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("i"), F.col("mh")))
-                        ),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                ).cast("binary")
-            ).alias("bkey")
+    """LSH banding over the wide signature: docs agreeing on ALL rows of
+    any band become ``(d1, d2)`` candidates.
+
+    Band keys are md5 digests of the band's signature slice (computed
+    map-side from the wide row — no extra aggregation); the self-join is
+    an equi-join on (band, key), i.e. only same-bucket docs ever meet.
+    """
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *slice_cols).cast("binary")).alias("bkey"),
+            )
         )
-    )
+    banded = sigs_wide.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -244,11 +257,15 @@ def minhash_dedup_pairs(
 
     This is the canonical 100 TB near-dup pipeline: LSH prunes the
     quadratic pair space to same-bucket collisions; the exact Jaccard join
-    then runs only over candidates.
+    then runs only over candidates.  The shingle relation feeds both the
+    signature and the verify stages, so it is cached for the run.
     """
-    sh = shingles(documents, n)
-    sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    # cache: consumed by both the signature and the verify branches; an
+    # eager unpersist would evict before the caller's action runs, so the
+    # cache is left to Spark's LRU eviction.
+    sh = shingles(documents, n).cache()
+    wide = minhash_signatures_wide(sh, num_hashes)
+    cands = lsh_candidate_pairs(wide, bands, num_hashes // bands)
     return jaccard_pairs(sh, threshold, pairs=cands)
 
 
@@ -260,38 +277,29 @@ def minhash_dedup_pairs(
 def simhash_signatures(tf: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """``(doc_id, simhash)`` — 60-bit TF-weighted SimHash.
 
-    Relational formulation: explode bit positions map-side, sum signed
-    tf-weights per (doc, bit), reassemble.  Shuffle volume is
-    O(docs × bits), independent of document length.
+    One ``groupBy(doc_id)`` with ``bits`` conditional-sum aggregate columns
+    — no row fanout: each word contributes ±tf to all 60 bit-sums inside
+    the map-side partial aggregate, and the shuffle carries one 60-column
+    row per (doc, partition).  The signature is then assembled map-side
+    from the bit sums.
     """
-    spark = tf.sparkSession
-    bit_ids = F.broadcast(
-        spark.range(bits).select(F.col("id").cast("int").alias("j"))
-    )
-    contrib = (
-        tf.withColumn("h60", h60(F.col("word")))
-        .crossJoin(bit_ids)
-        .select(
-            "doc_id",
-            "j",
-            # shiftright with a *column* bit count needs the SQL form —
-            # the Python F.shiftright only takes an int literal.
-            (
-                (F.expr("shiftright(h60, j)").bitwiseAND(F.lit(1)) * 2 - 1)
-                * F.col("tf")
-            ).alias("w"),
-        )
-    )
-    bit_sums = contrib.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
+    withh = tf.withColumn("h60", h60(F.col("word")))
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    wide = withh.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .cast("long")
-        .alias("simhash")
-    )
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(

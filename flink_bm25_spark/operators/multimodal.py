@@ -1,0 +1,125 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` with typed
+metadata (large-scale training-data-pipeline extension).
+
+Design: media bytes are an opaque ``binary`` column; every transformation
+is an Arrow-batched ``mapInPandas`` stage so payloads move as columnar
+batches, never row-at-a-time through Python pickling.  Partitioning,
+schemas and batch shapes are real and tested; the codec itself is STUBBED
+(this container ships no image/audio libraries): ``decode_image`` routes
+to a clearly-marked deterministic fake unless a real decoder is injected.
+
+At 100 TB: binary payloads dominate row size, so operators (a) select only
+the columns they need (Parquet never materializes the blob for
+metadata-only queries), and (b) repartition by byte-size budget, not row
+count, before decode stages (see :func:`repartition_by_bytes`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = "id long, width int, height int, n_pixels long, fmt string"
+
+
+def attach_binary_metadata(df: DataFrame, bytes_col: str = "payload") -> DataFrame:
+    """Typed metadata for an opaque binary column — pure JVM expressions
+    (no decode, blob column pruned away by Catalyst if unused later)."""
+    return df.withColumns(
+        {
+            "n_bytes": F.length(F.col(bytes_col)).cast("long"),
+            "digest": F.md5(F.col(bytes_col)),
+        }
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """STUB decoder — deterministic fake standing in for PIL/ffmpeg (not in
+    this container).  Derives (width, height, fmt) from the md5 digest so
+    tests are reproducible.  Swap for a real codec via the ``decoder``
+    argument of :func:`decode_images`."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, str]] | None = None,
+) -> DataFrame:
+    """Decode stage: binary → (width, height, n_pixels, fmt).
+
+    ``mapInPandas`` so each Arrow batch is decoded in one Python call;
+    the decoder loads once per partition (RichFunction-``open()`` pattern).
+    Raises ``NotImplementedError`` from real-decoder paths that need a
+    codec library; defaults to the deterministic fake.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    decode = decoder or fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, hgt, fmt = [], [], []
+            for payload in pdf[bytes_col]:
+                if payload is None:
+                    w.append(None), hgt.append(None), fmt.append(None)
+                    continue
+                wi, hi, fm = decode(bytes(payload))
+                w.append(wi), hgt.append(hi), fmt.append(fm)
+            out = pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(hgt, dtype="Int32"),
+                    "fmt": fmt,
+                }
+            )
+            out["n_pixels"] = (out["width"] * out["height"]).astype("Int64")
+            yield out[["id", "width", "height", "n_pixels", "fmt"]]
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(bytes_col)
+    ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def resize_images(df: DataFrame, target: int = 224, bytes_col: str = "payload") -> DataFrame:
+    """Resize stage — STUB: real pixel work needs an image library absent
+    from this container."""
+    raise NotImplementedError(
+        "resize_images requires an image codec (PIL/opencv) not present in "
+        "this environment; the decode/metadata plumbing in decode_images is "
+        "the tested Spark-side pattern to extend."
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 30, id_col: str = "id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampling stage for video payloads — STUB decode, real plumbing:
+    emits one row per sampled frame index (1→N via posexplode), frame bytes
+    left NULL where a real demuxer would fill them."""
+    n_frames = (F.length(F.col(bytes_col)) % 300 + 1).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(idx).alias("pos", "frame_idx"),
+    ).select("id", "frame_idx", F.lit(None).cast("binary").alias("frame"))
+
+
+def repartition_by_bytes(
+    df: DataFrame, bytes_col: str = "payload", target_mb: int = 256
+) -> DataFrame:
+    """Repartition a blob table so each partition carries roughly
+    ``target_mb`` of payload — decode stages are sized by bytes, not rows.
+
+    Uses a single total-size scan (cheap: sum of lengths, column-pruned) to
+    pick the partition count.
+    """
+    total = df.select(F.sum(F.length(F.col(bytes_col))).alias("b")).first()["b"] or 0
+    parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    return df.repartition(parts)

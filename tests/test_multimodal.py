@@ -1,0 +1,82 @@
+"""Multimodal plumbing tests — binary columns, Arrow-batched decode stage
+(stubbed codec), byte-budget repartitioning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_images,
+    fake_decode,
+    repartition_by_bytes,
+    resize_images,
+    sample_frames,
+)
+from flink_bm25_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # opaque binary payloads synthesized from the documents fixture
+    return (
+        load_table(spark, "documents", SF_DIR)
+        .limit(50)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+    )
+
+
+def test_metadata_no_decode(spark, blobs):
+    out = attach_binary_metadata(blobs)
+    row = out.orderBy("id").first()
+    assert row.n_bytes > 0 and len(row.digest) == 32
+
+
+def test_decode_images_stub(spark, blobs):
+    out = decode_images(blobs)
+    assert out.columns == ["id", "width", "height", "n_pixels", "fmt"]
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 50
+    # deterministic fake: spot-check against a driver-side recomputation
+    src = {r.id: bytes(r.payload) for r in blobs.collect()}
+    for i, payload in list(src.items())[:5]:
+        w, h, fmt = fake_decode(payload)
+        assert (rows[i].width, rows[i].height, rows[i].fmt) == (w, h, fmt)
+        assert rows[i].n_pixels == w * h
+
+
+def test_decode_null_payload(spark):
+    df = spark.createDataFrame([(1, None)], "id long, payload binary")
+    row = decode_images(df).first()
+    assert row.width is None and row.n_pixels is None
+
+
+def test_resize_is_marked_stub(spark, blobs):
+    with pytest.raises(NotImplementedError):
+        resize_images(blobs)
+
+
+def test_sample_frames_plumbing(spark, blobs):
+    out = sample_frames(blobs, every_n=30)
+    rows = out.groupBy("id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
+    assert out.columns == ["id", "frame_idx", "frame"]
+
+
+def test_repartition_by_bytes(spark, blobs):
+    out = repartition_by_bytes(blobs, target_mb=1)
+    assert out.rdd.getNumPartitions() >= 1
+    assert out.count() == 50
+
+
+def test_digest_matches_python_md5(spark, blobs):
+    row = attach_binary_metadata(blobs).orderBy("id").first()
+    src = blobs.orderBy("id").first()
+    assert row.digest == hashlib.md5(bytes(src.payload)).hexdigest()

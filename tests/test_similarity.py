@@ -1,0 +1,47 @@
+"""Statistical tests for the approximate similarity tier (sign-LSH) —
+recall against the exact brute force, plus determinism of the bucketing."""
+
+from __future__ import annotations
+
+from flink_bm25_spark.operators.similarity import (
+    cosine_topk,
+    rp_lsh_bucket,
+    rp_lsh_topk,
+)
+from flink_bm25_spark.sources.tables import load_embeddings
+from tests.conftest import SF_DIR
+
+
+def _qvec(emb):
+    return [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    b1 = {r.vec_id: r.bucket for r in rp_lsh_bucket(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in rp_lsh_bucket(emb).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 1  # planes actually split the space
+
+
+def test_lsh_topk_recall(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    q = _qvec(emb)
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    approx = [
+        r.vec_id
+        for r in rp_lsh_topk(emb, q, k=10, num_planes=8, probe_hamming=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    # multi-probe with 8 planes / hamming<=3 probes ~half the corpus —
+    # recall should be substantial on 500 vectors
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_lsh_topk_scores_subset_of_exact_order(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    q = _qvec(emb)
+    approx = cosine_topk(emb, q, k=5, exclude_id=0).collect()
+    assert all(
+        a.cos >= b.cos for a, b in zip(approx, approx[1:])
+    )  # descending order

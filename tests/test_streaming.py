@@ -1,0 +1,113 @@
+"""Streaming surface tests: batch-equivalence of streaming aggregates
+(SURVEY.md §5 — streaming ops verified by final-state equivalence)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_bm25_spark.sources.tables import load_table
+from flink_bm25_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from flink_bm25_spark.streaming.wordcount import (
+    running_word_count,
+    with_bootstrap_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def _stage_dir(table: str) -> str:
+    """The parquet file source requires a directory; stage the single
+    fixture file into a temp dir (simulating a landing zone)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    shutil.copy(f"{SF_DIR}/{table}.parquet", d)
+    return d
+
+
+def _stream_events(spark):
+    batch = load_table(spark, "events", SF_DIR)
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(_stage_dir("events"))
+    )
+    # same ns→µs normalization the batch loader applies
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return batch, stream
+
+
+def _run_complete(df, spark, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch, stream = _stream_events(spark)
+    got = _run_complete(tumbling_window_agg(stream), spark, "t_tumble")
+    want = tumbling_window_agg(batch)
+    assert _rows(got) == _rows(want)
+
+
+def test_sliding_stream_equals_batch(spark):
+    batch, stream = _stream_events(spark)
+    got = _run_complete(sliding_window_agg(stream), spark, "t_slide")
+    want = sliding_window_agg(batch)
+    assert _rows(got) == _rows(want)
+
+
+def test_session_window_batch_shape(spark):
+    batch = load_table(spark, "events", SF_DIR)
+    out = session_window_agg(batch)
+    rows = out.collect()
+    assert rows and out.columns == ["sess_start", "sess_end", "user_id", "n", "total"]
+    # sessions are disjoint per user and ordered
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.sess_start, r.sess_end))
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_running_word_count_stream_equals_batch(spark):
+    docs_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .load(_stage_dir("documents"))
+    )
+    got = _run_complete(running_word_count(stream, "text"), spark, "t_wc")
+    want = running_word_count(load_table(spark, "documents", SF_DIR), "text")
+    assert _rows(got) == _rows(want)
+
+
+def test_bootstrap_counts_merge(spark):
+    live = spark.createDataFrame(
+        [("spark", 3), ("join", 1)], "word string, cnt long"
+    )
+    snap = spark.createDataFrame(
+        [("spark", 10), ("stream", 5)], "word string, cnt long"
+    )
+    out = {r.word: r.cnt for r in with_bootstrap_counts(live, snap).collect()}
+    # snapshot-only words surface when the stream later emits them (update
+    # mode); the merged view covers live keys
+    assert out == {"spark": 13, "join": 1}
