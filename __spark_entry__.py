@@ -457,6 +457,21 @@ def _q_events_extract(spark, sf_dir):
     )
 
 
+def _q_window_sliding(spark, sf_dir):
+    # T5 extension — 10-minute windows hopping every 5 minutes; each event
+    # lands in exactly two panes.  Batch twin of the streaming operator.
+    from flink_bm25_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(load_table(spark, "events", sf_dir))
+
+
+def _q_session_window(spark, sf_dir):
+    # T5 extension — per-user session windows (30-minute inactivity gap).
+    from flink_bm25_spark.streaming.windows import session_window_agg
+
+    return session_window_agg(load_table(spark, "events", sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_project": _q_scan_project,
@@ -479,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_rank": _q_bm25_rank,
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_window_tumbling": _q_window_tumbling,
+        "q_window_sliding": _q_window_sliding,
+        "q_session_window": _q_session_window,
         "q_running_total": _q_running_total,
         # dedup extension
         "q_dedup_exact": _q_dedup_exact,
@@ -698,6 +715,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total
             FROM events
             GROUP BY 1, 2
+        """,
+        # Hopping windows: length 600s, slide 300s, epoch-aligned — every
+        # event belongs to exactly the two panes starting at
+        # floor(t/300)*300 and that minus 300.
+        "q_window_sliding": """
+            WITH ex AS (
+              SELECT event_type, value,
+                     (epoch_us(ts) // 300000000) * 300 AS w1
+              FROM events
+            ),
+            panes AS (
+              SELECT event_type, value, w1 AS win_start FROM ex
+              UNION ALL
+              SELECT event_type, value, w1 - 300 AS win_start FROM ex
+            )
+            SELECT win_start, event_type, count(*) AS n,
+                   round(sum(value), 6) AS total
+            FROM panes GROUP BY 1, 2
+        """,
+        # Session windows via gaps-and-islands: a new session starts when
+        # the inactivity gap reaches 30 minutes (Spark's session end is
+        # exclusive, so >= not >); session end = last event + gap.
+        "q_session_window": """
+            WITH o AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+            m AS (
+              SELECT user_id, value, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w >= 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            s AS (
+              SELECT user_id, value, us,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT min(us) // 1000000 AS sess_start,
+                   (max(us) + 1800000000) // 1000000 AS sess_end,
+                   user_id, count(*) AS n, round(sum(value), 6) AS total
+            FROM s GROUP BY user_id, sid
         """,
         "q_running_total": """
             SELECT event_id, user_id,

@@ -1,0 +1,96 @@
+"""Physical-plan shape assertions — the scale-design contract.
+
+Correctness tests prove the engine computes the right answer on 60k rows;
+these prove the *plan* is the one that survives a 1000-executor cluster on
+100 TB: filters pushed into the parquet scan, columns pruned at the
+reader, dimension joins broadcast, shuffle counts bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from flink_bm25_spark.operators.bm25 import tfidf
+from flink_bm25_spark.operators.pipeline import corpus_stats_for
+from flink_bm25_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from flink_bm25_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def test_projection_pruned_at_scan(spark):
+    df = QUERIES["q_scan_project"](spark, SF_DIR)
+    schema = scan_read_schema(df)
+    assert "doc_id" in schema and "n_chars" in schema
+    assert "text" not in schema, f"text column not pruned: {schema}"
+
+
+def test_point_lookup_filter_pushed(spark):
+    df = QUERIES["q_point_lookup"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "doc_id" in pf, f"filter not pushed to scan: {pf!r}"
+
+
+def test_tfidf_join_is_broadcast(spark):
+    s = corpus_stats_for(spark, SF_DIR)
+    assert has_broadcast_join(tfidf(s.tf, s.idf_stats))
+
+
+def test_bm25_rank_plan_shape(spark):
+    df = QUERIES["q_bm25_rank"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan  # idf side broadcast
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global window
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = QUERIES["q_topk_per_doc"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, "top-k not pushed before full sort"
+
+
+def test_tf_shuffle_count(spark):
+    # tokenize is map-side; TF is ONE hash aggregation = one shuffle
+    # (plus the deliberate scan-repartition for local single-file inputs)
+    df = QUERIES["q_tf"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+
+
+def test_dim_join_broadcast(spark):
+    df = QUERIES["q_mktsegment_revenue"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_top_customers_no_global_window(spark):
+    df = QUERIES["q_top_customers"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = QUERIES["q_tf"](spark, SF_DIR)
+    # collect() (not count(), which builds a different plan) materializes
+    # THIS DataFrame's AQE final plan, where codegen stages are visible
+    df.collect()
+    plan = explain_str(df, "formatted")
+    # formatted mode tags codegen'd operators with "[codegen id : N]";
+    # the explode→filter→partial-agg chain must be one fused stage
+    assert "codegen id" in plan
+    assert "Generate [codegen id" in plan and "Filter [codegen id" in plan
+
+
+def test_stopword_filter_stays_in_scan_stage(spark):
+    # explode+filter must not introduce a shuffle
+    docs = load_table(spark, "documents", SF_DIR)
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+
+    df = filter_stopwords(tokenize(docs))
+    assert count_exchanges(df) == 0

@@ -1,0 +1,50 @@
+"""Sink-boundary tests: the nested TF document shape (K1,
+``model/TF.java:66-74``) and the text-file sink (K4)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from flink_bm25_spark.operators.pipeline import corpus_stats_for
+from flink_bm25_spark.operators.sinks import tf_vectors, write_text, write_tf_parquet
+from tests.conftest import SF_DIR
+
+
+def test_tf_vectors_shape_and_order(spark):
+    s = corpus_stats_for(spark, SF_DIR)
+    out = tf_vectors(s.tf, k=30)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,tf:array<struct<w:string,c:bigint>>>"
+    )
+    row = out.where("doc_id = 0").first()
+    counts = [e.c for e in row.tf]
+    assert counts == sorted(counts, reverse=True)
+    assert len(row.tf) <= 30
+    # tie order: equal counts sorted ascending by word
+    for a, b in zip(row.tf, row.tf[1:]):
+        if a.c == b.c:
+            assert a.w < b.w
+
+
+def test_tf_vectors_roundtrip_parquet(spark):
+    s = corpus_stats_for(spark, SF_DIR)
+    out = tf_vectors(s.tf, k=5)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tf"
+        write_tf_parquet(out, path)
+        back = spark.read.parquet(path)
+        assert back.count() == out.count()
+        # nullability flags flip on parquet roundtrip; compare shapes
+        assert back.schema.simpleString() == out.schema.simpleString()
+
+
+def test_write_text_json_lines(spark):
+    s = corpus_stats_for(spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/txt"
+        write_text(s.dlen.limit(10), path)
+        lines = spark.read.text(path).collect()
+        assert len(lines) == 10
+        rec = json.loads(lines[0].value)
+        assert set(rec) == {"doc_id", "dl"}
