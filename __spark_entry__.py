@@ -457,6 +457,80 @@ def _q_events_extract(spark, sf_dir):
     )
 
 
+def _q_intersect_words(spark, sf_dir):
+    # Set op breadth: vocabulary shared by two corpus slices (INTERSECT —
+    # absent from the reference, completing the set-operation family of U1).
+    docs = load_table(spark, "documents", sf_dir)
+    en = filter_stopwords(tokenize(docs.where(F.col("lang") == "en"))).select("word")
+    de = filter_stopwords(tokenize(docs.where(F.col("lang") == "de"))).select("word")
+    return en.intersect(de)
+
+
+def _q_except_words(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    en = filter_stopwords(tokenize(docs.where(F.col("lang") == "en"))).select("word")
+    de = filter_stopwords(tokenize(docs.where(F.col("lang") == "de"))).select("word")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep words that merely
+    # occur more often in the left slice)
+    return en.subtract(de)
+
+
+def _q_rollup_orders(spark, sf_dir):
+    # Multi-level aggregate (ROLLUP) — subtotals + grand total in one pass.
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total"),
+    )
+
+
+def _q_pivot_linestatus(spark, sf_dir):
+    # Pivot: one column per line status, decimal-exact sums.
+    li = load_table(spark, "lineitem", sf_dir)
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 6))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_o"),
+        F.col("F").alias("qty_f"),
+    )
+
+
+def _q_event_lag(spark, sf_dir):
+    # lag/lead window breadth: per-user deltas between consecutive events.
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def _q_latest_order_per_customer(spark, sf_dir):
+    # dedup-rank join shape: row_number()=1 per key (latest order).
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # NTZ→long is not castable directly; hop through a (UTC-session)
+            # timestamp so the epoch matches the oracle's naive epoch_us
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("odate"),
+        )
+    )
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -519,6 +593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mktsegment_revenue": _q_mktsegment_revenue,
         "q_top_customers": _q_top_customers,
         "q_events_extract": _q_events_extract,
+        "q_intersect_words": _q_intersect_words,
+        "q_except_words": _q_except_words,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_pivot_linestatus": _q_pivot_linestatus,
+        "q_event_lag": _q_event_lag,
+        "q_latest_order_per_customer": _q_latest_order_per_customer,
     }
 
 
@@ -977,5 +1057,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
             FROM events
+        """,
+        "q_intersect_words": f"""
+            WITH {_PIPE}
+            SELECT word FROM filtered
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            INTERSECT
+            SELECT word FROM filtered
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+        """,
+        "q_except_words": f"""
+            WITH {_PIPE}
+            SELECT word FROM filtered
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            EXCEPT
+            SELECT word FROM filtered
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+        """,
+        "q_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_pivot_linestatus": """
+            SELECT l_returnflag,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                         FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 6) AS qty_o,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                         FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 6) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_event_lag": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+            FROM events
+        """,
+        "q_latest_order_per_customer": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     epoch_us(o_orderdate) // 1000000 AS odate,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, odate FROM ranked WHERE rn = 1
         """,
     }

@@ -42,6 +42,27 @@ def corpus_size(documents: DataFrame) -> int:
     return documents.count()
 
 
+def document_frequencies_salted(
+    tf: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase (salted) DF for pathologically hot words.
+
+    Plain ``groupBy(word)`` already does map-side partial aggregation, but
+    at extreme scale a handful of ultra-frequent words can still bottleneck
+    their reducer partitions.  Salting splits each word across
+    ``salt_buckets`` reducers (phase 1: count per (word, salt)), then
+    merges the per-salt partials (phase 2) — the classic skew-breaking
+    two-shuffle trade.  Results are identical to
+    :func:`document_frequencies`; use under AQE-detected skew only, since
+    the extra shuffle costs more when keys are well distributed.
+    """
+    salted = tf.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+    )
+    partial = salted.groupBy("word", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").cast("long").alias("df"))
+
+
 def idf(df_stats: DataFrame, n_docs: int) -> DataFrame:
     """``(word, df, idf)`` with ``idf = ln(N / (df + 1))`` (F1).
 

@@ -16,7 +16,6 @@ count, before decode stages (see :func:`repartition_by_bytes`).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -36,13 +35,24 @@ def attach_binary_metadata(df: DataFrame, bytes_col: str = "payload") -> DataFra
     )
 
 
-def fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB decoder — deterministic fake standing in for PIL/ffmpeg (not in
-    this container).  Derives (width, height, fmt) from the md5 digest so
-    tests are reproducible.  Swap for a real codec via the ``decoder``
-    argument of :func:`decode_images`."""
-    h = hashlib.md5(payload).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+def _make_fake_decoder() -> Callable[[bytes], tuple[int, int, str]]:
+    """Build the STUB decoder as a *nested* function so cloudpickle ships
+    it by value — executors never need this package importable.  The fake
+    derives (width, height, fmt) deterministically from the md5 digest;
+    swap in a real codec via the ``decoder`` argument of
+    :func:`decode_images`."""
+
+    def fake(payload: bytes) -> tuple[int, int, str]:
+        import hashlib  # noqa: PLC0415 — worker-side import
+
+        h = hashlib.md5(payload).digest()
+        return 16 + h[0] % 64, 16 + h[1] % 64, ["png", "jpeg", "webp"][h[2] % 3]
+
+    return fake
+
+
+# driver-side instance for tests / direct use
+fake_decode = _make_fake_decoder()
 
 
 def decode_images(
@@ -60,7 +70,7 @@ def decode_images(
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    decode = decoder or fake_decode
+    decode = decoder or _make_fake_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

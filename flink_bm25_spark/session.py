@@ -31,6 +31,16 @@ def get_spark(
     - Shuffle partitions default to the local core count for tests; on a
       real cluster AQE coalescing makes the initial number less critical.
     """
+    # Python workers inherit PYTHONPATH (not the driver's sys.path); make
+    # sure this package resolves on executors even when the driver was
+    # launched from another directory.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"

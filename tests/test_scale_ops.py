@@ -1,0 +1,57 @@
+"""Scale-path operators: salted aggregation equivalence and the
+applyInPandasWithState custom stateful streaming operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.df_idf import (
+    document_frequencies,
+    document_frequencies_salted,
+)
+from flink_bm25_spark.operators.pipeline import corpus_stats_for
+from flink_bm25_spark.sources.tables import load_table
+from flink_bm25_spark.streaming.stateful import running_stats_per_type
+from tests.conftest import SF_DIR
+
+
+def test_salted_df_equals_plain(spark):
+    tf = corpus_stats_for(spark, SF_DIR).tf
+    plain = {r.word: r.df for r in document_frequencies(tf).collect()}
+    salted = {r.word: r.df for r in document_frequencies_salted(tf, 8).collect()}
+    assert plain == salted
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_stateful_")
+    shutil.copy(f"{SF_DIR}/events.parquet", d)
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(d)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = running_stats_per_type(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits per micro-batch; the LAST row per key is final
+    got = {
+        r.event_type: (r.n, round(r.max_value, 6))
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.mx, 6))
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
