@@ -57,18 +57,21 @@ def bm25_rank(
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query — ``(doc_id, score, rk)``.
 
-    ``avgdl`` is a scalar aggregate broadcast into the expression; ranking
-    ties break on doc_id so output is deterministic.
+    ``avgdl`` enters the plan as a broadcast one-row cross join — not a
+    driver-side ``first()`` — so the whole ranking is ONE Spark job and the
+    scalar never round-trips through Python.  Ranking ties break on doc_id
+    so output is deterministic.
     """
-    avgdl = dlen.agg(F.avg("dl")).first()[0]
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
     matches = tf.where(F.col("word").isin(*query_terms))
     scored = (
         matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
         .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
         .select(
             "doc_id",
             bm25_score_expr(
-                F.col("tf"), F.col("idf"), F.col("dl"), F.lit(float(avgdl)), k1, b
+                F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"), k1, b
             ).alias("contrib"),
         )
         .groupBy("doc_id")

@@ -131,14 +131,26 @@ def jaccard_pairs(
     the join is pre-filtered to those candidates (the LSH verify path).
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    probe = sh
+    if pairs is not None:
+        # Prune BEFORE the gram self-join, not after: restrict the shingle
+        # relation to docs that appear in some candidate pair, so the
+        # verify cost is proportional to |candidates|, not |corpus|.
+        cand_docs = (
+            pairs.select(F.col("d1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        probe = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    a = probe.alias("a")
+    b = probe.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("i"))
     )
     if pairs is not None:
+        # among candidate docs, keep only the candidate pairs themselves
         inter = inter.join(pairs.select("d1", "d2"), ["d1", "d2"], "left_semi")
     jac = (
         inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
@@ -260,12 +272,18 @@ def minhash_dedup_pairs(
     then runs only over candidates.  The shingle relation feeds both the
     signature and the verify stages, so it is cached for the run.
     """
-    # cache: consumed by both the signature and the verify branches; an
-    # eager unpersist would evict before the caller's action runs, so the
-    # cache is left to Spark's LRU eviction.
+    # The shingle relation feeds both the signature and the verify stages,
+    # and the candidate set is consumed twice inside the verify (doc-level
+    # prune + pair-level filter).  Both are cached; candidates are
+    # materialized EAGERLY — otherwise Catalyst would recompute the whole
+    # LSH subplan once per consumer (observed 8x slowdown).  At cluster
+    # scale this is the standard stage checkpoint between candidate
+    # generation and verification.  Caches are left to LRU eviction; an
+    # eager unpersist would evict before the caller's action runs.
     sh = shingles(documents, n).cache()
     wide = minhash_signatures_wide(sh, num_hashes)
-    cands = lsh_candidate_pairs(wide, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(wide, bands, num_hashes // bands).cache()
+    cands.count()
     return jaccard_pairs(sh, threshold, pairs=cands)
 
 

@@ -16,7 +16,7 @@ One lazy DataFrame chain replaces the reference's 2-jobs-per-document loop
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,17 +26,35 @@ from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
 from flink_bm25_spark.sources.tables import load_documents
 
 
-@dataclass
 class CorpusStats:
-    """All BM25 sufficient statistics as lazy DataFrames."""
+    """All BM25 sufficient statistics as lazy DataFrames.
 
-    documents: DataFrame
-    tokens: DataFrame
-    tf: DataFrame
-    dlen: DataFrame
-    df_stats: DataFrame
-    idf_stats: DataFrame
-    n_docs: int
+    ``n_docs``/``idf_stats`` are cached properties: the corpus count is a
+    real Spark job, so consumers that only need TF/DF/doc-length never pay
+    for it.
+    """
+
+    def __init__(
+        self,
+        documents: DataFrame,
+        tokens: DataFrame,
+        tf: DataFrame,
+        dlen: DataFrame,
+        df_stats: DataFrame,
+    ):
+        self.documents = documents
+        self.tokens = tokens
+        self.tf = tf
+        self.dlen = dlen
+        self.df_stats = df_stats
+
+    @cached_property
+    def n_docs(self) -> int:
+        return corpus_size(self.documents)
+
+    @cached_property
+    def idf_stats(self) -> DataFrame:
+        return idf(self.df_stats, self.n_docs)
 
 
 def _parallelize_scan(documents: DataFrame) -> DataFrame:
@@ -62,16 +80,12 @@ def build_corpus_stats(
     tf = term_frequencies(tokens)
     if cache_tf:
         tf = tf.cache()
-    n_docs = corpus_size(documents)
-    df_stats = document_frequencies(tf)
     return CorpusStats(
         documents=documents,
         tokens=tokens,
         tf=tf,
         dlen=doc_lengths(tf),
-        df_stats=df_stats,
-        idf_stats=idf(df_stats, n_docs),
-        n_docs=n_docs,
+        df_stats=document_frequencies(tf),
     )
 
 
