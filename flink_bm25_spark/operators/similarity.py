@@ -67,6 +67,69 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# IVF (coarse-quantizer) tier — MLlib KMeans cells, nprobe search
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+):
+    """Train an IVF coarse quantizer (KMeans) and assign every vector to a
+    cell: returns ``(model, assigned)`` where assigned = embeddings +
+    ``cell`` column.
+
+    The inverted-file idea at scale: write ``assigned`` partitioned by
+    ``cell`` so a query touches only the nprobe nearest cells' files —
+    partition pruning does the "inverted list" lookup.
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    vecs = embeddings.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cell")
+        .select("vec_id", "embedding", "cell")
+    )
+    return model, assigned
+
+
+def ivf_topk(
+    model,
+    assigned: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k probing only the ``nprobe`` cells nearest to the query.
+
+    Cell selection happens driver-side on the (tiny) centroid set; the
+    scan then filters on the cell id — with cell-partitioned storage this
+    becomes partition pruning, i.e. the engine reads ~nprobe/n_cells of
+    the data.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    q = np.asarray(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    order = sorted(
+        range(len(centers)), key=lambda c: float(np.linalg.norm(centers[c] - q))
+    )
+    probe_cells = order[:nprobe]
+    cand = assigned.where(F.col("cell").isin(*[int(c) for c in probe_cells]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("cos"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale tier)
 # ---------------------------------------------------------------------------
 

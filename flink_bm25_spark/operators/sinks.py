@@ -44,6 +44,27 @@ def write_tf_parquet(tf_vecs: DataFrame, path: str) -> None:
     tf_vecs.write.mode("overwrite").parquet(path)
 
 
+def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
+    """Hive-style partitioned parquet write — the 100 TB layout: queries
+    filtering on a partition column read only matching directories
+    (partition pruning shows as ``PartitionFilters`` in the scan)."""
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, n_buckets: int, *bucket_cols: str
+) -> None:
+    """Bucketed managed table: co-locates rows by key at write time so a
+    later join/agg on the bucket key needs NO shuffle on this side —
+    pre-paying the exchange once instead of per query."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
 def write_text(df: DataFrame, path: str) -> None:
     """K4 — ``writeAsText(OVERWRITE)`` analogue
     (``backup/BatchBM25Pre.java:170-171``): one file per partition."""

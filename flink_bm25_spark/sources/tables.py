@@ -60,7 +60,30 @@ def load_embeddings(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return load_table(spark, "embeddings", sf_dir)
 
 
+def load_text(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — line-oriented text source (``env.readTextFile``,
+    ``backup/StreamingJob.java:68``): one ``value`` row per line."""
+    return spark.read.text(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for the SQL surface."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def register_corpus_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """SQL-first surface: expose the derived BM25 statistics relations
+    (tokens/tf/dlen/df/idf) as temp views so the whole engine is usable
+    from ``spark.sql`` alone — the flink-table layer the reference declares
+    but never wires up (``pom.xml:67-76``, SURVEY.md §1.1).
+    """
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for  # noqa: PLC0415
+
+    register_views(spark, sf_dir)
+    stats = corpus_stats_for(spark, sf_dir)
+    stats.tokens.createOrReplaceTempView("tokens")
+    stats.tf.createOrReplaceTempView("tf")
+    stats.dlen.createOrReplaceTempView("dlen")
+    stats.df_stats.createOrReplaceTempView("dfreq")
+    stats.idf_stats.createOrReplaceTempView("idf")

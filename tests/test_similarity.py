@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from flink_bm25_spark.operators.similarity import (
     cosine_topk,
+    ivf_build,
+    ivf_topk,
     rp_lsh_bucket,
     rp_lsh_topk,
 )
@@ -36,6 +38,26 @@ def test_lsh_topk_recall(spark):
     # multi-probe with 8 planes / hamming<=3 probes ~half the corpus —
     # recall should be substantial on 500 vectors
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    q = _qvec(emb)
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    model, assigned = ivf_build(emb, n_cells=8)
+    assigned = assigned.cache()
+    approx = [
+        r.vec_id
+        for r in ivf_topk(model, assigned, q, k=10, nprobe=4, exclude_id=0).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    # probing all cells must reproduce the exact result
+    full = [
+        r.vec_id
+        for r in ivf_topk(model, assigned, q, k=10, nprobe=8, exclude_id=0).collect()
+    ]
+    assert full == exact
 
 
 def test_lsh_topk_scores_subset_of_exact_order(spark):

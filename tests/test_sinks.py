@@ -39,6 +39,43 @@ def test_tf_vectors_roundtrip_parquet(spark):
         assert back.schema.simpleString() == out.schema.simpleString()
 
 
+def test_partitioned_write_prunes(spark):
+    from flink_bm25_spark.operators.sinks import write_partitioned
+    from flink_bm25_spark.plans import explain_str
+    from flink_bm25_spark.sources.tables import load_documents
+
+    docs = load_documents(spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/by_lang"
+        write_partitioned(docs, path, "lang")
+        back = spark.read.parquet(path).where("lang = 'en'")
+        plan = explain_str(back, "formatted")
+        assert "PartitionFilters" in plan and "lang" in plan
+        assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_bucketed_join_no_shuffle(spark):
+    import uuid
+
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.sinks import write_bucketed_table
+    from flink_bm25_spark.plans import count_exchanges
+
+    s = corpus_stats_for(spark, SF_DIR)
+    t1 = f"tf_b_{uuid.uuid4().hex[:8]}"
+    t2 = f"dl_b_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed_table(s.tf, t1, 4, "doc_id")
+        write_bucketed_table(s.dlen, t2, 4, "doc_id")
+        joined = spark.table(t1).join(spark.table(t2), "doc_id")
+        # both sides bucketed on the join key: zero shuffle exchanges
+        assert count_exchanges(joined) == 0
+        assert joined.count() == s.tf.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
 def test_write_text_json_lines(spark):
     s = corpus_stats_for(spark, SF_DIR)
     with tempfile.TemporaryDirectory() as d:

@@ -1,0 +1,90 @@
+"""Source breadth (text lines, live socket) and the SQL-view surface."""
+
+from __future__ import annotations
+
+import socket
+import tempfile
+import threading
+import time
+
+from flink_bm25_spark.sources.tables import (
+    load_text,
+    register_corpus_views,
+)
+from flink_bm25_spark.streaming.wordcount import running_word_count, socket_lines
+from tests.conftest import SF_DIR
+
+
+def test_text_source(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/lines.txt"
+        with open(p, "w") as f:
+            f.write("spark join stream\nspark window\n")
+        df = load_text(spark, p)
+        assert df.columns == ["value"]
+        assert df.count() == 2
+
+
+def test_sql_surface_bm25_in_pure_sql(spark):
+    register_corpus_views(spark, SF_DIR)
+    # the whole BM25 statistics pipeline, driven from SQL alone
+    out = spark.sql(
+        """
+        SELECT t.doc_id,
+               round(sum(i.idf * t.tf * 2.2 /
+                     (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl /
+                      (SELECT avg(dl) FROM dlen)))), 6) AS score
+        FROM tf t JOIN idf i ON t.word = i.word JOIN dlen d ON t.doc_id = d.doc_id
+        WHERE t.word IN ('spark', 'stream', 'join')
+        GROUP BY t.doc_id ORDER BY score DESC, doc_id LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5
+    assert out[0].score >= out[-1].score
+
+
+def test_live_socket_wordcount(spark):
+    """T1 end-to-end: a real TCP socket feeding the streaming word count."""
+    lines = ["spark join stream", "spark spark window", "join the a"]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(20)  # keep the connection open while Spark reads
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    counts = running_word_count(socket_lines(spark, "127.0.0.1", port))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_socket_wc")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got = {}
+        while time.time() < deadline:
+            got = {
+                r.word: r.cnt
+                for r in spark.sql("SELECT * FROM t_socket_wc").collect()
+            }
+            if got.get("spark") == 3 and got.get("join") == 2:
+                break
+            time.sleep(0.5)
+        assert got.get("spark") == 3, got
+        assert got.get("join") == 2, got
+        assert got.get("window") == 1, got
+        assert "the" not in got and "a" not in got  # stopwords dropped
+    finally:
+        stop.set()
+        q.stop()
+        server.close()
