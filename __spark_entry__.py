@@ -50,6 +50,7 @@ from flink_bm25_spark.operators.similarity import (
     embedding_near_dup_pairs,
 )
 from flink_bm25_spark.operators.text_analysis import (
+    bpe_token_counts,
     corpus_profile,
     doc_fingerprints,
     language_id,
@@ -350,6 +351,11 @@ def _q_token_stats(spark, sf_dir):
     return token_stats(load_table(spark, "documents", sf_dir))
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    # whitespace vs BPE-ish regex token counting (LLM cost estimation)
+    return bpe_token_counts(load_table(spark, "documents", sf_dir))
+
+
 def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_table(spark, "documents", sf_dir))
 
@@ -584,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         # text analysis extension
         "q_token_stats": _q_token_stats,
+        "q_bpe_token_count": _q_bpe_token_count,
         "q_quality_scores": _q_quality_scores,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
@@ -927,6 +934,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(list_filter(
                         string_split_regex(lower(text), '\\s+'),
                         w -> w <> ''))) AS BIGINT) AS n_uniq_tokens
+            FROM documents
+        """,
+        "q_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "q_quality_scores": f"""

@@ -35,6 +35,28 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenization pattern (GPT-2-family simplified to a
+# portable character-class form): letter runs, single digits, or single
+# non-alphanumeric non-space symbols.
+BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """``(doc_id, n_ws_tokens, n_bpe_tokens)`` — whitespace vs BPE-ish
+    regex token counting (LLM-pipeline cost estimation).  Pure regexp
+    expressions; digits count one token each, as BPE pre-tokenizers do.
+    """
+    words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        # idx=0 → whole-match extraction (the pattern has no capture groups)
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Per-document quality signals + a composite keep-score for pipeline
     filtering (length, stopword density, punctuation density)."""

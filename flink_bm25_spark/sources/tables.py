@@ -60,6 +60,17 @@ def load_embeddings(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return load_table(spark, "embeddings", sf_dir)
 
 
+def load_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source with an explicit schema (inference is a full extra scan —
+    never in production paths)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def load_text(spark: SparkSession, path: str) -> DataFrame:
     """S7 — line-oriented text source (``env.readTextFile``,
     ``backup/StreamingJob.java:68``): one ``value`` row per line."""
