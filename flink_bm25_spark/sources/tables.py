@@ -32,10 +32,20 @@ TABLES = (
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one fixture table (S1 — full scan; pruning/pushdown via Catalyst)."""
+    # Timestamp→epoch conversions (NTZ casts, unix_timestamp) read the
+    # session timezone; pin UTC so results match the (UTC-naive) SQL
+    # oracle under ANY caller-provided session.  Runtime-settable.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk, which the Spark 4 parquet reader
+        # rejects outright.  The legacy escape hatch is runtime-settable,
+        # so set it here — the engine then works under ANY caller-provided
+        # SparkSession (the external driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, surfaced as long via
-        # spark.sql.legacy.parquet.nanosAsLong.  Truncate to microseconds
+        # nanosAsLong surfaces ts as int64 nanos; truncate to microseconds
         # (`div` = exact integer division; a double division would lose
         # precision at ~1.7e18 nanos) — the same µs granularity SQL engines
         # use, so ordering and window bucketing agree with the oracle.
