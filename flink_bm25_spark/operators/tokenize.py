@@ -57,9 +57,11 @@ def filter_stopwords(
 def filter_stopwords_broadcast(tokens: DataFrame, stopwords_df: DataFrame) -> DataFrame:
     """Stopword removal as a broadcast anti-join — the 100 TB-scale form
     when the dictionary is too large for an isin literal."""
-    return tokens.join(
+    out = tokens.join(
         F.broadcast(stopwords_df.select(F.col("word"))), on="word", how="left_anti"
     )
+    # the join puts the key column first; restore the input column order
+    return out.select(*tokens.columns)
 
 
 def tokenize_with_udf(

@@ -1,0 +1,53 @@
+"""Coverage for the remaining operator variants: the pluggable mapInPandas
+tokenizer, broadcast stopword removal, and sign-LSH candidate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.similarity import (
+    rp_lsh_bucket,
+    rp_lsh_candidate_pairs,
+)
+from flink_bm25_spark.operators.tokenize import (
+    filter_stopwords,
+    filter_stopwords_broadcast,
+    tokenize,
+    tokenize_with_udf,
+)
+from flink_bm25_spark.sources.tables import load_documents, load_embeddings
+from tests.conftest import SF_DIR
+
+
+def test_udf_tokenizer_matches_builtin(spark):
+    docs = load_documents(spark, SF_DIR).limit(50)
+    builtin = {(r.doc_id, r.word) for r in tokenize(docs).collect()}
+
+    # a segmenter closure — the ansj/jieba slot; pickled by value
+    def segment(text: str) -> list[str]:
+        return [w for w in text.lower().split() if w]
+
+    viaudf = {(r.doc_id, r.word) for r in tokenize_with_udf(docs, segment).collect()}
+    assert viaudf == builtin
+
+
+def test_broadcast_stopword_filter_matches_isin(spark):
+    docs = load_documents(spark, SF_DIR).limit(100)
+    tokens = tokenize(docs)
+    sw_df = spark.createDataFrame([("the",), ("a",)], "word string")
+    a = sorted(tuple(r) for r in filter_stopwords(tokens).collect())
+    b = sorted(tuple(r) for r in filter_stopwords_broadcast(tokens, sw_df).collect())
+    assert a == b
+
+
+def test_rp_lsh_candidates_are_plausible(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    bucketed = rp_lsh_bucket(emb, num_planes=6).cache()
+    pairs = rp_lsh_candidate_pairs(bucketed)
+    rows = pairs.collect()
+    assert all(r.d1 < r.d2 for r in rows)
+    # candidate count is the sum over buckets of C(n,2) — verify exactly
+    sizes = bucketed.groupBy("bucket").count().collect()
+    expect = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert len(rows) == expect
+    bucketed.unpersist()
