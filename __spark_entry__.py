@@ -463,6 +463,19 @@ def _q_events_extract(spark, sf_dir):
     )
 
 
+def _q_quantiles(spark, sf_dir):
+    # Exact order statistics: median/p90 via percentile (linear
+    # interpolation — same semantics as SQL quantile_cont), plus exact
+    # distinct count.  (approx_* sketches are deliberately NOT oracle
+    # queries: engines' sketches differ by construction.)
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
 def _q_intersect_words(spark, sf_dir):
     # Set op breadth: vocabulary shared by two corpus slices (INTERSECT —
     # absent from the reference, completing the set-operation family of U1).
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mktsegment_revenue": _q_mktsegment_revenue,
         "q_top_customers": _q_top_customers,
         "q_events_extract": _q_events_extract,
+        "q_quantiles": _q_quantiles,
         "q_intersect_words": _q_intersect_words,
         "q_except_words": _q_except_words,
         "q_rollup_orders": _q_rollup_orders,
@@ -1072,6 +1086,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
             FROM events
+        """,
+        "q_quantiles": """
+            SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders
         """,
         "q_intersect_words": f"""
             WITH {_PIPE}

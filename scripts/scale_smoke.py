@@ -1,0 +1,85 @@
+"""Scale-up smoke: self-multiply the corpus N× in-plan and run the heavy
+pipelines, checking that runtime grows ~linearly and nothing driver-side
+blows up — the local proxy for "would this survive a 100× scale-up".
+
+The multiplication is a crossJoin with a replica-id range, giving each
+copy a distinct doc_id — so TF/DF/minhash see a genuinely larger corpus
+(more docs), not just duplicated rows.
+
+Run: python scripts/scale_smoke.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.config import DEFAULT_QUERY_TERMS
+    from flink_bm25_spark.operators.bm25 import bm25_rank
+    from flink_bm25_spark.operators.dedup import minhash_dedup_pairs
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+    from flink_bm25_spark.session import get_spark
+    from flink_bm25_spark.sources.tables import load_documents
+
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_smoke")
+    base = load_documents(spark, sf_dir)
+    n_base = base.count()
+
+    replicas = spark.range(mult).select(F.col("id").alias("rep"))
+    big = (
+        base.crossJoin(replicas)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+    # NOTE: near-dup *pair* pipelines are excluded on purpose — replicating
+    # every document N times makes each doc N-1 true duplicates, so the
+    # correct OUTPUT grows quadratically in N regardless of engine.  The
+    # signature stages (linear output) are what a scale smoke can assert.
+    from flink_bm25_spark.operators.dedup import minhash_signatures_wide, shingles
+
+    results = {}
+    for label, docs in [("base", base), (f"x{mult}", big)]:
+        t0 = time.perf_counter()
+        stats = build_corpus_stats(docs, cache_tf=True)
+        ranked = bm25_rank(
+            stats.tf, stats.idf_stats, stats.dlen, DEFAULT_QUERY_TERMS, k=10
+        ).collect()
+        bm25_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_sigs = minhash_signatures_wide(shingles(docs)).count()
+        sig_sec = time.perf_counter() - t0
+        stats.tf.unpersist()
+        results[label] = (bm25_sec, sig_sec)
+        print(
+            f"{label}: docs={docs.count()} bm25={bm25_sec:.1f}s "
+            f"minhash_sigs={sig_sec:.1f}s ({n_sigs} signatures, "
+            f"top1={ranked[0].doc_id if ranked else None})"
+        )
+
+    b, m = results["base"], results[f"x{mult}"]
+    print(
+        f"scale factor {mult}x -> bm25 time ratio {m[0] / b[0]:.1f}x, "
+        f"minhash-signature ratio {m[1] / b[1]:.1f}x (linear would be "
+        f"{mult}.0x; sub-linear = fixed overhead amortized, "
+        f"super-linear = red flag)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
