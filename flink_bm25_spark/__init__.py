@@ -37,7 +37,18 @@ from flink_bm25_spark.config import (
     TOP_K_TERMS,
 )
 
+
+def __getattr__(name):
+    # lazy: importing the facade pulls in pyspark; keep bare package import light
+    if name == "BM25Engine":
+        from flink_bm25_spark.api import BM25Engine
+
+        return BM25Engine
+    raise AttributeError(name)
+
+
 __all__ = [
+    "BM25Engine",
     "BM25_B",
     "BM25_K1",
     "DEFAULT_QUERY_TERMS",
