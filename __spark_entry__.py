@@ -550,6 +550,179 @@ def _q_latest_order_per_customer(spark, sf_dir):
     )
 
 
+def _q_cube_orders(spark, sf_dir):
+    # CUBE — all 4 grouping combinations + grouping_id in one pass
+    # (complements q_rollup_orders; Catalyst expands to a single Expand+agg).
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total"),
+    )
+
+
+def _q_grouping_sets(spark, sf_dir):
+    # Explicit GROUPING SETS ((status), (priority)) — subtotals by two
+    # independent dimensions without the full cube.
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
+        ).alias("total"),
+    )
+
+
+def _q_stats_moments(spark, sf_dir):
+    # Statistical aggregate breadth: sample stddev/variance, correlation,
+    # covariance — single-pass merge-able moments (Welford-style partials),
+    # exactly what survives a 1000-partition tree aggregation.
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    # LEFT ANTI join — customers with no pending order (the join family the
+    # reference lacks entirely, SURVEY §2.6).  Filtered so the result is
+    # non-empty on every fixture (an always-empty result would vacuously
+    # match any oracle).
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders.where(F.col("o_orderstatus") == "P").select("o_custkey"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _q_semi_join(spark, sf_dir):
+    # LEFT SEMI join — customers with at least one finished order; semi
+    # dedupes the probe side without a distinct shuffle.
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_custkey"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_acctbal")
+
+
+def _q_asof_join(spark, sf_dir):
+    # As-of join: each click matched to the user's latest purchase at or
+    # before it — sort-merge union+window form (operators/asof.py), one
+    # shuffle, no range cross-join blow-up.  Oracle uses DuckDB's native
+    # ASOF JOIN — an independent implementation of the same semantics.
+    from flink_bm25_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        value_cols=("p_event_id", "value"),
+        tiebreak="p_event_id",
+        prefix="",
+    ).select("event_id", "user_id", "p_event_id", F.round("value", 6).alias("p_value"))
+
+
+def _q_range_count(spark, sf_dir):
+    # Trailing 5-minute RANGE frame per user — scalable self range-join.
+    from flink_bm25_spark.operators.asof import range_window_agg
+
+    return range_window_agg(load_table(spark, "events", sf_dir))
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    # TPC-H Q5 shape: orders ⋈ customer (shuffle, large-large) ⋈ nation ⋈
+    # region (broadcast dims) — the join-reordering/broadcast showcase.
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_rank_functions(spark, sf_dir):
+    # Ranking-function breadth: rank/dense_rank/percent_rank/cume_dist over
+    # the value ordering (tie-stable), ntile over a fully deterministic
+    # (value, key) ordering.
+    orders = load_table(spark, "orders", sf_dir)
+    wv = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(wv).cast("int").alias("rk"),
+        F.dense_rank().over(wv).cast("int").alias("drk"),
+        F.percent_rank().over(wv).alias("prk"),
+        F.cume_dist().over(wv).alias("cd"),
+        F.ntile(4).over(wt).cast("int").alias("quartile"),
+    )
+
+
+def _q_orders_by_month(spark, sf_dir):
+    # Calendar bucketing: civil year/month fields on naive timestamps
+    # (UTC-pinned session) — partition-pruning-friendly date rollup.
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 6
+            ).alias("total"),
+        )
+    )
+
+
+def _q_approx_distinct(spark, sf_dir):
+    # Approx aggregates (HLL++ / KLL-style quantile sketch).  Deliberately
+    # NOT oracle-checked: sketch contents are engine-specific by
+    # construction (rows-only driver check; accuracy asserted in
+    # tests/test_operators_misc.py against the exact values).
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.round(
+            F.percentile_approx("o_totalprice", 0.5, 10000).cast("double"), 6
+        ).alias("approx_p50"),
+    )
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -620,6 +793,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_linestatus": _q_pivot_linestatus,
         "q_event_lag": _q_event_lag,
         "q_latest_order_per_customer": _q_latest_order_per_customer,
+        "q_cube_orders": _q_cube_orders,
+        "q_grouping_sets": _q_grouping_sets,
+        "q_stats_moments": _q_stats_moments,
+        "q_anti_join": _q_anti_join,
+        "q_semi_join": _q_semi_join,
+        "q_asof_join": _q_asof_join,
+        "q_range_count": _q_range_count,
+        "q_revenue_by_nation": _q_revenue_by_nation,
+        "q_rank_functions": _q_rank_functions,
+        "q_orders_by_month": _q_orders_by_month,
+        "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
     }
 
 
@@ -1140,5 +1324,104 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT o_custkey, o_orderkey, odate FROM ranked WHERE rn = 1
+        """,
+        # GROUPING(a, b) bit order (a = MSB) matches Spark grouping_id().
+        "q_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "q_stats_moments": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'P')
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """,
+        # Native ASOF JOIN — an independent implementation of the engine's
+        # union+window sort-merge form (operators/asof.py).
+        "q_asof_join": """
+            WITH p0 AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            p AS (
+              SELECT user_id, ts,
+                     arg_max(event_id, event_id) AS p_event_id,
+                     arg_max(value, event_id) AS p_value
+              FROM p0 GROUP BY user_id, ts
+            ),
+            c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, p.p_event_id, round(p.p_value, 6) AS p_value
+            FROM c ASOF JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "q_range_count": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+                   round(sum(value) OVER w, 6) AS sum_trailing
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_rank_functions": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(rank() OVER wv AS INTEGER) AS rk,
+                   CAST(dense_rank() OVER wv AS INTEGER) AS drk,
+                   percent_rank() OVER wv AS prk,
+                   cume_dist() OVER wv AS cd,
+                   CAST(ntile(4) OVER wt AS INTEGER) AS quartile
+            FROM orders
+            WINDOW wv AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+                   wt AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "q_orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                   CAST(month(o_orderdate) AS INTEGER) AS m,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                     AS total
+            FROM orders GROUP BY 1, 2
         """,
     }

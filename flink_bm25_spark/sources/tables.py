@@ -35,8 +35,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # Timestamp→epoch conversions (NTZ casts, unix_timestamp) read the
     # session timezone; pin UTC so results match the (UTC-naive) SQL
     # oracle under ANY caller-provided session.  Runtime-settable.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (unconditional set: conf.get(key, default) VALIDATES the default for
+    # this key in Spark 4.1 and throws on a sentinel like '' — a read-then-
+    # set guard crashes under a vanilla caller session)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk, which the Spark 4 parquet reader
         # rejects outright.  The legacy escape hatch is runtime-settable,

@@ -1,0 +1,84 @@
+"""Unit semantics of the as-of join operator (operators/asof.py) beyond the
+oracle parity check: left-outer behavior, tie resolution, exact-ts matches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(5)), (3, 10, _ts(20)), (4, 99, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts(10), 1.0),   # exactly at left ts=10 -> matches (<=)
+            (101, 10, _ts(15), 2.0),
+            (102, 10, _ts(15), 3.0),   # same (key, ts) as 101 -> tiebreak max id
+        ],
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_inner_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", value_cols=("rid", "v"), tiebreak="rid"
+    )
+    got = {r["event_id"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    # event 2 (ts=5) has no prior purchase; event 4 is another key
+    assert got == {1: (100, 1.0), 3: (102, 3.0)}
+
+
+def test_asof_left_outer_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", value_cols=("rid",), tiebreak="rid", how="left"
+    )
+    got = {r["event_id"]: r["asof_rid"] for r in out.collect()}
+    assert got == {1: 100, 2: None, 3: 102, 4: None}
+
+
+def test_asof_preserves_left_columns(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="user_id", value_cols=("v",))
+    assert out.columns == ["event_id", "user_id", "ts", "asof_v"]
+
+
+def test_asof_plan_has_single_shuffle(spark):
+    # The scalable property: ONE exchange (hash on the key), no join node —
+    # a naive range-join formulation would show BroadcastNestedLoop/cartesian.
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="user_id", value_cols=("v",), tiebreak="rid"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hashpartitioning on user_id for the window; the tiebreak pre-agg
+    # reuses the same partitioning
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_approx_distinct_accuracy(spark):
+    # approx sketches are not oracle-matchable (engine-specific), so pin
+    # accuracy against the exact values instead.
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    row = entrymod.queries()["q_approx_distinct"](spark, SF_DIR).first()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact_n = orders.select("o_custkey").distinct().count()
+    exact_p50 = orders.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+    assert abs(row["approx_customers"] - exact_n) <= 0.05 * exact_n
+    assert abs(row["approx_p50"] - exact_p50) <= 0.02 * exact_p50
