@@ -723,6 +723,33 @@ def _q_approx_distinct(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    # Deterministic train/val/test assignment keyed on h60(doc_id) — stable
+    # under re-partitioning, incremental growth, and engine choice (the
+    # oracle reproduces it bit-for-bit).  Pure map-side projection.
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(docs, key_col="doc_id").select("doc_id", "split")
+
+
+def _q_sessionize(spark, sf_dir):
+    # Gap-based sessionization (30-min inactivity) + per-session rollup —
+    # one shuffle on user_id; lag/cumsum windows share the exchange.
+    from flink_bm25_spark.operators.sessions import session_stats
+
+    return session_stats(load_table(spark, "events", sf_dir))
+
+
+def _q_edit_distance(spark, sf_dir):
+    # Entity resolution over the distinct part-name vocabulary: Levenshtein
+    # <= 3 with a length-difference prefilter; the pairwise join runs on the
+    # (small, broadcast) distinct relation, never the row corpus.
+    from flink_bm25_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(load_table(spark, "part", sf_dir), "p_name", 3)
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -804,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": _q_rank_functions,
         "q_orders_by_month": _q_orders_by_month,
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
+        "q_hash_split": _q_hash_split,
+        "q_sessionize": _q_sessionize,
+        "q_edit_distance": _q_edit_distance,
     }
 
 
@@ -1423,5 +1453,48 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
                      AS total
             FROM orders GROUP BY 1, 2
+        """,
+        # Same md5-derived bucket as operators/sampling.py — deterministic
+        # split reproduced bit-for-bit by an independent engine.
+        "q_hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+                  FROM documents)
+        """,
+        "q_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS boundary
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            sess AS (
+              SELECT *, CAST(sum(boundary) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS INTEGER) AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "q_edit_distance": """
+            WITH names AS (
+              SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL
+            )
+            SELECT a.v AS v1, b.v AS v2,
+                   CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+            FROM names a JOIN names b
+              ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 3
+            WHERE levenshtein(a.v, b.v) <= 3
         """,
     }

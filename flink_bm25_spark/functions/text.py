@@ -25,6 +25,68 @@ def tokenize_expr(text: Column) -> Column:
     return F.split(F.lower(text), TOKEN_SPLIT_PATTERN)
 
 
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),    # CJK Unified Ideographs
+    (0x3400, 0x4DBF),    # Extension A
+    (0xF900, 0xFAFF),    # Compatibility Ideographs
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def cjk_segment(text: str) -> list[str]:
+    """Deterministic CJK segmenter for the pluggable tokenizer slot
+    (:func:`flink_bm25_spark.operators.tokenize.tokenize_with_udf`) — the
+    engine's stand-in for the reference's ansj model
+    (``BatchBM25PreMain.java:186``), which cannot ship here.
+
+    Standard CJK **overlapping-bigram** indexing (the approach of Lucene's
+    public CJKAnalyzer): ideograph runs of length ≥ 2 emit each adjacent
+    character pair, a lone ideograph emits itself, and non-CJK runs of
+    word characters emit as lowercase words.  Pure Python, zero model
+    state — deterministic across executors and runs, so BM25 statistics
+    built on it are reproducible.
+
+    >>> cjk_segment("被告人王某 drove twice")
+    ['被告', '告人', '人王', '王某', 'drove', 'twice']
+    """
+    out: list[str] = []
+    run: list[str] = []
+    word: list[str] = []
+
+    def flush_run() -> None:
+        if len(run) == 1:
+            out.append(run[0])
+        else:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    def flush_word() -> None:
+        if word:
+            out.append("".join(word))
+            word.clear()
+
+    for ch in text:
+        if _is_cjk(ch):
+            flush_word()
+            run.append(ch)
+        elif ch.isalnum():
+            if run:
+                flush_run()
+            word.append(ch.lower())
+        else:
+            if run:
+                flush_run()
+            flush_word()
+    if run:
+        flush_run()
+    flush_word()
+    return out
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     """Document quality signals for pipeline filtering (LLM-data extension).
 

@@ -167,6 +167,38 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def edit_distance_pairs(
+    df: DataFrame, col: str, max_dist: int = 3
+) -> DataFrame:
+    """``(v1, v2, dist)`` — pairs of *distinct* values of ``col`` within
+    Levenshtein distance ``max_dist`` (entity-resolution after exact dedup:
+    near-identical names/titles that hashing can never catch).
+
+    Scale shape: the pairwise join runs over the **distinct-value
+    relation**, which is orders of magnitude smaller than the corpus (and
+    broadcastable), not over the rows themselves; the length-difference
+    prefilter (``|len(a)-len(b)| > d ⟹ lev(a,b) > d``) prunes pairs before
+    the O(len²) distance kernel runs.  ``levenshtein`` is a JVM built-in —
+    no Python in the loop.
+    """
+    names = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
+    a = names.select(F.col("v").alias("v1"), F.length("v").alias("len1"))
+    b = names.select(F.col("v").alias("v2"), F.length("v").alias("len2"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("v1") < F.col("v2"))
+            & (F.abs(F.col("len1") - F.col("len2")) <= max_dist),
+        )
+        .select(
+            "v1",
+            "v2",
+            F.levenshtein("v1", "v2").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

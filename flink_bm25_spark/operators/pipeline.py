@@ -74,9 +74,13 @@ def _parallelize_scan(documents: DataFrame) -> DataFrame:
 
 
 def build_corpus_stats(
-    documents: DataFrame, cache_tf: bool = False
+    documents: DataFrame, cache_tf: bool = False, tokenizer=tokenize
 ) -> CorpusStats:
-    tokens = filter_stopwords(tokenize(_parallelize_scan(documents)))
+    """``tokenizer`` is any ``documents -> (doc_id, word)`` transform — the
+    default regex tokenizer, or a model-backed slot like
+    ``partial(tokenize_with_udf, segment=cjk_segment)``; every downstream
+    statistic (TF/DF/IDF/BM25) is tokenizer-agnostic."""
+    tokens = filter_stopwords(tokenizer(_parallelize_scan(documents)))
     tf = term_frequencies(tokens)
     if cache_tf:
         tf = tf.cache()

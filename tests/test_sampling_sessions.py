@@ -1,0 +1,84 @@
+"""Unit semantics of deterministic sampling/splitting (operators/sampling.py)
+and gap sessionization (operators/sessions.py) beyond the oracle parity check:
+stability, composability, boundary behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.sampling import hash_sample, hash_split
+from flink_bm25_spark.operators.sessions import session_stats, sessionize
+from tests.conftest import SF_DIR
+
+
+def test_hash_split_is_exhaustive_and_stable(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(docs, key_col="doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # ~80/10/10 within loose tolerance on a small fixture
+    total = sum(counts.values())
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.12)
+    # deterministic: re-partitioned input yields the identical assignment
+    again = hash_split(docs.repartition(7), key_col="doc_id")
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_hash_sample_nested_subsets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = hash_sample(docs, 0.1, key_col="doc_id").select("doc_id")
+    large = hash_sample(docs, 0.5, key_col="doc_id").select("doc_id")
+    # composability: the 10% sample is a strict subset of the 50% sample
+    assert small.exceptAll(large).count() == 0
+    assert 0 < small.count() < large.count() < docs.count()
+
+
+def test_hash_split_rejects_bad_bounds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError):
+        hash_split(docs, splits=(("a", 50), ("b", 90)), buckets=100)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions — 3 events within 30 min, then a 2h gap
+        (1, 1, base, 1.0),
+        (2, 1, base + dt.timedelta(minutes=10), 2.0),
+        (3, 1, base + dt.timedelta(minutes=40), 3.0),  # 30-min gap exactly -> same session
+        (4, 1, base + dt.timedelta(hours=3), 4.0),
+        # user 2: single event
+        (5, 2, base, 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # a gap of exactly gap_s does NOT start a new session (strict >)
+    out = sessionize(_events(spark), gap_s=1800)
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_session_stats_rollup(spark):
+    out = session_stats(_events(spark), gap_s=1800)
+    rows = {(r["user_id"], r["session_id"]): r for r in out.collect()}
+    s1 = rows[(1, 1)]
+    assert s1["n_events"] == 3
+    assert s1["end_us"] - s1["start_us"] == 40 * 60 * 1_000_000
+    assert s1["sum_value"] == 6.0
+    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(2, 1)]["n_events"] == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag + running-sum windows must share ONE exchange on the session key
+    out = sessionize(_events(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
