@@ -750,6 +750,26 @@ def _q_edit_distance(spark, sf_dir):
     return edit_distance_pairs(load_table(spark, "part", sf_dir), "p_name", 3)
 
 
+def _q_small_qty_revenue(spark, sf_dir):
+    # TPC-H Q17 shape — correlated scalar subquery (per-part average
+    # threshold).  Exercises Catalyst decorrelation: the subquery rewrites
+    # to ONE aggregate over lineitem joined back on l_partkey — no
+    # per-row re-scan, which is the difference between O(n) and O(n²) at
+    # 100 TB.  Expressed through the SQL surface deliberately.
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_v")
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem_v l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -834,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
+        "q_small_qty_revenue": _q_small_qty_revenue,
     }
 
 
@@ -1496,5 +1517,13 @@ def oracle_sql() -> dict[str, str]:
             FROM names a JOIN names b
               ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 3
             WHERE levenshtein(a.v, b.v) <= 3
+        """,
+        "q_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
         """,
     }

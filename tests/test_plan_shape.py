@@ -94,3 +94,26 @@ def test_stopword_filter_stays_in_scan_stage(spark):
 
     df = filter_stopwords(tokenize(docs))
     assert count_exchanges(df) == 0
+
+
+def test_q17_subquery_decorrelated(spark):
+    # The correlated scalar subquery must rewrite to ONE aggregate joined
+    # back (two lineitem scans total) — never a per-row re-execution or a
+    # nested-loop join, and the brand filter must reach the part scan.
+    df = QUERIES["q_small_qty_revenue"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # formatted explain lists each scan in the tree AND the detail section;
+    # count the numbered detail entries: lineitem x2 + part = 3 scans
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "EqualTo(p_brand,Brand#23)" in plan  # pushed to the scan
+
+
+def test_asof_join_no_range_join(spark):
+    df = QUERIES["q_asof_join"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
