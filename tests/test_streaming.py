@@ -111,3 +111,30 @@ def test_bootstrap_counts_merge(spark):
     # snapshot-only words surface when the stream later emits them (update
     # mode); the merged view covers live keys
     assert out == {"spark": 13, "join": 1}
+
+
+def test_interval_join_stream_equals_batch(spark):
+    # stream-stream watermarked interval join == the same join on batch
+    from flink_bm25_spark.streaming.joins import click_purchase_interval_join
+
+    batch, stream = _stream_events(spark)
+
+    def split(ev):
+        return (
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        )
+
+    got_q = (
+        click_purchase_interval_join(*split(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ivj")
+        .start()
+    )
+    got_q.processAllAvailable()
+    got_q.stop()
+    got = spark.sql("SELECT * FROM t_ivj")
+    want = click_purchase_interval_join(*split(batch))
+    assert want.count() > 0
+    assert _rows(got) == _rows(want)
