@@ -44,6 +44,7 @@ from flink_bm25_spark.operators.dedup import (
     token_set_duplicates,
 )
 from flink_bm25_spark.operators.df_idf import distinct_words
+from flink_bm25_spark.operators.graph import dedup_clusters
 from flink_bm25_spark.operators.pipeline import corpus_stats_for
 from flink_bm25_spark.operators.similarity import (
     cosine_topk,
@@ -321,6 +322,14 @@ def _q_dedup_minhash(spark, sf_dir):
     # probability at j>=0.8 is <=(1-0.8^4)^16 ~ 2e-4 and the fixture's
     # near-dup pairs sit at j~0.99 (miss ~1e-18), verified empirically.
     return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), 0.8)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    # Pairs -> clusters: connected components (pointer-jumping label
+    # propagation) over the verified MinHash near-dup pairs, electing the
+    # cluster-min doc as canonical.  Oracle = recursive-CTE reachability.
+    pairs = minhash_dedup_pairs(load_table(spark, "documents", sf_dir), 0.8)
+    return dedup_clusters(pairs)
 
 
 def _q_simhash(spark, sf_dir):
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_minhash_signatures": _q_minhash_signatures,
         "q_dedup_minhash": _q_dedup_minhash,
+        "q_dedup_clusters": _q_dedup_clusters,
         "q_simhash": _q_simhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
@@ -1141,6 +1151,28 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_minhash": f"""
             WITH {_JACCARD}
             SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
+        """,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE {_JACCARD},
+            pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+            edges AS (
+              SELECT d1 AS a, d2 AS b FROM pairs
+              UNION
+              SELECT d2 AS a, d1 AS b FROM pairs
+            ),
+            walk(node, reach) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+            ),
+            comp AS (
+              SELECT node AS doc_id, min(reach) AS canonical_id
+              FROM walk GROUP BY node
+            )
+            SELECT doc_id, canonical_id,
+                   CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+                     AS cluster_size
+            FROM comp
         """,
         "q_simhash": f"WITH {_PIPE}, {_SIMHASH} SELECT doc_id, simhash FROM ssig",
         "q_dedup_simhash": f"""

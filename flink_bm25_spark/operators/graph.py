@@ -1,0 +1,99 @@
+"""Iterative graph operators — connected components over a pair relation.
+
+The reference's dedup story stops at *pairs* (its only dedup is the exact
+(word,count) distinct, ``backup/BatchBM25Pre.java:153``); a training-data
+pipeline needs the next step: group near-duplicate pairs into **clusters**
+and elect one canonical document per cluster.  That grouping is connected
+components over the pair graph.
+
+Scale shape (100 TB): label propagation with **pointer jumping**.  Each
+iteration is two shuffles (one propagate join, one min-aggregate) plus a
+pointer-jump self-join that doubles the distance a label travels, so
+convergence is O(log diameter) rounds — not O(diameter), which matters
+when adversarial duplicate chains (boilerplate pages, templated spam)
+form long paths.  Labels are monotonically non-increasing, so the sum of
+labels is a strictly decreasing convergence metric: one scalar per round,
+no change-detection join.  Lineage is truncated every round with
+``localCheckpoint`` (the DataFrame analogue of an iterative algorithm's
+stage checkpoint) so the plan does not grow with the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``pairs``;
+    ``component`` is the minimum node id reachable in the undirected
+    pair graph — a deterministic canonical id.
+    """
+    sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        # propagate: every edge offers its source's label to its target
+        offered = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "component"
+        )
+        merged = (
+            labels.unionByName(offered)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow component -> label(component) one more hop,
+        # doubling the effective path length per round
+        jump = merged.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        labels = (
+            merged.join(jump, merged["component"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease => their sum strictly decreases until
+        # the fixpoint; a scalar comparison replaces a change-count join
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2"
+) -> DataFrame:
+    """``(doc_id, canonical_id, cluster_size)`` — each document in a
+    near-duplicate cluster, its elected canonical (cluster-min id), and
+    the cluster population.  Feed any pair relation (exact, MinHash,
+    SimHash, embedding-cosine); downstream keeps ``doc_id ==
+    canonical_id`` rows and drops the rest.
+    """
+    comp = connected_components(pairs, src, dst)
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("canonical_id")).cast("long"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Connected components / dedup clustering (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_long_chain_converges_by_pointer_jumping(spark):
+    # a 40-node path: plain propagation needs 40 rounds; pointer jumping
+    # must finish well inside the iteration cap
+    n = 40
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_chain_anchored_at_high_end(spark):
+    # min label sits at the far end of the chain — worst case propagation
+    got = _cc(spark, [(i + 1, i) for i in range(10)])
+    assert got == {i: 0 for i in range(11)}
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    got = _cc(spark, [(7, 7), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "d1 long, d2 long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_sizes(spark):
+    df = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "d1 long, d2 long"
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(df).collect()
+    }
+    assert rows == {
+        10: (10, 3),
+        11: (10, 3),
+        12: (10, 3),
+        20: (20, 2),
+        21: (20, 2),
+    }
