@@ -44,11 +44,13 @@ from flink_bm25_spark.operators.dedup import (
     token_set_duplicates,
 )
 from flink_bm25_spark.operators.df_idf import distinct_words
+from flink_bm25_spark.operators.cleaning import clean_corpus
 from flink_bm25_spark.operators.graph import dedup_clusters
 from flink_bm25_spark.operators.pipeline import corpus_stats_for
 from flink_bm25_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    quantized_embeddings,
 )
 from flink_bm25_spark.operators.text_analysis import (
     bpe_token_counts,
@@ -332,6 +334,12 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_corpus_clean(spark, sf_dir):
+    # Composed training-data pipeline: quality filter + near-dup cluster
+    # canonical election in one declarative plan (operators/cleaning.py).
+    return clean_corpus(load_table(spark, "documents", sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return simhash_signatures(_stats(spark, sf_dir).tf)
 
@@ -345,6 +353,21 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_embed_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), 0.45)
+
+
+def _q_embed_quantize(spark, sf_dir):
+    # int8 quantization; the vector is checked via an md5 digest of its
+    # comma-joined elements (portable exact check on every element).
+    q = quantized_embeddings(load_table(spark, "embeddings", sf_dir))
+    return q.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("qsig"),
+        "scale",
+    )
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -827,9 +850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": _q_minhash_signatures,
         "q_dedup_minhash": _q_dedup_minhash,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_corpus_clean": _q_corpus_clean,
         "q_simhash": _q_simhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
+        "q_embed_quantize": _q_embed_quantize,
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         # text analysis extension
         "q_token_stats": _q_token_stats,
@@ -907,6 +932,73 @@ jac AS (
   FROM inter JOIN shsz x ON d1 = x.doc_id JOIN shsz y ON d2 = y.doc_id
 )
 """
+
+# Near-dup clusters over verified MinHash pairs: reachability via recursive
+# CTE, canonical = component-min doc id.  Prefix the full query with
+# `WITH RECURSIVE`.
+_CLUSTERS = f"""
+{_JACCARD},
+pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+),
+comp AS (
+  SELECT node AS doc_id, min(reach) AS canonical_id
+  FROM walk GROUP BY node
+)
+"""
+
+# Per-document quality metrics + composite keep_score (mirrors
+# flink_bm25_spark.functions.text.quality_columns).
+_QUALITY_TMPL = """
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         len(list_filter(ws, w -> w IN ({sw}))) AS n_stop,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_tokens, n_chars,
+         round(CAST(n_chars - n_tokens + 1 AS DOUBLE)
+               / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
+           AS avg_word_len,
+         round(CAST(n_stop AS DOUBLE)
+               / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
+           AS stopword_ratio,
+         round(CAST(n_punct AS DOUBLE)
+               / CASE WHEN n_chars > 0 THEN n_chars END, 6)
+           AS punct_ratio
+  FROM m
+),
+qual AS (
+  SELECT doc_id, n_tokens, n_chars, avg_word_len, stopword_ratio,
+         punct_ratio,
+         CASE WHEN n_tokens < 5 THEN 0.0
+              WHEN stopword_ratio > 0.5 THEN 0.2
+              ELSE round(least(1.0, n_tokens / 100.0)
+                         * (1.0 - punct_ratio), 6)
+         END AS keep_score
+  FROM r
+)
+"""
+
+_QUALITY = _QUALITY_TMPL.format(sw=_SW)
 
 # MinHash signatures: same universal-hash family as
 # flink_bm25_spark.functions.hashing (seeds regenerated by formula).
@@ -1153,26 +1245,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
         """,
         "q_dedup_clusters": f"""
-            WITH RECURSIVE {_JACCARD},
-            pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
-            edges AS (
-              SELECT d1 AS a, d2 AS b FROM pairs
-              UNION
-              SELECT d2 AS a, d1 AS b FROM pairs
-            ),
-            walk(node, reach) AS (
-              SELECT a, a FROM edges
-              UNION
-              SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
-            ),
-            comp AS (
-              SELECT node AS doc_id, min(reach) AS canonical_id
-              FROM walk GROUP BY node
-            )
+            WITH RECURSIVE {_CLUSTERS}
             SELECT doc_id, canonical_id,
                    CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
                      AS cluster_size
             FROM comp
+        """,
+        "q_corpus_clean": f"""
+            WITH RECURSIVE {_CLUSTERS}, {_QUALITY}
+            SELECT q.doc_id, q.keep_score FROM qual q
+            WHERE q.keep_score >= 0.2
+              AND q.doc_id NOT IN
+                  (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
         """,
         "q_simhash": f"WITH {_PIPE}, {_SIMHASH} SELECT doc_id, simhash FROM ssig",
         "q_dedup_simhash": f"""
@@ -1192,6 +1276,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
             FROM dots JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id
             WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.45
+        """,
+        "q_embed_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) AS am
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN am = 0 THEN 0.0 ELSE 127.0 / am END AS scale
+              FROM s
+            )
+            SELECT vec_id,
+                   md5(list_aggregate(list_transform(embedding,
+                       x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale)
+                                 AS INTEGER) AS VARCHAR)),
+                       'string_agg', ',')) AS qsig,
+                   round(scale, 6) AS scale
+            FROM q
         """,
         "q_ann_cosine_topk": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1226,42 +1330,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_quality_scores": f"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 w -> w <> '') AS ws
-              FROM documents
-            ),
-            m AS (
-              SELECT doc_id,
-                     CAST(len(ws) AS BIGINT) AS n_tokens,
-                     CAST(len(text) AS BIGINT) AS n_chars,
-                     len(list_filter(ws, w -> w IN ({_SW}))) AS n_stop,
-                     len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                       AS n_punct
-              FROM base
-            ),
-            r AS (
-              SELECT doc_id, n_tokens, n_chars,
-                     round(CAST(n_chars - n_tokens + 1 AS DOUBLE)
-                           / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
-                       AS avg_word_len,
-                     round(CAST(n_stop AS DOUBLE)
-                           / CASE WHEN n_tokens > 0 THEN n_tokens END, 6)
-                       AS stopword_ratio,
-                     round(CAST(n_punct AS DOUBLE)
-                           / CASE WHEN n_chars > 0 THEN n_chars END, 6)
-                       AS punct_ratio
-              FROM m
-            )
+            WITH {_QUALITY}
             SELECT doc_id, n_tokens, n_chars, avg_word_len, stopword_ratio,
-                   punct_ratio,
-                   CASE WHEN n_tokens < 5 THEN 0.0
-                        WHEN stopword_ratio > 0.5 THEN 0.2
-                        ELSE round(least(1.0, n_tokens / 100.0)
-                                   * (1.0 - punct_ratio), 6)
-                   END AS keep_score
-            FROM r
+                   punct_ratio, keep_score
+            FROM qual
         """,
         "q_lang_id": f"""
             WITH {_PIPE},

@@ -23,3 +23,28 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of ``a`` (doubles); zero vectors pass through
+    unchanged (ANSI-safe: no division by zero)."""
+    n = l2_norm(a)
+    return F.when(n == 0.0, F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
+def quantize_int8(a: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization: returns ``(qvec, scale)`` where
+    ``qvec[i] = floor(a[i] * scale)`` with ``scale = 127 / max|a|``.
+
+    ``floor`` (not round) so the expression is bit-identical across SQL
+    engines — round-half-even vs half-away-from-zero never enters.  At
+    100 TB this is the storage/bandwidth lever for ANN: 4× smaller
+    vectors, int arithmetic in the scan, exact rescoring only for the
+    top candidates.
+    """
+    absmax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    qvec = F.transform(a, lambda x: F.floor(x.cast("double") * scale).cast("int"))
+    return qvec, scale

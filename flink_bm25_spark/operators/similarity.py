@@ -211,3 +211,19 @@ def rp_lsh_topk(
         F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def quantized_embeddings(embeddings: DataFrame) -> DataFrame:
+    """``(vec_id, qvec, scale)`` — symmetric int8 quantization of the
+    embedding column (:func:`flink_bm25_spark.functions.vectors.quantize_int8`).
+
+    The 100 TB ANN storage tier: int8 vectors are 4x smaller on disk and
+    over the shuffle; coarse scoring runs on ``qvec`` and only the top
+    candidates are rescored against the float vectors.
+    """
+    from flink_bm25_spark.functions.vectors import quantize_int8
+
+    qvec, scale = quantize_int8(F.col("embedding"))
+    return embeddings.select(
+        "vec_id", qvec.alias("qvec"), F.round(scale, 6).alias("scale")
+    )

@@ -138,3 +138,22 @@ def test_interval_join_stream_equals_batch(spark):
     want = click_purchase_interval_join(*split(batch))
     assert want.count() > 0
     assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from flink_bm25_spark.streaming.dedup import dedup_keys
+
+    batch, stream = _stream_events(spark)
+    q = (
+        dedup_keys(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_dedup")
+    want = dedup_keys(batch)
+    assert want.count() > 0
+    assert _rows(got) == _rows(want)
