@@ -802,6 +802,92 @@ def _q_small_qty_revenue(spark, sf_dir):
     )
 
 
+def _q_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape — pure scan-filter-aggregate: every predicate pushes
+    # to the parquet scan (shipdate range, discount band, quantity cap)
+    # and the single decimal sum is a map-side partial + 1-row exchange.
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(price * disc).cast("double"), 6).alias("revenue"))
+    )
+
+
+def _q_late_ship_priority(spark, sf_dir):
+    # TPC-H Q4 shape (adapted to fixture columns: "late" = some line
+    # shipped after the order date).  EXISTS becomes a LEFT SEMI join —
+    # lineitem never fans out order rows, so the count stays correct and
+    # the probe side streams.
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape — conditional-sum ratio over a broadcast part join.
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = price * (one - disc)
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+def _q_brand_revenue(spark, sf_dir):
+    # TPC-H Q19 shape — disjunctive brand/size/quantity predicates.  The
+    # OR-of-ANDs stays a single joined scan: Catalyst pushes the common
+    # join key and evaluates the disjunction post-join on broadcast part.
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & q.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#19") & q.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 6).alias("revenue"))
+    )
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -890,6 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
         "q_small_qty_revenue": _q_small_qty_revenue,
+        "q_forecast_revenue": _q_forecast_revenue,
+        "q_late_ship_priority": _q_late_ship_priority,
+        "q_promo_revenue": _q_promo_revenue,
+        "q_brand_revenue": _q_brand_revenue,
     }
 
 
@@ -1629,5 +1719,52 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = p_partkey)
+        """,
+        "q_forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 6)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= CAST(0.02 AS DOUBLE)
+              AND l_discount <= CAST(0.04 AS DOUBLE)
+              AND l_quantity < 24
+        """,
+        "q_late_ship_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_promo_revenue": """
+            SELECT round(
+                     100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                   6) AS promo_revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "q_brand_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+                     AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
         """,
     }
