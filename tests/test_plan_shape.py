@@ -117,3 +117,27 @@ def test_asof_join_no_range_join(spark):
     plan = explain_str(df, "formatted")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = QUERIES["q_forecast_revenue"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed to scan: {pf!r}"
+    schema = scan_read_schema(df)
+    assert "l_returnflag" not in schema  # only the 4 needed columns read
+
+
+def test_late_ship_exists_is_semi_join(spark):
+    plan = explain_str(QUERIES["q_late_ship_priority"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan, "EXISTS did not become a semi join"
+
+
+def test_promo_and_brand_joins_broadcast(spark):
+    for key in ("q_promo_revenue", "q_brand_revenue"):
+        assert has_broadcast_join(QUERIES[key](spark, SF_DIR)), key
+
+
+def test_embed_quantize_no_shuffle(spark):
+    df = QUERIES["q_embed_quantize"](spark, SF_DIR)
+    assert count_exchanges(df) == 0, "quantization must stay map-side"
