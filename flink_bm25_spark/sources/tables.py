@@ -83,6 +83,16 @@ def load_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
+def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source with an explicit schema (schema inference is a
+    full extra scan — acceptable in exploration, never in production
+    paths; at 100 TB an inferred schema also silently widens types)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_text(spark: SparkSession, path: str) -> DataFrame:
     """S7 — line-oriented text source (``env.readTextFile``,
     ``backup/StreamingJob.java:68``): one ``value`` row per line."""

@@ -55,3 +55,56 @@ def test_stateful_running_stats_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tws_running_stats_matches_batch(spark):
+    # transformWithStateInPandas twin of the applyInPandasWithState test:
+    # same operator, successor API, same final state.  TWS's state-server
+    # protocol needs google.protobuf, absent from this container — the
+    # operator is gated, and this test documents the gate.
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from flink_bm25_spark.streaming.tws import (
+        TWS_AVAILABLE,
+        running_stats_per_type_tws,
+    )
+
+    if not TWS_AVAILABLE:
+        pytest.skip("google.protobuf not installed; TWS gated")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = tempfile.mkdtemp(prefix="stream_tws_")
+    shutil.copy(f"{SF_DIR}/events.parquet", d)
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(d)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    q = (
+        running_stats_per_type_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.event_type: (r.n, round(r.max_value, 6))
+        for r in spark.sql("SELECT * FROM t_tws").collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.mx, 6))
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want

@@ -67,3 +67,30 @@ def test_lsh_topk_scores_subset_of_exact_order(spark):
     assert all(
         a.cos >= b.cos for a, b in zip(approx, approx[1:])
     )  # descending order
+
+
+def test_quantized_topk_equals_exact_with_overfetch(spark):
+    from flink_bm25_spark.operators.similarity import quantized_topk
+
+    emb = load_embeddings(spark, SF_DIR)
+    q = _qvec(emb)
+    exact = [(r.vec_id, r.cos) for r in cosine_topk(emb, q, 10, exclude_id=0).collect()]
+    quant = [
+        (r.vec_id, r.cos)
+        for r in quantized_topk(emb, q, 10, overfetch=5, exclude_id=0).collect()
+    ]
+    assert quant == exact
+
+
+def test_quantized_topk_recall_at_low_overfetch(spark):
+    from flink_bm25_spark.operators.similarity import quantized_topk
+
+    emb = load_embeddings(spark, SF_DIR)
+    q = _qvec(emb)
+    exact = {r.vec_id for r in cosine_topk(emb, q, 10, exclude_id=0).collect()}
+    quant = {
+        r.vec_id
+        for r in quantized_topk(emb, q, 10, overfetch=2, exclude_id=0).collect()
+    }
+    # int8 coarse scoring keeps most of the true neighborhood even at 2x
+    assert len(exact & quant) >= 7
