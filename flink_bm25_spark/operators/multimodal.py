@@ -97,6 +97,68 @@ def decode_images(
     ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction stage: binary → ``array<float>`` embedding.
+
+    Real Spark plumbing (Arrow-batched ``mapInPandas``, fixed-width
+    ``array<float>`` schema ready for the ANN tier) around a STUB encoder:
+    the fake embedding is derived from the md5 digest, deterministic and
+    unit-length, standing in for a vision model forward pass.  Swap the
+    nested ``embed`` for a real model (loaded once per partition, outside
+    the row loop — the RichFunction-``open()`` pattern) to productionize.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+        import math  # noqa: PLC0415
+
+        def embed(payload: bytes) -> list[float]:
+            # digest-seeded pseudo-embedding, L2-normalized
+            raw = []
+            h = hashlib.md5(payload).digest()
+            for i in range(dim):
+                b = h[i % len(h)] + i
+                raw.append((b % 255) / 127.0 - 1.0)
+            n = math.sqrt(sum(x * x for x in raw)) or 1.0
+            return [x / n for x in raw]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "embedding": [
+                        None if p is None else embed(bytes(p))
+                        for p in pdf[bytes_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
 def resize_images(df: DataFrame, target: int = 224, bytes_col: str = "payload") -> DataFrame:
     """Resize stage — STUB: real pixel work needs an image library absent
     from this container."""

@@ -78,6 +78,31 @@ def main() -> None:
         f"{mult}.0x; sub-linear = fixed overhead amortized, "
         f"super-linear = red flag)"
     )
+
+    # Connected components: scale the number of chains at fixed chain
+    # length, so the iteration count (log of diameter) stays constant and
+    # runtime should grow ~linearly with edges.
+    from flink_bm25_spark.operators.graph import connected_components
+
+    chain = 64
+    cc = {}
+    for label, n_nodes in [("base", 64_000), (f"x{mult}", 64_000 * mult)]:
+        edges = (
+            spark.range(n_nodes)
+            .where((F.col("id") % chain) != chain - 1)
+            .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+        )
+        t0 = time.perf_counter()
+        n_comp = (
+            connected_components(edges).select("component").distinct().count()
+        )
+        cc[label] = time.perf_counter() - t0
+        assert n_comp == n_nodes // chain, (n_comp, n_nodes // chain)
+        print(f"cc {label}: {n_nodes} nodes, {n_comp} components, {cc[label]:.1f}s")
+    print(
+        f"cc scale {mult}x -> time ratio {cc[f'x{mult}'] / cc['base']:.1f}x "
+        f"(constant iterations; linear would be {mult}.0x)"
+    )
     spark.stop()
 
 

@@ -80,3 +80,26 @@ def test_digest_matches_python_md5(spark, blobs):
     row = attach_binary_metadata(blobs).orderBy("id").first()
     src = blobs.orderBy("id").first()
     assert row.digest == hashlib.md5(bytes(src.payload)).hexdigest()
+
+
+def test_extract_features_shape_and_determinism(spark, blobs):
+    from flink_bm25_spark.operators.multimodal import extract_features
+
+    out = extract_features(blobs, dim=16)
+    assert dict(out.dtypes) == {"id": "bigint", "embedding": "array<float>"}
+    rows = {r.id: r.embedding for r in out.collect()}
+    assert len(rows) == 50
+    for emb in rows.values():
+        assert len(emb) == 16
+        norm = sum(x * x for x in emb) ** 0.5
+        assert abs(norm - 1.0) < 1e-5  # unit-length, ANN-tier ready
+    again = {r.id: r.embedding for r in extract_features(blobs, dim=16).collect()}
+    assert rows == again  # deterministic stub
+
+
+def test_extract_features_null_payload(spark):
+    from flink_bm25_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, None)], "id long, payload binary")
+    [r] = extract_features(df).collect()
+    assert r.embedding is None
