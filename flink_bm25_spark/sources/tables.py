@@ -93,6 +93,12 @@ def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (self-describing schema,
+    predicate pushdown and column pruning both apply)."""
+    return spark.read.orc(path)
+
+
 def load_text(spark: SparkSession, path: str) -> DataFrame:
     """S7 — line-oriented text source (``env.readTextFile``,
     ``backup/StreamingJob.java:68``): one ``value`` row per line."""

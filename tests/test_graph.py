@@ -58,3 +58,40 @@ def test_dedup_clusters_sizes(spark):
         20: (20, 2),
         21: (20, 2),
     }
+
+
+def _union_find_components(edges):
+    """Sequential oracle: classic union-find with path compression."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min reachable id
+    return {n: find(n) for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    # deterministic pseudo-random graphs of varying shapes vs the
+    # sequential union-find oracle (hypothesis-style sweep without
+    # per-example Spark-session cost)
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(6):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 90)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        want = _union_find_components([(a, b) for a, b in edges if a != b])
+        if not want:
+            continue
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial}: n={n} m={m}"

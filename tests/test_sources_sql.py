@@ -57,6 +57,22 @@ def test_json_roundtrip(spark):
         )
 
 
+def test_orc_roundtrip(spark):
+    from flink_bm25_spark.sources.tables import load_orc, load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "lang", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/docs_orc"
+        docs.write.mode("overwrite").orc(path)
+        back = load_orc(spark, path)
+        assert back.count() == docs.count()
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in docs.collect()
+        )
+
+
 def test_sql_surface_bm25_in_pure_sql(spark):
     register_corpus_views(spark, SF_DIR)
     # the whole BM25 statistics pipeline, driven from SQL alone
