@@ -334,6 +334,15 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_hll_distinct(spark, sf_dir):
+    # Portable HLL: the APPROXIMATE estimate itself hash-matches the
+    # oracle (md5 bucketing + integer-exact rank/sum math) — unlike
+    # engine-native sketches, which are only rows-only checkable.
+    from flink_bm25_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_stats(spark, sf_dir).tf.select("word"), "word")
+
+
 def _q_corpus_clean(spark, sf_dir):
     # Composed training-data pipeline: quality filter + near-dup cluster
     # canonical election in one declarative plan (operators/cleaning.py).
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": _q_rank_functions,
         "q_orders_by_month": _q_orders_by_month,
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
+        "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
@@ -1089,6 +1099,9 @@ qual AS (
 """
 
 _QUALITY = _QUALITY_TMPL.format(sw=_SW)
+
+# alpha_64 * m^2 as the exact double the Spark side computes (repr round-trips)
+_HLL_ALPHA_M2 = repr(0.709 * 64 * 64)
 
 # MinHash signatures: same universal-hash family as
 # flink_bm25_spark.functions.hashing (seeds regenerated by formula).
@@ -1366,6 +1379,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
             FROM dots JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id
             WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.45
+        """,
+        # Portable HLL (operators/sketches.py): md5 bucketing, bit-length
+        # ranks, integer-exact 2^(55-M) sum — every intermediate identical
+        # across engines; doubles only in the 2-operand final formula.
+        "q_hll_distinct": f"""
+            WITH {_PIPE},
+            hashed AS (
+              SELECT (h & 63) AS bucket, (h >> 6) AS w FROM (
+                SELECT ('0x' || substring(md5(word), 1, 15))::BIGINT AS h
+                FROM tf
+              )
+            ),
+            ranks AS (
+              SELECT bucket,
+                     max(CASE WHEN w = 0 THEN 55
+                              ELSE 55 - length(bin(w)) END) AS mx
+              FROM hashed GROUP BY bucket
+            ),
+            filled AS (
+              SELECT g.range AS bucket, coalesce(r.mx, 0) AS mx
+              FROM range(64) g LEFT JOIN ranks r ON g.range = r.bucket
+            ),
+            agg AS (
+              SELECT CAST(sum(1::BIGINT << (55 - mx)) AS BIGINT) AS isum,
+                     CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_zero
+              FROM filled
+            )
+            SELECT round(
+              CASE WHEN {_HLL_ALPHA_M2} * CAST(36028797018963968 AS DOUBLE)
+                        / CAST(isum AS DOUBLE) <= 160.0
+                        AND v_zero > 0
+                   THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                   ELSE {_HLL_ALPHA_M2} * CAST(36028797018963968 AS DOUBLE)
+                        / CAST(isum AS DOUBLE)
+              END, 6) AS n_distinct_est
+            FROM agg
         """,
         "q_embed_quantize": """
             WITH s AS (

@@ -51,3 +51,21 @@ def test_rp_lsh_candidates_are_plausible(spark):
     expect = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
     assert len(rows) == expect
     bucketed.unpersist()
+
+
+def test_portable_hll_accuracy(spark):
+    # estimate within the expected rse envelope (1.04/sqrt(64) ~ 13%)
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.sketches import hll_distinct
+
+    tf = corpus_stats_for(spark, SF_DIR).tf
+    exact = tf.select("word").distinct().count()
+    est = hll_distinct(tf.select("word"), "word").first()["n_distinct_est"]
+    assert abs(est - exact) / exact < 0.30
+
+
+def test_portable_hll_empty_input(spark):
+    from flink_bm25_spark.operators.sketches import hll_distinct
+
+    empty = spark.createDataFrame([], "word string")
+    assert hll_distinct(empty, "word").first()["n_distinct_est"] == 0.0
