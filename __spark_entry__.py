@@ -343,6 +343,14 @@ def _q_hll_distinct(spark, sf_dir):
     return hll_distinct(_stats(spark, sf_dir).tf.select("word"), "word")
 
 
+def _q_bloom_filter(spark, sf_dir):
+    # Portable Bloom filter over the corpus vocabulary: the 16-slot filter
+    # VALUE matches the oracle bit-for-bit (md5 positions + bit_or).
+    from flink_bm25_spark.operators.sketches import bloom_build
+
+    return bloom_build(_stats(spark, sf_dir).tf.select("word"), "word")
+
+
 def _q_corpus_clean(spark, sf_dir):
     # Composed training-data pipeline: quality filter + near-dup cluster
     # canonical election in one declarative plan (operators/cleaning.py).
@@ -982,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_by_month": _q_orders_by_month,
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
         "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
+        "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
@@ -1102,6 +1111,12 @@ _QUALITY = _QUALITY_TMPL.format(sw=_SW)
 
 # alpha_64 * m^2 as the exact double the Spark side computes (repr round-trips)
 _HLL_ALPHA_M2 = repr(0.709 * 64 * 64)
+
+# Bloom seed literals — same formula as operators/sketches.py::_bloom_seeds
+_BLOOM_SEEDS = ", ".join(
+    f"({(2_654_435_761 * (i + 1001) + 1) % _P}, {(40_503 * (i + 1001) + 7) % _P})"
+    for i in range(7)
+)
 
 # MinHash signatures: same universal-hash family as
 # flink_bm25_spark.functions.hashing (seeds regenerated by formula).
@@ -1416,6 +1431,24 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(isum AS DOUBLE)
               END, 6) AS n_distinct_est
             FROM agg
+        """,
+        "q_bloom_filter": f"""
+            WITH {_PIPE},
+            seeds AS (SELECT * FROM (VALUES {_BLOOM_SEEDS}) s(a, b)),
+            pos AS (
+              SELECT ((s.a * t.h + s.b) % {_P}) % 1024 AS pos
+              FROM (SELECT ('0x' || substring(md5(word), 1, 15))::BIGINT
+                           % {_P} AS h
+                    FROM tf) t
+              CROSS JOIN seeds s
+            ),
+            slots AS (
+              SELECT pos // 64 AS slot,
+                     bit_or(1::BIGINT << (pos % 64)) AS bits
+              FROM pos GROUP BY 1
+            )
+            SELECT g.range AS slot, coalesce(s.bits, 0::BIGINT) AS bits
+            FROM range(16) g LEFT JOIN slots s ON g.range = s.slot
         """,
         "q_embed_quantize": """
             WITH s AS (

@@ -1,5 +1,5 @@
-"""Portable HyperLogLog — an approximate-distinct sketch that is
-*hash-checkable across engines*, unlike any engine-native HLL.
+"""Portable sketches — HyperLogLog and Bloom filter that are
+*hash-checkable across engines*, unlike any engine-native sketch.
 
 ``approx_count_distinct`` (Spark) and ``approx_count_distinct`` (DuckDB)
 use different internal hashes, so their estimates can never be compared
@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_bm25_spark.functions.hashing import h60
+from flink_bm25_spark.config import HASH_PRIME
+from flink_bm25_spark.functions.hashing import h60, h_mod_p
 
 HLL_BUCKETS = 64  # m; rse ≈ 1.04/sqrt(m) ≈ 13%
 _ALPHA_64 = 0.709  # Flajolet's bias constant for m=64
@@ -79,3 +80,85 @@ def hll_distinct(values: DataFrame, col: str) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
     ).otherwise(raw)
     return agg.select(F.round(est, 6).alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024  # 16 x int64 slots
+BLOOM_K = 7  # hash functions; fp ~ (1 - e^(-kn/m))^k
+
+
+def _bloom_seeds(k: int = BLOOM_K) -> list[tuple[int, int]]:
+    """Universal-hash seeds for the k bloom positions — same family as
+    MinHash (functions/hashing.py) offset by 1000 so the two sketches are
+    decorrelated; literals regenerate identically in SQL."""
+    p = HASH_PRIME
+    return [
+        ((2_654_435_761 * (i + 1001) + 1) % p, (40_503 * (i + 1001) + 7) % p)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    values: DataFrame, col: str, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """``(slot, bits)`` — the filter as 16 int64 words, one row per slot.
+
+    Same determinism rules as the HLL: md5-derived positions, ``bit_or``
+    of exact powers of two — the filter VALUE is reproducible in any SQL
+    engine, so a filter built by Spark can prune a scan in another system
+    (and vice versa).  Scale shape: one groupBy over (rows × k) map-side
+    position rows collapsing to ``bits/64`` output rows; the result
+    broadcasts anywhere a semi-join would otherwise shuffle the fact table.
+    """
+    spark = values.sparkSession
+    h = h_mod_p(F.col(col))
+    pos_cols = [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(bits)).alias(f"p{i}")
+        for i, (a, b) in enumerate(_bloom_seeds(k))
+    ]
+    positions = values.select(*pos_cols).select(
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias("pos")
+    )
+    slots = positions.select(
+        F.shiftright(F.col("pos"), 6).alias("slot"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bv"),
+    ).groupBy("slot").agg(F.bit_or("bv").alias("bits"))
+    full = (
+        spark.range(bits // 64)
+        .select(F.col("id").alias("slot"))
+        .join(slots, "slot", "left")
+        .select("slot", F.coalesce(F.col("bits"), F.lit(0)).alias("bits"))
+    )
+    return full
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    col: str,
+    filter_rows: list,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Adds boolean ``bloom_hit``: true iff all k bit positions of
+    ``probe[col]`` are set in the filter (built by :func:`bloom_build`,
+    collected to ``filter_rows`` — 16 rows, broadcast as literals).
+
+    No false negatives by construction; false positives bounded by the
+    bits/keys ratio.  This is the 100 TB semi-join pushdown: ship 128
+    bytes instead of shuffling the fact side against the dimension.
+    """
+    slot_vals = [0] * (bits // 64)
+    for r in filter_rows:
+        slot_vals[int(r["slot"])] = int(r["bits"])
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in slot_vals])
+    h = h_mod_p(F.col(col))
+    cond = None
+    for a, b in _bloom_seeds(k):
+        pos = (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(bits)
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        c = F.getbit(word, pos % 64) == 1
+        cond = c if cond is None else (cond & c)
+    return probe.withColumn("bloom_hit", cond)

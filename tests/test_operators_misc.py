@@ -69,3 +69,23 @@ def test_portable_hll_empty_input(spark):
 
     empty = spark.createDataFrame([], "word string")
     assert hll_distinct(empty, "word").first()["n_distinct_est"] == 0.0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    vocab = corpus_stats_for(spark, SF_DIR).tf.select("word").distinct()
+    filt = bloom_build(vocab, "word").collect()
+    assert len(filt) == 16
+
+    # every member must hit (no false negatives, by construction)
+    members = bloom_might_contain(vocab, "word", filt)
+    assert members.where(~F.col("bloom_hit")).count() == 0
+
+    # non-members: 1024 bits over ~30 keys -> fp rate should be tiny
+    ghosts = spark.createDataFrame(
+        [(f"zz_unseen_token_{i}",) for i in range(200)], "word string"
+    )
+    fp = bloom_might_contain(ghosts, "word", filt).where(F.col("bloom_hit")).count()
+    assert fp <= 10  # expected ~0 at this fill ratio
