@@ -343,6 +343,15 @@ def _q_hll_distinct(spark, sf_dir):
     return hll_distinct(_stats(spark, sf_dir).tf.select("word"), "word")
 
 
+def _q_cms_sketch(spark, sf_dir):
+    # Portable Count-Min matrix of corpus term frequencies: the weighted
+    # build over the TF relation (weight = tf) equals a build over the raw
+    # token stream — exact counters on md5 positions, value-matched.
+    from flink_bm25_spark.operators.sketches import cms_build
+
+    return cms_build(_stats(spark, sf_dir).tf, "word", weight="tf")
+
+
 def _q_bloom_filter(spark, sf_dir):
     # Portable Bloom filter over the corpus vocabulary: the 16-slot filter
     # VALUE matches the oracle bit-for-bit (md5 positions + bit_or).
@@ -991,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
         "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
+        "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
@@ -1116,6 +1126,12 @@ _HLL_ALPHA_M2 = repr(0.709 * 64 * 64)
 _BLOOM_SEEDS = ", ".join(
     f"({(2_654_435_761 * (i + 1001) + 1) % _P}, {(40_503 * (i + 1001) + 7) % _P})"
     for i in range(7)
+)
+
+# CMS seed literals (row index, a, b) — operators/sketches.py::_cms_seeds
+_CMS_SEEDS = ", ".join(
+    f"({i}, {(2_654_435_761 * (i + 2001) + 1) % _P}, {(40_503 * (i + 2001) + 7) % _P})"
+    for i in range(4)
 )
 
 # MinHash signatures: same universal-hash family as
@@ -1431,6 +1447,23 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(isum AS DOUBLE)
               END, 6) AS n_distinct_est
             FROM agg
+        """,
+        "q_cms_sketch": f"""
+            WITH {_PIPE},
+            seeds AS (SELECT * FROM (VALUES {_CMS_SEEDS}) s(r, a, b)),
+            hashed AS (
+              SELECT ('0x' || substring(md5(word), 1, 15))::BIGINT % {_P} AS h,
+                     tf
+              FROM tf
+            ),
+            pos AS (
+              SELECT s.r AS "row",
+                     ((s.a * t.h + s.b) % {_P}) % 256 AS pos,
+                     t.tf
+              FROM hashed t CROSS JOIN seeds s
+            )
+            SELECT "row", pos, CAST(sum(tf) AS BIGINT) AS cnt
+            FROM pos GROUP BY 1, 2
         """,
         "q_bloom_filter": f"""
             WITH {_PIPE},

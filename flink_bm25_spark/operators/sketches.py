@@ -1,4 +1,4 @@
-"""Portable sketches — HyperLogLog and Bloom filter that are
+"""Portable sketches — HyperLogLog, Bloom filter, and Count-Min, all
 *hash-checkable across engines*, unlike any engine-native sketch.
 
 ``approx_count_distinct`` (Spark) and ``approx_count_distinct`` (DuckDB)
@@ -162,3 +162,89 @@ def bloom_might_contain(
         c = F.getbit(word, pos % 64) == 1
         cond = c if cond is None else (cond & c)
     return probe.withColumn("bloom_hit", cond)
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # d rows; error prob ~ e^-d
+CMS_WIDTH = 256  # w counters/row; overcount ~ 2n/w
+
+
+def _cms_seeds(d: int = CMS_DEPTH) -> list[tuple[int, int]]:
+    """Universal-hash seeds for the d CMS rows (offset 2000 — decorrelated
+    from MinHash and Bloom); literals regenerate identically in SQL."""
+    p = HASH_PRIME
+    return [
+        ((2_654_435_761 * (i + 2001) + 1) % p, (40_503 * (i + 2001) + 7) % p)
+        for i in range(d)
+    ]
+
+
+def cms_build(
+    values: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight: str | None = None,
+) -> DataFrame:
+    """``(row, pos, cnt)`` — the Count-Min matrix as a relation (only
+    occupied counters; absent = 0).
+
+    The counters are EXACT aggregates of md5-derived positions, so the
+    whole matrix value-hash-matches any ANSI engine (see
+    ``q_cms_sketch``) — the approximation lives in collisions, not in the
+    arithmetic.  Scale shape: one groupBy over (rows × d) map-side hash
+    rows collapsing to ≤ d × width output rows — constant-size state, the
+    mergeable-partial pattern for 100 TB frequency estimation.
+
+    ``weight`` counts each input row that many times (e.g. a
+    pre-aggregated TF relation) — the weighted build equals the
+    token-multiplicity build without re-expanding rows.
+    """
+    h = h_mod_p(F.col(col))
+    w_col = (F.col(weight) if weight else F.lit(1)).cast("long").alias("wt")
+    row_cols = [
+        F.struct(
+            F.lit(i).alias("row"),
+            ((F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(width)).alias(
+                "pos"
+            ),
+        )
+        for i, (a, b) in enumerate(_cms_seeds(depth))
+    ]
+    return (
+        values.select(w_col, F.explode(F.array(*row_cols)).alias("rp"))
+        .select("wt", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probe: DataFrame,
+    col: str,
+    cms_rows: list,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Adds ``cms_count``: the Count-Min frequency estimate of
+    ``probe[col]`` — min over the d counters the value hashes into.
+    Never underestimates; overcounts only on collisions (≤ 2n/w w.h.p.).
+
+    The collected matrix (≤ d×width longs) enters the plan as a literal
+    map — broadcast-style point lookups, no join, no shuffle.
+    """
+    counters = {(int(r["row"]), int(r["pos"])): int(r["cnt"]) for r in cms_rows}
+    h = h_mod_p(F.col(col))
+    est = None
+    for i, (a, b) in enumerate(_cms_seeds(depth)):
+        pos = (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(width)
+        # row i's counter vector as an array literal; pos indexes into it
+        vec = F.array(
+            *[F.lit(counters.get((i, j), 0)).cast("long") for j in range(width)]
+        )
+        c = F.element_at(vec, (pos + 1).cast("int"))
+        est = c if est is None else F.least(est, c)
+    return probe.withColumn("cms_count", est)

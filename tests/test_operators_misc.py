@@ -89,3 +89,37 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     )
     fp = bloom_might_contain(ghosts, "word", filt).where(F.col("bloom_hit")).count()
     assert fp <= 10  # expected ~0 at this fill ratio
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark):
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.sketches import cms_build, cms_estimate
+
+    tf = corpus_stats_for(spark, SF_DIR).tf
+    truth = {
+        r.word: r.n
+        for r in tf.groupBy("word").agg(F.sum("tf").alias("n")).collect()
+    }
+    cms = cms_build(tf, "word", weight="tf").collect()
+    probe = spark.createDataFrame([(w,) for w in truth], "word string")
+    est = {
+        r.word: r.cms_count for r in cms_estimate(probe, "word", cms).collect()
+    }
+    for w, n in truth.items():
+        assert est[w] >= n  # CMS never undercounts
+    # 31-word vocab in 4x256 counters -> collisions ~0: estimates exact
+    exact_hits = sum(1 for w in truth if est[w] == truth[w])
+    assert exact_hits >= len(truth) - 2
+
+
+def test_cms_weighted_equals_multiplicity_build(spark):
+    from flink_bm25_spark.operators.sketches import cms_build
+
+    rows = [("a", 3), ("b", 2), ("c", 1)]
+    weighted = spark.createDataFrame(rows, "word string, n int")
+    expanded = spark.createDataFrame(
+        [(w,) for w, n in rows for _ in range(n)], "word string"
+    )
+    got_w = sorted(tuple(r) for r in cms_build(weighted, "word", weight="n").collect())
+    got_e = sorted(tuple(r) for r in cms_build(expanded, "word").collect())
+    assert got_w == got_e
