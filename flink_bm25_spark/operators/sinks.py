@@ -71,3 +71,22 @@ def write_text(df: DataFrame, path: str) -> None:
     df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_sorted_runs(
+    df: DataFrame, path: str, order_col: str, n_ranges: int = 8
+) -> None:
+    """Globally ordered parquet output WITHOUT a single-reducer sort:
+    ``repartitionByRange`` splits the key space into ``n_ranges``
+    non-overlapping ranges (sampled range bounds), each partition sorts
+    locally, and file order == range order.  A reader that concatenates
+    the part files in name order sees a fully sorted dataset — the
+    index-build / merge-join layout at 100 TB, where a global
+    ``orderBy`` into one partition is impossible.
+    """
+    (
+        df.repartitionByRange(n_ranges, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -126,13 +126,17 @@ def bloom_build(
         F.shiftright(F.col("pos"), 6).alias("slot"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bv"),
     ).groupBy("slot").agg(F.bit_or("bv").alias("bits"))
-    full = (
+    if values.isStreaming:
+        # a static-LEFT-JOIN-streaming fill is illegal in Structured
+        # Streaming; emit occupied slots only (absent slot = 0, which is
+        # exactly how bloom_might_contain reads the collected rows)
+        return slots
+    return (
         spark.range(bits // 64)
         .select(F.col("id").alias("slot"))
         .join(slots, "slot", "left")
         .select("slot", F.coalesce(F.col("bits"), F.lit(0)).alias("bits"))
     )
-    return full
 
 
 def bloom_might_contain(

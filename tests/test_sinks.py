@@ -85,3 +85,30 @@ def test_write_text_json_lines(spark):
         assert len(lines) == 10
         rec = json.loads(lines[0].value)
         assert set(rec) == {"doc_id", "dl"}
+
+
+def test_sorted_runs_are_globally_ordered(spark, tmp_path):
+    import glob as globmod
+
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.sinks import write_sorted_runs
+    from tests.conftest import SF_DIR
+
+    tf = corpus_stats_for(spark, SF_DIR).tf
+    out = str(tmp_path / "sorted_runs")
+    write_sorted_runs(tf.select("word", "doc_id", "tf"), out, "word", n_ranges=4)
+
+    files = sorted(globmod.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2  # actually range-split
+    prev_max = None
+    total = 0
+    for f in files:
+        words = [r.word for r in spark.read.parquet(f).select("word").collect()]
+        total += len(words)
+        if not words:
+            continue
+        assert words == sorted(words)  # sorted within the run
+        if prev_max is not None:
+            assert words[0] >= prev_max  # ranges don't overlap, in file order
+        prev_max = words[-1]
+    assert total == tf.count()  # nothing lost

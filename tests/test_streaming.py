@@ -157,3 +157,34 @@ def test_stream_dedup_equals_batch_distinct(spark):
     want = dedup_keys(batch)
     assert want.count() > 0
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_bloom_equals_batch(spark):
+    # the portable sketches are plain groupBy aggregates, so they run
+    # unchanged as streaming update-mode queries (T4 unified API): the
+    # final streamed Bloom filter equals the batch-built one bit-for-bit
+    from flink_bm25_spark.operators.sketches import bloom_build
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+    from flink_bm25_spark.sources.tables import load_table
+
+    batch_docs = load_table(spark, "documents", SF_DIR)
+    raw_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream_docs = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(_stage_dir("documents"))
+    )
+    words = lambda d: filter_stopwords(tokenize(d)).select("word")  # noqa: E731
+    q = (
+        bloom_build(words(stream_docs), "word")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_bloom")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.sql("SELECT * FROM t_bloom"))
+    # streaming emits occupied slots only; batch fills absent slots with 0
+    want = _rows(bloom_build(words(batch_docs), "word").where("bits != 0"))
+    assert got == want
