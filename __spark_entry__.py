@@ -343,6 +343,37 @@ def _q_hll_distinct(spark, sf_dir):
     return hll_distinct(_stats(spark, sf_dir).tf.select("word"), "word")
 
 
+def _q_inverted_index(spark, sf_dir):
+    # Search-index layout; the posting list is checked via an md5 digest
+    # of its doc-sorted "doc:tf" serialization (exact on every element).
+    from flink_bm25_spark.operators.tf import inverted_index
+
+    idx = inverted_index(_stats(spark, sf_dir).tf)
+    # lexicographic re-sort of the serialized postings: string sort is the
+    # one ordering both engines define identically
+    serialized = F.sort_array(
+        F.transform(
+            F.col("postings"), lambda p: F.concat_ws(":", p["doc_id"], p["tf"])
+        )
+    )
+    return idx.select(
+        "word",
+        "df",
+        F.md5(F.array_join(serialized, ",").cast("binary")).alias("pdigest"),
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # Per-language quota sampling (pretraining mix): deterministic
+    # hash-threshold per stratum — stable, nested, engine-portable.
+    from flink_bm25_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_hash_sample(
+        docs, {"en": 0.3, "zh": 1.0, "de": 0.5}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def _q_cms_sketch(spark, sf_dir):
     # Portable Count-Min matrix of corpus term frequencies: the weighted
     # build over the TF relation (weight = tf) equals a build over the raw
@@ -1001,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
+        "q_inverted_index": _q_inverted_index,
+        "q_stratified_sample": _q_stratified_sample,
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
         "q_edit_distance": _q_edit_distance,
@@ -1447,6 +1480,28 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(isum AS DOUBLE)
               END, 6) AS n_distinct_est
             FROM agg
+        """,
+        "q_inverted_index": f"""
+            WITH {_PIPE}
+            SELECT word, count(*) AS df,
+                   md5(list_aggregate(
+                     list_sort(list(doc_id || ':' || tf)),
+                     'string_agg', ',')) AS pdigest
+            FROM tf GROUP BY word
+        """,
+        "q_stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 10000 AS bkt
+              FROM documents
+            )
+            WHERE bkt < CASE lang
+                          WHEN 'en' THEN 3000
+                          WHEN 'zh' THEN 10000
+                          WHEN 'de' THEN 5000
+                          ELSE 1000
+                        END
         """,
         "q_cms_sketch": f"""
             WITH {_PIPE},

@@ -69,3 +69,34 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1]: {fraction}")
     return df.where(_bucket(F.col(key_col), buckets) < F.lit(int(fraction * buckets)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the language/source quota
+    step of a pretraining mix (e.g. keep 100% of low-resource languages,
+    10% of English).
+
+    Same hash-bucket construction as :func:`hash_sample`, with the
+    threshold chosen per stratum — so each stratum's sample is stable
+    under repartitioning, reproducible across engines, and nested
+    (raising a rate strictly grows that stratum's sample).  Pure map-side
+    filter: no shuffle, no per-stratum scan."""
+    thr = None
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate must be in [0,1]: {value}={rate}")
+        t = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * buckets))
+        )
+        thr = t if thr is None else thr.when(
+            F.col(stratum_col) == value, F.lit(int(rate * buckets))
+        )
+    thr = thr.otherwise(F.lit(int(default_rate * buckets)))
+    return df.where(_bucket(F.col(key_col), buckets) < thr)

@@ -53,3 +53,19 @@ def topk_terms(tf: DataFrame, k: int = TOP_K_TERMS) -> DataFrame:
         tf.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
     )
+
+
+def inverted_index(tf: DataFrame) -> DataFrame:
+    """``(word, df, postings)`` — the search-index layout: per term, its
+    document frequency and the posting list as ``array<struct<doc_id,
+    tf>>`` sorted by doc_id (merge-join-able across terms at query time).
+
+    One shuffle on word; ``collect_list`` is safe here because a posting
+    list is bounded by the corpus's per-term document frequency — for
+    web-scale terms ("the") pair this with stopword filtering or
+    df-capping upstream, exactly as production indexers do.
+    """
+    return tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
+    )

@@ -123,3 +123,17 @@ def test_cms_weighted_equals_multiplicity_build(spark):
     got_w = sorted(tuple(r) for r in cms_build(weighted, "word", weight="n").collect())
     got_e = sorted(tuple(r) for r in cms_build(expanded, "word").collect())
     assert got_w == got_e
+
+
+def test_inverted_index_postings_sorted_and_complete(spark):
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.operators.tf import inverted_index
+
+    tf = corpus_stats_for(spark, SF_DIR).tf
+    idx = inverted_index(tf)
+    rows = idx.collect()
+    assert sum(r.df for r in rows) == tf.count()  # every posting accounted
+    for r in rows:
+        ids = [p.doc_id for p in r.postings]
+        assert ids == sorted(ids)  # merge-join-able ordering
+        assert r.df == len(r.postings)

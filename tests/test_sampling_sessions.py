@@ -82,3 +82,20 @@ def test_sessionize_single_shuffle(spark):
     out = sessionize(_events(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_stratified_sample_nested_and_quota_shaped(spark):
+    from flink_bm25_spark.operators.sampling import stratified_hash_sample
+    from flink_bm25_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    low = stratified_hash_sample(docs, {"en": 0.2, "zh": 1.0}, default_rate=0.0)
+    high = stratified_hash_sample(docs, {"en": 0.6, "zh": 1.0}, default_rate=0.0)
+    low_ids = {r.doc_id for r in low.collect()}
+    high_ids = {r.doc_id for r in high.collect()}
+    assert low_ids <= high_ids  # nested: raising a rate only grows the sample
+    # zh kept whole, others (default 0) dropped entirely
+    langs = {r.lang for r in high.select("lang").distinct().collect()}
+    assert langs == {"en", "zh"}
+    n_zh_all = docs.where("lang = 'zh'").count()
+    assert high.where("lang = 'zh'").count() == n_zh_all
