@@ -374,6 +374,16 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_phrase_search(spark, sf_dir):
+    # Exact adjacent-token phrase match over the positional token relation
+    # — filter-first joins touch only the phrase terms' postings.
+    from flink_bm25_spark.operators.phrase import phrase_search
+
+    return phrase_search(
+        load_table(spark, "documents", sf_dir), ("window", "join")
+    )
+
+
 def _q_cms_sketch(spark, sf_dir):
     # Portable Count-Min matrix of corpus term frequencies: the weighted
     # build over the TF relation (weight = tf) equals a build over the raw
@@ -1033,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         "q_inverted_index": _q_inverted_index,
+        "q_phrase_search": _q_phrase_search,
         "q_stratified_sample": _q_stratified_sample,
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
@@ -1480,6 +1491,23 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(isum AS DOUBLE)
               END, 6) AS n_distinct_est
             FROM agg
+        """,
+        "q_phrase_search": """
+            WITH ptoks AS (
+              SELECT doc_id, u.i AS pos, u.w AS word FROM (
+                SELECT doc_id,
+                       unnest(list_transform(ws, (x, i) -> {'w': x, 'i': i}))
+                         AS u
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS ws
+                      FROM documents)
+              ) WHERE u.w <> ''
+            )
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM (SELECT doc_id, pos FROM ptoks WHERE word = 'window') a
+            JOIN (SELECT doc_id, pos FROM ptoks WHERE word = 'join') b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.doc_id
         """,
         "q_inverted_index": f"""
             WITH {_PIPE}

@@ -137,3 +137,25 @@ def test_inverted_index_postings_sorted_and_complete(spark):
         ids = [p.doc_id for p in r.postings]
         assert ids == sorted(ids)  # merge-join-able ordering
         assert r.df == len(r.postings)
+
+
+def test_phrase_search_three_terms_and_overlaps(spark):
+    from flink_bm25_spark.operators.phrase import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c", "en", "t", 11),
+            (2, "a b x c", "en", "t", 7),
+            (3, "c b a", "en", "t", 5),
+            (4, "a a a a", "en", "t", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, ("a", "b", "c")).collect()}
+    assert got == {1: 2}
+    # overlapping occurrences are each counted
+    aa = {r.doc_id: r.n_matches for r in phrase_search(docs, ("a", "a")).collect()}
+    assert aa == {4: 3}
+    # single-term phrase degenerates to term frequency
+    single = {r.doc_id: r.n_matches for r in phrase_search(docs, ("c",)).collect()}
+    assert single == {1: 2, 2: 1, 3: 1}
