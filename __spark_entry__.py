@@ -955,6 +955,66 @@ def _q_brand_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_q5(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(spark, sf_dir)
+
+
+def _q_tpch_q7(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q7_volume_shipping
+
+    return q7_volume_shipping(spark, sf_dir)
+
+
+def _q_tpch_q8(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q8_market_share
+
+    return q8_market_share(spark, sf_dir)
+
+
+def _q_tpch_q9(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q9_product_profit
+
+    return q9_product_profit(spark, sf_dir)
+
+
+def _q_tpch_q10(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q10_returned_items
+
+    return q10_returned_items(spark, sf_dir)
+
+
+def _q_tpch_q13(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q13_customer_distribution
+
+    return q13_customer_distribution(spark, sf_dir)
+
+
+def _q_tpch_q15(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q15_top_supplier
+
+    return q15_top_supplier(spark, sf_dir)
+
+
+def _q_tpch_q18(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q18_large_volume_customers
+
+    return q18_large_volume_customers(spark, sf_dir)
+
+
+def _q_tpch_q21(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q21_waiting_supplier
+
+    return q21_waiting_supplier(spark, sf_dir)
+
+
+def _q_tpch_q22(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q22_global_sales_opportunity
+
+    return q22_global_sales_opportunity(spark, sf_dir)
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -1053,6 +1113,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_ship_priority": _q_late_ship_priority,
         "q_promo_revenue": _q_promo_revenue,
         "q_brand_revenue": _q_brand_revenue,
+        "q_tpch_q5": _q_tpch_q5,
+        "q_tpch_q7": _q_tpch_q7,
+        "q_tpch_q8": _q_tpch_q8,
+        "q_tpch_q9": _q_tpch_q9,
+        "q_tpch_q10": _q_tpch_q10,
+        "q_tpch_q13": _q_tpch_q13,
+        "q_tpch_q15": _q_tpch_q15,
+        "q_tpch_q18": _q_tpch_q18,
+        "q_tpch_q21": _q_tpch_q21,
+        "q_tpch_q22": _q_tpch_q22,
     }
 
 
@@ -1067,6 +1137,14 @@ def _h60(col: str) -> str:
 
 
 _P = 2_147_483_647
+
+# Exact-decimal revenue term shared by the TPC-H oracles: the fixture's
+# doubles are 2-dp values, so the decimal product/sum is order-independent
+# and bit-identical to the Spark side (plans/tpch.py::_revenue).
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
 
 # Word-trigram shingle relation (SHINGLE_SIZE=3), distinct per doc.
 _SHINGLES = """
@@ -1965,5 +2043,163 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30
                    AND p_size BETWEEN 1 AND 15)
+        """,
+        "q_tpch_q5": f"""
+            SELECT n_name,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q_tpch_q7": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(sum(rev) AS DOUBLE), 6) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year, {_REV} AS rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q_tpch_q8": f"""
+            SELECT o_year,
+                   CASE WHEN den = 0 THEN 0.0
+                        ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                   END AS mkt_share
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     sum(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS num,
+                     sum({_REV}) AS den
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01'
+              GROUP BY o_year
+            )
+        """,
+        "q_tpch_q9": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "q_tpch_q10": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-10-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_tpch_q15": f"""
+            WITH rev AS (
+              SELECT l_suppkey, sum({_REV}) AS total
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(total AS DOUBLE), 6) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total = (SELECT max(total) FROM rev)
+        """,
+        "q_tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(CAST(qty AS DOUBLE), 6) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q_tpch_q21": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE
+                       WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN l_suppkey END) AS n_late,
+                     max(CASE
+                       WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN l_suppkey END) AS late_supp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "q_tpch_q22": """
+            WITH pos AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+              FROM customer WHERE c_acctbal > 0
+            ),
+            stats AS (SELECT count(*) AS n, sum(bal) AS total FROM pos)
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(CAST(sum(bal) AS DOUBLE), 6) AS totacctbal
+            FROM pos, stats
+            WHERE bal * n > total
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY cntrycode
         """,
     }

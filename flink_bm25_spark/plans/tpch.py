@@ -1,0 +1,406 @@
+"""TPC-H query shapes adapted to the fixture schema.
+
+The reference engine has no joins at all (SURVEY.md §2.6) — its TF⋈IDF
+combination happens in local Java maps (``util/TfIdfUtil.java:126-137``).
+These shapes are the north-star extension that proves the engine's
+relational core handles the canonical multi-way join / aggregate patterns
+a 100 TB warehouse workload needs, each with an explicit scale posture:
+
+- **Dimension joins broadcast.** ``region`` (5), ``nation`` (25),
+  ``supplier`` (SF·100) and filtered ``part`` slices stay under the
+  broadcast threshold at any SF — no shuffle for them, ever.
+- **Fact-fact joins shuffle once on the join key.** ``lineitem ⋈ orders``
+  hashes on ``orderkey``; AQE handles skew.  Filters are applied *before*
+  the shuffle so only surviving rows move.
+- **Aggregate early.** Where a HAVING over a fact aggregation gates the
+  rest of the query (Q18), the aggregation runs first and its (tiny)
+  result broadcasts back — the big table crosses the network once.
+
+Every numeric sum runs in DECIMAL (the fixture's doubles are exact 2-dp
+values) so results are bitwise order-independent, then surfaces as
+``round(double, 6)`` — the cross-engine parity contract
+(``__spark_entry__.oracle_sql``).
+
+Fixture deltas vs. spec TPC-H: no ``partsupp`` (Q2/Q11/Q16/Q20 out of
+scope, Q9 drops supplycost), no ``l_commitdate``/``l_receiptdate``
+(Q21's "kept waiting" becomes ``l_shipdate > o_orderdate + 90 days``),
+no ``c_phone`` (Q22's country code becomes ``c_nationkey``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.sources.tables import load_table
+
+
+def _price(col: str = "l_extendedprice"):
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _pct(col: str):
+    """Discount/tax columns: exact 2-dp fractions."""
+    return F.col(col).cast("decimal(4,2)")
+
+
+_ONE = F.lit(1).cast("decimal(4,2)")
+
+
+def _revenue():
+    """``l_extendedprice * (1 - l_discount)`` in exact decimal."""
+    return _price() * (_ONE - _pct("l_discount"))
+
+
+def q5_local_supplier_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 — revenue shipped by *local* suppliers (supplier and
+    customer in the same nation) per nation of one region.
+
+    Scale posture: one shuffle join ``lineitem ⋈ orders`` (orderkey) and
+    one ``⋈ customer`` (custkey); supplier/nation/region broadcast.  The
+    region filter prunes nation and supplier *before* broadcast, and the
+    date filter prunes orders before the first shuffle.
+    """
+    region_df = load_table(spark, "region", sf_dir).where(F.col("r_name") == region)
+    nation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region_df), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load_table(spark, "supplier", sf_dir).join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
+    )
+
+
+def q7_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 — shipping volume between two nations by year and
+    direction.  Both nation joins broadcast; the only shuffles are
+    ``lineitem ⋈ orders`` and ``⋈ customer``."""
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "AMERICA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 — ``nation``'s share of revenue for one part type sold to
+    customers of one region, by order year.  Conditional-sum ratio; the
+    part filter prunes lineitem via a broadcast join before any shuffle."""
+    part = load_table(spark, "part", sf_dir).where(F.col("p_type") == p_type).select(
+        "p_partkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    region_df = load_table(spark, "region", sf_dir).where(F.col("r_name") == region)
+    cnation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region_df), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    snation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(zero)).alias(
+                "_num"
+            ),
+            F.sum(rev).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.when(F.col("_den") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+                )
+            )
+            .alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(
+    spark: SparkSession, sf_dir: str, name_like: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 (no-partsupp adaptation) — revenue for parts whose name
+    contains a substring, by supplier nation and order year.  The
+    LIKE-filtered part slice broadcasts; ``lineitem ⋈ orders`` is the one
+    big shuffle."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").contains(name_like))
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("sum_profit"))
+    )
+
+
+def q10_returned_items(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1997-10-01",
+    date_hi: str = "1998-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 — top-k customers by revenue lost to returns in a
+    quarter.  Global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full sort.  Rank on the *rounded*
+    revenue with custkey tiebreak so ordering is cross-engine stable."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def q13_customer_distribution(
+    spark: SparkSession, sf_dir: str, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 — distribution of customers by how many (non-excluded)
+    orders they placed, zero included.  LEFT join keeps orderless
+    customers; two cascaded aggregations, the second over ≤ |distinct
+    counts| rows."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") != exclude_priority)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 — supplier(s) achieving the maximum quarterly revenue.
+    The per-supplier aggregate is tiny (|supplier| rows), so the max joins
+    back via broadcast; equality is exact because revenue stays DECIMAL
+    until the final surface cast."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("_total"))
+    best = rev.agg(F.max("_total").alias("_best"))
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), F.col("_total") == F.col("_best"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_total").cast("double"), 6).alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, qty_threshold: int = 250
+) -> DataFrame:
+    """TPC-H Q18 — orders whose total quantity exceeds a threshold, with
+    their customers.  Aggregate-then-join: the HAVING runs on the lineitem
+    aggregation FIRST, and only the surviving (rare) orderkeys join back —
+    broadcast — against orders and customer, so the fact table crosses the
+    network once, pre-shrunk."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+        .where(F.col("_qty") > qty_threshold)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("_qty").cast("double"), 6).alias("total_qty"),
+        )
+    )
+
+
+def q21_waiting_supplier(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, k: int = 10
+) -> DataFrame:
+    """TPC-H Q21 (adapted: "late" = shipped > ``late_days`` after the
+    order date) — suppliers who were the SOLE late shipper on
+    multi-supplier orders.  The spec's EXISTS/NOT-EXISTS double
+    correlation collapses into one per-order aggregation: count distinct
+    suppliers, count distinct *late* suppliers, keep (n>1, late==1), and
+    the single late suppkey is recovered with max-over-case — one shuffle
+    instead of three self-joins."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("_late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+def q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str, inactive_since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 (adapted: country code = ``c_nationkey``; "no orders"
+    = none since ``inactive_since``) — well-funded customers who stopped
+    ordering, by nation.
+
+    The above-average test uses exact integer math — ``acctbal · n >
+    total`` over DECIMAL — instead of comparing against a floating AVG,
+    so no boundary customer can flip between engines.  The scalar
+    aggregate broadcasts; inactivity is a LEFT ANTI join (no fan-out,
+    probe side streams)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(12,2)").alias("_bal")
+    )
+    positive = cust.where(F.col("_bal") > 0)
+    stats = positive.agg(
+        F.count("*").alias("_n"), F.sum("_bal").alias("_total")
+    )
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate") >= inactive_since)
+        .select("o_custkey")
+    )
+    return (
+        positive.join(F.broadcast(stats))
+        .where(F.col("_bal") * F.col("_n") > F.col("_total"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("_bal").cast("double"), 6).alias("totacctbal"),
+        )
+    )

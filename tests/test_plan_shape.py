@@ -141,3 +141,46 @@ def test_promo_and_brand_joins_broadcast(spark):
 def test_embed_quantize_no_shuffle(spark):
     df = QUERIES["q_embed_quantize"](spark, SF_DIR)
     assert count_exchanges(df) == 0, "quantization must stay map-side"
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    # Every TPC-H shape keeps its dimension joins broadcast — no shuffle
+    # is ever spent moving region/nation/supplier/filtered-part.
+    for key in ("q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+                "q_tpch_q15", "q_tpch_q18", "q_tpch_q21"):
+        df = QUERIES[key](spark, SF_DIR)
+        plan = explain_str(df, "simple")
+        assert "BroadcastHashJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_tpch_q10_global_topk_is_heap_merge(spark):
+    # Top-20 by revenue must compile to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a global sort.
+    plan = explain_str(QUERIES["q_tpch_q10"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    # Aggregate-then-join: the HAVING aggregation must sit BELOW the
+    # joins in the plan so only qualifying orderkeys reach them.
+    plan = explain_str(QUERIES["q_tpch_q18"](spark, SF_DIR), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one shuffle for the lineitem agg; the join-back is broadcast
+    assert count_exchanges(QUERIES["q_tpch_q18"](spark, SF_DIR)) <= 2
+
+
+def test_tpch_q22_inactivity_is_anti_join(spark):
+    # NOT EXISTS must become LEFT ANTI (probe streams, no fan-out); the
+    # only nested-loop join is the deliberate 1-row stats broadcast.
+    plan = explain_str(QUERIES["q_tpch_q22"](spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_phrase_search_single_agg_shuffle(spark):
+    # Position joins are pre-filtered to the phrase terms' postings; on
+    # the broadcast-able sf0.001 slice the whole k-way join is
+    # shuffle-free and only the final per-doc count aggregates.
+    df = QUERIES["q_phrase_search"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in explain_str(df, "simple")
