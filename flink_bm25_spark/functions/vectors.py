@@ -25,12 +25,27 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def l2_normalize(a: Column) -> Column:
-    """Unit-norm copy of ``a`` (doubles); zero vectors pass through
-    unchanged (ANSI-safe: no division by zero)."""
-    n = l2_norm(a)
-    return F.when(n == 0.0, F.transform(a, lambda x: x.cast("double"))).otherwise(
-        F.transform(a, lambda x: x.cast("double") / n)
+def l2_normalize(df, vec_col: str = "embedding", out_col: str = "unit"):
+    """Add ``out_col`` = unit-norm copy of ``df[vec_col]``; zero vectors
+    pass through unchanged (ANSI-safe: no division by zero).
+
+    DataFrame-level on purpose: the norm must be bound as its OWN
+    projection column before the per-element divide — a norm expression
+    referenced inside a ``transform`` lambda is re-evaluated per element,
+    turning O(d) into O(d²) per row (same trap as
+    ``operators/dedup.py::shingles``).
+    """
+    a = F.col(vec_col)
+    n = F.col("_l2n")
+    return (
+        df.withColumn("_l2n", l2_norm(a))
+        .withColumn(
+            out_col,
+            F.when(n == 0.0, F.transform(a, lambda x: x.cast("double"))).otherwise(
+                F.transform(a, lambda x: x.cast("double") / n)
+            ),
+        )
+        .drop("_l2n")
     )
 
 
@@ -48,3 +63,29 @@ def quantize_int8(a: Column) -> tuple[Column, Column]:
     scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
     qvec = F.transform(a, lambda x: F.floor(x.cast("double") * scale).cast("int"))
     return qvec, scale
+
+
+def with_int8_quantization(
+    df, vec_col: str = "embedding", qvec_col: str = "qvec", scale_col: str = "scale"
+):
+    """Add ``qvec_col``/``scale_col`` int8 quantization columns to ``df``.
+
+    Preferred over :func:`quantize_int8` in plans: the scale is bound as
+    its own projection column FIRST, so the per-element multiply reads a
+    slot instead of re-reducing ``max|a|`` for every element (O(d) per
+    row, not O(d²))."""
+    a = F.col(vec_col)
+    absmax = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return (
+        df.withColumn(
+            scale_col,
+            F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax),
+        )
+        .withColumn(
+            qvec_col,
+            F.transform(
+                a,
+                lambda x: F.floor(x.cast("double") * F.col(scale_col)).cast("int"),
+            ),
+        )
+    )

@@ -103,19 +103,30 @@ def shingles(documents: DataFrame, n: int = SHINGLE_SIZE) -> DataFrame:
 
     Built with an indexed ``transform`` over the token array — pure
     map-side generator, no Python.
+
+    The token array is materialized in its own projection BEFORE the
+    lambda: referencing the raw ``split(...)`` expression inside
+    ``element_at`` would re-split the whole text once per (position ×
+    gram-slot), turning an O(len) scan into O(len²) — measured 30× slower
+    at 500 words/doc.  A bound column reference is evaluated once per row
+    (and Catalyst's CollapseProject keeps non-cheap aliases
+    un-inlined, so the projection survives optimization).
     """
-    words = F.split(F.lower(F.col("text")), r"\s+")
+    base = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
+    )
+    ws = F.col("_ws")
 
     def make_gram(x, i):
         parts = None
         for j in range(n):
-            piece = F.element_at(words, (i + F.lit(j + 1)).cast("int"))
+            piece = F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
             parts = piece if parts is None else F.concat(parts, F.lit(" "), piece)
-        return F.when(i + n <= F.size(words), parts)
+        return F.when(i + n <= F.size(ws), parts)
 
-    grams = F.transform(words, make_gram)
+    grams = F.transform(ws, make_gram)
     return (
-        documents.select("doc_id", F.explode(grams).alias("gram"))
+        base.select("doc_id", F.explode(grams).alias("gram"))
         .where(F.col("gram").isNotNull())
         .distinct()
     )
@@ -130,28 +141,66 @@ def jaccard_pairs(
     ever meet — never an all-pairs cross join).  When ``pairs`` is given,
     the join is pre-filtered to those candidates (the LSH verify path).
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    probe = sh
     if pairs is not None:
-        # Prune BEFORE the gram self-join, not after: restrict the shingle
-        # relation to docs that appear in some candidate pair, so the
-        # verify cost is proportional to |candidates|, not |corpus|.
+        # Candidate-verify path: gather each candidate doc's (distinct)
+        # gram set ONCE, then intersect per pair with array_intersect.
+        # Cost is linear in candidate docs — and unlike a gram self-join,
+        # immune to hot-gram skew (a stopword trigram shared by 10⁴ docs
+        # would put 10⁸ rows in one join bucket; here it is one array
+        # slot per doc).  The semi-join keeps the gather proportional to
+        # |candidates|, not |corpus|.
         cand_docs = (
             pairs.select(F.col("d1").alias("doc_id"))
             .unionByName(pairs.select(F.col("d2").alias("doc_id")))
             .distinct()
         )
-        probe = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    a = probe.alias("a")
-    b = probe.alias("b")
+        gram_sets = (
+            sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("gram").alias("grams"))
+        )
+        jac = (
+            pairs.select("d1", "d2")
+            .join(
+                gram_sets.select(
+                    F.col("doc_id").alias("d1"), F.col("grams").alias("g1")
+                ),
+                "d1",
+            )
+            .join(
+                gram_sets.select(
+                    F.col("doc_id").alias("d2"), F.col("grams").alias("g2")
+                ),
+                "d2",
+            )
+            .select(
+                "d1",
+                "d2",
+                F.size(F.array_intersect("g1", "g2")).alias("i"),
+                F.size("g1").alias("n1"),
+                F.size("g2").alias("n2"),
+            )
+            .select(
+                "d1",
+                "d2",
+                F.round(
+                    F.col("i").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("i")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+        return jac.where(F.col("jaccard") >= threshold)
+    # Discovery path (no candidates): the gram equi-join — only docs
+    # sharing a gram ever meet, never an all-pairs cross join.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("i"))
     )
-    if pairs is not None:
-        # among candidate docs, keep only the candidate pairs themselves
-        inter = inter.join(pairs.select("d1", "d2"), ["d1", "d2"], "left_semi")
     jac = (
         inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")

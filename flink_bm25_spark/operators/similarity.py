@@ -221,11 +221,10 @@ def quantized_embeddings(embeddings: DataFrame) -> DataFrame:
     over the shuffle; coarse scoring runs on ``qvec`` and only the top
     candidates are rescored against the float vectors.
     """
-    from flink_bm25_spark.functions.vectors import quantize_int8
+    from flink_bm25_spark.functions.vectors import with_int8_quantization
 
-    qvec, scale = quantize_int8(F.col("embedding"))
-    return embeddings.select(
-        "vec_id", qvec.alias("qvec"), F.round(scale, 6).alias("scale")
+    return with_int8_quantization(embeddings).select(
+        "vec_id", "qvec", F.round(F.col("scale"), 6).alias("scale")
     )
 
 
@@ -247,14 +246,15 @@ def quantized_topk(
     overfetch the result equals :func:`cosine_topk` exactly (pinned by
     test); recall degrades gracefully as overfetch shrinks.
     """
-    from flink_bm25_spark.functions.vectors import quantize_int8
+    from flink_bm25_spark.functions.vectors import with_int8_quantization
 
     qmax = max(abs(float(x)) for x in query_vec) or 1.0
     qscale = 127.0 / qmax
     qq = [int(float(x) * qscale // 1) for x in query_vec]
 
-    qvec, _scale = quantize_int8(F.col("embedding"))
-    quant = embeddings.select("vec_id", "embedding", qvec.alias("qvec"))
+    quant = with_int8_quantization(embeddings).select(
+        "vec_id", "embedding", "qvec"
+    )
     if exclude_id is not None:
         quant = quant.where(F.col("vec_id") != exclude_id)
     qlit = F.array(*[F.lit(int(v)) for v in qq])

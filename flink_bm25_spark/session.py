@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The sketch builders aggregate 60-64 conditional columns in ONE
+        # groupBy (minhash wide signature, simhash bit-sums).  Above the
+        # default maxFields=100 whole-stage codegen silently disables and
+        # those aggregates run interpreted — measured ~2x slower.  Raise
+        # the ceiling so the widest planned aggregate still compiles.
+        .config("spark.sql.codegen.maxFields", "256")
         # The events fixture stores TIMESTAMP(NANOS), which the Spark parquet
         # reader rejects by default; read as long and normalize in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
