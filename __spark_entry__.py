@@ -459,6 +459,14 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_table(spark, "documents", sf_dir))
 
 
+def _q_repetition_scores(spark, sf_dir):
+    # Gopher-style repetition filters: top-word fraction via the TF
+    # relation (O(tokens) shuffle), duplicate-bigram fraction map-side.
+    from flink_bm25_spark.operators.text_analysis import repetition_scores
+
+    return repetition_scores(load_table(spark, "documents", sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     return language_id(load_table(spark, "documents", sf_dir))
 
@@ -1073,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": _q_token_stats,
         "q_bpe_token_count": _q_bpe_token_count,
         "q_quality_scores": _q_quality_scores,
+        "q_repetition_scores": _q_repetition_scores,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_corpus_profile": _q_corpus_profile,
@@ -1701,6 +1710,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_chars, avg_word_len, stopword_ratio,
                    punct_ratio, keep_score
             FROM qual
+        """,
+        "q_repetition_scores": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id, nbi, ubi FROM (
+                SELECT doc_id, CAST(len(b) AS BIGINT) AS nbi,
+                       CAST(len(list_distinct(b)) AS BIGINT) AS ubi
+                FROM (
+                  SELECT doc_id,
+                         list_filter(
+                           list_transform(w, (x, i) ->
+                             CASE WHEN i < len(w)
+                                  THEN x || ' ' || w[i+1] END),
+                           g -> g IS NOT NULL) AS b
+                  FROM ws
+                )
+              )
+            ),
+            tf AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+              GROUP BY doc_id, word
+            ),
+            top AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                       AS top_word_frac
+              FROM tf GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(top_word_frac, 0.0) AS top_word_frac,
+                   CASE WHEN coalesce(nbi, 0) <= 0 THEN 0.0
+                        ELSE round(CAST(nbi - ubi AS DOUBLE) / nbi, 6)
+                   END AS dup_bigram_frac
+            FROM documents d
+            LEFT JOIN top ON d.doc_id = top.doc_id
+            LEFT JOIN bi ON d.doc_id = bi.doc_id
         """,
         "q_lang_id": f"""
             WITH {_PIPE},

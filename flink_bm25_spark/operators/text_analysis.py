@@ -35,6 +35,70 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """``(doc_id, top_word_frac, dup_bigram_frac)`` — Gopher-style
+    repetition quality filters for pretraining corpora.
+
+    - ``top_word_frac``: frequency of the most common token / total
+      tokens.  Computed through the (doc, word) TF relation — shuffle
+      volume O(tokens), never O(doc_len²) per row, so a pathological
+      1M-token document costs the same per token as any other.
+    - ``dup_bigram_frac``: fraction of adjacent-bigram slots occupied by
+      a repeated bigram — pure map-side array math (``array_distinct``
+      on the per-doc bigram array), no shuffle contribution.
+
+    Documents with no tokens (or no bigram slots) score 0.0 — the /0
+    guards keep ANSI mode happy and match the oracle's CASE arms.
+    """
+    words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+    base = documents.select("doc_id", words.alias("_ws"))
+    ws = F.col("_ws")
+    # zip_with pads the shorter side with null; concat(null) = null, so the
+    # final slot becomes a null bigram — filter it out before counting.
+    bigrams = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    bi = base.select("doc_id", bigrams.alias("_bi")).select(
+        "doc_id",
+        F.size("_bi").alias("_nbi"),
+        F.size(F.array_distinct("_bi")).alias("_ubi"),
+    ).select(
+        "doc_id",
+        F.when(F.col("_nbi") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("_nbi") - F.col("_ubi")).cast("double") / F.col("_nbi"), 6
+            )
+        )
+        .alias("dup_bigram_frac"),
+    )
+    tf = (
+        base.select("doc_id", F.explode(ws).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = tf.groupBy("doc_id").agg(
+        F.round(
+            F.max("tf").cast("double") / F.sum("tf").cast("double"), 6
+        ).alias("top_word_frac")
+    )
+    return (
+        documents.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )
+
+
 # BPE-style pre-tokenization pattern (GPT-2-family simplified to a
 # portable character-class form): letter runs, single digits, or single
 # non-alphanumeric non-space symbols.

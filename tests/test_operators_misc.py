@@ -139,6 +139,30 @@ def test_inverted_index_postings_sorted_and_complete(spark):
         assert r.df == len(r.postings)
 
 
+def test_repetition_scores_hand_computed(spark):
+    from flink_bm25_spark.operators.text_analysis import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en", "t", 7),     # top a:2/4; bigrams [ab,ba,ab] → 1/3 dup
+            (2, "x x x x", "en", "t", 7),     # top 4/4=1.0; bigrams 3 slots 1 uniq → 2/3
+            (3, "a b c", "en", "t", 5),       # no repetition
+            (4, "solo", "en", "t", 4),        # 1 token: no bigram slots
+            (5, "", "en", "t", 0),            # empty text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.top_word_frac, r.dup_bigram_frac)
+        for r in repetition_scores(docs).collect()
+    }
+    assert got[1] == (0.5, round(1 / 3, 6))
+    assert got[2] == (1.0, round(2 / 3, 6))
+    assert got[3] == (round(1 / 3, 6), 0.0)
+    assert got[4] == (1.0, 0.0)
+    assert got[5] == (0.0, 0.0)
+
+
 def test_phrase_search_three_terms_and_overlaps(spark):
     from flink_bm25_spark.operators.phrase import phrase_search
 
