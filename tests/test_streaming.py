@@ -59,6 +59,58 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def test_append_log_additive_equals_batch_df(spark, tmp_path):
+    # Streaming $inc semantics (A3): per-batch word-count deltas appended,
+    # aggregated on read — final state equals the batch word count.
+    from flink_bm25_spark.operators.tokenize import tokenize
+    from flink_bm25_spark.streaming.append_log import (
+        read_additive,
+        run_stream_to_log,
+    )
+
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_stage_dir("documents"))
+    )
+    log = str(tmp_path / "df_log")
+    run_stream_to_log(
+        stream,
+        log,
+        str(tmp_path / "ckpt"),
+        transform=lambda b: tokenize(b).groupBy("word").agg(
+            F.count("*").alias("c")
+        ),
+    )
+    got = _rows(read_additive(spark, log, ["word"], "c"))
+    want = _rows(
+        tokenize(load_table(spark, "documents", SF_DIR))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    assert got == want
+
+
+def test_append_log_latest_wins_upsert(spark, tmp_path):
+    # K1 upsert semantics: later batches overwrite earlier rows per key.
+    from flink_bm25_spark.streaming.append_log import (
+        append_batch_writer,
+        compact,
+        read_latest,
+    )
+
+    w = append_batch_writer(str(tmp_path / "log"))
+    w(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    w(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"), 1)
+    got = _rows(read_latest(spark, str(tmp_path / "log"), ["k"]))
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # compaction folds the log without changing the view
+    compact(spark, str(tmp_path / "log"), ["k"])
+    assert _rows(read_latest(spark, str(tmp_path / "log"), ["k"])) == got
+
+
 def test_tumbling_stream_equals_batch(spark):
     batch, stream = _stream_events(spark)
     got = _run_complete(tumbling_window_agg(stream), spark, "t_tumble")
