@@ -103,6 +103,52 @@ def main() -> None:
         f"cc scale {mult}x -> time ratio {cc[f'x{mult}'] / cc['base']:.1f}x "
         f"(constant iterations; linear would be {mult}.0x)"
     )
+
+    # Relational suite: replicate lineitem+orders with shifted orderkeys
+    # (join fan-out preserved: each replica joins only its own replica's
+    # orders) and run the heaviest TPC-H shapes.  Near-linear growth means
+    # the shuffle joins scale with data, not with pair-space.
+    from flink_bm25_spark.plans.tpch import (
+        q5_local_supplier_volume,
+        q18_large_volume_customers,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+
+    key_shift = 1_000_000_000
+    rel = {}
+    li_base = load_table(spark, "lineitem", sf_dir)
+    ord_base = load_table(spark, "orders", sf_dir)
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "spark-warehouse", "scale_smoke_rel")
+    for label, m_ in [("base", 1), (f"x{mult}", mult)]:
+        reps = spark.range(m_).select(F.col("id").alias("rep"))
+        li = li_base.crossJoin(reps).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("rep") * key_shift
+        ).drop("rep")
+        od = ord_base.crossJoin(reps).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("rep") * key_shift
+        ).drop("rep")
+        # materialize the scaled tables so the timed join reads parquet,
+        # not the crossJoin generator
+        d = f"{tmp}_{label}"
+        li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        od.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part"):
+            load_table(spark, t, sf_dir).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
+        t0 = time.perf_counter()
+        n5 = q5_local_supplier_volume(spark, d).count()
+        n18 = q18_large_volume_customers(spark, d).count()
+        rel[label] = time.perf_counter() - t0
+        print(
+            f"tpch {label}: lineitem x{m_} -> q5 rows={n5} "
+            f"q18 rows={n18} in {rel[label]:.1f}s"
+        )
+    print(
+        f"tpch scale {mult}x -> time ratio {rel[f'x{mult}'] / rel['base']:.1f}x "
+        f"(linear would be {mult}.0x)"
+    )
     spark.stop()
 
 

@@ -22,6 +22,33 @@ def test_salted_df_equals_plain(spark):
     assert plain == salted
 
 
+def test_salted_join_equals_plain(spark):
+    from flink_bm25_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, "part", SF_DIR).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey", "inner")
+    salted = salted_join(li, part, "l_partkey", buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left joins keep unmatched big-side rows exactly once
+    some = part.limit(50)
+    plain_l = li.join(some, "l_partkey", "left")
+    salted_l = salted_join(li, some, "l_partkey", buckets=4, how="left")
+    assert sorted(map(tuple, plain_l.collect())) == sorted(
+        map(tuple, salted_l.collect())
+    )
+    # semi/anti partition the big side
+    semi = salted_join(li, some, "l_partkey", buckets=4, how="left_semi")
+    anti = salted_join(li, some, "l_partkey", buckets=4, how="left_anti")
+    assert semi.count() + anti.count() == li.count()
+
+
 def test_stateful_running_stats_matches_batch(spark):
     import shutil
     import tempfile
