@@ -139,6 +139,54 @@ def test_inverted_index_postings_sorted_and_complete(spark):
         assert r.df == len(r.postings)
 
 
+def test_phrase_and_repetition_random_corpus_vs_python(spark):
+    # Randomized check against a naive Python oracle: tiny vocabulary so
+    # phrases and repetition are dense, seed fixed for reproducibility.
+    import random
+
+    from flink_bm25_spark.operators.phrase import phrase_search
+    from flink_bm25_spark.operators.text_analysis import repetition_scores
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    phrase = ("a", "b", "a")
+
+    def n_matches(text):
+        toks = [w for w in text.lower().split() if w]
+        return sum(
+            1 for j in range(len(toks) - 2) if tuple(toks[j : j + 3]) == phrase
+        )
+
+    got = {r.doc_id: r.n_matches for r in phrase_search(sdf, phrase).collect()}
+    want = {i: n_matches(t) for i, t in docs if n_matches(t) > 0}
+    assert got == want
+
+    def rep(text):
+        toks = [w for w in text.lower().split() if w]
+        if not toks:
+            return (0.0, 0.0)
+        top = round(max(toks.count(w) for w in set(toks)) / len(toks), 6)
+        bis = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        dup = round((len(bis) - len(set(bis))) / len(bis), 6) if bis else 0.0
+        return (top, dup)
+
+    got_r = {
+        r.doc_id: (r.top_word_frac, r.dup_bigram_frac)
+        for r in repetition_scores(sdf).collect()
+    }
+    want_r = {i: rep(t) for i, t in docs}
+    assert got_r == want_r
+
+
 def test_repetition_scores_hand_computed(spark):
     from flink_bm25_spark.operators.text_analysis import repetition_scores
 
