@@ -159,13 +159,60 @@ def extract_features(
     )
 
 
-def resize_images(df: DataFrame, target: int = 224, bytes_col: str = "payload") -> DataFrame:
-    """Resize stage — STUB: real pixel work needs an image library absent
-    from this container."""
-    raise NotImplementedError(
-        "resize_images requires an image codec (PIL/opencv) not present in "
-        "this environment; the decode/metadata plumbing in decode_images is "
-        "the tested Spark-side pattern to extend."
+RESIZED_SCHEMA = "id long, payload binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    target: int = 224,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    resizer: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage: binary → resized binary + output dims.
+
+    Real Spark plumbing (Arrow-batched ``mapInPandas``, binary-out schema,
+    nulls passed through) around a STUB codec: the default ``resizer``
+    deterministically re-digests the payload (standing in for
+    decode→scale→re-encode) and reports ``target``×``target`` output dims.
+    Inject a real ``resizer(payload, target) -> bytes`` (PIL/opencv —
+    absent from this container) to productionize; it is constructed once
+    per partition, never per row.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer is None:
+            import hashlib  # noqa: PLC0415
+
+            def do_resize(payload: bytes, tgt: int) -> bytes:
+                # STUB: deterministic stand-in for decode→scale→re-encode —
+                # output depends on (payload, target) and differs from the
+                # input, like a real re-encode would.
+                seed = hashlib.md5(payload + tgt.to_bytes(4, "big")).digest()
+                return seed + payload[: max(0, len(payload) - len(seed))]
+
+        else:
+            do_resize = resizer
+        for pdf in batches:
+            out_bytes, w = [], []
+            for payload in pdf[bytes_col]:
+                if payload is None:
+                    out_bytes.append(None), w.append(None)
+                    continue
+                out_bytes.append(do_resize(bytes(payload), target))
+                w.append(target)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": out_bytes,
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(w, dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema=RESIZED_SCHEMA
     )
 
 

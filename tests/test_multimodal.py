@@ -58,9 +58,30 @@ def test_decode_null_payload(spark):
     assert row.width is None and row.n_pixels is None
 
 
-def test_resize_is_marked_stub(spark, blobs):
-    with pytest.raises(NotImplementedError):
-        resize_images(blobs)
+def test_resize_plumbing_stub_codec(spark, blobs):
+    out = resize_images(blobs, target=64)
+    rows = out.collect()
+    assert out.columns == ["id", "payload", "width", "height"]
+    assert len(rows) == blobs.count()
+    assert all(r.width == 64 and r.height == 64 for r in rows)
+    # deterministic and payload-dependent (stands in for re-encode)
+    again = {r.id: bytes(r.payload) for r in resize_images(blobs, target=64).collect()}
+    orig = {r.id: bytes(r.payload) for r in blobs.collect()}
+    for r in rows:
+        assert bytes(r.payload) == again[r.id]
+        assert bytes(r.payload) != orig[r.id]
+    # a different target produces different bytes (decode→scale→re-encode)
+    other = {r.id: bytes(r.payload) for r in resize_images(blobs, target=32).collect()}
+    assert any(other[i] != again[i] for i in again)
+    # injectable real codec slot
+    ident = resize_images(blobs, target=8, resizer=lambda b, t: b)
+    assert {r.id: bytes(r.payload) for r in ident.collect()} == orig
+
+
+def test_resize_null_payload(spark):
+    df = spark.createDataFrame([(1, None)], "id long, payload binary")
+    row = resize_images(df).first()
+    assert row.payload is None and row.width is None
 
 
 def test_sample_frames_plumbing(spark, blobs):
