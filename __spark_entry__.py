@@ -963,6 +963,27 @@ def _q_brand_revenue(spark, sf_dir):
     )
 
 
+def _q_salted_brand_revenue(spark, sf_dir):
+    # Skew-breaking salted join (hot-key insurance): the salted plan must
+    # produce byte-identical results to the plain join the oracle runs.
+    from flink_bm25_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        salted_join(li, part, "l_partkey", buckets=8)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 6).alias("revenue"))
+    )
+
+
 def _q_tpch_q5(spark, sf_dir):
     from flink_bm25_spark.plans.tpch import q5_local_supplier_volume
 
@@ -1122,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_ship_priority": _q_late_ship_priority,
         "q_promo_revenue": _q_promo_revenue,
         "q_brand_revenue": _q_brand_revenue,
+        "q_salted_brand_revenue": _q_salted_brand_revenue,
         "q_tpch_q5": _q_tpch_q5,
         "q_tpch_q7": _q_tpch_q7,
         "q_tpch_q8": _q_tpch_q8,
@@ -2094,6 +2116,12 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30
                    AND p_size BETWEEN 1 AND 15)
+        """,
+        "q_salted_brand_revenue": f"""
+            SELECT p_brand,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "q_tpch_q5": f"""
             SELECT n_name,
