@@ -963,6 +963,54 @@ def _q_brand_revenue(spark, sf_dir):
     )
 
 
+def _q_rolling_spend(spark, sf_dir):
+    # Time-RANGE window: per-customer 30-day rolling spend.  The frame is
+    # defined over an integer day number (exact in every engine — no
+    # epoch-double casts), so same-day ties all join the frame in both
+    # engines.  One shuffle on the partition key.
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w).cast(
+                "double"
+            ),
+            6,
+        ).alias("rolling_30d"),
+    )
+
+
+def _q_revenue_share(spark, sf_dir):
+    # Share-of-total window: each nation's fraction of global order
+    # revenue.  The unpartitioned window runs over the ALREADY-aggregated
+    # 25-row relation — never over the fact table.
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    per_nation = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(total).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
 def _q_salted_brand_revenue(spark, sf_dir):
     # Skew-breaking salted join (hot-key insurance): the salted plan must
     # produce byte-identical results to the plain join the oracle runs.
@@ -1143,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_late_ship_priority": _q_late_ship_priority,
         "q_promo_revenue": _q_promo_revenue,
         "q_brand_revenue": _q_brand_revenue,
+        "q_rolling_spend": _q_rolling_spend,
+        "q_revenue_share": _q_revenue_share,
         "q_salted_brand_revenue": _q_salted_brand_revenue,
         "q_tpch_q5": _q_tpch_q5,
         "q_tpch_q7": _q_tpch_q7,
@@ -2116,6 +2166,30 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30
                    AND p_size BETWEEN 1 AND 15)
+        """,
+        "q_rolling_spend": """
+            SELECT o_orderkey, o_custkey,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', TIMESTAMP '1995-01-01',
+                                        o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 6) AS rolling_30d
+            FROM orders
+        """,
+        "q_revenue_share": """
+            WITH per_nation AS (
+              SELECT n_name,
+                     sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name
+            )
+            SELECT n_name, round(CAST(rev AS DOUBLE), 6) AS revenue,
+                   round(CAST(rev AS DOUBLE)
+                         / CAST(sum(rev) OVER () AS DOUBLE), 6) AS share
+            FROM per_nation
         """,
         "q_salted_brand_revenue": f"""
             SELECT p_brand,
