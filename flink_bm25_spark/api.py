@@ -82,6 +82,18 @@ class BM25Engine:
         eng = cls(stats, k1=float(meta["k1"]), b=float(meta["b"]))
         return eng
 
+    def update(self, new_documents: DataFrame) -> "BM25Engine":
+        """Fold a batch of NEW documents into the fitted statistics —
+        O(batch) work, the old corpus is never re-tokenized (the
+        reference's incremental ``$inc`` flow, corpus-at-once).  Returns a
+        new engine; the caller's contract is that ``new_documents`` carries
+        previously-unseen ``doc_id``\\s."""
+        from flink_bm25_spark.operators.pipeline import merge_corpus_stats  # noqa: PLC0415
+
+        return BM25Engine(
+            merge_corpus_stats(self.stats, new_documents), k1=self.k1, b=self.b
+        )
+
     # -- query surface -----------------------------------------------------
 
     def search(self, query: str, k: int = 10) -> DataFrame:

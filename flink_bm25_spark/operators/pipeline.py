@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_bm25_spark.operators.df_idf import corpus_size, document_frequencies, idf
 from flink_bm25_spark.operators.tf import doc_lengths, term_frequencies
@@ -97,3 +98,42 @@ def corpus_stats_for(
     spark: SparkSession, sf_dir: str, cache_tf: bool = False
 ) -> CorpusStats:
     return build_corpus_stats(load_documents(spark, sf_dir), cache_tf=cache_tf)
+
+
+def merge_corpus_stats(
+    old: CorpusStats, new_documents: DataFrame, tokenizer=tokenize
+) -> CorpusStats:
+    """Batch-incremental update: fold a batch of NEW documents into
+    existing statistics without re-tokenizing the old corpus.
+
+    This is the reference's incremental flow (tokenize each new doc, write
+    its TF, ``$inc`` the global DF — ``BatchBM25PreMain.java:107-123``)
+    restated corpus-at-once: tokenize ONLY the new batch, then
+
+    - ``tf``/``dlen``: plain union (doc-level relations, new doc_ids are
+      the caller's contract — re-ingesting an existing id would double it,
+      same as the reference's sink),
+    - ``df``: additive merge — union of the two (word, df) relations,
+      summed per word.  O(new batch) work; the old corpus never rescans.
+
+    At 100 TB this is the difference between an append being proportional
+    to the APPEND and proportional to the archive.
+    """
+    new = build_corpus_stats(new_documents, tokenizer=tokenizer)
+    docs = (
+        old.documents.unionByName(new_documents)
+        if old.documents is not None
+        else None
+    )
+    merged = CorpusStats(
+        documents=docs,
+        tokens=None,
+        tf=old.tf.unionByName(new.tf),
+        dlen=old.dlen.unionByName(new.dlen),
+        df_stats=old.df_stats.unionByName(new.df_stats)
+        .groupBy("word")
+        .agg(F.sum("df").cast("long").alias("df")),
+    )
+    # n_docs is additive — pre-seed so no consumer pays a recount job.
+    merged.n_docs = old.n_docs + corpus_size(new_documents)
+    return merged

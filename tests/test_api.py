@@ -54,3 +54,23 @@ def test_term_stats_and_vectors(spark, engine):
     vecs = engine.doc_vectors(k=5)
     row = vecs.first()
     assert len(row.tf) <= 5
+
+
+def test_incremental_update_equals_full_fit(spark):
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, SF_DIR)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    merged = BM25Engine.fit(old).update(new)
+    full = BM25Engine.fit(docs)
+    assert merged.stats.n_docs == full.stats.n_docs
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(merged.stats.tf) == rows(full.stats.tf)
+    assert rows(merged.stats.dlen) == rows(full.stats.dlen)
+    assert rows(merged.stats.df_stats) == rows(full.stats.df_stats)
+    q = " ".join(DEFAULT_QUERY_TERMS)
+    assert rows(merged.search(q, 10)) == rows(full.search(q, 10))
