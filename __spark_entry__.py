@@ -414,8 +414,16 @@ def _q_simhash(spark, sf_dir):
 def _q_dedup_simhash(spark, sf_dir):
     # Banded simhash pairs, hamming <= 3.  4 bands x 15 bits: <=3 differing
     # bits leaves one band untouched (pigeonhole) => banding has exactly
-    # 100% recall and the result equals the brute-force oracle.
-    return simhash_pairs(simhash_signatures(_stats(spark, sf_dir).tf))
+    # 100% recall and the result equals the brute-force oracle.  Signatures
+    # come straight from the token relation (one shuffle, bit-identical to
+    # the TF-weighted build).
+    from flink_bm25_spark.operators.dedup import simhash_signatures_from_tokens
+    from flink_bm25_spark.operators.pipeline import _parallelize_scan
+
+    tokens = filter_stopwords(
+        tokenize(_parallelize_scan(load_table(spark, "documents", sf_dir)))
+    )
+    return simhash_pairs(simhash_signatures_from_tokens(tokens))
 
 
 def _q_embed_near_dup(spark, sf_dir):

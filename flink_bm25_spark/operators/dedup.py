@@ -401,6 +401,39 @@ def simhash_signatures(tf: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return wide.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_signatures_from_tokens(
+    tokens: DataFrame, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``(doc_id, simhash)`` straight from the token relation — ONE
+    shuffle.
+
+    Bit-identical to :func:`simhash_signatures` over the TF relation
+    (each occurrence contributes ±1; summed per (doc, word) that is
+    exactly ±tf — pinned by test) but skips the TF aggregation: the only
+    shuffle is the 60-column partial sum keyed by doc_id, whose volume is
+    O(docs × 60) after map-side combine — strictly less than shuffling
+    the (doc, word, tf) relation first.  Use the TF variant only when the
+    TF relation is already materialized for other consumers.
+    """
+    withh = tokens.withColumn("h60", h60(F.col("word")))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    wide = withh.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.alias("simhash"))
+
+
 def simhash_pairs(
     sigs: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,

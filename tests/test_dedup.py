@@ -62,3 +62,18 @@ def test_simhash_banding_exact_recall(spark):
     }
     assert banded == brute
     sigs.unpersist()
+
+
+def test_simhash_from_tokens_equals_tf_variant(spark):
+    from flink_bm25_spark.operators.dedup import (
+        simhash_signatures,
+        simhash_signatures_from_tokens,
+    )
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+
+    stats = corpus_stats_for(spark, SF_DIR)
+    via_tf = sorted(tuple(r) for r in simhash_signatures(stats.tf).collect())
+    via_tokens = sorted(
+        tuple(r) for r in simhash_signatures_from_tokens(stats.tokens).collect()
+    )
+    assert via_tf == via_tokens
