@@ -856,6 +856,50 @@ def _q_sessionize(spark, sf_dir):
     return session_stats(load_table(spark, "events", sf_dir))
 
 
+def _q_scd2_history(spark, sf_dir):
+    # Type-2 SCD history over the event change log: each change gets its
+    # validity interval [valid_from, valid_to) and version — lead +
+    # row_number share ONE exchange on user_id.
+    from flink_bm25_spark.operators.cdc import scd2_history
+
+    hist = scd2_history(load_table(spark, "events", sf_dir))
+    return hist.select(
+        "user_id",
+        "event_id",
+        "valid_from_us",
+        "valid_to_us",
+        F.round("value", 6).alias("value"),
+        "version",
+        "is_current",
+    )
+
+
+def _q_cdc_apply(spark, sf_dir):
+    # MERGE-style CDC: Spark folds the first half of the log into a base
+    # snapshot, then APPLIES the second half (latest-change-wins upserts +
+    # deletes, broadcast anti-join — the snapshot never shuffles).  The
+    # oracle folds the WHOLE log in one pass: apply(fold(a), b) == fold(a+b)
+    # is the algebraic identity that makes incremental CDC correct.
+    from flink_bm25_spark.operators.cdc import cdc_apply, snapshot_of
+
+    split = "2024-01-15"
+    ev = load_table(spark, "events", sf_dir)
+    changes = ev.select(
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.unix_micros("ts").alias("updated_us"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "ts",
+        "event_id",
+    )
+    base = snapshot_of(changes.where(F.col("ts") < split)).select(
+        "user_id", "value", "updated_us"
+    )
+    return cdc_apply(base, changes.where(F.col("ts") >= split))
+
+
 def _q_edit_distance(spark, sf_dir):
     # Entity resolution over the distinct part-name vocabulary: Levenshtein
     # <= 3 with a length-difference prefilter; the pairwise join runs on the
@@ -1040,6 +1084,12 @@ def _q_salted_brand_revenue(spark, sf_dir):
     )
 
 
+def _q_tpch_q3(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(spark, sf_dir)
+
+
 def _q_tpch_q5(spark, sf_dir):
     from flink_bm25_spark.plans.tpch import q5_local_supplier_volume
 
@@ -1202,6 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_spend": _q_rolling_spend,
         "q_revenue_share": _q_revenue_share,
         "q_salted_brand_revenue": _q_salted_brand_revenue,
+        "q_scd2_history": _q_scd2_history,
+        "q_cdc_apply": _q_cdc_apply,
+        "q_tpch_q3": _q_tpch_q3,
         "q_tpch_q5": _q_tpch_q5,
         "q_tpch_q7": _q_tpch_q7,
         "q_tpch_q8": _q_tpch_q8,
@@ -2110,6 +2163,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, session_id
         """,
+        "q_scd2_history": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+            )
+            SELECT user_id, event_id,
+                   us AS valid_from_us,
+                   coalesce(lead(us) OVER w,
+                            253402214400000000) AS valid_to_us,
+                   round(value, 6) AS value,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   lead(us) OVER w IS NULL AS is_current
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        """,
+        "q_cdc_apply": """
+            WITH e AS (
+              SELECT user_id, round(value, 6) AS value,
+                     epoch_us(ts) AS updated_us,
+                     CASE WHEN event_type = 'error'
+                          THEN 'delete' ELSE 'upsert' END AS op,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, value, updated_us
+            FROM e WHERE rn = 1 AND op <> 'delete'
+        """,
         "q_edit_distance": """
             WITH names AS (
               SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL
@@ -2204,6 +2283,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q_tpch_q3": f"""
+            SELECT l_orderkey, o_orderdate,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-15'
+              AND l_shipdate  > TIMESTAMP '1997-06-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "q_tpch_q5": f"""
             SELECT n_name,

@@ -404,3 +404,40 @@ def q22_global_sales_opportunity(
             F.round(F.sum("_bal").cast("double"), 6).alias("totacctbal"),
         )
     )
+
+
+def q3_shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 — top-k *unshipped* orders (ordered before the cutoff,
+    with at least one line shipped after it) by outstanding revenue, for
+    one market segment.
+
+    Scale posture: the segment filter prunes ``customer`` before its
+    broadcast; date filters prune BOTH fact tables before the single
+    ``lineitem ⋈ orders`` shuffle (at spec selectivities that drops ~95%
+    of orders and ~half of lineitem pre-shuffle).  Global top-k compiles
+    to TakeOrderedAndProject — per-partition heaps, no full sort.  Rank
+    on the *rounded* revenue with orderkey tiebreak (cross-engine
+    stable)."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )

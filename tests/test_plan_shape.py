@@ -146,8 +146,8 @@ def test_embed_quantize_no_shuffle(spark):
 def test_tpch_dim_joins_broadcast(spark):
     # Every TPC-H shape keeps its dimension joins broadcast — no shuffle
     # is ever spent moving region/nation/supplier/filtered-part.
-    for key in ("q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-                "q_tpch_q15", "q_tpch_q18", "q_tpch_q21"):
+    for key in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+                "q_tpch_q9", "q_tpch_q15", "q_tpch_q18", "q_tpch_q21"):
         df = QUERIES[key](spark, SF_DIR)
         plan = explain_str(df, "simple")
         assert "BroadcastHashJoin" in plan, key
@@ -158,6 +158,9 @@ def test_tpch_q10_global_topk_is_heap_merge(spark):
     # Top-20 by revenue must compile to TakeOrderedAndProject
     # (per-partition heaps + driver merge), never a global sort.
     plan = explain_str(QUERIES["q_tpch_q10"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # Q3's top-10 unshipped orders: same contract.
+    plan = explain_str(QUERIES["q_tpch_q3"](spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in plan
 
 
