@@ -234,6 +234,17 @@ def _q_tfidf(spark, sf_dir):
     )
 
 
+def _q_more_like_this(spark, sf_dir):
+    # Doc-to-doc "more like this": top-10 by sparse TF-IDF cosine — the
+    # retrieval capability the reference's TF/IDF store exists to serve
+    # (util/TfIdfUtil.java:126-137 does these products doc-at-a-time).
+    # Source vector broadcasts; the corpus side is pruned to its terms.
+    from flink_bm25_spark.operators.bm25 import more_like_this
+
+    s = _stats(spark, sf_dir)
+    return more_like_this(tfidf(s.tf, s.idf_stats), source_doc_id=0, k=10)
+
+
 def _q_bm25_rank(spark, sf_dir):
     # F3 — BM25 completion over the materialized statistics (SURVEY §2.4)
     s = _stats(spark, sf_dir)
@@ -473,6 +484,33 @@ def _q_repetition_scores(spark, sf_dir):
     from flink_bm25_spark.operators.text_analysis import repetition_scores
 
     return repetition_scores(load_table(spark, "documents", sf_dir))
+
+
+def _q_redact_pii(spark, sf_dir):
+    # PII scrub: the fixture text is PII-free by construction, so the
+    # query first splices a deterministic email / IPv4 / phone derived
+    # from doc_id into each document, then redacts — the oracle applies
+    # the identical regexes, so any cross-engine regex-semantics drift
+    # shows up as a value mismatch.  All map-side, zero shuffles.
+    from flink_bm25_spark.operators.text_analysis import redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(enriched)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("redacted").alias("digest")
+    )
 
 
 def _q_lang_id(spark, sf_dir):
@@ -1184,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_desc": _q_sort_desc,
         "q_union_merge": _q_union_merge,
         "q_tfidf": _q_tfidf,
+        "q_more_like_this": _q_more_like_this,
         "q_bm25_rank": _q_bm25_rank,
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_window_tumbling": _q_window_tumbling,
@@ -1209,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": _q_bpe_token_count,
         "q_quality_scores": _q_quality_scores,
         "q_repetition_scores": _q_repetition_scores,
+        "q_redact_pii": _q_redact_pii,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_corpus_profile": _q_corpus_profile,
@@ -1503,6 +1543,36 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE}
             SELECT t.doc_id, t.word, round(t.tf * i.idf, 6) AS tfidf
             FROM tf t JOIN idf i ON t.word = i.word
+        """,
+        "q_more_like_this": f"""
+            WITH {_PIPE},
+            ti AS (
+              SELECT t.doc_id, t.word, t.tf * i.idf AS w
+              FROM tf t JOIN idf i ON t.word = i.word
+            ),
+            norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS norm FROM ti GROUP BY doc_id
+            ),
+            src AS (SELECT word, w FROM ti WHERE doc_id = 0),
+            dots AS (
+              SELECT ti.doc_id, sum(ti.w * src.w) AS dot
+              FROM ti JOIN src ON ti.word = src.word
+              WHERE ti.doc_id <> 0
+              GROUP BY ti.doc_id
+            ),
+            scored AS (
+              SELECT d.doc_id,
+                     round(d.dot / (n.norm *
+                       (SELECT norm FROM norms WHERE doc_id = 0)), 6) AS cosine
+              FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, cosine,
+                     CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT doc_id, cosine, rk FROM ranked WHERE rk <= 10
         """,
         "q_bm25_rank": f"""
             WITH {_PIPE},
@@ -1885,6 +1955,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN top ON d.doc_id = top.doc_id
             LEFT JOIN bi ON d.doc_id = bi.doc_id
+        """,
+        "q_redact_pii": r"""
+            WITH enriched AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.1 call +1 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(t,
+                     '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS digest
+            FROM enriched
         """,
         "q_lang_id": f"""
             WITH {_PIPE},

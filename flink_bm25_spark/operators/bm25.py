@@ -19,7 +19,7 @@ SURVEY.md §2.6):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_bm25_spark.config import BM25_B, BM25_K1
@@ -87,3 +87,60 @@ def bm25_rank(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def doc_norms(tfidf_rel: DataFrame) -> DataFrame:
+    """``(doc_id, norm)`` — L2 norm of each document's sparse TF-IDF
+    vector.  A corpus-wide per-doc statistic (one shuffle on ``doc_id``);
+    at scale it is materialized once alongside TF/DF and reused by every
+    similarity query."""
+    return tfidf_rel.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm")
+    )
+
+
+def more_like_this(tfidf_rel: DataFrame, source_doc_id: int, k: int = 10) -> DataFrame:
+    """Top-k documents most cosine-similar to ``source_doc_id`` under
+    sparse TF-IDF — "more like this" over the inverted corpus relation.
+
+    The capability the reference's materialized TF/IDF store exists to
+    serve (``TfIdfUtil.java:126-137`` computes exactly these products
+    doc-at-a-time in local Java maps); here it is one declarative plan:
+
+    1. The source vector (one doc's terms — at most a few hundred rows)
+       broadcasts; the corpus-side TF-IDF relation is pruned to matching
+       words by the map-side join, so only postings of the source's terms
+       ever leave the scan.
+    2. One ``groupBy(doc_id)`` sums the dot products — shuffle volume is
+       O(docs sharing a term), not O(corpus).
+    3. Norms join on the same key; the global top-k compiles to
+       TakeOrderedAndProject on the *rounded* cosine with doc-id tiebreak
+       (cross-engine stable), never a full sort.
+    """
+    src = tfidf_rel.where(F.col("doc_id") == source_doc_id).select(
+        "word", F.col("tfidf").alias("w_src")
+    )
+    norms = doc_norms(tfidf_rel)
+    src_norm = norms.where(F.col("doc_id") == source_doc_id).select(
+        F.col("norm").alias("src_norm")
+    )
+    dots = (
+        tfidf_rel.where(F.col("doc_id") != source_doc_id)
+        .join(F.broadcast(src), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tfidf") * F.col("w_src")).alias("dot"))
+    )
+    top = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(src_norm))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("norm") * F.col("src_norm")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -190,3 +190,42 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+# PII redaction rules: (name, pattern, replacement), applied IN ORDER.
+# Patterns stick to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB/most scanners): character classes,
+# bounded repetition, \b word boundaries — no backrefs, no lookaround.
+# Email runs before IP so a host-part address is consumed as one email.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4s, phone-ish numbers) from a
+    text column — the compliance pass every pretraining pipeline runs
+    before anything else sees the raw text.
+
+    Adds ``n_<rule>`` occurrence counts (each measured on the ORIGINAL
+    text, independent of other rules) and ``redacted`` (rules applied
+    sequentially in declaration order).  Pure ``regexp_replace``/``regexp_count`` column expressions:
+    map-side, zero shuffles, whole-stage codegen — the scan streams
+    through at I/O speed regardless of corpus size.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, repl in rules:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return documents.select(
+        "doc_id", *counts, redacted.alias("redacted")
+    )

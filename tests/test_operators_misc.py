@@ -231,3 +231,71 @@ def test_phrase_search_three_terms_and_overlaps(spark):
     # single-term phrase degenerates to term frequency
     single = {r.doc_id: r.n_matches for r in phrase_search(docs, ("c",)).collect()}
     assert single == {1: 2, 2: 1, 3: 1}
+
+
+def test_redact_pii_rules(spark):
+    from flink_bm25_spark.operators.text_analysis import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org today"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 555-0147 or +49 800-1234 now"),
+            (4, "nested user@10.0.0.1 case"),
+            (5, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted == "mail me at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 0, 0)
+    assert got[2].redacted == "server <IP> and <IP> up"
+    assert got[2].n_ip == 2
+    assert got[3].redacted == "call <PHONE> or <PHONE> now"
+    assert got[3].n_phone == 2
+    # an IP-host address is NOT an email (the email rule demands an
+    # alphabetic TLD) — the IP rule catches the host part instead
+    assert got[4].redacted == "nested user@<IP> case"
+    assert (got[4].n_email, got[4].n_ip) == (0, 1)
+    assert got[5].redacted == "clean text no pii"
+    assert (got[5].n_email, got[5].n_ip, got[5].n_phone) == (0, 0, 0)
+
+
+def test_redact_pii_is_map_side(spark):
+    from flink_bm25_spark.operators.text_analysis import redact_pii
+    from flink_bm25_spark.plans import count_exchanges
+
+    assert count_exchanges(redact_pii(load_documents(spark, SF_DIR))) == 0
+
+
+def test_more_like_this_matches_brute_force(spark):
+    import math
+
+    from flink_bm25_spark.operators.bm25 import more_like_this, tfidf
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from flink_bm25_spark.plans import explain_str
+
+    s = corpus_stats_for(spark, SF_DIR)
+    ti = tfidf(s.tf, s.idf_stats)
+    got = [(r.doc_id, r.cosine, r.rk) for r in more_like_this(ti, 0, k=5).collect()]
+
+    vecs = {}
+    for r in ti.collect():
+        vecs.setdefault(r.doc_id, {})[r.word] = r.tfidf
+    src = vecs[0]
+    src_norm = math.sqrt(sum(w * w for w in src.values()))
+    exp = []
+    for d, v in vecs.items():
+        if d == 0:
+            continue
+        dot = sum(w * src.get(t, 0.0) for t, w in v.items())
+        if dot == 0.0:
+            continue
+        norm = math.sqrt(sum(w * w for w in v.values()))
+        exp.append((round(dot / (norm * src_norm), 6), d))
+    exp.sort(key=lambda p: (-p[0], p[1]))
+    assert got == [(d, c, i + 1) for i, (c, d) in enumerate(exp[:5])]
+    # source vector broadcasts; global top-k is a heap merge, not a sort
+    plan = explain_str(more_like_this(ti, 0, k=5), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
