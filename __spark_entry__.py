@@ -1188,6 +1188,36 @@ def _q_tpch_q22(spark, sf_dir):
     return q22_global_sales_opportunity(spark, sf_dir)
 
 
+def _q_tpch_q2(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q2_min_cost_supplier
+
+    return q2_min_cost_supplier(spark, sf_dir)
+
+
+def _q_tpch_q11(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q11_important_part_values
+
+    return q11_important_part_values(spark, sf_dir)
+
+
+def _q_tpch_q12(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q12_priority_by_linestatus
+
+    return q12_priority_by_linestatus(spark, sf_dir)
+
+
+def _q_tpch_q16(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q16_supplier_counts
+
+    return q16_supplier_counts(spark, sf_dir)
+
+
+def _q_tpch_q20(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q20_dominant_suppliers
+
+    return q20_dominant_suppliers(spark, sf_dir)
+
+
 def _q_window_sliding(spark, sf_dir):
     # T5 extension — 10-minute windows hopping every 5 minutes; each event
     # lands in exactly two panes.  Batch twin of the streaming operator.
@@ -1305,6 +1335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q18": _q_tpch_q18,
         "q_tpch_q21": _q_tpch_q21,
         "q_tpch_q22": _q_tpch_q22,
+        "q_tpch_q2": _q_tpch_q2,
+        "q_tpch_q11": _q_tpch_q11,
+        "q_tpch_q12": _q_tpch_q12,
+        "q_tpch_q16": _q_tpch_q16,
+        "q_tpch_q20": _q_tpch_q20,
     }
 
 
@@ -2549,5 +2584,85 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY cntrycode
+        """,
+        "q_tpch_q2": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost
+              FROM lineitem GROUP BY 1, 2),
+            reg_supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            best AS (
+              SELECT c.l_partkey, c.l_suppkey, c.cost,
+                     min(c.cost) OVER (PARTITION BY c.l_partkey) AS mincost
+              FROM cost c JOIN reg_supp s ON c.l_suppkey = s.s_suppkey)
+            SELECT round(s.s_acctbal, 6) AS s_acctbal, s.s_name, s.n_name,
+                   p.p_partkey, round(b.cost, 6) AS cost
+            FROM best b
+            JOIN reg_supp s ON b.l_suppkey = s.s_suppkey
+            JOIN part p ON b.l_partkey = p.p_partkey
+            WHERE b.cost = b.mincost
+              AND p.p_size >= 10 AND p.p_type = 'ECONOMY'
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+        "q_tpch_q11": """
+            WITH reg_supp AS (
+              SELECT s_suppkey
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            v AS (
+              SELECT l_partkey AS partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2))) AS val
+              FROM lineitem JOIN reg_supp ON l_suppkey = s_suppkey
+              GROUP BY 1),
+            t AS (SELECT sum(val) AS total, count(*) AS n FROM v)
+            SELECT partkey, round(CAST(val AS DOUBLE), 6) AS value
+            FROM v, t WHERE val * n > total * 2
+        """,
+        "q_tpch_q12": """
+            SELECT l_linestatus AS linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q_tpch_q16": """
+            WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN link ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size <= 25
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            GROUP BY 1, 2, 3
+        """,
+        "q_tpch_q20": """
+            WITH pslice AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%widget'),
+            shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+              FROM lineitem JOIN pslice ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            windowed AS (
+              SELECT l_suppkey, sq,
+                     sum(sq) OVER (PARTITION BY l_partkey) AS tq
+              FROM shipped)
+            SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT DISTINCT l_suppkey FROM windowed WHERE sq * 2 > tq)
+            ORDER BY s_name
         """,
     }

@@ -21,15 +21,19 @@ values) so results are bitwise order-independent, then surfaces as
 ``round(double, 6)`` — the cross-engine parity contract
 (``__spark_entry__.oracle_sql``).
 
-Fixture deltas vs. spec TPC-H: no ``partsupp`` (Q2/Q11/Q16/Q20 out of
-scope, Q9 drops supplycost), no ``l_commitdate``/``l_receiptdate``
-(Q21's "kept waiting" becomes ``l_shipdate > o_orderdate + 90 days``),
-no ``c_phone`` (Q22's country code becomes ``c_nationkey``).
+Fixture deltas vs. spec TPC-H: no ``partsupp`` — the distinct
+``(l_partkey, l_suppkey)`` pairs of ``lineitem`` stand in for it
+(Q2/Q11/Q16/Q20 adapted accordingly, Q9 drops supplycost); no
+``l_commitdate``/``l_receiptdate`` (Q21's "kept waiting" becomes
+``l_shipdate > o_orderdate + 90 days``, Q12 windows on the ship date);
+no ``l_shipmode`` (Q12 classes by ``l_linestatus``); no ``c_phone``
+(Q22's country code becomes ``c_nationkey``).  All 22 spec query
+shapes are covered.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_bm25_spark.sources.tables import load_table
@@ -440,4 +444,235 @@ def q3_shipping_priority(
         .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
+    )
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "EUROPE",
+    ptype: str = "ECONOMY",
+    min_size: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 (adapted: ``lineitem`` stands in for the absent
+    ``partsupp`` — a part's supply cost from a supplier is the minimum
+    observed unit price ``l_extendedprice / l_quantity``) — for each
+    part in a type/size slice, the regional supplier(s) offering it at
+    the lowest cost.
+
+    The spec's correlated subquery (``ps_supplycost = (SELECT min ...)``)
+    is expressed as a window min over the per-(part, supplier) cost
+    relation: one shuffle keys the relation by ``l_partkey``, the min
+    and the equality filter evaluate inside that partition — no
+    decorrelated self-join, no second shuffle.  The regional supplier
+    slice broadcasts twice (cost pruning + final attributes); the part
+    slice broadcasts.  Top-k compiles to TakeOrderedAndProject.
+
+    Unit costs are IEEE-double divisions of exact 2-dp inputs — both
+    engines compute bit-identical values, so the min-equality never
+    straddles a rounding boundary.
+    """
+    region_df = load_table(spark, "region", sf_dir).where(F.col("r_name") == region)
+    nation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region_df), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    rcost = cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = rcost.withColumn("mincost", F.min("cost").over(w)).where(
+        F.col("cost") == F.col("mincost")
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where((F.col("p_size") >= min_size) & (F.col("p_type") == ptype))
+        .select("p_partkey")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 6).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def q11_important_part_values(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA", factor: int = 2
+) -> DataFrame:
+    """TPC-H Q11 (adapted: part value = Σ ``price · qty`` shipped by the
+    region's suppliers, standing in for ``ps_supplycost · ps_availqty``;
+    threshold = ``factor ×`` the mean part value, which is scale-free
+    where the spec's ``0.0001 / SF`` fraction hard-codes the scale) —
+    parts representing an outsized share of the region's shipped value.
+
+    Scale posture: the regional supplier slice broadcasts, pruning
+    lineitem map-side before its ONE shuffle (``groupBy l_partkey``).
+    The HAVING threshold is a 1-row scalar aggregate broadcast back over
+    the per-part relation — the classic aggregate-filter-by-global-
+    aggregate shape.  All sums in DECIMAL: order-independent, and the
+    mean test ``val · n > total · factor`` runs in exact integer-decimal
+    math so no boundary part flips between engines.
+    """
+    region_df = load_table(spark, "region", sf_dir).where(F.col("r_name") == region)
+    nation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region_df), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_price() * _price("l_quantity")).alias("_val"))
+    )
+    stats = val.agg(F.sum("_val").alias("_total"), F.count("*").alias("_n"))
+    return (
+        val.join(F.broadcast(stats))
+        .where(F.col("_val") * F.col("_n") > F.col("_total") * F.lit(factor))
+        .select("partkey", F.round(F.col("_val").cast("double"), 6).alias("value"))
+    )
+
+
+def q12_priority_by_linestatus(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 (adapted: ``l_linestatus`` stands in for the absent
+    ``l_shipmode``; the ship-date year for the absent receipt-date
+    window) — high- vs low-priority order counts per line status.
+
+    Scale posture: the date filter prunes lineitem at the scan (pushed
+    predicate) before the single ``lineitem ⋈ orders`` shuffle; the
+    conditional counts are partial-aggregated map-side, so the final
+    2-row result costs one fact-fact shuffle and nothing else.
+    """
+    hi = ("1-URGENT", "2-HIGH")
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority").isin(*hi), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("o_orderpriority").isin(*hi), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    excl_brand: str = "Brand#13",
+    excl_type: str = "PROMO",
+    max_size: int = 25,
+    complaint_suffix: str = "7",
+) -> DataFrame:
+    """TPC-H Q16 (adapted: the distinct ``(l_partkey, l_suppkey)`` pairs
+    of ``lineitem`` stand in for ``partsupp``; "customer complaints" =
+    supplier name ending in ``complaint_suffix``) — how many distinct
+    acceptable suppliers can furnish each part descriptor.
+
+    Scale posture: the part slice broadcasts onto the link relation;
+    the complaint slice is a broadcast LEFT ANTI (NOT IN with a
+    guaranteed non-null subquery — identical semantics both engines).
+    The link dedup and the count-distinct re-aggregate on overlapping
+    keys; only the final (brand, type, size) rollup reshuffles.
+    """
+    link = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, "supplier", sf_dir).where(
+        F.col("s_name").endswith(complaint_suffix)
+    ).select("s_suppkey")
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(
+            (F.col("p_brand") != excl_brand)
+            & (F.col("p_type") != excl_type)
+            & (F.col("p_size") <= max_size)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        link.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_dominant_suppliers(
+    spark: SparkSession,
+    sf_dir: str,
+    name_suffix: str = "widget",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (adapted: "holds excess stock" becomes "shipped a
+    dominant share" — more than half of a sliced part's total shipped
+    quantity in the window; ``lineitem`` again stands in for
+    ``partsupp``) — suppliers who dominate supply of some part.
+
+    Scale posture: the name-sliced part list broadcasts, pruning
+    lineitem map-side; one shuffle keys shipments by ``l_partkey`` and
+    BOTH the per-(part, supplier) quantities and the per-part window
+    total evaluate inside it.  The dominant-supplier set reaches
+    ``supplier`` as a LEFT SEMI join — the spec's nested
+    ``IN (SELECT ...)`` chain with no fan-out anywhere.  Quantities sum
+    in DECIMAL and the share test ``2·sq > total`` is exact.
+    """
+    pslice = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").endswith(name_suffix))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, "lineitem", sf_dir)
+        .where((F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi))
+        .join(F.broadcast(pslice), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_price("l_quantity")).alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("tq", F.sum("sq").over(w))
+        .where(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, "supplier", sf_dir)
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_name")
     )

@@ -147,7 +147,9 @@ def test_tpch_dim_joins_broadcast(spark):
     # Every TPC-H shape keeps its dimension joins broadcast — no shuffle
     # is ever spent moving region/nation/supplier/filtered-part.
     for key in ("q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
-                "q_tpch_q9", "q_tpch_q15", "q_tpch_q18", "q_tpch_q21"):
+                "q_tpch_q9", "q_tpch_q15", "q_tpch_q18", "q_tpch_q21",
+                "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+                "q_tpch_q20"):
         df = QUERIES[key](spark, SF_DIR)
         plan = explain_str(df, "simple")
         assert "BroadcastHashJoin" in plan, key
@@ -171,6 +173,31 @@ def test_tpch_q18_aggregates_before_joining(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # one shuffle for the lineitem agg; the join-back is broadcast
     assert count_exchanges(QUERIES["q_tpch_q18"](spark, SF_DIR)) <= 2
+
+
+def test_tpch_q2_correlated_min_is_one_window(spark):
+    # The spec's correlated min-cost subquery must become a window min
+    # inside the partkey partition — no decorrelated self-join of the
+    # cost relation — and the top-100 a heap merge, not a global sort.
+    plan = explain_str(QUERIES["q_tpch_q2"](spark, SF_DIR), "simple")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q16_complaints_are_anti_join(spark):
+    # NOT IN over the non-null complaint subquery must reach the link
+    # relation as a broadcast LEFT ANTI, never a nested-loop NOT-IN.
+    plan = explain_str(QUERIES["q_tpch_q16"](spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q20_nested_in_chain_is_semi_join(spark):
+    # The IN (SELECT ...) chain ends as LEFT SEMI against supplier, and
+    # the per-part share test is a window sum — one shuffle keys both
+    # the (part, supplier) totals and the per-part window.
+    plan = explain_str(QUERIES["q_tpch_q20"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
 
 
 def test_tpch_q22_inactivity_is_anti_join(spark):
