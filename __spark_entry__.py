@@ -1233,6 +1233,45 @@ def _q_session_window(spark, sf_dir):
     return session_window_agg(load_table(spark, "events", sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination — trigram overlap of each train doc
+    # against a hash-held-out eval slice (5% md5 buckets); broadcast
+    # probe, the train side is never shuffled for the lookup.
+    from flink_bm25_spark.operators.decontam import contamination
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    return contamination(train, bench, n=3, min_overlap=3)
+
+
+def _q_bpe_pair_counts(spark, sf_dir):
+    # One BPE merge-round's pair statistics: adjacent-token pair counts
+    # over the whole corpus (map-side pair generation, ONE count shuffle).
+    from flink_bm25_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, "documents", sf_dir), min_count=2)
+
+
+def _q_quality_gate(spark, sf_dir):
+    # Top-quartile quality gate via percent_rank over the per-doc score
+    # relation (exact, engine-portable percentile semantics).
+    from flink_bm25_spark.operators.text_analysis import quality_percentile_gate
+
+    return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
+
+
+def _q_kmeans(spark, sf_dir):
+    # Deterministic Lloyd k-means over the embedding column: k=4, two
+    # rounds, fixed lowest-id init, rounded distances/means — the DuckDB
+    # oracle replays the identical arithmetic.
+    from flink_bm25_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(load_table(spark, "embeddings", sf_dir), k=4, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_project": _q_scan_project,
@@ -1340,6 +1379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q16": _q_tpch_q16,
         "q_tpch_q20": _q_tpch_q20,
+        "q_decontaminate": _q_decontaminate,
+        "q_bpe_pair_counts": _q_bpe_pair_counts,
+        "q_quality_gate": _q_quality_gate,
+        "q_kmeans": _q_kmeans,
     }
 
 
@@ -2664,5 +2707,123 @@ def oracle_sql() -> dict[str, str]:
             WHERE s_suppkey IN (
               SELECT DISTINCT l_suppkey FROM windowed WHERE sq * 2 > tq)
             ORDER BY s_name
+        """,
+        "q_decontaminate": f"""
+            WITH {_SHINGLES},
+            b AS (SELECT doc_id,
+                         {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS bkt
+                  FROM documents),
+            eval_grams AS (
+              SELECT DISTINCT gram FROM sh JOIN b USING (doc_id)
+              WHERE bkt < 5),
+            train_sh AS (
+              SELECT sh.* FROM sh JOIN b USING (doc_id) WHERE bkt >= 5),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM train_sh GROUP BY 1),
+            ov AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM train_sh JOIN eval_grams USING (gram) GROUP BY 1)
+            SELECT doc_id, n_grams, n_overlap, n_overlap >= 3 AS contaminated
+            FROM sizes JOIN ov USING (doc_id)
+        """,
+        "q_bpe_pair_counts": r"""
+            WITH base AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            pairs AS (
+              SELECT unnest(list_transform(ws, (x, i) ->
+                CASE WHEN i + 1 <= len(ws)
+                     THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+              FROM base
+            )
+            SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
+            FROM pairs WHERE p IS NOT NULL
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_quality_gate": f"""
+            WITH {_QUALITY},
+            g AS (
+              SELECT doc_id, keep_score,
+                     round(percent_rank() OVER (
+                       ORDER BY keep_score ASC, doc_id ASC), 6) AS pr
+              FROM qual)
+            SELECT doc_id, keep_score, pr FROM g WHERE pr >= 0.75
+        """,
+        # Deterministic Lloyd k-means, two rounds unrolled.  Identical
+        # arithmetic to operators/kmeans.py: double math, distances and
+        # per-dim means rounded to 6 dp, argmin ties -> lower centroid id,
+        # left-fold distance sums (list_reduce == F.aggregate fold order).
+        "q_kmeans": """
+            WITH emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cid, e
+              FROM emb ORDER BY vec_id LIMIT 4
+            ),
+            d1 AS (
+              SELECT emb.vec_id, c0.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c0.e[i]) * (emb.e[i] - c0.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c0
+            ),
+            a1 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d1)
+              WHERE rk = 1
+            ),
+            c1 AS (
+              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
+                SELECT a1.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
+                FROM a1 JOIN emb USING (vec_id)
+                CROSS JOIN range(1, 65) t(i)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            d2 AS (
+              SELECT emb.vec_id, c1.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c1.e[i]) * (emb.e[i] - c1.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c1
+            ),
+            a2 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d2)
+              WHERE rk = 1
+            ),
+            c2 AS (
+              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
+                SELECT a2.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
+                FROM a2 JOIN emb USING (vec_id)
+                CROSS JOIN range(1, 65) t(i)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            d3 AS (
+              SELECT emb.vec_id, c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c2.e[i]) * (emb.e[i] - c2.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c2
+            ),
+            a3 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d3)
+              WHERE rk = 1
+            )
+            SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3
         """,
     }

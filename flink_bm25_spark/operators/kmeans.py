@@ -1,0 +1,95 @@
+"""Deterministic distributed k-means (Lloyd) over an embedding column —
+document-clustering for corpus curation (north-star extension; the
+reference has no vector operations at all).
+
+Why not ``pyspark.ml.clustering.KMeans``: MLlib's init is randomized
+(k-means|| seeding) and its aggregation order is nondeterministic, so no
+cross-engine oracle can pin its output.  This implementation fixes every
+source of nondeterminism —
+
+- init: the ``k`` embeddings with the smallest ids, in id order;
+- distances: squared Euclidean in double, **rounded to 6 decimals**,
+  ties broken by the lower centroid id (lexicographic struct min);
+- centroid update: per-dimension mean rounded to 6 decimals —
+
+so the assignment after N rounds is bit-reproducible on any engine and
+any partitioning, and the DuckDB oracle replays it exactly.
+
+Scale posture (the classic distributed-k-means shape, same as MLlib's):
+centroids are k×d driver-side literals **compiled into the row
+expression** — assignment is pure map-side whole-stage-codegen, no k×
+row expansion, no join, no shuffle.  Each Lloyd round shuffles only the
+k×d partial aggregates of the per-dimension means (map-side combine),
+and only k×d doubles ever return to the driver.  Rounds are O(scan);
+the embedding column is read once per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _squared_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    diff = F.zip_with(vec, lit_arr, lambda a, b: (a - b) * (a - b))
+    # Left-fold sum (deterministic addition order == the oracle's
+    # list_reduce), rounded so float noise can't flip an argmin.
+    return F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def _with_cluster(
+    embeddings: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    vec = F.col(vec_col).cast("array<double>")
+    candidates = F.array(
+        *[
+            F.struct(
+                _squared_dist(vec, c).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    # array_min on (dist, cid) structs = argmin with lower-id tiebreak.
+    return embeddings.withColumn("cluster", F.array_min(candidates)["cid"])
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment ``(id_col, cluster)`` after ``iterations``
+    Lloyd rounds from the deterministic init."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
+    d = len(first[0])
+
+    init_rows = embeddings.orderBy(id_col).limit(k).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(iterations):
+        assigned = _with_cluster(embeddings, centroids, vec_col)
+        stats = assigned.groupBy("cluster").agg(
+            *[
+                F.round(F.avg(F.element_at(F.col(vec_col), i + 1)), 6).alias(f"c{i}")
+                for i in range(d)
+            ]
+        )
+        # k×d doubles — the only data that ever reaches the driver.
+        by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in stats.collect()}
+        # An empty cluster keeps its previous centroid (standard Lloyd).
+        centroids = [by_cid.get(cid, c) for cid, c in enumerate(centroids)]
+
+    return _with_cluster(embeddings, centroids, vec_col).select(
+        id_col, F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def cluster_sizes(assignment: DataFrame) -> DataFrame:
+    """``(cluster, n)`` — one tiny agg over the assignment relation."""
+    return assignment.groupBy("cluster").agg(F.count("*").alias("n"))

@@ -121,6 +121,71 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def bpe_pair_counts(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Adjacent-token pair frequencies — the counting step of one BPE
+    merge round (the pair with the max count is the next merge rule).
+
+    ``(w1, w2, pair_count)`` over the whole corpus, ``pair_count >=
+    min_count``.  Pair extraction is an indexed ``transform`` over the
+    materialized token array (same rebinding discipline as
+    ``dedup.shingles`` — the array is bound as a projection column first,
+    so extraction is O(len) per doc, pure map-side).  The only shuffle is
+    the global ``(w1, w2)`` aggregation, with map-side partial combine;
+    at 100 TB that is exactly the word-count shuffle BPE training pays
+    per merge round, and the min-count filter runs post-final-agg where
+    it belongs (a pre-agg filter would change the counts).
+    """
+    base = documents.select(
+        F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit("")).alias("_ws")
+    )
+    ws = F.col("_ws")
+
+    def make_pair(x, i):
+        return F.when(
+            i + 2 <= F.size(ws),
+            F.struct(
+                F.element_at(ws, (i + F.lit(1)).cast("int")).alias("w1"),
+                F.element_at(ws, (i + F.lit(2)).cast("int")).alias("w2"),
+            ),
+        )
+
+    pairs = base.select(F.explode(F.transform(ws, make_pair)).alias("p")).where(
+        F.col("p").isNotNull()
+    )
+    return (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= F.lit(min_count))
+    )
+
+
+def quality_percentile_gate(documents: DataFrame, cutoff: float = 0.75) -> DataFrame:
+    """Docs whose composite quality score ranks at or above the
+    ``cutoff`` percentile of the corpus: ``(doc_id, keep_score, pr)``.
+
+    Percentile via ``percent_rank`` over ``(keep_score, doc_id)`` — the
+    unique tiebreak makes the rank (and therefore the kept set) exactly
+    reproducible across engines, unlike interpolated ``percentile``/
+    ``quantile_cont`` thresholds whose float math differs.
+
+    Scale: the window runs over the one-row-per-doc *score relation*,
+    never the corpus text; an unpartitioned window is a single-reducer
+    sort, which is fine for a per-doc scalar relation up to ~1e9 rows —
+    beyond that, swap in an approximate threshold from
+    ``approx_percentile`` and keep the same filter shape.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    w = Window.orderBy(F.col("keep_score").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= F.lit(cutoff))
+        .select("doc_id", "keep_score", "pr")
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Per-document quality signals + a composite keep-score for pipeline
     filtering (length, stopword density, punctuation density)."""

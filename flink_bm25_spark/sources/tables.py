@@ -53,8 +53,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # use, so ordering and window bucketing agree with the oracle.
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Micros-precision NTZ fixtures: normalize to TIMESTAMP so
+            # epoch arithmetic (unix_micros, long casts) resolves.  With
+            # the session timezone pinned to UTC above, the NTZ→LTZ cast
+            # preserves the wall-clock instant bit-for-bit, and
+            # unix_micros == DuckDB epoch_us on the same (naive) values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

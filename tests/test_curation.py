@@ -1,0 +1,123 @@
+"""Tests for the corpus-curation extensions: benchmark decontamination,
+BPE pair counting, percentile quality gating, deterministic k-means."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.operators.decontam import contamination, decontaminate
+from flink_bm25_spark.operators.kmeans import cluster_sizes, kmeans_assign
+from flink_bm25_spark.operators.text_analysis import (
+    bpe_pair_counts,
+    quality_percentile_gate,
+)
+from flink_bm25_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    docs = _docs(spark, [(1, "a b a b"), (2, "b a")])
+    got = {
+        (r["w1"], r["w2"]): r["pair_count"]
+        for r in bpe_pair_counts(docs, min_count=1).collect()
+    }
+    # doc1 pairs: (a,b) (b,a) (a,b); doc2: (b,a)
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+    # min_count filters after the global aggregation
+    got3 = bpe_pair_counts(docs, min_count=3).collect()
+    assert got3 == []
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about nothing at all"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over a fence")])
+    # doc 1 shares the trigrams "quick brown fox", "brown fox jumps",
+    # "fox jumps over" with the benchmark; doc 2 shares none.
+    rows = {r["doc_id"]: r for r in contamination(train, bench, n=3, min_overlap=3).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_overlap"] == 3
+    assert rows[1]["contaminated"] is True
+
+    survivors = {r["doc_id"] for r in decontaminate(train, bench, n=3, min_overlap=3).collect()}
+    assert survivors == {2}
+
+
+def test_quality_gate_keeps_top_quartile(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    n = docs.count()
+    kept = quality_percentile_gate(docs, cutoff=0.75).collect()
+    assert all(r["pr"] >= 0.75 for r in kept)
+    # percent_rank over a unique ordering keeps ~25% (ties shift a little)
+    assert 0.15 * n <= len(kept) <= 0.35 * n
+
+
+def _numpy_lloyd(vecs, ids, k, iterations):
+    """Single-process differential twin of kmeans_assign: identical
+    init, rounding, and tie rules."""
+    order = np.argsort(ids)
+    cents = [vecs[order[i]].astype(np.float64) for i in range(k)]
+
+    def assign(cs):
+        out = {}
+        for vid, v in zip(ids, vecs):
+            dists = [
+                (round(float(((v.astype(np.float64) - c) ** 2).sum()), 6), cid)
+                for cid, c in enumerate(cs)
+            ]
+            out[vid] = min(dists)[1]
+        return out
+
+    for _ in range(iterations):
+        a = assign(cents)
+        new = []
+        for cid in range(k):
+            members = [v for vid, v in zip(ids, vecs) if a[vid] == cid]
+            if members:
+                m = np.mean(np.stack(members).astype(np.float64), axis=0)
+                new.append(np.round(m, 6))
+            else:
+                new.append(cents[cid])
+        cents = new
+    return assign(cents)
+
+
+def test_kmeans_matches_numpy_differential(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=4, iterations=2).collect()
+    }
+    want = _numpy_lloyd(vecs, ids, k=4, iterations=2)
+    assert got == want
+
+
+def test_kmeans_deterministic_and_total(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    a = kmeans_assign(emb, k=4, iterations=2)
+    sizes = {r["cluster"]: r["n"] for r in cluster_sizes(a).collect()}
+    assert sum(sizes.values()) == emb.count()
+    assert set(sizes) <= {0, 1, 2, 3}
+    b = kmeans_assign(emb, k=4, iterations=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_empty_input(spark):
+    emb = load_table(spark, "embeddings", SF_DIR).limit(0)
+    assert kmeans_assign(emb, k=4, iterations=2).collect() == []

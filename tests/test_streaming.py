@@ -37,9 +37,14 @@ def _stream_events(spark):
         .format("parquet")
         .load(_stage_dir("events"))
     )
-    # same ns→µs normalization the batch loader applies
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # same ts normalization the batch loader applies (ns→µs, NTZ→LTZ):
+    # watermarks/event-time require TIMESTAMP, and the fixture has shipped
+    # as both TIMESTAMP(NANOS) and TIMESTAMP_NTZ across generations
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return batch, stream
 
 
