@@ -214,3 +214,29 @@ def test_phrase_search_single_agg_shuffle(spark):
     df = QUERIES["q_phrase_search"](spark, SF_DIR)
     assert count_exchanges(df) <= 2
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    # The eval-gram probe and the overlap relation both broadcast — the
+    # train side must never be the build side of a shuffle join.
+    plan = explain_str(QUERIES["q_decontaminate"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_single_count_shuffle(spark):
+    # Pair generation is a map-side indexed transform; the only exchange
+    # is the global (w1, w2) count with a partial-agg combine below it.
+    df = QUERIES["q_bpe_pair_counts"](spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "partial_count" in explain_str(df, "formatted")
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    # Centroids are compiled into the row expression as literals, so the
+    # final cluster assignment is pure projection over the scan: zero
+    # exchanges, zero joins.
+    df = QUERIES["q_kmeans"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 0
+    assert "Join" not in plan
