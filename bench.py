@@ -35,6 +35,9 @@ HEADLINE = [
     "q_ann_cosine_topk",
     "q_tpch_q1",
     "q_mktsegment_revenue",
+    "q_decontaminate",
+    "q_bpe_pair_counts",
+    "q_kmeans",
 ]
 
 

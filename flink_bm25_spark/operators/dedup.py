@@ -298,17 +298,17 @@ def minhash_signatures(
     ).select("doc_id", F.col("i").cast("int"), "mh")
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sigs_wide: DataFrame,
     bands: int = MINHASH_BANDS,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
 ) -> DataFrame:
-    """LSH banding over the wide signature: docs agreeing on ALL rows of
-    any band become ``(d1, d2)`` candidates.
+    """``(doc_id, band, bkey)`` — LSH band digests of a wide signature.
 
     Band keys are md5 digests of the band's signature slice (computed
-    map-side from the wide row — no extra aggregation); the self-join is
-    an equi-join on (band, key), i.e. only same-bucket docs ever meet.
+    map-side from the wide row — no extra aggregation).  This relation is
+    the persistable LSH index: store it alongside the signatures and new
+    batches probe it without touching the archived corpus.
     """
     band_cols = []
     for b in range(bands):
@@ -322,9 +322,23 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws(",", *slice_cols).cast("binary")).alias("bkey"),
             )
         )
-    banded = sigs_wide.select(
+    return sigs_wide.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(
+    sigs_wide: DataFrame,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH banding over the wide signature: docs agreeing on ALL rows of
+    any band become ``(d1, d2)`` candidates.
+
+    The self-join is an equi-join on (band, key), i.e. only same-bucket
+    docs ever meet.
+    """
+    banded = band_keys(sigs_wide, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -366,6 +380,81 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(wide, bands, num_hashes // bands).cache()
     cands.count()
     return jaccard_pairs(sh, threshold, pairs=cands)
+
+
+def minhash_dedup_pairs_incremental(
+    old_documents: DataFrame,
+    new_documents: DataFrame,
+    old_sigs_wide: DataFrame | None = None,
+    threshold: float = 0.8,
+    n: int = SHINGLE_SIZE,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING a new batch: new-new plus new-old,
+    without re-signing or re-shingling the archive.
+
+    The batch-incremental twin of :func:`minhash_dedup_pairs` (same
+    O(batch) posture as ``pipeline.merge_corpus_stats``): only the new
+    batch is shingled and signed in full; the archive participates
+    through its persisted wide-signature store ``old_sigs_wide`` (pass
+    the relation saved by a previous run — computed here only as a
+    bootstrap fallback), and archived documents are re-shingled **only
+    if LSH puts them in a candidate pair** (a semi-join prunes the old
+    corpus scan to candidate ids before tokenization, so verify cost is
+    O(candidates), not O(archive)).
+
+    Old-old pairs are NOT re-emitted — they were reported when their
+    batch arrived; doc_ids must be disjoint across batches (same caller
+    contract as the reference's upsert sink, ``MongoTFSink.java:43-58``).
+    """
+    rows_per_band = num_hashes // bands
+    sh_new = shingles(new_documents, n).cache()
+    bands_new = band_keys(
+        minhash_signatures_wide(sh_new, num_hashes), bands, rows_per_band
+    ).cache()
+    if old_sigs_wide is None:
+        old_sigs_wide = minhash_signatures_wide(
+            shingles(old_documents, n), num_hashes
+        )
+    bands_old = band_keys(old_sigs_wide, bands, rows_per_band)
+
+    a = bands_new.alias("a")
+    nn = (
+        a.join(
+            bands_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    # New-old candidates, oriented (smaller id, larger id) so pair
+    # identity matches the full rebuild regardless of batch order.
+    no_raw = a.join(
+        bands_old.alias("o"),
+        (F.col("a.band") == F.col("o.band"))
+        & (F.col("a.bkey") == F.col("o.bkey"))
+        & (F.col("a.doc_id") != F.col("o.doc_id")),
+    ).select(F.col("a.doc_id").alias("x"), F.col("o.doc_id").alias("y"))
+    no = no_raw.select(
+        F.least("x", "y").alias("d1"), F.greatest("x", "y").alias("d2")
+    )
+    # Candidates materialized eagerly — same stage checkpoint as the full
+    # pipeline: every consumer below would otherwise replay the LSH plan.
+    cands = nn.unionByName(no).distinct().cache()
+    cands.count()
+
+    cand_ids = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .unionByName(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    # Only candidate OLD docs are ever re-shingled.
+    sh_old_cands = shingles(
+        old_documents.join(F.broadcast(cand_ids), "doc_id", "left_semi"), n
+    )
+    return jaccard_pairs(sh_new.unionByName(sh_old_cands), threshold, pairs=cands)
 
 
 # ---------------------------------------------------------------------------

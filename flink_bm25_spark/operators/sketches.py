@@ -44,13 +44,13 @@ def _hll_rank(w: Column) -> Column:
     return F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - bitlen)
 
 
-def hll_distinct(values: DataFrame, col: str) -> DataFrame:
-    """One-row ``(n_distinct_est)`` — portable-HLL estimate of the number
-    of distinct values of ``values[col]``.
+def hll_buckets(values: DataFrame, col: str) -> DataFrame:
+    """The HLL register state as a relation: ``(bucket, mx)``, all
+    :data:`HLL_BUCKETS` rows present (absent buckets at rank 0).
 
-    Every intermediate is reproducible bit-for-bit in ANSI SQL (see the
-    ``q_hll_distinct`` oracle), so the *estimate itself* is part of the
-    correctness contract, not just "roughly right".
+    This is the sketch's MERGEABLE form — registers combine by
+    ``max`` per bucket (:func:`hll_merge`), so per-partition / per-day /
+    per-source sketches roll up without ever rescanning the raw values.
     """
     spark = values.sparkSession
     m = HLL_BUCKETS
@@ -63,10 +63,31 @@ def hll_distinct(values: DataFrame, col: str) -> DataFrame:
     )
     ranks = hashed.groupBy("bucket").agg(F.max(_hll_rank(F.col("w"))).alias("mx"))
     buckets = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
-    full = buckets.join(ranks, "bucket", "left").select(
+    return buckets.join(ranks, "bucket", "left").select(
         "bucket", F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
     )
-    agg = full.agg(
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of HLL sketches: per-bucket max of the register states.
+
+    Exact sketch algebra — ``hll_merge(hll_buckets(A), hll_buckets(B))``
+    is bit-identical to ``hll_buckets(A ∪ B)`` (max is associative,
+    commutative, idempotent), which is what makes the sketch distributive:
+    build per shard, merge 64-row relations, never revisit the shards.
+    Pinned by ``test_hll_merge_equals_rebuild``.
+    """
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("bucket").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate(buckets_rel: DataFrame) -> DataFrame:
+    """One-row ``(n_distinct_est)`` from a ``(bucket, mx)`` register
+    relation — the read side of the sketch."""
+    m = HLL_BUCKETS
+    agg = buckets_rel.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mx)")).alias("isum"),
         F.sum(F.when(F.col("mx") == 0, 1).otherwise(0)).alias("v_zero"),
     )
@@ -80,6 +101,17 @@ def hll_distinct(values: DataFrame, col: str) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
     ).otherwise(raw)
     return agg.select(F.round(est, 6).alias("n_distinct_est"))
+
+
+def hll_distinct(values: DataFrame, col: str) -> DataFrame:
+    """One-row ``(n_distinct_est)`` — portable-HLL estimate of the number
+    of distinct values of ``values[col]``.
+
+    Every intermediate is reproducible bit-for-bit in ANSI SQL (see the
+    ``q_hll_distinct`` oracle), so the *estimate itself* is part of the
+    correctness contract, not just "roughly right".
+    """
+    return hll_estimate(hll_buckets(values, col))
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,63 @@ def test_simhash_from_tokens_equals_tf_variant(spark):
         tuple(r) for r in simhash_signatures_from_tokens(stats.tokens).collect()
     )
     assert via_tf == via_tokens
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    # Incremental dedup of a new batch must report exactly the full
+    # rebuild's pairs that touch the batch — with or without a persisted
+    # signature store for the archive.
+    from flink_bm25_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_incremental,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    old = docs.where(F.col("doc_id") < 350)
+    new = docs.where(F.col("doc_id") >= 350)
+
+    full = {
+        (r.d1, r.d2): r.jaccard for r in minhash_dedup_pairs(docs, 0.8).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] >= 350 or p[1] >= 350}
+    assert want, "fixture produced no pairs touching the new batch"
+
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_dedup_pairs_incremental(old, new, threshold=0.8).collect()
+    }
+    assert got == want
+
+    # persisted-store path: identical result without re-signing old docs
+    store = minhash_signatures_wide(shingles(old))
+    got2 = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_dedup_pairs_incremental(
+            old, new, old_sigs_wide=store, threshold=0.8
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_hll_merge_equals_rebuild(spark):
+    # Sketch algebra: merging per-shard register states is bit-identical
+    # to building one sketch over the union — estimates included.
+    from flink_bm25_spark.operators.sketches import (
+        hll_buckets,
+        hll_estimate,
+        hll_merge,
+    )
+    from flink_bm25_spark.operators.tokenize import tokenize
+
+    words = tokenize(load_documents(spark, SF_DIR)).select("word", "doc_id")
+    a = words.where(F.col("doc_id") % 2 == 0).select("word")
+    b = words.where(F.col("doc_id") % 2 == 1).select("word")
+
+    merged = hll_merge(hll_buckets(a, "word"), hll_buckets(b, "word"))
+    rebuilt = hll_buckets(a.unionByName(b), "word")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    assert (
+        hll_estimate(merged).collect() == hll_estimate(rebuilt).collect()
+    )
