@@ -1272,6 +1272,35 @@ def _q_kmeans(spark, sf_dir):
     return kmeans_assign(load_table(spark, "embeddings", sf_dir), k=4, iterations=2)
 
 
+def _q_temperature_mix(spark, sf_dir):
+    # Pretraining temperature mix: per-language weights with deterministic
+    # fractional upsampling (weight 2.3 → 2 copies + a hash-chosen 30%
+    # getting a 3rd).  Map-side explode — no join, no shuffle.
+    from flink_bm25_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    out = temperature_resample(
+        docs,
+        weights={"en": 0.5, "de": 2.3, "fr": 3.0},
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "lang", F.col("rep").cast("long").alias("rep"))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # Sequence packing: lay out docs in hash-sharded key order and cut
+    # fixed 512-token training sequences off the running total.
+    from flink_bm25_spark.operators.sampling import pack_sequences
+    from flink_bm25_spark.operators.text_analysis import token_stats
+
+    lens = token_stats(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "n_tokens"
+    )
+    return pack_sequences(lens, budget=512, shards=4).select(
+        "doc_id", "n_tokens", "shard", "offset", "seq_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_project": _q_scan_project,
@@ -1383,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_counts": _q_bpe_pair_counts,
         "q_quality_gate": _q_quality_gate,
         "q_kmeans": _q_kmeans,
+        "q_temperature_mix": _q_temperature_mix,
+        "q_pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2825,5 +2856,42 @@ def oracle_sql() -> dict[str, str]:
               WHERE rk = 1
             )
             SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3
+        """,
+        # weights: en=0.5, de=2.3, fr=3.0, default 1.0; buckets=10000;
+        # extra-copy hash salted with ':t' (decorrelated from hash_split)
+        "q_temperature_mix": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                                WHEN 'fr' THEN 3 ELSE 1 END)
+                     + (CASE WHEN
+                          {_h60("CAST(doc_id AS VARCHAR) || ':t'")} % 10000
+                          < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                                       WHEN 'fr' THEN 0 ELSE 0 END)
+                        THEN 1 ELSE 0 END) AS n
+              FROM documents)
+            SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS rep
+            FROM w WHERE n > 0
+        """,
+        "q_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     {_h60("CAST(doc_id AS VARCHAR)")} % 1000000 % 4 AS shard
+              FROM t),
+            c AS (
+              SELECT doc_id, n_tokens, shard,
+                     sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id) - n_tokens
+                       AS "offset"
+              FROM s)
+            SELECT doc_id, n_tokens, shard, "offset",
+                   "offset" // 512 AS seq_id
+            FROM c
         """,
     }

@@ -33,6 +33,25 @@ DEFAULT_MIN_OVERLAP = 3
 DEFAULT_NGRAM = 5
 
 
+def overlap_counts(
+    docs: DataFrame, eval_grams: DataFrame, n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """``(doc_id, n_overlap)`` — per-doc count of shingles present in the
+    eval gram set.  The streaming-legal core of the contamination check:
+    shingling is pure map-side (per-doc ``array_distinct``), the probe is
+    a broadcast stream-static join, and the ONE aggregation budget of an
+    update-mode stream pays for the per-doc count — so the same plan
+    screens a live ingest feed against the benchmark set
+    (``test_streaming_overlap_equals_batch``).
+    """
+    return (
+        shingles(docs, n=n)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
 def contamination(
     train: DataFrame,
     benchmark: DataFrame,
@@ -51,13 +70,9 @@ def contamination(
     deduplicated to gram level and broadcast.
     """
     train_sh = shingles(train, n=n)
-    eval_grams = F.broadcast(shingles(benchmark, n=n).select("gram").distinct())
+    eval_grams = shingles(benchmark, n=n).select("gram").distinct()
     sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    overlap = (
-        train_sh.join(eval_grams, "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
+    overlap = overlap_counts(train, eval_grams, n=n)
     # `overlap` holds only docs that matched an eval gram — small by
     # construction; broadcast it into the corpus-sized `sizes` relation
     # (never the reverse: `sizes` has one row per train doc).

@@ -125,10 +125,17 @@ def shingles(documents: DataFrame, n: int = SHINGLE_SIZE) -> DataFrame:
         return F.when(i + n <= F.size(ws), parts)
 
     grams = F.transform(ws, make_gram)
-    return (
-        base.select("doc_id", F.explode(grams).alias("gram"))
-        .where(F.col("gram").isNotNull())
-        .distinct()
+    # Per-doc dedup happens MAP-SIDE: each document is one row, so
+    # array_distinct over its gram array is the whole distinct — no
+    # (doc_id, gram) exchange.  At 100 TB this deletes the largest
+    # shuffle of the dedup family (the gram relation dwarfs everything
+    # downstream of it); it also makes the relation streaming-legal
+    # (single aggregation budget stays unspent for the consumer).
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+        ).alias("gram"),
     )
 
 

@@ -100,3 +100,99 @@ def stratified_hash_sample(
         )
     thr = thr.otherwise(F.lit(int(default_rate * buckets)))
     return df.where(_bucket(F.col(key_col), buckets) < thr)
+
+
+def temperature_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted corpus mixing with UPSAMPLING — the temperature-mix step
+    of a pretraining data recipe (weights come from e.g.
+    ``(p_stratum)^(1/T)`` renormalization; low-resource strata get
+    weights > 1 and repeat).
+
+    Every row is emitted ``floor(w)`` times, plus once more for the
+    deterministic ``frac(w)`` slice of the key-hash space — so a weight
+    of 2.3 yields exactly 2 copies for 70% of the stratum's keys and 3
+    for the hash-chosen 30%, reproducible across engines, partitionings
+    and runs.  Output adds ``rep`` (0-based copy index): downstream
+    shuffles see distinct (key, rep) pairs, and dropping ``rep > 0``
+    recovers the unweighted corpus.
+
+    Scale: pure map-side — a ``sequence`` literal exploded per row; the
+    fanout is the sampled weight itself (the physically unavoidable
+    cost), never a join or shuffle.  The extra-copy hash is salted
+    (``key || ':t'``) so it is independent of the ``hash_sample`` /
+    ``hash_split`` bucket of the same key.
+    """
+    n_copies = None
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight must be >= 0: {value}={w}")
+        n_copies = (F.when if n_copies is None else n_copies.when)(
+            F.col(stratum_col) == value, _n_copies_expr(key_col, w, buckets)
+        )
+    base_expr = _n_copies_expr(key_col, default_weight, buckets)
+    n_copies = base_expr if n_copies is None else n_copies.otherwise(base_expr)
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "rep",
+            F.explode(F.sequence(F.lit(0), (F.col("__n") - 1).cast("int"))),
+        )
+        .drop("__n")
+    )
+
+
+def _n_copies_expr(key_col: str, w: float, buckets: int) -> Column:
+    whole = int(w)
+    frac_thr = int(round((w - whole) * buckets))
+    salted = h60(F.concat(F.col(key_col).cast("string"), F.lit(":t"))) % F.lit(
+        buckets
+    )
+    return F.lit(whole) + (salted < F.lit(frac_thr)).cast("int")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    len_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    shards: int = 1,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    ``(…, shard, seq_id, offset)`` — the sequence-packing step between a
+    cleaned corpus and a trainer.
+
+    Deterministic contiguous packing: within a shard, docs are laid out
+    in key order; ``offset`` is the running token count before the doc
+    and ``seq_id = offset // budget`` — a new sequence starts whenever
+    the budget boundary is crossed (a doc straddling the boundary counts
+    toward the sequence it starts in; trainers treat the overflow as the
+    cross-boundary continuation they already handle).
+
+    Scale: packing is embarrassingly parallel across ``shards`` (each
+    packs independently off one window cumsum = one exchange on the
+    shard key); ``shards=1`` gives one globally-ordered stream for
+    small corpora.  The shard of a key is hash-stable, so incremental
+    re-packing moves no existing document between shards.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    shard = (_bucket(F.col(key_col), 1_000_000) % F.lit(shards)).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col(key_col).asc())
+    cum = F.sum(F.col(len_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("offset", (cum - F.col(len_col)).cast("long"))
+        .withColumn(
+            "seq_id", F.floor(F.col("offset") / F.lit(budget)).cast("long")
+        )
+    )

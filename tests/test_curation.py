@@ -121,3 +121,38 @@ def test_kmeans_deterministic_and_total(spark):
 def test_kmeans_empty_input(spark):
     emb = load_table(spark, "embeddings", SF_DIR).limit(0)
     assert kmeans_assign(emb, k=4, iterations=2).collect() == []
+
+
+def test_streaming_overlap_equals_batch(spark):
+    # The contamination probe runs unchanged over a documents stream
+    # (map-side shingles + broadcast stream-static join + single agg):
+    # final streamed overlap counts equal the batch relation.
+    import shutil
+    import tempfile
+
+    from flink_bm25_spark.operators.decontam import overlap_counts
+    from flink_bm25_spark.operators.dedup import shingles
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    eval_grams = shingles(bench, n=3).select("gram").distinct()
+
+    d = tempfile.mkdtemp(prefix="stream_decontam_")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d)
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(d)
+
+    q = (
+        overlap_counts(stream, eval_grams, n=3)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_overlap")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_overlap").collect())
+    want = sorted(tuple(r) for r in overlap_counts(docs, eval_grams, n=3).collect())
+    assert got == want

@@ -99,3 +99,56 @@ def test_stratified_sample_nested_and_quota_shaped(spark):
     assert langs == {"en", "zh"}
     n_zh_all = docs.where("lang = 'zh'").count()
     assert high.where("lang = 'zh'").count() == n_zh_all
+
+
+def test_temperature_resample_copy_counts(spark):
+    from flink_bm25_spark.operators.sampling import temperature_resample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = temperature_resample(
+        docs, weights={"en": 0.5, "de": 2.3}, default_weight=1.0
+    ).cache()
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # expected copy totals ~ weight * stratum size (hash slice is ~exact
+    # in expectation; tolerance covers small-fixture hash variance)
+    for lang, n in base.items():
+        w = {"en": 0.5, "de": 2.3}.get(lang, 1.0)
+        assert got.get(lang, 0) == pytest.approx(w * n, rel=0.35)
+    # every emitted copy index is dense from 0: dropping rep>0 recovers
+    # exactly the weight>=~1 slice of the corpus, with no duplicates
+    rep0 = out.where(F.col("rep") == 0).select("doc_id")
+    assert rep0.count() == rep0.distinct().count()
+    # determinism
+    again = temperature_resample(
+        docs, weights={"en": 0.5, "de": 2.3}, default_weight=1.0
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    out.unpersist()
+
+
+def test_pack_sequences_layout(spark):
+    from flink_bm25_spark.operators.sampling import pack_sequences
+    from flink_bm25_spark.operators.text_analysis import token_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lens = token_stats(docs).select("doc_id", "n_tokens")
+    budget = 256
+    packed = pack_sequences(lens, budget=budget, shards=4).collect()
+
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rows:
+            # offsets are the contiguous running layout in key order
+            assert r["offset"] == run
+            assert r["seq_id"] == r["offset"] // budget
+            run += r["n_tokens"]
+    # every doc appears exactly once across shards
+    assert len(packed) == lens.count()
