@@ -1301,6 +1301,26 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_zorder_key(spark, sf_dir):
+    # Morton interleave of (doc_id, n_chars) — the multi-dimensional
+    # layout key behind OPTIMIZE ZORDER BY; pure bit arithmetic.
+    from flink_bm25_spark.functions.zorder import with_zorder_key
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return with_zorder_key(docs, ["doc_id", "n_chars"], bits=13)
+
+
+def _zorder_oracle_sql(bits: int = 13) -> str:
+    # Same interleave in pure integer arithmetic: bit b of col i lands at
+    # position b*2 + i.
+    terms = []
+    for b in range(bits):
+        terms.append(f"((doc_id // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((n_chars // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    expr = " + ".join(terms)
+    return f"SELECT doc_id, n_chars, CAST({expr} AS BIGINT) AS zkey FROM documents"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_project": _q_scan_project,
@@ -1414,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": _q_kmeans,
         "q_temperature_mix": _q_temperature_mix,
         "q_pack_sequences": _q_pack_sequences,
+        "q_zorder_key": _q_zorder_key,
     }
 
 
@@ -2894,4 +2915,5 @@ def oracle_sql() -> dict[str, str]:
                    "offset" // 512 AS seq_id
             FROM c
         """,
+        "q_zorder_key": _zorder_oracle_sql(bits=13),
     }
