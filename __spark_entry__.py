@@ -1301,6 +1301,35 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_feature_hash(spark, sf_dir):
+    # Hashing-trick doc vectors from the TF relation (no vocabulary, no
+    # fit state — the md5 hash IS the projection); emitted as one column
+    # per slot so the oracle value-hashes every component.
+    from flink_bm25_spark.operators.similarity import feature_hash_embeddings
+
+    stats = _stats(spark, sf_dir)
+    emb = feature_hash_embeddings(stats.tf, dim=16)
+    return emb.select(
+        "doc_id", *[F.col("fvec")[j].alias(f"v{j}") for j in range(16)]
+    )
+
+
+def _feature_hash_oracle_sql(dim: int = 16) -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN slot = {j} THEN sx ELSE 0 END) AS DOUBLE) AS v{j}"
+        for j in range(dim)
+    )
+    return f"""
+        WITH {_PIPE},
+        c AS (
+          SELECT doc_id,
+                 {_h60("word")} % {dim} AS slot,
+                 (1 - 2 * ({_h60("word || ':s'")} % 2)) * tf AS sx
+          FROM tf)
+        SELECT doc_id, {sums} FROM c GROUP BY doc_id
+    """
+
+
 def _q_zorder_key(spark, sf_dir):
     # Morton interleave of (doc_id, n_chars) — the multi-dimensional
     # layout key behind OPTIMIZE ZORDER BY; pure bit arithmetic.
@@ -1435,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": _q_temperature_mix,
         "q_pack_sequences": _q_pack_sequences,
         "q_zorder_key": _q_zorder_key,
+        "q_feature_hash": _q_feature_hash,
     }
 
 
@@ -2916,4 +2946,5 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q_zorder_key": _zorder_oracle_sql(bits=13),
+        "q_feature_hash": _feature_hash_oracle_sql(dim=16),
     }

@@ -278,3 +278,43 @@ def quantized_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def feature_hash_embeddings(
+    tf: DataFrame, dim: int = 64, out_col: str = "fvec"
+) -> DataFrame:
+    """``(doc_id, fvec: array<double>)`` — hashing-trick document vectors
+    straight from the TF relation (HashingVectorizer / feature-hashing,
+    Weinberger et al. 2009): ``v[h(w) % dim] += sign(w) · tf(w, d)``,
+    with a second salted hash bit supplying the ±1 sign so collisions
+    cancel in expectation.
+
+    This bridges the sparse text pipeline to the dense ANN tier with no
+    vocabulary, no fit step, and no model state: the hash IS the
+    projection, identical for every batch — so vectors are incrementally
+    computable (a new batch embeds alone) and directly comparable across
+    runs and engines (md5 hashing; the oracle rebuilds every component).
+
+    Same one-shuffle wide-aggregate shape as the MinHash/SimHash
+    signatures: ``dim`` conditional sums over ONE ``groupBy(doc_id)``,
+    assembled into the array map-side after the final aggregation —
+    shuffle volume is O(docs × dim), never a per-(doc, slot) fanout.
+    """
+    from flink_bm25_spark.functions.hashing import h60  # noqa: PLC0415
+
+    slot = (h60(F.col("word")) % F.lit(dim)).alias("slot")
+    sign = (
+        F.lit(1)
+        - F.lit(2) * (h60(F.concat(F.col("word"), F.lit(":s"))) % F.lit(2))
+    ).alias("sign")
+    contrib = tf.select("doc_id", slot, (sign * F.col("tf")).alias("x"))
+    aggs = [
+        F.sum(F.when(F.col("slot") == j, F.col("x")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias(f"v{j}")
+        for j in range(dim)
+    ]
+    wide = contrib.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"v{j}") for j in range(dim)]).alias(out_col)
+    )

@@ -94,3 +94,36 @@ def test_quantized_topk_recall_at_low_overfetch(spark):
     }
     # int8 coarse scoring keeps most of the true neighborhood even at 2x
     assert len(exact & quant) >= 7
+
+
+def test_feature_hash_is_stateless_and_incremental(spark):
+    # The hash IS the projection: a batch embedded alone must produce
+    # exactly the rows the full-corpus run produces for those docs —
+    # the property that makes the vectors incrementally computable and
+    # the ANN index appendable without refits.
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+    from flink_bm25_spark.operators.similarity import feature_hash_embeddings
+    from flink_bm25_spark.sources.tables import load_documents
+
+    docs = load_documents(spark, SF_DIR)
+    full = feature_hash_embeddings(build_corpus_stats(docs).tf, dim=16)
+    batch_docs = docs.where(F.col("doc_id") >= 400)
+    batch = feature_hash_embeddings(build_corpus_stats(batch_docs).tf, dim=16)
+
+    want = sorted(
+        (r["doc_id"], tuple(r["fvec"]))
+        for r in full.where(F.col("doc_id") >= 400).collect()
+    )
+    got = sorted((r["doc_id"], tuple(r["fvec"])) for r in batch.collect())
+    assert got == want and got
+
+    # the vectors plug straight into the ANN tier
+    qvec = [float(v) for v in got[0][1]]
+    top = cosine_topk(
+        full.select(F.col("doc_id").alias("vec_id"), F.col("fvec").alias("embedding")),
+        qvec,
+        k=3,
+    ).collect()
+    assert len(top) == 3 and top[0]["vec_id"] == got[0][0]
