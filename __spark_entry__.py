@@ -1330,6 +1330,33 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+#: Histogram sketch domain for events.value (fixture range 0..~500).
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 64
+
+
+def _q_histogram(spark, sf_dir):
+    # Mergeable fixed-width histogram of events.value — the quantile
+    # member of the portable-sketch family (deterministic, unlike
+    # t-digest/KLL whose state is arrival-order-dependent).
+    from flink_bm25_spark.operators.sketches import histogram_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return histogram_sketch(ev, "value", _HIST_LO, _HIST_HI, _HIST_BINS)
+
+
+def _q_hist_quantiles(spark, sf_dir):
+    # p50/p90/p99 read off the histogram registers (64-row relation) —
+    # bounded by one bin width, reproducible in SQL.
+    from flink_bm25_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    h = histogram_sketch(ev, "value", _HIST_LO, _HIST_HI, _HIST_BINS)
+    return histogram_quantiles(h, [0.5, 0.9, 0.99], _HIST_LO, _HIST_HI, _HIST_BINS)
+
+
 def _q_zorder_key(spark, sf_dir):
     # Morton interleave of (doc_id, n_chars) — the multi-dimensional
     # layout key behind OPTIMIZE ZORDER BY; pure bit arithmetic.
@@ -1465,6 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_zorder_key": _q_zorder_key,
         "q_feature_hash": _q_feature_hash,
+        "q_histogram": _q_histogram,
+        "q_hist_quantiles": _q_hist_quantiles,
     }
 
 
@@ -2947,4 +2976,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_zorder_key": _zorder_oracle_sql(bits=13),
         "q_feature_hash": _feature_hash_oracle_sql(dim=16),
+        # width = 500/64 = 7.8125 (exact in binary); bin edges rounded to
+        # 9 dp before floor on both engines
+        "q_histogram": """
+            WITH b AS (
+              SELECT least(63, greatest(0, CAST(floor(
+                       round((value - 0.0) / 7.8125, 9)) AS BIGINT))) AS bin
+              FROM events WHERE value IS NOT NULL),
+            c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin)
+            SELECT t.bin, coalesce(c.cnt, 0) AS cnt
+            FROM range(0, 64) t(bin) LEFT JOIN c USING (bin)
+        """,
+        "q_hist_quantiles": """
+            WITH b AS (
+              SELECT least(63, greatest(0, CAST(floor(
+                       round((value - 0.0) / 7.8125, 9)) AS BIGINT))) AS bin
+              FROM events WHERE value IS NOT NULL),
+            c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+            h AS (SELECT t.bin, coalesce(c.cnt, 0) AS cnt
+                  FROM range(0, 64) t(bin) LEFT JOIN c USING (bin)),
+            cum AS (
+              SELECT bin, cnt,
+                     sum(cnt) OVER (ORDER BY bin) AS cum,
+                     sum(cnt) OVER () AS n
+              FROM h)
+            SELECT
+              arg_min(round(0.0 + (bin + (n * 0.5 - (cum - cnt)) / cnt)
+                            * 7.8125, 6), bin)
+                FILTER (WHERE cum >= n * 0.5 AND cnt > 0) AS q_50,
+              arg_min(round(0.0 + (bin + (n * 0.9 - (cum - cnt)) / cnt)
+                            * 7.8125, 6), bin)
+                FILTER (WHERE cum >= n * 0.9 AND cnt > 0) AS q_90,
+              arg_min(round(0.0 + (bin + (n * 0.99 - (cum - cnt)) / cnt)
+                            * 7.8125, 6), bin)
+                FILTER (WHERE cum >= n * 0.99 AND cnt > 0) AS q_99
+            FROM cum
+        """,
     }

@@ -284,3 +284,107 @@ def cms_estimate(
         c = F.element_at(vec, (pos + 1).cast("int"))
         est = c if est is None else F.least(est, c)
     return probe.withColumn("cms_count", est)
+
+
+# ---------------------------------------------------------------------------
+# Portable histogram sketch (mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def histogram_sketch(
+    values: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """``(bin, cnt)`` — fixed-width histogram of ``values[col]`` over
+    ``[lo, hi]``, all ``nbins`` rows present (empty bins at 0), values
+    clamped into the edge bins.
+
+    The quantile member of the portable-sketch family (frequency =
+    Count-Min, distinct = HLL, membership = Bloom): unlike t-digest /
+    KLL, whose state depends on arrival order, the fixed-bin histogram
+    is fully deterministic — identical on any engine, any partitioning —
+    so the sketch VALUE (and every quantile read off it) is part of the
+    correctness contract.  Registers merge by per-bin sum
+    (:func:`histogram_merge`): build per shard/day/source, roll up 64-row
+    relations, never rescan.  Build cost: one ``nbins``-group aggregate
+    with map-side partial combine.
+
+    Bin edges are exact decimal arithmetic ((x-lo)*nbins/(hi-lo) floored
+    after rounding to 9 dp) so boundary values land identically in Spark
+    and the SQL oracle despite double representation.
+    """
+    spark = values.sparkSession
+    width = (hi - lo) / nbins
+    raw = F.floor(
+        F.round((F.col(col) - F.lit(lo)) / F.lit(width), 9)
+    )
+    b = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw)).alias("bin")
+    counts = (
+        values.where(F.col(col).isNotNull())
+        .select(b)
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bins = spark.range(nbins).select(F.col("id").cast("long").alias("bin"))
+    return bins.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of histogram sketches: per-bin sum — exact (count addition),
+    so merge-then-read == rebuild-then-read, bit for bit."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_BINS,
+) -> DataFrame:
+    """One row of quantile estimates ``(q_50, q_90, …)`` read off a
+    histogram sketch: find the bin where the running count crosses
+    ``q·N``, interpolate linearly inside it.  Deterministic given the
+    sketch; error is bounded by one bin width.  The cumsum window runs
+    over the ``nbins``-row register relation — nothing data-sized.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    width = (hi - lo) / nbins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    aggs = []
+    for q in qs:
+        target = F.col("n") * F.lit(q)
+        # interpolate inside the FIRST bin whose cumulative count reaches
+        # the target — selected via lexicographic struct-min on (bin, est),
+        # never min(est) (later bins interpolate to garbage negatives)
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+        picked = F.min(
+            F.when(
+                (F.col("cum") >= target) & (F.col("cnt") > 0),
+                F.struct(F.col("bin").alias("b"), F.round(est, 6).alias("e")),
+            )
+        )["e"]
+        aggs.append(picked.alias(f"q_{int(q * 100)}"))
+    return cum.agg(*aggs)

@@ -137,3 +137,35 @@ def test_hll_merge_equals_rebuild(spark):
     assert (
         hll_estimate(merged).collect() == hll_estimate(rebuilt).collect()
     )
+
+
+def test_histogram_merge_equals_rebuild_and_quantile_accuracy(spark):
+    # Histogram sketch algebra (per-bin sums) is exact; quantiles read
+    # off the registers are within one bin width of the true percentile.
+    from flink_bm25_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    lo, hi, nb = 0.0, 500.0, 64
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = histogram_merge(
+        histogram_sketch(a, "value", lo, hi, nb),
+        histogram_sketch(b, "value", lo, hi, nb),
+    )
+    rebuilt = histogram_sketch(ev, "value", lo, hi, nb)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    q = histogram_quantiles(rebuilt, [0.5, 0.9], lo, hi, nb).collect()[0]
+    true_p50, true_p90 = ev.selectExpr(
+        "percentile(value, 0.5)", "percentile(value, 0.9)"
+    ).collect()[0]
+    binw = (hi - lo) / nb
+    assert abs(q["q_50"] - true_p50) <= binw
+    assert abs(q["q_90"] - true_p90) <= binw
