@@ -1330,6 +1330,113 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    # The second flagship: quality ∧ ¬near-dup-loser ∧ ¬contaminated →
+    # temperature mix → sequence packing, ONE declarative plan.  The
+    # oracle replays the entire DAG in SQL (recursive clusters included).
+    from flink_bm25_spark.operators.cleaning import curation_pipeline
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    return curation_pipeline(
+        train,
+        bench,
+        weights={"en": 0.5, "de": 2.3, "fr": 3.0},
+        budget=512,
+    )
+
+
+def _curation_oracle_sql() -> str:
+    clusters_t = _CLUSTERS.replace("FROM documents", "FROM tdocs")
+    quality_t = _QUALITY.replace("FROM documents", "FROM tdocs")
+    h_t = _h60("CAST(doc_id AS VARCHAR) || ':t'")
+    return f"""
+        WITH RECURSIVE
+        bkt AS (SELECT doc_id,
+                       {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+                FROM documents),
+        tdocs AS (SELECT d.* FROM documents d JOIN bkt USING (doc_id)
+                  WHERE b >= 5),
+        edocs AS (SELECT d.* FROM documents d JOIN bkt USING (doc_id)
+                  WHERE b < 5),
+        {clusters_t}, {quality_t},
+        esh AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 2 <= len(ws)
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END))
+              AS gram
+            FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws
+                  FROM edocs)
+          ) WHERE gram IS NOT NULL
+        ),
+        ov AS (
+          SELECT doc_id, count(*) AS n_overlap
+          FROM sh JOIN esh USING (gram) GROUP BY 1),
+        contam AS (SELECT doc_id FROM ov WHERE n_overlap >= 3),
+        keep AS (
+          SELECT q.doc_id FROM qual q
+          WHERE q.keep_score >= 0.2
+            AND q.doc_id NOT IN
+                (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+            AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        surv AS (SELECT t.* FROM tdocs t JOIN keep k ON t.doc_id = k.doc_id),
+        lens AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM surv),
+        mix AS (
+          SELECT doc_id, lang, n_tokens,
+                 (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2
+                            WHEN 'fr' THEN 3 ELSE 1 END)
+                 + (CASE WHEN {h_t} % 10000
+                      < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                                   WHEN 'fr' THEN 0 ELSE 0 END)
+                    THEN 1 ELSE 0 END) AS n
+          FROM lens),
+        copies AS (
+          SELECT doc_id, lang, n_tokens,
+                 unnest(generate_series(0, n - 1)) AS rep
+          FROM mix WHERE n > 0),
+        keyed AS (
+          SELECT doc_id, lang, n_tokens, rep,
+                 doc_id * 16 + rep AS mkey
+          FROM copies),
+        sharded AS (
+          SELECT *, {_h60("CAST(mkey AS VARCHAR)")} % 1000000 % 4 AS shard
+          FROM keyed),
+        laid AS (
+          SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY mkey) - n_tokens AS "offset"
+          FROM sharded)
+        SELECT doc_id, rep, lang, n_tokens, shard, "offset",
+               "offset" // 512 AS seq_id
+        FROM laid
+    """
+
+
+def _q_hll_merged(spark, sf_dir):
+    # Spark takes the MERGE path (per-shard register states rolled up by
+    # per-bucket max); the oracle takes the REBUILD path over the union.
+    # Equal answers prove the sketch's distributivity across engines.
+    from flink_bm25_spark.operators.sketches import (
+        hll_buckets,
+        hll_estimate,
+        hll_merge,
+    )
+
+    tf = _stats(spark, sf_dir).tf
+    a = tf.where(F.col("doc_id") % 2 == 0).select("word")
+    b = tf.where(F.col("doc_id") % 2 == 1).select("word")
+    return hll_estimate(hll_merge(hll_buckets(a, "word"), hll_buckets(b, "word")))
+
+
 #: Histogram sketch domain for events.value (fixture range 0..~500).
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 64
 
@@ -1494,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_hash": _q_feature_hash,
         "q_histogram": _q_histogram,
         "q_hist_quantiles": _q_hist_quantiles,
+        "q_hll_merged": _q_hll_merged,
+        "q_curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -1677,7 +1786,7 @@ _MARKER_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q_scan_project": "SELECT doc_id, n_chars FROM documents",
         "q_point_lookup": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
@@ -3013,3 +3122,9 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
     }
+    # The merge-path twin: Spark estimates from per-shard sketches
+    # rolled up with hll_merge; the oracle rebuilds over the union.
+    # Their equality IS the distributivity of the sketch, cross-engine.
+    out["q_hll_merged"] = out["q_hll_distinct"]
+    out["q_curation_pipeline"] = _curation_oracle_sql()
+    return out

@@ -43,3 +43,87 @@ def clean_corpus(
     return scored.where(F.col("keep_score") >= min_keep_score).join(
         F.broadcast(losers), "doc_id", "left_anti"
     )
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    weights: dict[str, float],
+    budget: int = 512,
+    min_keep_score: float = 0.2,
+    jaccard_threshold: float = 0.8,
+    decontam_n: int = 3,
+    min_overlap: int = 3,
+    stratum_col: str = "lang",
+    shards: int = 4,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """The full pretraining curation DAG as ONE declarative plan:
+
+    1. quality gate ∧ near-dup-loser removal (:func:`clean_corpus`),
+    2. benchmark decontamination (drop docs overlapping ``benchmark``
+       in ≥ ``min_overlap`` n-grams),
+    3. temperature mix (per-stratum weights, deterministic upsampling),
+    4. sequence packing (token-budget layout, hash-sharded).
+
+    Output: ``(doc_id, rep, lang, n_tokens, shard, offset, seq_id)`` —
+    one row per packed document copy, trainer-ready.
+
+    Everything composes lazily: Catalyst shares the corpus scan across
+    quality, dedup, decontamination and token counting, and the only
+    corpus-sized shuffles are the ones each stage owns (LSH banding, the
+    per-shard packing cumsum).  The drop-sets (losers, contaminated) are
+    duplicate-fraction-sized and broadcast as anti-join probes — the
+    surviving corpus crosses the network only for its own layout.
+    """
+    from flink_bm25_spark.operators.decontam import contamination  # noqa: PLC0415
+    from flink_bm25_spark.operators.sampling import (  # noqa: PLC0415
+        pack_sequences,
+        temperature_resample,
+    )
+    from flink_bm25_spark.operators.text_analysis import token_stats  # noqa: PLC0415
+
+    # The keep set feeds three branches (contamination probe, the
+    # anti-join, token counting); without a cache Catalyst re-derives the
+    # whole LSH dedup once per branch.  It is a thin one-column relation
+    # — the standard stage checkpoint, same as the candidate set inside
+    # minhash_dedup_pairs.
+    kept = (
+        clean_corpus(documents, min_keep_score, jaccard_threshold)
+        .select("doc_id")
+        .cache()
+    )
+    survivors = documents.join(kept, "doc_id")
+    contaminated = (
+        contamination(survivors, benchmark, n=decontam_n, min_overlap=min_overlap)
+        .where("contaminated")
+        .select("doc_id")
+    )
+    decon = survivors.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    lens = token_stats(decon).select("doc_id", "n_tokens")
+    base = decon.select("doc_id", stratum_col).join(lens, "doc_id")
+    mixed = temperature_resample(
+        base,
+        weights=weights,
+        stratum_col=stratum_col,
+        default_weight=default_weight,
+    )
+    # Composite layout key: each (doc, rep) copy packs as its own unit.
+    # weights bound rep < 16, so the key is collision-free and ordered
+    # (doc-major, copies adjacent).
+    keyed = mixed.withColumn(
+        "mkey", F.col("doc_id") * F.lit(16) + F.col("rep")
+    )
+    packed = pack_sequences(
+        keyed, budget=budget, len_col="n_tokens", key_col="mkey", shards=shards
+    )
+    return packed.select(
+        "doc_id",
+        F.col("rep").cast("long").alias("rep"),
+        stratum_col,
+        "n_tokens",
+        "shard",
+        "offset",
+        "seq_id",
+    )

@@ -156,3 +156,43 @@ def test_streaming_overlap_equals_batch(spark):
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_overlap").collect())
     want = sorted(tuple(r) for r in overlap_counts(docs, eval_grams, n=3).collect())
     assert got == want
+
+
+def test_curation_pipeline_invariants(spark):
+    # End-to-end DAG: survivors are clean, uncontaminated, mixed per
+    # weights, and laid out contiguously per shard.
+    from flink_bm25_spark.operators.cleaning import clean_corpus, curation_pipeline
+    from flink_bm25_spark.operators.decontam import contamination
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+
+    out = curation_pipeline(
+        train, bench, weights={"en": 0.5, "de": 2.3, "fr": 3.0}, budget=256
+    ).collect()
+    assert out
+
+    kept = {r["doc_id"] for r in clean_corpus(train).collect()}
+    contaminated = {
+        r["doc_id"]
+        for r in contamination(train, bench, n=3, min_overlap=3)
+        .where("contaminated")
+        .collect()
+    }
+    out_ids = {r["doc_id"] for r in out}
+    assert out_ids <= kept
+    assert not (out_ids & contaminated)
+
+    # copies are dense per doc and the layout is contiguous per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"] * 16 + r["rep"])
+        run = 0
+        for r in rows:
+            assert r["offset"] == run and r["seq_id"] == r["offset"] // 256
+            run += r["n_tokens"]
