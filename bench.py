@@ -38,6 +38,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_bpe_pair_counts",
     "q_kmeans",
+    "q_curation_pipeline",
 ]
 
 
