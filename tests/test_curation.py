@@ -196,3 +196,79 @@ def test_curation_pipeline_invariants(spark):
         for r in rows:
             assert r["offset"] == run and r["seq_id"] == r["offset"] // 256
             run += r["n_tokens"]
+
+
+def test_curation_ops_on_empty_and_degenerate_inputs(spark):
+    # Empty/degenerate corpora flow through the curation ops without
+    # special-casing (the 100 TB pipeline meets empty partitions daily).
+    from flink_bm25_spark.operators.decontam import contamination, decontaminate
+    from flink_bm25_spark.operators.sampling import pack_sequences, temperature_resample
+
+    empty = _docs(spark, []).where("doc_id IS NOT NULL")
+    some = _docs(spark, [(1, "a b c d e"), (2, "x y z w v")])
+
+    assert contamination(empty, some).collect() == []
+    assert contamination(some, empty).collect() == []
+    assert {r["doc_id"] for r in decontaminate(some, empty).collect()} == {1, 2}
+    assert bpe_pair_counts(empty, min_count=1).collect() == []
+    assert quality_percentile_gate(empty).collect() == []
+
+    mixed = temperature_resample(
+        empty.select("doc_id", F.lit("en").alias("lang")), weights={"en": 2.0}
+    )
+    assert mixed.collect() == []
+    packed = pack_sequences(
+        empty.select("doc_id", F.lit(1).alias("n_tokens")), budget=8
+    )
+    assert packed.collect() == []
+    # weight 0 drops the stratum entirely
+    zeroed = temperature_resample(
+        some.select("doc_id", F.lit("en").alias("lang")), weights={"en": 0.0}
+    )
+    assert zeroed.collect() == []
+
+
+def test_streaming_feature_hash_equals_batch(spark):
+    # Feature hashing is one wide aggregation — streaming-legal; the
+    # final streamed vectors equal the batch ones (T4 unified API).
+    import shutil
+    import tempfile
+
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+    from flink_bm25_spark.operators.similarity import feature_hash_embeddings
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+
+    d = tempfile.mkdtemp(prefix="stream_fh_")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d)
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(d)
+
+    def tf_of(docs):
+        toks = filter_stopwords(tokenize(docs))
+        return toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+
+    # NB: TF + the slot sums would be two aggregations — fold TF into the
+    # contribution instead: sum of per-token signs == sign * tf.
+    def stream_vectors(docs):
+        toks = filter_stopwords(tokenize(docs)).withColumn("tf", F.lit(1))
+        return feature_hash_embeddings(toks, dim=16)
+
+    q = (
+        stream_vectors(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_fh")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["doc_id"], tuple(r["fvec"]))
+        for r in spark.sql("SELECT * FROM t_fh").collect()
+    )
+    docs = load_table(spark, "documents", SF_DIR)
+    want = sorted(
+        (r["doc_id"], tuple(r["fvec"]))
+        for r in feature_hash_embeddings(build_corpus_stats(docs).tf, dim=16).collect()
+    )
+    assert got == want

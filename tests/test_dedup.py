@@ -169,3 +169,34 @@ def test_histogram_merge_equals_rebuild_and_quantile_accuracy(spark):
     binw = (hi - lo) / nb
     assert abs(q["q_50"] - true_p50) <= binw
     assert abs(q["q_90"] - true_p90) <= binw
+
+
+def test_incremental_minhash_from_persisted_store(spark, tmp_path):
+    # The operational loop: yesterday's signature store on parquet,
+    # today's batch dedups against the RELOADED store — identical pairs
+    # to an in-memory run (signatures are plain rows; persistence is
+    # just a parquet round-trip, no custom serialization).
+    from flink_bm25_spark.operators.dedup import (
+        minhash_dedup_pairs_incremental,
+        minhash_signatures_wide,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    old = docs.where(F.col("doc_id") < 350)
+    new = docs.where(F.col("doc_id") >= 350)
+
+    path = str(tmp_path / "sig_store")
+    minhash_signatures_wide(shingles(old)).write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    want = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_dedup_pairs_incremental(old, new, threshold=0.8).collect()
+    }
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_dedup_pairs_incremental(
+            old, new, old_sigs_wide=reloaded, threshold=0.8
+        ).collect()
+    }
+    assert got == want and got
