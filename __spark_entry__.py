@@ -1330,6 +1330,20 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_hll_by_lang(spark, sf_dir):
+    # Grouped portable HLL: distinct-vocabulary estimate per language in
+    # ONE aggregation (langs × 64 registers, constant state per group).
+    from flink_bm25_spark.operators.sketches import (
+        hll_buckets_by,
+        hll_estimate_by,
+    )
+
+    tf = _stats(spark, sf_dir).tf
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    words = tf.join(docs, "doc_id").select("lang", "word")
+    return hll_estimate_by(hll_buckets_by(words, "lang", "word"), "lang")
+
+
 def _q_curation_pipeline(spark, sf_dir):
     # The second flagship: quality ∧ ¬near-dup-loser ∧ ¬contaminated →
     # temperature mix → sequence packing, ONE declarative plan.  The
@@ -1602,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": _q_histogram,
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
+        "q_hll_by_lang": _q_hll_by_lang,
         "q_curation_pipeline": _q_curation_pipeline,
     }
 
@@ -3127,4 +3142,37 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_hll_by_lang"] = f"""
+        WITH {_PIPE},
+        hashed AS (
+          SELECT d.lang, (h & 63) AS bucket, (h >> 6) AS w FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(word), 1, 15))::BIGINT AS h
+            FROM tf) t JOIN documents d USING (doc_id)
+        ),
+        ranks AS (
+          SELECT lang, bucket,
+                 max(CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END) AS mx
+          FROM hashed GROUP BY lang, bucket
+        ),
+        agg AS (
+          SELECT lang,
+                 CAST(sum(1::BIGINT << (55 - mx))
+                      + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT)
+                   AS isum,
+                 CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)
+                      + (64 - count(*)) AS BIGINT) AS v_zero
+          FROM ranks GROUP BY lang
+        )
+        SELECT lang, round(
+          CASE WHEN 2904.064 * CAST(36028797018963968 AS DOUBLE)
+                    / CAST(isum AS DOUBLE) <= 160.0
+                    AND v_zero > 0
+               THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+               ELSE 2904.064 * CAST(36028797018963968 AS DOUBLE)
+                    / CAST(isum AS DOUBLE)
+          END, 6) AS n_distinct_est
+        FROM agg
+    """
     return out

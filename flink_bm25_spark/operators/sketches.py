@@ -388,3 +388,59 @@ def histogram_quantiles(
         )["e"]
         aggs.append(picked.alias(f"q_{int(q * 100)}"))
     return cum.agg(*aggs)
+
+
+def hll_buckets_by(
+    values: DataFrame, group_col: str, col: str
+) -> DataFrame:
+    """Grouped HLL register states: ``(group_col, bucket, mx)`` — one
+    64-register sketch per group, built in ONE aggregation over the
+    hashed relation (group count × 64 output rows regardless of input
+    size).  Groups merge with :func:`hll_merge_by`; absent buckets are
+    implicit rank 0 (the estimator fills them)."""
+    m = HLL_BUCKETS
+    h = h60(F.col(col))
+    hashed = values.select(
+        F.col(group_col),
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.shiftright(h, 6).alias("w"),
+    )
+    return hashed.groupBy(group_col, "bucket").agg(
+        F.max(_hll_rank(F.col("w"))).alias("mx")
+    )
+
+
+def hll_merge_by(group_col: str, *sketches: DataFrame) -> DataFrame:
+    """Per-group register merge — max per (group, bucket)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(group_col, "bucket").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate_by(buckets_rel: DataFrame, group_col: str) -> DataFrame:
+    """Per-group estimates ``(group_col, n_distinct_est)`` from a sparse
+    grouped register relation (missing buckets counted as rank 0 via
+    ``m - count(*)`` in the zero-register term)."""
+    m = HLL_BUCKETS
+    agg = buckets_rel.groupBy(group_col).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - mx)"))
+            + (F.lit(m) - F.count("*"))
+            * F.lit(1 << 55)  # absent buckets contribute 2^(55-0)
+        ).alias("isum"),
+        (
+            F.sum(F.when(F.col("mx") == 0, 1).otherwise(0))
+            + (F.lit(m) - F.count("*"))
+        ).alias("v_zero"),
+    )
+    raw = (
+        F.lit(_ALPHA_64 * m * m)
+        * F.lit(float(1 << 55))
+        / F.col("isum").cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return agg.select(group_col, F.round(est, 6).alias("n_distinct_est"))

@@ -200,3 +200,32 @@ def test_incremental_minhash_from_persisted_store(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_grouped_hll_equals_per_group_singles(spark):
+    # The grouped sketch is exactly the per-group single sketches: same
+    # registers, same estimates — one aggregation instead of G scans.
+    from flink_bm25_spark.operators.sketches import (
+        hll_buckets_by,
+        hll_distinct,
+        hll_estimate_by,
+    )
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+
+    docs = load_documents(spark, SF_DIR)
+    words = (
+        filter_stopwords(tokenize(docs))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "word")
+    )
+    grouped = {
+        r["lang"]: r["n_distinct_est"]
+        for r in hll_estimate_by(
+            hll_buckets_by(words, "lang", "word"), "lang"
+        ).collect()
+    }
+    for lang in grouped:
+        single = hll_distinct(
+            words.where(F.col("lang") == lang).select("word"), "word"
+        ).collect()[0]["n_distinct_est"]
+        assert grouped[lang] == single
