@@ -1330,6 +1330,21 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    # CCNet-style LM quality filter: add-α bigram model trained on the
+    # corpus, scored back per doc (avg negative log-likelihood).
+    from flink_bm25_spark.operators.text_analysis import lm_perplexity_scores
+
+    return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
+
+
+def _q_collocations(spark, sf_dir):
+    # PMI collocation mining over adjacent pairs (multiword expressions).
+    from flink_bm25_spark.operators.text_analysis import collocations
+
+    return collocations(load_table(spark, "documents", sf_dir), min_count=5)
+
+
 def _q_hll_by_lang(spark, sf_dir):
     # Grouped portable HLL: distinct-vocabulary estimate per language in
     # ONE aggregation (langs × 64 registers, constant state per group).
@@ -1617,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
+        "q_lm_perplexity": _q_lm_perplexity,
+        "q_collocations": _q_collocations,
         "q_curation_pipeline": _q_curation_pipeline,
     }
 
@@ -3142,6 +3159,50 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_lm_perplexity"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM base) WHERE p IS NOT NULL),
+        pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM base)),
+        sc AS (
+          SELECT doc_id, -ln((c12 + 0.1) / (c1 + 0.1 * v)) AS nl
+          FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
+        FROM sc GROUP BY doc_id
+    """
+    out["q_collocations"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM base) WHERE p IS NOT NULL),
+        pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        rc AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM bg)
+        SELECT w1, w2, c12 AS pair_count,
+               round(ln(CAST(n AS DOUBLE) * c12
+                        / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+        FROM pc JOIN uc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+        WHERE c12 >= 5
+    """
     out["q_hll_by_lang"] = f"""
         WITH {_PIPE},
         hashed AS (

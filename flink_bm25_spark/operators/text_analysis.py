@@ -294,3 +294,111 @@ def redact_pii(
     return documents.select(
         "doc_id", *counts, redacted.alias("redacted")
     )
+
+
+def _bigram_relation(documents: DataFrame) -> DataFrame:
+    """``(doc_id, w1, w2)`` — adjacent-token pairs, map-side (same
+    indexed-transform shape as :func:`bpe_pair_counts`, keeping doc_id)."""
+    base = documents.select(
+        "doc_id",
+        F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit("")).alias(
+            "_ws"
+        ),
+    )
+    ws = F.col("_ws")
+
+    def make_pair(x, i):
+        return F.when(
+            i + 2 <= F.size(ws),
+            F.struct(
+                F.element_at(ws, (i + F.lit(1)).cast("int")).alias("w1"),
+                F.element_at(ws, (i + F.lit(2)).cast("int")).alias("w2"),
+            ),
+        )
+
+    return (
+        base.select("doc_id", F.explode(F.transform(ws, make_pair)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+def lm_perplexity_scores(
+    documents: DataFrame, alpha: float = 0.1
+) -> DataFrame:
+    """``(doc_id, n_bigrams, nll)`` — add-α-smoothed bigram language
+    model trained on the corpus, scored back over every document:
+    ``nll = avg(-ln P(w2|w1))`` (lower = more typical of the corpus;
+    CCNet-style perplexity filtering, rank-equivalent to perplexity
+    ``e^nll``).
+
+    ``P(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·V)`` with V = distinct
+    unigram vocabulary.  Everything is a count relation: train and score
+    share the one map-side bigram extraction; the model "fit" is two
+    aggregations; scoring is a co-keyed join on (w1, w2) — at 100 TB the
+    model table shuffles once and the corpus joins against it keyed,
+    never broadcast (bigram vocabularies outgrow driver memory).
+
+    Float discipline for the oracle: the only transcendental is
+    ``ln`` of a count ratio (identical doubles both engines); the
+    per-doc average is rounded to 6 dp after the sum.
+    """
+    bigrams = _bigram_relation(documents)
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        documents.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+                )
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = pair_counts.join(uni_counts, "w1").crossJoin(F.broadcast(vocab))
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    scored = bigrams.join(model, ["w1", "w2"]).select(
+        "doc_id", (-logp).alias("nl")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nl"), 6).alias("nll"),
+    )
+
+
+def collocations(
+    documents: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """``(w1, w2, pair_count, pmi)`` — pointwise mutual information of
+    adjacent pairs: ``ln(N·C12 / (C1·C2))`` over corpus bigram totals
+    (N = total bigrams; C1/C2 = the pair's slot-wise marginals).  High
+    PMI + min-count = multiword expressions worth fusing before
+    tokenizer training.  Same relations as the LM; the marginals join
+    keyed, the 1-row total broadcasts.
+    """
+    bigrams = _bigram_relation(documents)
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    left = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    right = bigrams.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = bigrams.agg(F.count("*").alias("n"))
+    return (
+        pair_counts.where(F.col("pair_count") >= F.lit(min_count))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("n").cast("double") * F.col("pair_count")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

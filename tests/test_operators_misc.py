@@ -299,3 +299,42 @@ def test_more_like_this_matches_brute_force(spark):
     plan = explain_str(more_like_this(ti, 0, k=5), "simple")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_perplexity_prefers_typical_text(spark):
+    # A doc made of the corpus's most common transitions must score a
+    # lower avg NLL than a doc of rare transitions; n_bigrams is exact.
+    from flink_bm25_spark.operators.text_analysis import lm_perplexity_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b a b"),
+            (2, "a b a b a b a b a b"),
+            (3, "a b a b a b a b a b"),
+            (4, "q z x w p v m k j h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity_scores(docs).collect()}
+    assert got[1]["n_bigrams"] == 9
+    assert got[1]["nll"] == got[2]["nll"] == got[3]["nll"]
+    assert got[4]["nll"] > got[1]["nll"]
+
+
+def test_collocations_pmi_hand_check(spark):
+    # "new york" always co-occurs -> PMI = ln(N*C12/(C1*C2)) with exact
+    # counts; a pair of independent fillers scores lower.
+    import math
+
+    from flink_bm25_spark.operators.text_analysis import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + "x y " * 4) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in collocations(docs, min_count=5).collect()}
+    ny = got[("new", "york")]
+    # per doc: 9 bigram slots; N=45; (new,york) 5 times; C(new,*)=5; C(*,york)=5
+    assert ny["pair_count"] == 5
+    assert ny["pmi"] == round(math.log(45 * 5 / (5 * 5)), 6)
+    assert ny["pmi"] > got[("x", "y")]["pmi"]
