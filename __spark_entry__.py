@@ -1330,6 +1330,14 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # Passage chunking: overlapping 64-token windows, stride 48 — the
+    # map-side prep step before chunk-level embedding / retrieval.
+    from flink_bm25_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(load_table(spark, "documents", sf_dir), size=64, stride=48)
+
+
 def _q_lm_perplexity(spark, sf_dir):
     # CCNet-style LM quality filter: add-α bigram model trained on the
     # corpus, scored back per doc (avg negative log-likelihood).
@@ -1632,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
+        "q_chunk_documents": _q_chunk_documents,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_collocations": _q_collocations,
         "q_curation_pipeline": _q_curation_pipeline,
@@ -3159,6 +3168,31 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_chunk_documents"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        nn AS (
+          SELECT doc_id, ws,
+                 1 + CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT)
+                   AS n_chunks
+          FROM base WHERE len(ws) > 0),
+        ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+          FROM nn),
+        sl AS (
+          SELECT doc_id, chunk_id,
+                 list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)
+                   AS piece
+          FROM ex)
+        SELECT doc_id, chunk_id,
+               CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(piece, ' ') AS chunk_text
+        FROM sl
+    """
     out["q_lm_perplexity"] = """
         WITH base AS (
           SELECT doc_id,

@@ -402,3 +402,54 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """``(doc_id, chunk_id, n_chunk_tokens, chunk_text)`` — overlapping
+    token windows (``size`` tokens, advancing ``stride``; overlap =
+    ``size - stride``), the passage-chunking step before embedding /
+    retrieval indexing.
+
+    Pure map-side: an indexed ``transform`` slices the materialized
+    token array (the window count per doc is ``ceil(max(n-size+stride,
+    stride) / stride)`` — every token belongs to ≥ 1 chunk, short docs
+    yield exactly one).  No shuffle; the output fans out by the overlap
+    factor ``size/stride``, which is the physically required duplication.
+    Chunk ids are 0-based positions, so ``(doc_id, chunk_id)`` is a
+    stable join key for chunk-level embeddings back to documents.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size: size={size} stride={stride}")
+    base = documents.select(
+        "doc_id",
+        F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit("")).alias(
+            "_ws"
+        ),
+    )
+    ws = F.col("_ws")
+    n = F.size(ws)
+    # number of windows: 1 + ceil(max(n - size, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(size), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+
+    def make_chunk(x, i):
+        start = (i * F.lit(stride) + F.lit(1)).cast("int")
+        piece = F.slice(ws, start, F.lit(size))
+        return F.when(
+            i < n_chunks,
+            F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.size(piece).cast("long").alias("n_chunk_tokens"),
+                F.array_join(piece, " ").alias("chunk_text"),
+            ),
+        )
+
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), make_chunk)
+    return (
+        base.where(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
+    )

@@ -338,3 +338,26 @@ def test_collocations_pmi_hand_check(spark):
     assert ny["pair_count"] == 5
     assert ny["pmi"] == round(math.log(45 * 5 / (5 * 5)), 6)
     assert ny["pmi"] > got[("x", "y")]["pmi"]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from flink_bm25_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_id"], r["chunk_id"]): r for r in chunk_documents(docs, 4, 3).collect()}
+    # doc1: 10 tokens, windows at 0/3/6 -> [t0..t3], [t3..t6], [t6..t9]
+    assert {(1, 0), (1, 1), (1, 2), (2, 0)} == set(got)
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert got[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert got[(2, 0)]["chunk_text"] == "a b"
+    assert got[(2, 0)]["n_chunk_tokens"] == 2
+    # adjacent chunks overlap by size - stride tokens; coverage is total
+    toks = set()
+    for (d, _), r in got.items():
+        if d == 1:
+            toks.update(r["chunk_text"].split())
+    assert toks == {f"t{i}" for i in range(10)}
