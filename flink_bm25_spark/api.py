@@ -119,3 +119,129 @@ class BM25Engine:
     def doc_vectors(self, k: int | None = 30) -> DataFrame:
         """The reference's nested sink shape: ``(doc_id, tf:[{w,c}])``."""
         return tf_vectors(self.stats.tf, k=k)
+
+
+class CorpusCurator:
+    """Incremental corpus curation — the operational loop around the
+    curation operators: state is a MinHash signature store plus the
+    benchmark gram set, both plain parquet relations.
+
+        curator = CorpusCurator.fit(benchmark)        # empty store
+        good1 = curator.curate_batch(day1_docs)       # survivors, state grows
+        good2 = curator.curate_batch(day2_docs)       # dedups vs day1 too
+        curator.save("/state"); CorpusCurator.load(spark, "/state")
+
+    Per batch, O(batch + candidates) work (``dedup.py::
+    minhash_dedup_pairs_incremental``): the archive is only ever touched
+    through its signature store.  Dedup policy is greedy-stream: a new
+    document is dropped when it near-duplicates ANY lower-id document
+    already seen (the streaming analogue of cluster-min canonical
+    election — earlier always wins, so re-runs are stable).
+    """
+
+    def __init__(
+        self,
+        eval_grams: DataFrame,
+        sigs_wide: DataFrame | None = None,
+        min_keep_score: float = 0.2,
+        jaccard_threshold: float = 0.8,
+        min_overlap: int = 3,
+    ):
+        self.eval_grams = eval_grams
+        self.sigs_wide = sigs_wide
+        self.min_keep_score = min_keep_score
+        self.jaccard_threshold = jaccard_threshold
+        self.min_overlap = min_overlap
+        # Archive handle for verify-stage re-shingling (candidate docs
+        # only — a semi-join prunes it before tokenization; at scale this
+        # is the corpus table, scanned selectively, never re-signed).
+        self._docs: DataFrame | None = None
+
+    @classmethod
+    def fit(cls, benchmark: DataFrame, **kw) -> "CorpusCurator":
+        from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
+
+        return cls(shingles(benchmark).select("gram").distinct(), **kw)
+
+    def curate_batch(self, new_documents: DataFrame) -> DataFrame:
+        """Quality + decontamination + near-dup screening of one batch
+        against everything already ingested; returns the surviving rows
+        of ``new_documents`` and extends the signature store (with ALL
+        batch signatures — a dropped document's future duplicates must
+        still match it)."""
+        from flink_bm25_spark.operators.decontam import overlap_counts  # noqa: PLC0415
+        from flink_bm25_spark.operators.dedup import (  # noqa: PLC0415
+            minhash_dedup_pairs_incremental,
+            minhash_signatures_wide,
+            shingles,
+        )
+        from flink_bm25_spark.operators.text_analysis import quality_scores  # noqa: PLC0415
+
+        if self.sigs_wide is None:
+            empty = new_documents.where(F.lit(False))
+            pairs = minhash_dedup_pairs_incremental(
+                empty, new_documents, threshold=self.jaccard_threshold
+            )
+        else:
+            # Candidate generation probes the signature store (archive
+            # never re-signed); exact-Jaccard verify re-shingles only the
+            # archive docs that land in a candidate pair.
+            pairs = minhash_dedup_pairs_incremental(
+                self._docs,
+                new_documents,
+                old_sigs_wide=self.sigs_wide,
+                threshold=self.jaccard_threshold,
+            )
+        losers = (
+            pairs.select(F.greatest("d1", "d2").alias("doc_id")).distinct()
+        )
+        qual = quality_scores(new_documents).select("doc_id", "keep_score")
+        contaminated = (
+            overlap_counts(new_documents, self.eval_grams)
+            .where(F.col("n_overlap") >= self.min_overlap)
+            .select("doc_id")
+        )
+        survivors = (
+            new_documents.join(
+                qual.where(F.col("keep_score") >= self.min_keep_score).select(
+                    "doc_id"
+                ),
+                "doc_id",
+            )
+            .join(F.broadcast(contaminated), "doc_id", "left_anti")
+            .join(F.broadcast(losers), "doc_id", "left_anti")
+        )
+        new_sigs = minhash_signatures_wide(shingles(new_documents))
+        self.sigs_wide = (
+            new_sigs
+            if self.sigs_wide is None
+            else self.sigs_wide.unionByName(new_sigs)
+        )
+        self._docs = (
+            new_documents
+            if self._docs is None
+            else self._docs.unionByName(new_documents)
+        )
+        return survivors
+
+    def save(self, path: str) -> None:
+        self.eval_grams.write.mode("overwrite").parquet(
+            os.path.join(path, "eval_grams")
+        )
+        if self.sigs_wide is not None:
+            self.sigs_wide.write.mode("overwrite").parquet(
+                os.path.join(path, "sigs")
+            )
+        if self._docs is not None:
+            self._docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, **kw) -> "CorpusCurator":
+        cur = cls(spark.read.parquet(os.path.join(path, "eval_grams")), **kw)
+        sig_path = os.path.join(path, "sigs")
+        if os.path.exists(sig_path):
+            cur.sigs_wide = spark.read.parquet(sig_path)
+        docs_path = os.path.join(path, "docs")
+        if os.path.exists(docs_path):
+            cur._docs = spark.read.parquet(docs_path)
+        return cur

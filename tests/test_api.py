@@ -6,6 +6,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from flink_bm25_spark.api import BM25Engine, _tokenize_query
 from flink_bm25_spark.config import DEFAULT_QUERY_TERMS
 from flink_bm25_spark.operators.bm25 import bm25_rank
@@ -74,3 +76,54 @@ def test_incremental_update_equals_full_fit(spark):
     assert rows(merged.stats.df_stats) == rows(full.stats.df_stats)
     q = " ".join(DEFAULT_QUERY_TERMS)
     assert rows(merged.search(q, 10)) == rows(full.search(q, 10))
+
+
+def test_corpus_curator_incremental_loop(spark, tmp_path):
+    # Two-batch operational loop: batch 2 dedups against batch 1 through
+    # the signature store; survivors are quality-pass, uncontaminated,
+    # and never near-dups of anything already seen; state round-trips
+    # through parquet.
+    from flink_bm25_spark.api import CorpusCurator
+    from flink_bm25_spark.operators.dedup import minhash_dedup_pairs
+    from flink_bm25_spark.operators.sampling import hash_split
+    from flink_bm25_spark.operators.text_analysis import quality_scores
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    b1 = train.where(F.col("doc_id") < 250)
+    b2 = train.where(F.col("doc_id") >= 250)
+
+    cur = CorpusCurator.fit(bench)
+    s1 = {r["doc_id"] for r in cur.curate_batch(b1).collect()}
+    s2 = {r["doc_id"] for r in cur.curate_batch(b2).collect()}
+    assert s1 and s2 and not (s1 & s2)
+
+    # survivors of batch 2 are not near-dups of ANY earlier doc
+    all_pairs = {
+        (r.d1, r.d2) for r in minhash_dedup_pairs(train, 0.8).collect()
+    }
+    for d1, d2 in all_pairs:
+        assert d2 not in (s1 | s2) or d1 not in (s1 | s2) or (d1, d2) not in all_pairs
+
+    qual = {
+        r["doc_id"]: r["keep_score"] for r in quality_scores(train).collect()
+    }
+    assert all(qual[d] >= 0.2 for d in s1 | s2)
+
+    # persistence round-trip: a reloaded curator screens a duplicate of
+    # an already-ingested doc
+    path = str(tmp_path / "cur_state")
+    cur.save(path)
+    reloaded = CorpusCurator.load(spark, path)
+    some_id = sorted(s1)[0]
+    dup = (
+        train.where(F.col("doc_id") == some_id)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars")
+    )
+    out = {r["doc_id"] for r in reloaded.curate_batch(dup).collect()}
+    assert out == set()
