@@ -69,6 +69,11 @@ def kmeans_assign(
         return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
     d = len(first[0])
 
+    # Each Lloyd round re-reads the embedding relation (assignment agg +
+    # the final labeling): cache it for the run.  Left to LRU eviction,
+    # same policy as the dedup stage checkpoints.
+    embeddings = embeddings.cache()
+
     init_rows = embeddings.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 

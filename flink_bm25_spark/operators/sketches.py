@@ -330,6 +330,12 @@ def histogram_sketch(
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
+    if values.isStreaming:
+        # static-LEFT-JOIN-streaming fill is illegal in Structured
+        # Streaming; emit occupied bins only (the read side treats an
+        # absent bin as 0 — merge sums present rows, quantiles only ever
+        # select bins with cnt > 0), same pattern as bloom_build
+        return counts
     bins = spark.range(nbins).select(F.col("id").cast("long").alias("bin"))
     return bins.join(counts, "bin", "left").select(
         "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")

@@ -245,3 +245,49 @@ def test_streaming_bloom_equals_batch(spark):
     # streaming emits occupied slots only; batch fills absent slots with 0
     want = _rows(bloom_build(words(batch_docs), "word").where("bits != 0"))
     assert got == want
+
+
+def test_streaming_histogram_and_grouped_hll_equal_batch(spark):
+    # The histogram and grouped-HLL sketches are single aggregations, so
+    # they run unchanged as complete-mode streams (T4 unified API); the
+    # final streamed registers equal the batch-built ones exactly.
+    from flink_bm25_spark.operators.sketches import (
+        histogram_sketch,
+        hll_buckets_by,
+    )
+
+    batch_ev, stream_ev = _stream_events(spark)
+
+    q = (
+        histogram_sketch(stream_ev, "value", 0.0, 500.0, 64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_hist")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.sql("SELECT * FROM t_hist"))
+    # streaming emits occupied bins only; batch fills absent bins with 0
+    want = [r for r in _rows(histogram_sketch(batch_ev, "value", 0.0, 500.0, 64)) if r[1] > 0]
+    assert got == want
+
+    def keyed(ev):
+        # h60 hashes strings: the decimal form is the canonical
+        # cross-engine byte representation of an integer id
+        return ev.select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+
+    q2 = (
+        hll_buckets_by(keyed(stream_ev), "event_type", "uid")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_ghll")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = _rows(spark.sql("SELECT * FROM t_ghll"))
+    want2 = _rows(hll_buckets_by(keyed(batch_ev), "event_type", "uid"))
+    assert got2 == want2
