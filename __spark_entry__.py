@@ -1330,6 +1330,17 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    # Sorted-neighborhood blocking: sort by a cheap key, pair docs within
+    # 3 positions — the complement to hash blocking (near keys that LSH
+    # buckets apart stay adjacent in the sort).
+    from flink_bm25_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        load_table(spark, "documents", sf_dir), window=3
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     # Passage chunking: overlapping 64-token windows, stride 48 — the
     # map-side prep step before chunk-level embedding / retrieval.
@@ -1640,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
+        "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_chunk_documents": _q_chunk_documents,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_collocations": _q_collocations,
@@ -3168,6 +3180,19 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_sorted_neighborhood"] = """
+        WITH k AS (
+          SELECT doc_id,
+                 substring(lower(text), 1, 8)
+                 || lpad(CAST(length(text) AS VARCHAR), 6, '0') AS bk
+          FROM documents),
+        r AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS rn
+          FROM k)
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                        greatest(a.doc_id, b.doc_id) AS d2
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    """
     out["q_chunk_documents"] = """
         WITH base AS (
           SELECT doc_id,

@@ -24,7 +24,7 @@ not just statistically similar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_bm25_spark.config import (
@@ -576,3 +576,52 @@ def simhash_pairs(
         "d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int").alias("hamming")
     )
     return ham.where(F.col("hamming") <= max_hamming)
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame,
+    key: Column | None = None,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo): order the corpus
+    by a blocking key, emit every pair within ``window`` positions —
+    ``(d1, d2)`` candidates for a downstream verifier.
+
+    The complement to hash-based blocking (LSH buckets can SPLIT true
+    pairs whose keys differ slightly; a sort keeps near keys adjacent):
+    standard practice is to union candidates from both and verify once.
+
+    Default blocking key: first 8 chars of the lowercased text
+    prepended to the doc length — cheap, sort-stable, groups
+    boilerplate-prefixed duplicates.
+
+    Scale shape: one ``row_number`` window over the key-thin projection,
+    then the position-range join expressed as ``window`` equi-joins on
+    ``rn = rn + k`` (k = 1..window) — co-partitioned integer-key joins,
+    candidates O(n · window), never quadratic.  (The global sort is the
+    method's cost; at cluster scale use ``repartitionByRange`` on the
+    key so each range packs independently, accepting missed pairs at
+    range boundaries or overlapping the ranges by ``window`` rows.)
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    if key is None:
+        key = F.concat(
+            F.substring(F.lower(F.col("text")), 1, 8),
+            F.lpad(F.length("text").cast("string"), 6, "0"),
+        )
+    ranked = documents.select(
+        "doc_id", F.row_number().over(W.orderBy(key.asc(), F.col("doc_id").asc())).alias("rn")
+    )
+    a = ranked.alias("a")
+    out = None
+    for k in range(1, window + 1):
+        b = ranked.select(
+            (F.col("rn") - F.lit(k)).alias("rn"), F.col("doc_id").alias("nbr")
+        ).alias(f"b{k}")
+        part = a.join(b, "rn").select(
+            F.least(F.col("a.doc_id"), F.col("nbr")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("nbr")).alias("d2"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.distinct()

@@ -229,3 +229,22 @@ def test_grouped_hll_equals_per_group_singles(spark):
             words.where(F.col("lang") == lang).select("word"), "word"
         ).collect()[0]["n_distinct_est"]
         assert grouped[lang] == single
+
+
+def test_sorted_neighborhood_blocking(spark):
+    from flink_bm25_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_documents(spark, SF_DIR)
+    n = docs.count()
+    pairs = sorted_neighborhood_pairs(docs, window=3).collect()
+    # candidate volume is exactly O(n * window): sum_{k=1..3} (n - k)
+    # unless least/greatest dedups mirror pairs (it can't: rn unique)
+    assert len(pairs) == (n - 1) + (n - 2) + (n - 3)
+    # identical texts share a blocking key, hence are adjacent: every
+    # exact-duplicate pair must appear among the candidates
+    from flink_bm25_spark.operators.dedup import exact_duplicates
+
+    got = {(r.d1, r.d2) for r in pairs}
+    for r in exact_duplicates(docs).collect():
+        d1, d2 = sorted((r["doc_id"], r["canonical_id"]))
+        assert (d1, d2) in got
