@@ -39,6 +39,7 @@ HEADLINE = [
     "q_bpe_pair_counts",
     "q_kmeans",
     "q_curation_pipeline",
+    "q_lm_perplexity",
 ]
 
 
