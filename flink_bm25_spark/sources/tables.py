@@ -134,3 +134,28 @@ def register_corpus_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> 
     stats.dlen.createOrReplaceTempView("dlen")
     stats.df_stats.createOrReplaceTempView("dfreq")
     stats.idf_stats.createOrReplaceTempView("idf")
+
+
+def register_curation_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Extend the SQL surface with the curation relations — quality
+    scores, shingles, chunks, LM scores, token stats — so a data-quality
+    analyst can drive the whole pipeline from ``spark.sql`` without
+    touching the Python API (``SELECT * FROM quality WHERE keep_score <
+    0.2``, ``SELECT * FROM lm_scores ORDER BY nll DESC LIMIT 20`` …).
+    Views are lazy: registering costs nothing until queried.
+    """
+    from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
+    from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
+        chunk_documents,
+        lm_perplexity_scores,
+        quality_scores,
+        token_stats,
+    )
+
+    register_views(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    quality_scores(docs).createOrReplaceTempView("quality")
+    shingles(docs).createOrReplaceTempView("shingles")
+    chunk_documents(docs).createOrReplaceTempView("chunks")
+    lm_perplexity_scores(docs).createOrReplaceTempView("lm_scores")
+    token_stats(docs).createOrReplaceTempView("token_stats")

@@ -136,3 +136,25 @@ def test_live_socket_wordcount(spark):
         stop.set()
         q.stop()
         server.close()
+
+
+def test_curation_views_sql_surface(spark):
+    from flink_bm25_spark.sources.tables import register_curation_views
+    from tests.conftest import SF_DIR
+
+    register_curation_views(spark, SF_DIR)
+    low_q = spark.sql(
+        "SELECT count(*) AS n FROM quality WHERE keep_score < 0.2"
+    ).collect()[0]["n"]
+    assert low_q >= 0
+    worst = spark.sql(
+        "SELECT doc_id FROM lm_scores ORDER BY nll DESC, doc_id LIMIT 5"
+    ).collect()
+    assert len(worst) == 5
+    joined = spark.sql(
+        """SELECT q.doc_id FROM quality q JOIN token_stats t USING (doc_id)
+           WHERE q.keep_score >= 0.2 AND t.n_tokens >= 50 LIMIT 3"""
+    ).collect()
+    assert len(joined) == 3
+    n_chunks = spark.sql("SELECT count(*) AS n FROM chunks").collect()[0]["n"]
+    assert n_chunks >= spark.sql("SELECT count(*) FROM documents").collect()[0][0]
