@@ -1330,6 +1330,14 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_dup_span_fraction(spark, sf_dir):
+    # Exact-substring-dedup signal (Lee et al. 2022): per-doc fraction of
+    # tokens covered by a 10-gram that also appears in another document.
+    from flink_bm25_spark.operators.dedup import duplicated_span_fraction
+
+    return duplicated_span_fraction(load_table(spark, "documents", sf_dir), n=10)
+
+
 def _q_sorted_neighborhood(spark, sf_dir):
     # Sorted-neighborhood blocking: sort by a cheap key, pair docs within
     # 3 positions — the complement to hash blocking (near keys that LSH
@@ -1651,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
+        "q_dup_span_fraction": _q_dup_span_fraction,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_chunk_documents": _q_chunk_documents,
         "q_lm_perplexity": _q_lm_perplexity,
@@ -3180,6 +3189,35 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_dup_span_fraction"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          FROM documents),
+        ps AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9] AS gram
+          FROM base, unnest(generate_series(1, len(ws) - 10 + 1)) t(i)),
+        cd AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ps)
+          GROUP BY gram HAVING count(*) >= 2),
+        fl AS (SELECT ps.* FROM ps JOIN cd USING (gram)),
+        cov AS (
+          SELECT doc_id, count(DISTINCT off) AS n_dup_tokens FROM (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + 10 - 1)) AS off
+            FROM fl) GROUP BY doc_id),
+        lens AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT l.doc_id, l.n_tokens,
+               coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+               CASE WHEN l.n_tokens <= 0 THEN 0.0
+                    ELSE round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
+                               / l.n_tokens, 6) END AS dup_frac
+        FROM lens l LEFT JOIN cov c USING (doc_id)
+    """
     out["q_sorted_neighborhood"] = """
         WITH k AS (
           SELECT doc_id,

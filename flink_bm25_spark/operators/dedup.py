@@ -625,3 +625,84 @@ def sorted_neighborhood_pairs(
         )
         out = part if out is None else out.unionByName(part)
     return out.distinct()
+
+
+def positional_shingles(documents: DataFrame, n: int = 10) -> DataFrame:
+    """``(doc_id, pos, gram)`` — word n-grams WITH their 0-based start
+    position (not deduplicated: position matters here).  Map-side indexed
+    transform, same rebinding discipline as :func:`shingles`."""
+    base = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
+    )
+    ws = F.col("_ws")
+
+    def make_gram(x, i):
+        parts = None
+        for j in range(n):
+            piece = F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+            parts = piece if parts is None else F.concat(parts, F.lit(" "), piece)
+        return F.when(i + n <= F.size(ws), F.struct(i.alias("pos"), parts.alias("gram")))
+
+    grams = F.transform(ws, make_gram)
+    return base.select(
+        "doc_id",
+        F.explode(F.filter(grams, lambda g: g.isNotNull())).alias("g"),
+    ).select("doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gram")
+
+
+def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
+    """``(doc_id, n_tokens, n_dup_tokens, dup_frac)`` — the fraction of
+    each document's tokens covered by an n-gram that also appears in
+    ANOTHER document (the exact-substring-dedup signal of Lee et al.
+    2022: long cross-document repeats are boilerplate/templates and
+    inflate memorization; docs above a dup_frac threshold get cut or
+    cropped).
+
+    Relational shape: positional n-grams → gram-level doc-frequency →
+    keep grams seen in ≥ 2 DISTINCT docs → explode each flagged gram
+    into its n covered token offsets → per-doc distinct-offset count.
+    The only corpus-sized shuffles are the gram-frequency aggregation
+    and the final per-doc count; the offset fanout (n× flagged grams)
+    happens between two aggregations with map-side partial combine.
+    Docs with zero duplicated spans are reported at 0.0.
+    """
+    pos_sh = positional_shingles(documents, n)
+    cross_doc = (
+        pos_sh.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= 2)
+        .select("gram")
+    )
+    flagged = pos_sh.join(cross_doc, "gram")
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("off"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("off").alias("n_dup_tokens"))
+    )
+    from flink_bm25_spark.operators.text_analysis import token_stats  # noqa: PLC0415
+
+    lens = token_stats(documents).select("doc_id", "n_tokens")
+    return (
+        lens.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )

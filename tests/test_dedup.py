@@ -248,3 +248,28 @@ def test_sorted_neighborhood_blocking(spark):
     for r in exact_duplicates(docs).collect():
         d1, d2 = sorted((r["doc_id"], r["canonical_id"]))
         assert (d1, d2) in got
+
+
+def test_duplicated_span_fraction_hand_example(spark):
+    from flink_bm25_spark.operators.dedup import duplicated_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 5-token run "v w x y z" at different
+            # positions; doc 3 shares nothing
+            (1, "a b c v w x y z d e"),
+            (2, "v w x y z p q r s t"),
+            (3, "m n o u f g h i j k"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_span_fraction(docs, n=5).collect()}
+    assert got[1]["n_dup_tokens"] == 5 and got[1]["dup_frac"] == 0.5
+    assert got[2]["n_dup_tokens"] == 5 and got[2]["dup_frac"] == 0.5
+    assert got[3]["n_dup_tokens"] == 0 and got[3]["dup_frac"] == 0.0
+    # exact duplicates cover themselves fully
+    dup = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id bigint, text string"
+    )
+    full = {r["doc_id"]: r["dup_frac"] for r in duplicated_span_fraction(dup, n=5).collect()}
+    assert full == {1: 1.0, 2: 1.0}
