@@ -1,0 +1,65 @@
+"""Continuous-ingest curation — the :class:`~flink_bm25_spark.api.
+CorpusCurator` driven by a document stream.
+
+The batch curator's contract (curate one batch against everything
+already ingested, extend the signature store) is exactly the
+``foreachBatch`` contract, so streaming curation is the same object fed
+micro-batches: each trigger's documents are screened against the
+accumulated state — including documents from EARLIER TRIGGERS of the
+same stream — and survivors append to a parquet sink.
+
+Scale/ops posture: state lives in the curator's relations (signature
+store, eval grams, archive handle), checkpointed to parquet by
+``curator.save`` between runs — restart the stream with a reloaded
+curator and dedup continues across the restart (pinned by test).  The
+survivor sink is append-only partitioned by batch id, same layout as
+:mod:`flink_bm25_spark.streaming.append_log`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.api import CorpusCurator
+
+BATCH_COL = "_batch_id"
+
+
+def curate_stream(
+    stream: DataFrame,
+    curator: CorpusCurator,
+    out_path: str,
+    checkpoint: str,
+    state_path: str | None = None,
+) -> None:
+    """Drive a document stream through ``curator`` until exhausted
+    (availableNow trigger): per micro-batch, survivors append to
+    ``out_path``; when ``state_path`` is given the curator state is
+    checkpointed after every batch (so a crash resumes with at most one
+    batch re-screened — the append sink's batch-id partitioning makes
+    the re-delivery overwrite-equivalent)."""
+
+    def _curate(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = curator.curate_batch(batch_df)
+        (
+            survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .partitionBy(BATCH_COL)
+            .parquet(out_path)
+        )
+        if state_path is not None:
+            curator.save(state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_curated(spark, out_path: str) -> DataFrame:
+    """The accumulated survivor corpus (all batches)."""
+    return spark.read.parquet(out_path).drop(BATCH_COL)

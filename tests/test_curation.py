@@ -272,3 +272,56 @@ def test_streaming_feature_hash_equals_batch(spark):
         for r in feature_hash_embeddings(build_corpus_stats(docs).tf, dim=16).collect()
     )
     assert got == want
+
+
+def test_streaming_curation_loop(spark, tmp_path):
+    # Continuous-ingest curation: micro-batches screened against state
+    # accumulated from EARLIER triggers of the same stream; survivors
+    # are duplicate-free across batch boundaries.
+    import os
+    import shutil
+
+    from flink_bm25_spark.api import CorpusCurator
+    from flink_bm25_spark.operators.dedup import minhash_dedup_pairs
+    from flink_bm25_spark.operators.sampling import hash_split
+    from flink_bm25_spark.streaming.curation import curate_stream, read_curated
+
+    docs = load_table(spark, "documents", SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+
+    # stage the train docs as two parquet files -> two micro-batches
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    train.where(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "p1"))
+    train.where(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(tmp_path / "p2"))
+    for i, src in enumerate(["p1", "p2"]):
+        for f in os.listdir(str(tmp_path / src)):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / src / f), os.path.join(land, f"{i}_{f}"))
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(land)
+    )
+    curator = CorpusCurator.fit(bench)
+    out = str(tmp_path / "curated")
+    curate_stream(stream, curator, out, str(tmp_path / "ckpt"),
+                  state_path=str(tmp_path / "state"))
+
+    kept = read_curated(spark, out)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids and kept.count() == len(kept_ids)  # no dup rows
+    # no surviving pair is a near-duplicate (cross-batch dedup worked)
+    for r in minhash_dedup_pairs(train, 0.8).collect():
+        assert not (r.d1 in kept_ids and r.d2 in kept_ids)
+    # state checkpoint is reloadable and remembers the stream's docs
+    re = CorpusCurator.load(spark, str(tmp_path / "state"))
+    dup = train.where(F.col("doc_id") == sorted(kept_ids)[0]).select(
+        (F.col("doc_id") + 777_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars"
+    )
+    assert re.curate_batch(dup).count() == 0
