@@ -1330,6 +1330,15 @@ def _feature_hash_oracle_sql(dim: int = 16) -> str:
     """
 
 
+def _q_outliers(spark, sf_dir):
+    # Per-group z-score outliers over exact single-pass moments; the
+    # moments relation broadcasts back — the fact table never shuffles.
+    from flink_bm25_spark.operators.profiling import numeric_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    return numeric_outliers(ev, "value", "event_type", z=3.0)
+
+
 def _q_dup_span_fraction(spark, sf_dir):
     # Exact-substring-dedup signal (Lee et al. 2022): per-doc fraction of
     # tokens covered by a 10-gram that also appears in another document.
@@ -1659,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
+        "q_outliers": _q_outliers,
         "q_dup_span_fraction": _q_dup_span_fraction,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_chunk_documents": _q_chunk_documents,
@@ -3189,6 +3199,17 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_outliers"] = """
+        WITH m AS (
+          SELECT event_type,
+                 avg(value) AS mu,
+                 avg(value * value) - avg(value) * avg(value) AS var
+          FROM events GROUP BY event_type HAVING var > 0)
+        SELECT event_id, event_type, value,
+               round((value - mu) / sqrt(var), 6) AS zscore
+        FROM events JOIN m USING (event_type)
+        WHERE abs(round((value - mu) / sqrt(var), 6)) > 3.0
+    """
     out["q_dup_span_fraction"] = r"""
         WITH base AS (
           SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws

@@ -361,3 +361,15 @@ def test_chunk_documents_coverage_and_overlap(spark):
         if d == 1:
             toks.update(r["chunk_text"].split())
     assert toks == {f"t{i}" for i in range(10)}
+
+
+def test_numeric_outliers_flags_injected_point(spark):
+    from flink_bm25_spark.operators.profiling import numeric_outliers
+
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    rows.append((100, "a", 500.0))     # the outlier
+    rows += [(200 + i, "b", 5.0) for i in range(10)]  # zero-variance group
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = numeric_outliers(df, "value", "event_type", z=3.0).collect()
+    assert [r["event_id"] for r in got] == [100]
+    assert got[0]["zscore"] > 3.0
