@@ -318,3 +318,59 @@ def feature_hash_embeddings(
     return wide.select(
         "doc_id", F.array(*[F.col(f"v{j}") for j in range(dim)]).alias(out_col)
     )
+
+
+def ivf_save(model, assigned: DataFrame, path: str) -> None:
+    """Persist the IVF index: vectors cell-PARTITIONED on disk (so a
+    probe's cell filter becomes partition pruning — the physical
+    "inverted list" lookup) plus the tiny centroid table."""
+    import os  # noqa: PLC0415
+
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def ivf_topk_from_disk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: centroid selection is a
+    driver-side read of the n_cells-row table; the vector scan carries a
+    ``cell IN (...)`` predicate that Catalyst turns into PARTITION
+    pruning — only ~nprobe/n_cells of the files are opened, which is the
+    entire point of the layout (asserted by
+    ``test_ivf_disk_probe_prunes_partitions``)."""
+    import os  # noqa: PLC0415
+
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    q = [float(x) for x in query_vec]
+
+    def dist2(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+    order = sorted(cents, key=lambda r: dist2(r["centroid"]))
+    probe_cells = [int(r["cell"]) for r in order[:nprobe]]
+    cand = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(probe_cells)
+    )
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -127,3 +127,29 @@ def test_feature_hash_is_stateless_and_incremental(spark):
         k=3,
     ).collect()
     assert len(top) == 3 and top[0]["vec_id"] == got[0][0]
+
+
+def test_ivf_disk_probe_prunes_partitions(spark, tmp_path):
+    # The persisted index answers identically to the in-memory probe,
+    # and the cell filter reaches the scan as PARTITION pruning — the
+    # disk layout IS the inverted list.
+    from flink_bm25_spark.operators.similarity import (
+        ivf_build,
+        ivf_save,
+        ivf_topk,
+        ivf_topk_from_disk,
+    )
+
+    emb = load_embeddings(spark, SF_DIR)
+    model, assigned = ivf_build(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_save(model, assigned, path)
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    want = [tuple(r) for r in ivf_topk(model, assigned, qvec, k=5, nprobe=3).collect()]
+    disk = ivf_topk_from_disk(spark, path, qvec, k=5, nprobe=3)
+    got = [tuple(r) for r in disk.collect()]
+    assert got == want
+
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
