@@ -356,13 +356,37 @@ def lm_perplexity_scores(
         )
         .agg(F.countDistinct("w").alias("v"))
     )
-    model = pair_counts.join(uni_counts, "w1").crossJoin(F.broadcast(vocab))
+    model = lm_model(pair_counts, uni_counts, vocab, alpha)
+    return lm_score(documents, model)
+
+
+def lm_model(
+    pair_counts: DataFrame, uni_counts: DataFrame, vocab: DataFrame, alpha: float
+) -> DataFrame:
+    """The fitted model as a relation: ``(w1, w2, nl)`` with
+    ``nl = -ln P(w2|w1)`` precomputed — a static lookup table that scores
+    any future corpus (or stream) without touching the training data."""
     logp = F.log(
         (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
     )
-    scored = bigrams.join(model, ["w1", "w2"]).select(
-        "doc_id", (-logp).alias("nl")
+    return (
+        pair_counts.join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", (-logp).alias("nl"))
     )
+
+
+def lm_score(documents: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents against a fitted :func:`lm_model` relation:
+    ``(doc_id, n_bigrams, nll)``.  Map-side bigram extraction + one join
+    on (w1, w2) + ONE aggregation — streaming-legal, so a persisted model
+    scores a live ingest feed unchanged (train once, score forever;
+    pinned by ``test_streaming_lm_scoring_equals_batch``).  Unseen
+    bigrams (absent from the model) are skipped by the inner join — the
+    train-corpus scoring path never meets one, and a stream scorer that
+    needs them should left-join against a backoff column instead."""
+    bigrams = _bigram_relation(documents)
+    scored = bigrams.join(model, ["w1", "w2"]).select("doc_id", "nl")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("nl"), 6).alias("nll"),

@@ -325,3 +325,52 @@ def test_streaming_curation_loop(spark, tmp_path):
         "source", "n_chars"
     )
     assert re.curate_batch(dup).count() == 0
+
+
+def test_streaming_lm_scoring_equals_batch(spark):
+    # Train once on the batch corpus, score a document STREAM against the
+    # fitted model relation: stream-static (w1,w2) join + one agg —
+    # final streamed scores equal the batch scorer's.
+    import shutil
+    import tempfile
+
+    from flink_bm25_spark.operators.text_analysis import (
+        lm_perplexity_scores,
+        lm_score,
+        _bigram_relation,
+        lm_model,
+    )
+    from flink_bm25_spark.functions.text import tokenize_expr
+
+    docs = load_table(spark, "documents", SF_DIR)
+    bigrams = _bigram_relation(docs)
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+            )
+        ).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    model = lm_model(pair_counts, uni_counts, vocab, alpha=0.1).cache()
+    model.count()
+
+    d = tempfile.mkdtemp(prefix="stream_lm_")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d)
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(d)
+
+    q = (
+        lm_score(stream, model)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_lm")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_lm").collect())
+    want = sorted(tuple(r) for r in lm_perplexity_scores(docs, alpha=0.1).collect())
+    assert got == want
+    model.unpersist()
