@@ -273,3 +273,15 @@ def test_duplicated_span_fraction_hand_example(spark):
     )
     full = {r["doc_id"]: r["dup_frac"] for r in duplicated_span_fraction(dup, n=5).collect()}
     assert full == {1: 1.0, 2: 1.0}
+
+
+def test_histogram_clamps_out_of_range_values(spark):
+    from flink_bm25_spark.operators.sketches import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (499.99,), (1000.0,), (None,)], "value double"
+    )
+    got = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "value", 0.0, 500.0, 64).collect()}
+    assert got[0] == 2      # -5 clamps into the first bin; 0.0 lands there
+    assert got[63] == 2     # 499.99 is in-range edge; 1000 clamps to last
+    assert sum(got.values()) == 4  # NULL dropped
