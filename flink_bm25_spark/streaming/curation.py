@@ -36,15 +36,21 @@ def curate_stream(
     """Drive a document stream through ``curator`` until exhausted
     (availableNow trigger): per micro-batch, survivors append to
     ``out_path``; when ``state_path`` is given the curator state is
-    checkpointed after every batch (so a crash resumes with at most one
-    batch re-screened — the append sink's batch-id partitioning makes
-    the re-delivery overwrite-equivalent)."""
+    checkpointed after every batch, so a crash resumes with at most one
+    batch re-screened — and the sink's dynamic partition overwrite makes
+    the re-delivered batch replace its own partition (effectively-once
+    output under foreachBatch's at-least-once delivery)."""
 
     def _curate(batch_df: DataFrame, batch_id: int) -> None:
         survivors = curator.curate_batch(batch_df)
+        # Dynamic partition overwrite (not blind append): a re-delivered
+        # batch REPLACES its own _batch_id partition, so foreachBatch's
+        # at-least-once delivery becomes effectively-once in the sink.
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy(BATCH_COL)
             .parquet(out_path)
         )

@@ -149,6 +149,23 @@ def main() -> None:
         f"tpch scale {mult}x -> time ratio {rel[f'x{mult}'] / rel['base']:.1f}x "
         f"(linear would be {mult}.0x)"
     )
+
+    # Decontamination: fixed benchmark set, train side multiplied N× —
+    # the broadcast probe's cost should track the TRAIN side linearly
+    # (per-doc output, no pair-space term).
+    from flink_bm25_spark.operators.decontam import contamination
+
+    bench = base.limit(25)
+    dc = {}
+    for label, docs in [("base", base), (f"x{mult}", big)]:
+        t0 = time.perf_counter()
+        n_flagged = contamination(docs, bench, n=3, min_overlap=3).count()
+        dc[label] = time.perf_counter() - t0
+        print(f"decontam {label}: {n_flagged} overlapping docs, {dc[label]:.1f}s")
+    print(
+        f"decontam scale {mult}x -> time ratio {dc[f'x{mult}'] / dc['base']:.1f}x "
+        f"(linear would be {mult}.0x)"
+    )
     spark.stop()
 
 

@@ -374,3 +374,30 @@ def test_streaming_lm_scoring_equals_batch(spark):
     want = sorted(tuple(r) for r in lm_perplexity_scores(docs, alpha=0.1).collect())
     assert got == want
     model.unpersist()
+
+
+def test_curation_sink_redelivery_is_idempotent(spark, tmp_path):
+    # The mechanism the streaming sink depends on: with dynamic partition
+    # overwrite, rewriting the same _batch_id partition replaces it — a
+    # re-delivered micro-batch cannot double its rows.
+    from flink_bm25_spark.streaming.curation import BATCH_COL
+
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id bigint, text string")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for _ in range(2):  # deliver the same batch twice
+        (
+            df.withColumn(BATCH_COL, F.lit(0).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+    assert spark.read.parquet(path).count() == 2
+    # a different batch id lands in its own partition, untouched
+    (
+        df.withColumn(BATCH_COL, F.lit(1).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+    assert spark.read.parquet(path).count() == 4
