@@ -235,6 +235,26 @@ class CorpusCurator:
         if self._docs is not None:
             self._docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
 
+    def checkpoint_state(self, path: str) -> None:
+        """Truncate state lineage, then persist: after many batches the
+        in-memory signature store / archive handle are union-chains whose
+        plan depth grows with batch count.  An EAGER ``localCheckpoint``
+        materializes them and cuts the lineage to a flat block scan (the
+        same stage-checkpoint pattern as the connected-components loop),
+        so a long-running ingest stays O(1) in plan size per batch — and
+        because the data is materialized BEFORE the write, ``save`` can
+        safely overwrite the very parquet a previous ``load`` read from
+        (an overwrite of a path still feeding the plan would lose data).
+        """
+        # eval_grams included: a curator loaded FROM ``path`` still reads
+        # these parquet files lazily — overwriting them mid-plan loses data
+        self.eval_grams = self.eval_grams.localCheckpoint(eager=True)
+        if self.sigs_wide is not None:
+            self.sigs_wide = self.sigs_wide.localCheckpoint(eager=True)
+        if self._docs is not None:
+            self._docs = self._docs.localCheckpoint(eager=True)
+        self.save(path)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str, **kw) -> "CorpusCurator":
         cur = cls(spark.read.parquet(os.path.join(path, "eval_grams")), **kw)

@@ -55,7 +55,9 @@ def curate_stream(
             .parquet(out_path)
         )
         if state_path is not None:
-            curator.save(state_path)
+            # save + reload: truncates the union-chain lineage of the
+            # growing state so plan depth stays O(1) per batch
+            curator.checkpoint_state(state_path)
 
     q = (
         stream.writeStream.foreachBatch(_curate)

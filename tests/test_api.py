@@ -127,3 +127,39 @@ def test_corpus_curator_incremental_loop(spark, tmp_path):
     )
     out = {r["doc_id"] for r in reloaded.curate_batch(dup).collect()}
     assert out == set()
+
+
+def test_curator_checkpoint_to_its_own_load_path(spark, tmp_path):
+    # The hazard case: state loaded FROM a path, then checkpointed back
+    # TO the same path after another batch — the eager materialization
+    # must protect the overwrite (no data loss, dedup memory intact).
+    from flink_bm25_spark.api import CorpusCurator
+    from flink_bm25_spark.operators.sampling import hash_split
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    path = str(tmp_path / "state")
+
+    cur = CorpusCurator.fit(bench)
+    cur.curate_batch(train.where(F.col("doc_id") < 200))
+    cur.checkpoint_state(path)
+
+    re = CorpusCurator.load(spark, path)
+    re.curate_batch(train.where(F.col("doc_id").between(200, 350)))
+    re.checkpoint_state(path)  # overwrite the path we loaded from
+
+    final = CorpusCurator.load(spark, path)
+    # the reloaded store remembers docs from BOTH eras
+    for probe_id in (0, 250):
+        src = train.where(F.col("doc_id") == probe_id)
+        if src.count() == 0:
+            continue
+        dup = src.select(
+            (F.col("doc_id") + 888_000).alias("doc_id"), "text", "lang",
+            "source", "n_chars"
+        )
+        assert final.curate_batch(dup).count() == 0
