@@ -69,5 +69,28 @@ def curate_stream(
 
 
 def read_curated(spark, out_path: str) -> DataFrame:
-    """The accumulated survivor corpus (all batches)."""
-    return spark.read.parquet(out_path).drop(BATCH_COL)
+    """The accumulated survivor corpus (all batches; works both before
+    and after :func:`compact_curated`)."""
+    df = spark.read.parquet(out_path)
+    return df.drop(BATCH_COL) if BATCH_COL in df.columns else df
+
+
+def compact_curated(spark, out_path: str, num_files: int = 8) -> None:
+    """Fold the per-batch partition layout into ``num_files`` plain
+    files — the small-files maintenance a long-running micro-batch sink
+    needs (thousands of tiny batch partitions make every downstream scan
+    pay per-file open cost).  The fold is eager-materialized before the
+    overwrite, so the rewrite of the path being read is safe; the
+    surviving-row set is unchanged (pinned by test)."""
+    snapshot = (
+        spark.read.parquet(out_path)
+        .drop(BATCH_COL)
+        .coalesce(num_files)
+        .localCheckpoint(eager=True)
+    )
+    snapshot.write.mode("overwrite").parquet(out_path)
+
+
+def read_compacted(spark, out_path: str) -> DataFrame:
+    """Read the sink after compaction (no batch column remains)."""
+    return spark.read.parquet(out_path)

@@ -401,3 +401,29 @@ def test_curation_sink_redelivery_is_idempotent(spark, tmp_path):
         .parquet(path)
     )
     assert spark.read.parquet(path).count() == 4
+
+
+def test_compact_curated_preserves_rows(spark, tmp_path):
+    from flink_bm25_spark.streaming.curation import (
+        BATCH_COL,
+        compact_curated,
+        read_curated,
+    )
+
+    path = str(tmp_path / "sink")
+    for b in range(5):
+        (
+            spark.range(b * 10, b * 10 + 10)
+            .select(F.col("id").alias("doc_id"), F.lit(f"t{b}").alias("text"))
+            .withColumn(BATCH_COL, F.lit(b).cast("long"))
+            .write.mode("append")
+            .partitionBy(BATCH_COL)
+            .parquet(path)
+        )
+    before = sorted(map(tuple, read_curated(spark, path).collect()))
+    compact_curated(spark, path, num_files=2)
+    after = sorted(map(tuple, read_curated(spark, path).collect()))
+    assert after == before
+    import glob
+    import os
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) <= 2
