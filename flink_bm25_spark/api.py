@@ -133,10 +133,12 @@ class CorpusCurator:
 
     Per batch, O(batch + candidates) work (``dedup.py::
     minhash_dedup_pairs_incremental``): the archive is only ever touched
-    through its signature store.  Dedup policy is greedy-stream: a new
-    document is dropped when it near-duplicates ANY lower-id document
-    already seen (the streaming analogue of cluster-min canonical
-    election — earlier always wins, so re-runs are stable).
+    through its signature store.  Dedup policy is greedy-stream,
+    FIRST-ARRIVAL wins: a new document is dropped when it
+    near-duplicates ANYTHING already ingested (an emitted survivor can
+    never be retracted, so arrival order — not id order — decides);
+    within one batch, ties fall to the lower id.  Replaying the same
+    batch sequence reproduces the same survivors.
     """
 
     def __init__(
@@ -192,9 +194,37 @@ class CorpusCurator:
                 old_sigs_wide=self.sigs_wide,
                 threshold=self.jaccard_threshold,
             )
-        losers = (
-            pairs.select(F.greatest("d1", "d2").alias("doc_id")).distinct()
+        # First-arrival wins: in a new-old pair the NEW member loses no
+        # matter its id (the old one is already emitted and cannot be
+        # retracted); in a new-new pair the greater id loses.  A plain
+        # greatest(d1, d2) would let a new duplicate with a SMALLER id
+        # than its archived twin slip through.
+        new_ids = new_documents.select("doc_id")
+        flagged_pairs = (
+            pairs.join(
+                new_ids.select(F.col("doc_id").alias("d1"))
+                .withColumn("_n1", F.lit(True)),
+                "d1",
+                "left",
+            )
+            .join(
+                new_ids.select(F.col("doc_id").alias("d2"))
+                .withColumn("_n2", F.lit(True)),
+                "d2",
+                "left",
+            )
+            .select(
+                F.when(
+                    F.coalesce(F.col("_n1"), F.lit(False))
+                    & F.coalesce(F.col("_n2"), F.lit(False)),
+                    F.greatest("d1", "d2"),
+                )
+                .when(F.coalesce(F.col("_n1"), F.lit(False)), F.col("d1"))
+                .otherwise(F.col("d2"))
+                .alias("doc_id")
+            )
         )
+        losers = flagged_pairs.distinct()
         qual = quality_scores(new_documents).select("doc_id", "keep_score")
         contaminated = (
             overlap_counts(new_documents, self.eval_grams)

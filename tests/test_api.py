@@ -163,3 +163,24 @@ def test_curator_checkpoint_to_its_own_load_path(spark, tmp_path):
             "source", "n_chars"
         )
         assert final.curate_batch(dup).count() == 0
+
+
+def test_curator_first_arrival_wins_regardless_of_id_order(spark):
+    # The emitted-cannot-retract rule: when a duplicate arrives LATER
+    # with a SMALLER id than its already-kept twin, the newcomer must
+    # lose — id order never overrides arrival order.
+    from flink_bm25_spark.api import CorpusCurator
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, text) for i in ids], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9_999, "totally unrelated benchmark words only")],
+        "doc_id bigint, text string",
+    )
+    cur = CorpusCurator.fit(bench)
+    first = {r["doc_id"] for r in cur.curate_batch(mk([1000])).collect()}
+    assert first == {1000}
+    second = {r["doc_id"] for r in cur.curate_batch(mk([1])).collect()}
+    assert second == set(), "smaller-id latecomer must not displace the kept doc"
