@@ -746,6 +746,28 @@ def _q_stats_moments(spark, sf_dir):
     )
 
 
+def _q_full_outer_join(spark, sf_dir):
+    # FULL OUTER — the one join type the rest of the suite didn't pin.
+    # Both sides are restricted so BOTH produce unmatched rows: machinery
+    # customers vs per-customer pending-order counts; null-safe output
+    # (coalesced keys, zeroed counts) keeps the hash contract clean.
+    cust = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    pend = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_pending"))
+    )
+    j = cust.join(pend, cust.c_custkey == pend.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment"),
+        F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
+    )
+
+
 def _q_anti_join(spark, sf_dir):
     # LEFT ANTI join — customers with no pending order (the join family the
     # reference lacks entirely, SURVEY §2.6).  Filtered so the result is
@@ -1613,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_orders": _q_cube_orders,
         "q_grouping_sets": _q_grouping_sets,
         "q_stats_moments": _q_stats_moments,
+        "q_full_outer_join": _q_full_outer_join,
         "q_anti_join": _q_anti_join,
         "q_semi_join": _q_semi_join,
         "q_asof_join": _q_asof_join,
@@ -3199,6 +3222,18 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_full_outer_join"] = """
+        WITH cust AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_mktsegment = 'MACHINERY'),
+        pend AS (
+          SELECT o_custkey, count(*) AS n_pending FROM orders
+          WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               coalesce(c_mktsegment, '(none)') AS segment,
+               coalesce(n_pending, 0) AS n_pending
+        FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
+    """
     out["q_outliers"] = """
         WITH m AS (
           SELECT event_type,
