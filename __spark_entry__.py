@@ -1380,6 +1380,33 @@ def _q_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def _q_chunk_embeddings(spark, sf_dir):
+    # The RAG prep flow end-to-end: chunk the corpus, then feature-hash
+    # each CHUNK into a retrieval vector — two verified operators
+    # composed in one plan; (doc_id, chunk_id) keys the vectors back.
+    from flink_bm25_spark.operators.similarity import feature_hash_embeddings
+    from flink_bm25_spark.operators.text_analysis import chunk_documents
+
+    chunks = chunk_documents(
+        load_table(spark, "documents", sf_dir), size=64, stride=48
+    )
+    # composite key: chunk counts are << 10000 per doc at any fixture
+    tf = (
+        chunks.select(
+            (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("doc_id"),
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    emb = feature_hash_embeddings(tf, dim=8)
+    return emb.select(
+        F.expr("doc_id div 10000").alias("doc_id"),
+        (F.col("doc_id") % 10_000).alias("chunk_id"),
+        *[F.col("fvec")[j].alias(f"v{j}") for j in range(8)],
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     # Passage chunking: overlapping 64-token windows, stride 48 — the
     # map-side prep step before chunk-level embedding / retrieval.
@@ -1695,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_fraction": _q_dup_span_fraction,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_chunk_documents": _q_chunk_documents,
+        "q_chunk_embeddings": _q_chunk_embeddings,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_collocations": _q_collocations,
         "q_curation_pipeline": _q_curation_pipeline,
@@ -3222,6 +3250,36 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_chunk_embeddings"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        nn AS (
+          SELECT doc_id, ws,
+                 1 + CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT)
+                   AS n_chunks
+          FROM base WHERE len(ws) > 0),
+        ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+          FROM nn),
+        tok AS (
+          SELECT doc_id * 10000 + chunk_id AS ck,
+                 unnest(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                   AS word
+          FROM ex),
+        tf AS (SELECT ck, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        c AS (
+          SELECT ck,
+                 ('0x' || substring(md5(word), 1, 15))::BIGINT % 8 AS slot,
+                 (1 - 2 * (('0x' || substring(md5(word || ':s'), 1, 15))::BIGINT
+                           % 2)) * tf AS sx
+          FROM tf)
+        SELECT ck // 10000 AS doc_id, ck % 10000 AS chunk_id, CAST(sum(CASE WHEN slot = 0 THEN sx ELSE 0 END) AS DOUBLE) AS v0, CAST(sum(CASE WHEN slot = 1 THEN sx ELSE 0 END) AS DOUBLE) AS v1, CAST(sum(CASE WHEN slot = 2 THEN sx ELSE 0 END) AS DOUBLE) AS v2, CAST(sum(CASE WHEN slot = 3 THEN sx ELSE 0 END) AS DOUBLE) AS v3, CAST(sum(CASE WHEN slot = 4 THEN sx ELSE 0 END) AS DOUBLE) AS v4, CAST(sum(CASE WHEN slot = 5 THEN sx ELSE 0 END) AS DOUBLE) AS v5, CAST(sum(CASE WHEN slot = 6 THEN sx ELSE 0 END) AS DOUBLE) AS v6, CAST(sum(CASE WHEN slot = 7 THEN sx ELSE 0 END) AS DOUBLE) AS v7
+        FROM c GROUP BY ck
+    """
     out["q_full_outer_join"] = """
         WITH cust AS (
           SELECT c_custkey, c_mktsegment FROM customer
