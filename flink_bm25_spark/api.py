@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_bm25_spark.config import BM25_B, BM25_K1, STOPWORDS
+from flink_bm25_spark.config import BM25_B, BM25_K1, SHINGLE_SIZE, STOPWORDS
 from flink_bm25_spark.operators.bm25 import bm25_rank
 from flink_bm25_spark.operators.df_idf import idf
 from flink_bm25_spark.operators.pipeline import CorpusStats, build_corpus_stats
@@ -148,22 +148,33 @@ class CorpusCurator:
         min_keep_score: float = 0.2,
         jaccard_threshold: float = 0.8,
         min_overlap: int = 3,
+        decontam_n: int = SHINGLE_SIZE,
     ):
         self.eval_grams = eval_grams
         self.sigs_wide = sigs_wide
         self.min_keep_score = min_keep_score
         self.jaccard_threshold = jaccard_threshold
         self.min_overlap = min_overlap
+        # Shingle width shared by BOTH decontamination sides: ``fit``
+        # builds eval_grams at this n, ``curate_batch`` probes at the
+        # same n — widths must agree or overlap is identically zero.
+        self.decontam_n = decontam_n
         # Archive handle for verify-stage re-shingling (candidate docs
         # only — a semi-join prunes it before tokenization; at scale this
         # is the corpus table, scanned selectively, never re-signed).
         self._docs: DataFrame | None = None
 
     @classmethod
-    def fit(cls, benchmark: DataFrame, **kw) -> "CorpusCurator":
+    def fit(
+        cls, benchmark: DataFrame, decontam_n: int = SHINGLE_SIZE, **kw
+    ) -> "CorpusCurator":
         from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
 
-        return cls(shingles(benchmark).select("gram").distinct(), **kw)
+        return cls(
+            shingles(benchmark, n=decontam_n).select("gram").distinct(),
+            decontam_n=decontam_n,
+            **kw,
+        )
 
     def curate_batch(self, new_documents: DataFrame) -> DataFrame:
         """Quality + decontamination + near-dup screening of one batch
@@ -187,9 +198,17 @@ class CorpusCurator:
         else:
             # Candidate generation probes the signature store (archive
             # never re-signed); exact-Jaccard verify re-shingles only the
-            # archive docs that land in a candidate pair.
+            # archive docs that land in a candidate pair.  A curator can
+            # legitimately hold signatures without the archive text (e.g.
+            # constructed from a bare signature store): verify then runs
+            # against an empty archive rather than dereferencing None.
+            archive = (
+                self._docs
+                if self._docs is not None
+                else new_documents.where(F.lit(False))
+            )
             pairs = minhash_dedup_pairs_incremental(
-                self._docs,
+                archive,
                 new_documents,
                 old_sigs_wide=self.sigs_wide,
                 threshold=self.jaccard_threshold,
@@ -227,7 +246,7 @@ class CorpusCurator:
         losers = flagged_pairs.distinct()
         qual = quality_scores(new_documents).select("doc_id", "keep_score")
         contaminated = (
-            overlap_counts(new_documents, self.eval_grams)
+            overlap_counts(new_documents, self.eval_grams, n=self.decontam_n)
             .where(F.col("n_overlap") >= self.min_overlap)
             .select("doc_id")
         )
@@ -255,15 +274,21 @@ class CorpusCurator:
         return survivors
 
     def save(self, path: str) -> None:
+        import shutil  # noqa: PLC0415
+
         self.eval_grams.write.mode("overwrite").parquet(
             os.path.join(path, "eval_grams")
         )
-        if self.sigs_wide is not None:
-            self.sigs_wide.write.mode("overwrite").parquet(
-                os.path.join(path, "sigs")
-            )
-        if self._docs is not None:
-            self._docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        # Stale subdirs from an earlier save are removed when the matching
+        # in-memory state is None — otherwise a later ``load`` would
+        # reconstruct an inconsistent curator (e.g. signatures without the
+        # archive they were built from).
+        for name, state in (("sigs", self.sigs_wide), ("docs", self._docs)):
+            sub = os.path.join(path, name)
+            if state is not None:
+                state.write.mode("overwrite").parquet(sub)
+            elif os.path.exists(sub):
+                shutil.rmtree(sub)
 
     def checkpoint_state(self, path: str) -> None:
         """Truncate state lineage, then persist: after many batches the

@@ -129,6 +129,70 @@ def test_corpus_curator_incremental_loop(spark, tmp_path):
     assert out == set()
 
 
+def test_curator_drops_contaminated_doc(spark):
+    # Decontamination must actually fire: a batch doc that IS a benchmark
+    # doc (same text, new id) shares every eval shingle and must be
+    # dropped.  Pins the fit/probe shingle-width agreement — a width
+    # mismatch makes overlap identically zero and this doc survives.
+    from flink_bm25_spark.api import CorpusCurator
+    from flink_bm25_spark.operators.sampling import hash_split
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    leak = bench.limit(1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text",
+        "lang", "source", "n_chars",
+    )
+    clean = (
+        labeled.where(F.col("split") == "train").drop("split").limit(3)
+    )
+
+    cur = CorpusCurator.fit(bench)
+    out = {r["doc_id"] for r in cur.curate_batch(clean.unionByName(leak)).collect()}
+    leak_id = leak.first()["doc_id"]
+    assert leak_id not in out
+    assert out  # the clean docs were not collateral damage
+
+
+def test_curator_sigs_without_docs_archive(spark, tmp_path):
+    # A curator holding signatures but no archive text (bare signature
+    # store) must not crash in curate_batch; and save() must clear stale
+    # subdirs so load() can't reconstruct inconsistent state.
+    import os
+
+    from flink_bm25_spark.api import CorpusCurator
+    from flink_bm25_spark.operators.dedup import minhash_signatures_wide, shingles
+    from flink_bm25_spark.operators.sampling import hash_split
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+
+    sigs = minhash_signatures_wide(shingles(train.where(F.col("doc_id") < 100)))
+    cur = CorpusCurator.fit(bench)
+    cur.sigs_wide = sigs  # signatures without archive text
+    batch = train.where(F.col("doc_id").between(100, 120))
+    out = cur.curate_batch(batch)  # must not raise
+    assert out.count() > 0
+
+    # save() with _docs present writes docs/; a later save() after state
+    # reset must remove the stale subdir.
+    path = str(tmp_path / "state")
+    cur.save(path)
+    assert os.path.exists(os.path.join(path, "docs"))
+    cur._docs = None
+    cur.sigs_wide = None
+    cur.save(path)
+    assert not os.path.exists(os.path.join(path, "docs"))
+    assert not os.path.exists(os.path.join(path, "sigs"))
+
+
 def test_curator_checkpoint_to_its_own_load_path(spark, tmp_path):
     # The hazard case: state loaded FROM a path, then checkpointed back
     # TO the same path after another batch — the eager materialization
