@@ -50,7 +50,9 @@ from flink_bm25_spark.operators.pipeline import corpus_stats_for
 from flink_bm25_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     quantized_embeddings,
+    sparse_plane,
 )
 from flink_bm25_spark.operators.text_analysis import (
     bpe_token_counts,
@@ -439,6 +441,16 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_embed_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(load_table(spark, "embeddings", sf_dir), 0.45)
+
+
+def _q_embed_near_dup_lsh(spark, sf_dir):
+    # Sub-quadratic tier: banded sign-LSH candidates (sparse ±1 planes),
+    # exact cosine only on same-bucket collisions.  Returns the
+    # LSH-discoverable subset of q_embed_near_dup — approximate by
+    # design; the oracle replays the identical deterministic planes.
+    return embedding_near_dup_pairs_lsh(
+        load_table(spark, "embeddings", sf_dir), 0.45
+    )
 
 
 def _q_embed_quantize(spark, sf_dir):
@@ -1636,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
+        "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_embed_quantize": _q_embed_quantize,
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         # text analysis extension
@@ -1899,6 +1912,32 @@ _SQ_DOT = (
 _NORM = (
     "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
+
+
+def _srp_keys_sql(bands: int = 12, bits: int = 6, nnz: int = 8) -> str:
+    """Banded sign-LSH keys as one UNION ALL relation — generated from
+    the SAME deterministic sparse ±1 planes the Spark operator folds into
+    its expression tree (`operators/similarity.py::sparse_plane`), so the
+    oracle's buckets are bit-identical: per bit, a left-associated sum of
+    CAST(embedding[i] AS DOUBLE) * ±1.0 terms in ascending-index order,
+    then a >= 0 sign test."""
+    selects = []
+    for b in range(bands):
+        bit_terms = []
+        for j in range(bits):
+            p = b * bits + j
+            dot = " + ".join(
+                f"CAST(embedding[{idx + 1}] AS DOUBLE) * {float(s)}"
+                for idx, s in sparse_plane(p, 64, nnz)
+            )
+            bit_terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        key = " + ".join(bit_terms)
+        selects.append(
+            f"SELECT vec_id, {b} AS band, ({key}) AS bkey FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
 
 _MARKER_SQL = {
     "en": "'the', 'a', 'of'",
@@ -2276,6 +2315,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.range AS slot, coalesce(s.bits, 0::BIGINT) AS bits
             FROM range(16) g LEFT JOIN slots s ON g.range = s.slot
+        """,
+        "q_embed_near_dup_lsh": f"""
+            WITH keys AS ({_srp_keys_sql()}),
+            cand AS (
+              SELECT DISTINCT k1.vec_id AS d1, k2.vec_id AS d2
+              FROM keys k1 JOIN keys k2
+                ON k1.band = k2.band AND k1.bkey = k2.bkey
+               AND k1.vec_id < k2.vec_id
+            ),
+            nrm AS (
+              SELECT vec_id, {_NORM.format(e='embedding')} AS nrm
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT c.d1, c.d2, {_SQ_DOT} AS dot
+              FROM cand c
+              JOIN embeddings a ON c.d1 = a.vec_id
+              JOIN embeddings b ON c.d2 = b.vec_id
+            )
+            SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
+            FROM dots JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id
+            WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.45
         """,
         "q_embed_quantize": """
             WITH s AS (

@@ -240,3 +240,22 @@ def test_kmeans_assignment_is_map_side(spark):
     plan = explain_str(df, "simple")
     assert count_exchanges(df) == 0
     assert "Join" not in plan
+
+
+def test_embed_near_dup_no_nested_loop(spark):
+    # Exact all-pairs runs as a BLOCKED theta-join: a two-column hash
+    # equi-join on block keys, never a BroadcastNestedLoopJoin or
+    # CartesianProduct (which would put the whole pair space on one node).
+    df = QUERIES["q_embed_near_dup"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_near_dup_lsh_no_nested_loop(spark):
+    # The sub-quadratic tier: candidates come from a (band, bkey)
+    # equi-join; band keys are literal-folded map-side expressions.
+    df = QUERIES["q_embed_near_dup_lsh"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -153,3 +153,74 @@ def test_ivf_disk_probe_prunes_partitions(spark, tmp_path):
 
     plan = disk._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_near_dup_blocked_equals_brute_force(spark):
+    # The blocked theta-join must return EXACTLY the naive all-pairs
+    # result (it is the same relation, just a distributable plan) — for
+    # any block count, including ones that don't divide n.
+    import itertools
+    import math
+
+    from flink_bm25_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_embeddings(spark, SF_DIR)
+    rows = emb.select("vec_id", "embedding").limit(120).collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    small = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expected = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if round(cos(vecs[i], vecs[j]), 6) >= 0.3
+    }
+    for g in (1, 5, 8):
+        got = {
+            (r.d1, r.d2)
+            for r in embedding_near_dup_pairs(small, 0.3, num_blocks=g).collect()
+        }
+        assert got == expected, f"num_blocks={g}"
+
+
+def test_near_dup_lsh_subset_and_high_threshold_recall(spark):
+    # (a) the LSH tier returns a subset of the exact tier; (b) at dedup
+    # thresholds (cos >= ~0.95, planted near-identical copies) banded
+    # sign-LSH recall is ~1: every planted pair is found.
+    from flink_bm25_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = load_embeddings(spark, SF_DIR)
+    exact = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs(emb, 0.45).collect()
+    }
+    approx = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs_lsh(emb, 0.45).collect()
+    }
+    assert approx <= exact
+    assert approx  # finds a non-trivial subset on the fixture
+
+    # Planted near-dups: copy 40 vectors with one component nudged — the
+    # pair cosine stays ~0.999; all 40 pairs must be recovered.
+    base = emb.limit(40).collect()
+    planted = []
+    for r in base:
+        v = [float(x) for x in r.embedding]
+        w = list(v)
+        w[0] += 0.01
+        planted.append((int(r.vec_id), v))
+        planted.append((int(r.vec_id) + 100_000, w))
+    df = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    found = {
+        (r.d1, r.d2)
+        for r in embedding_near_dup_pairs_lsh(df, 0.99).collect()
+    }
+    want = {(int(r.vec_id), int(r.vec_id) + 100_000) for r in base}
+    assert want <= found
