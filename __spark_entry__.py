@@ -2160,8 +2160,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE n > 1 AND doc_id <> canonical_id
         """,
         "q_shingles": f"WITH {_SHINGLES} SELECT doc_id, gram FROM sh",
+        # Discovery-path Jaccard caps gram document frequency (500) before
+        # the self-join — hot grams can't rank pairs and would put df²
+        # rows in one bucket; the oracle mirrors the capped universe.
         "q_dedup_ngram_jaccard": f"""
-            WITH {_JACCARD}
+            WITH {_SHINGLES},
+            hot AS (
+              SELECT gram FROM (
+                SELECT gram, count(*) AS gdf FROM sh GROUP BY gram
+              ) WHERE gdf > 500
+            ),
+            shc AS (SELECT sh.doc_id, sh.gram FROM sh ANTI JOIN hot USING (gram)),
+            shsz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+              FROM shc a JOIN shc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT d1, d2,
+                     round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+              FROM inter JOIN shsz x ON d1 = x.doc_id
+                         JOIN shsz y ON d2 = y.doc_id
+            )
             SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
         """,
         "q_minhash_signatures": f"WITH {_MINHASH} SELECT doc_id, i, mh FROM msig",
@@ -3184,13 +3205,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM d1)
               WHERE rk = 1
             ),
-            c1 AS (
+            m1 AS (
               SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
                 SELECT a1.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
                 FROM a1 JOIN emb USING (vec_id)
                 CROSS JOIN range(1, 65) t(i)
                 GROUP BY 1, 2)
               GROUP BY 1
+            ),
+            -- empty clusters keep the previous round's centroid (standard
+            -- Lloyd; matches kmeans_assign's by_cid.get(cid, c) fallback)
+            c1 AS (
+              SELECT c0.cid, coalesce(m1.e, c0.e) AS e
+              FROM c0 LEFT JOIN m1 USING (cid)
             ),
             d2 AS (
               SELECT emb.vec_id, c1.cid,
@@ -3206,13 +3233,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM d2)
               WHERE rk = 1
             ),
-            c2 AS (
+            m2 AS (
               SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
                 SELECT a2.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
                 FROM a2 JOIN emb USING (vec_id)
                 CROSS JOIN range(1, 65) t(i)
                 GROUP BY 1, 2)
               GROUP BY 1
+            ),
+            c2 AS (
+              SELECT c1.cid, coalesce(m2.e, c1.e) AS e
+              FROM c1 LEFT JOIN m2 USING (cid)
             ),
             d3 AS (
               SELECT emb.vec_id, c2.cid,

@@ -257,8 +257,8 @@ class CorpusCurator:
                 ),
                 "doc_id",
             )
-            .join(F.broadcast(contaminated), "doc_id", "left_anti")
-            .join(F.broadcast(losers), "doc_id", "left_anti")
+            .join(contaminated, "doc_id", "left_anti")
+            .join(losers, "doc_id", "left_anti")
         )
         new_sigs = minhash_signatures_wide(shingles(new_documents))
         self.sigs_wide = (

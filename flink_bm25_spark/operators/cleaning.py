@@ -32,6 +32,12 @@ def clean_corpus(
     """``(doc_id, keep_score)`` for every document that survives cleaning:
     ``keep_score >= min_keep_score`` AND not a non-canonical member of a
     near-duplicate cluster (cluster-min doc id survives for each cluster).
+
+    The loser set is duplicate-fraction-sized — usually small, but at a
+    30–50% duplicate rate on a large corpus it is NOT broadcastable, so
+    no broadcast hint is forced here: AQE picks broadcast when the
+    runtime size allows and falls back to a shuffled anti-join when it
+    doesn't (a forced hint would OOM the driver instead).
     """
     scored = quality_scores(documents).select("doc_id", "keep_score")
     pairs = minhash_dedup_pairs(documents, jaccard_threshold)
@@ -41,7 +47,7 @@ def clean_corpus(
         .select("doc_id")
     )
     return scored.where(F.col("keep_score") >= min_keep_score).join(
-        F.broadcast(losers), "doc_id", "left_anti"
+        losers, "doc_id", "left_anti"
     )
 
 
@@ -99,7 +105,9 @@ def curation_pipeline(
         .where("contaminated")
         .select("doc_id")
     )
-    decon = survivors.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # Contamination-fraction-sized — data-dependent, so no forced
+    # broadcast hint (AQE decides; see clean_corpus).
+    decon = survivors.join(contaminated, "doc_id", "left_anti")
 
     lens = token_stats(decon).select("doc_id", "n_tokens")
     base = decon.select("doc_id", stratum_col).join(lens, "doc_id")
@@ -110,10 +118,17 @@ def curation_pipeline(
         default_weight=default_weight,
     )
     # Composite layout key: each (doc, rep) copy packs as its own unit.
-    # weights bound rep < 16, so the key is collision-free and ordered
-    # (doc-major, copies adjacent).
+    # rep < ceil(weight), so the multiplier is the smallest power of two
+    # ≥ max(16, ceil(max weight)) — collision-free for ANY weights, and
+    # stays 16 (the historical constant) for all weights < 16.
+    import math  # noqa: PLC0415
+
+    max_w = max([*weights.values(), default_weight])
+    mult = 16
+    while mult < math.ceil(max_w):
+        mult *= 2
     keyed = mixed.withColumn(
-        "mkey", F.col("doc_id") * F.lit(16) + F.col("rep")
+        "mkey", F.col("doc_id") * F.lit(mult) + F.col("rep")
     )
     packed = pack_sequences(
         keyed, budget=budget, len_col="n_tokens", key_col="mkey", shards=shards

@@ -73,11 +73,12 @@ def contamination(
     eval_grams = shingles(benchmark, n=n).select("gram").distinct()
     sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     overlap = overlap_counts(train, eval_grams, n=n)
-    # `overlap` holds only docs that matched an eval gram — small by
-    # construction; broadcast it into the corpus-sized `sizes` relation
-    # (never the reverse: `sizes` has one row per train doc).
+    # `overlap` holds only docs that matched an eval gram — usually small
+    # but DATA-dependent (template contamination can flag a large corpus
+    # fraction), so no forced broadcast hint: AQE broadcasts when the
+    # runtime size allows and falls back to a shuffled join when not.
     return (
-        sizes.join(F.broadcast(overlap), "doc_id")
+        sizes.join(overlap, "doc_id")
         .select(
             "doc_id",
             "n_grams",
@@ -93,12 +94,13 @@ def decontaminate(
     n: int = DEFAULT_NGRAM,
     min_overlap: int = DEFAULT_MIN_OVERLAP,
 ) -> DataFrame:
-    """The corpus minus contaminated docs — a broadcast anti-join on the
-    flagged id set, so the surviving 100 TB side crosses the network
-    zero times."""
+    """The corpus minus contaminated docs — an anti-join on the flagged
+    id set.  The flagged set is contamination-fraction-sized and
+    data-dependent, so the join strategy is left to AQE (broadcast when
+    it fits, shuffled anti-join when it doesn't)."""
     flagged = (
         contamination(documents, benchmark, n=n, min_overlap=min_overlap)
         .where("contaminated")
         .select("doc_id")
     )
-    return documents.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return documents.join(flagged, "doc_id", "left_anti")

@@ -140,13 +140,28 @@ def shingles(documents: DataFrame, n: int = SHINGLE_SIZE) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, pairs: DataFrame | None = None
+    sh: DataFrame,
+    threshold: float,
+    pairs: DataFrame | None = None,
+    max_gram_df: int | None = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard: ``(d1, d2, jaccard)`` with jaccard ≥ threshold.
 
     Intersections come from a shingle equi-join (only docs sharing a gram
     ever meet — never an all-pairs cross join).  When ``pairs`` is given,
     the join is pre-filtered to those candidates (the LSH verify path).
+
+    The discovery path (no ``pairs``) caps gram document frequency at
+    ``max_gram_df`` before the self-join: a gram shared by 10⁴ docs puts
+    10⁸ rows in one join bucket, yet contributes nothing to *ranking*
+    similar pairs (it matches everything — the same reason
+    :func:`duplicated_span_fraction` prunes with ``cross_doc``).  Hot
+    grams are excluded from BOTH the intersection and the size
+    denominators, so the score is Jaccard over the discriminative gram
+    universe; identical docs still score 1.0.  The hot set is tiny by
+    construction (df > cap), so the exclusion is a broadcast anti-join —
+    skew never reaches the self-join.  ``max_gram_df=None`` disables the
+    cap (exact textbook Jaccard, small corpora only).
     """
     if pairs is not None:
         # Candidate-verify path: gather each candidate doc's (distinct)
@@ -200,6 +215,14 @@ def jaccard_pairs(
         return jac.where(F.col("jaccard") >= threshold)
     # Discovery path (no candidates): the gram equi-join — only docs
     # sharing a gram ever meet, never an all-pairs cross join.
+    if max_gram_df is not None:
+        hot = (
+            sh.groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .where(F.col("gdf") > max_gram_df)
+            .select("gram")
+        )
+        sh = sh.join(F.broadcast(hot), "gram", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -230,29 +253,43 @@ def edit_distance_pairs(
     Levenshtein distance ``max_dist`` (entity-resolution after exact dedup:
     near-identical names/titles that hashing can never catch).
 
-    Scale shape: the pairwise join runs over the **distinct-value
-    relation**, which is orders of magnitude smaller than the corpus (and
-    broadcastable), not over the rows themselves; the length-difference
-    prefilter (``|len(a)-len(b)| > d ⟹ lev(a,b) > d``) prunes pairs before
-    the O(len²) distance kernel runs.  ``levenshtein`` is a JVM built-in —
-    no Python in the loop.
+    Scale shape: the pairwise work runs over the **distinct-value
+    relation** (orders of magnitude smaller than the corpus), blocked by
+    a LOSSLESS length-band equi-join: ``lev(a,b) ≤ d ⟹ |len(a)−len(b)|
+    ≤ d``, so the shorter side is exploded over its ``d+1`` admissible
+    partner lengths and met by a plain hash equi-join on length — never a
+    nested-loop/cartesian over all value pairs, and only same-length-band
+    values ever reach the O(len²) ``levenshtein`` kernel (a JVM built-in —
+    no Python in the loop).  Equal-length pairs meet in both
+    orientations, so pairs are canonicalized and deduped.
     """
-    names = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
-    a = names.select(F.col("v").alias("v1"), F.length("v").alias("len1"))
-    b = names.select(F.col("v").alias("v2"), F.length("v").alias("len2"))
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("v1") < F.col("v2"))
-            & (F.abs(F.col("len1") - F.col("len2")) <= max_dist),
-        )
-        .select(
-            "v1",
-            "v2",
-            F.levenshtein("v1", "v2").cast("int").alias("dist"),
-        )
-        .where(F.col("dist") <= max_dist)
+    names = (
+        df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
     )
+    a = names.select(
+        F.col("v").alias("va"),
+        F.explode(
+            F.sequence(F.length("v"), F.length("v") + F.lit(max_dist))
+        ).alias("blen"),
+    )
+    b = names.select(F.col("v").alias("vb"), F.length("v").alias("blen"))
+    cand = (
+        a.join(b, "blen")
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("v1"),
+            F.greatest("va", "vb").alias("v2"),
+        )
+        .distinct()
+    )
+    # Thresholded levenshtein bounds the DP band to O(d·len) and returns
+    # -1 above the threshold — strictly cheaper than the full O(len²)
+    # kernel for the pairs the filter would drop anyway.
+    return cand.select(
+        "v1",
+        "v2",
+        F.levenshtein("v1", "v2", max_dist).cast("int").alias("dist"),
+    ).where(F.col("dist") >= 0)
 
 
 # ---------------------------------------------------------------------------

@@ -12,8 +12,14 @@ source of nondeterminism —
   ties broken by the lower centroid id (lexicographic struct min);
 - centroid update: per-dimension mean rounded to 6 decimals —
 
-so the assignment after N rounds is bit-reproducible on any engine and
-any partitioning, and the DuckDB oracle replays it exactly.
+so the assignment after N rounds replays exactly in the DuckDB oracle.
+One caveat keeps this short of a hard bit-reproducibility guarantee:
+``F.avg`` sums doubles in partition-dependent order, so a per-dimension
+mean landing within an ulp of a 0.5e-6 rounding boundary *could* round
+differently across partitionings/engines and flip a downstream argmin —
+the 6-decimal rounding makes divergence improbable (and unobserved
+across local[5]/local[32]/DuckDB on the fixtures), not impossible; an
+exact-decimal sum would be required to close that last gap.
 
 Scale posture (the classic distributed-k-means shape, same as MLlib's):
 centroids are k×d driver-side literals **compiled into the row

@@ -285,3 +285,96 @@ def test_histogram_clamps_out_of_range_values(spark):
     assert got[0] == 2      # -5 clamps into the first bin; 0.0 lands there
     assert got[63] == 2     # 499.99 is in-range edge; 1000 clamps to last
     assert sum(got.values()) == 4  # NULL dropped
+
+
+def test_jaccard_discovery_gram_df_cap_kills_hot_gram_fanout(spark):
+    # 200 docs sharing one ubiquitous trigram + unique tails: without the
+    # cap the gram self-join meets 200*199/2 pairs on that single gram;
+    # with it, the hot gram is pruned before the join and the join input
+    # carries no gram above the cap, so the pair space collapses.
+    docs = spark.createDataFrame(
+        [(i, f"common hot gram unique{i} tail{i} word{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+
+    capped = jaccard_pairs(sh, 0.0, max_gram_df=50)
+    uncapped = jaccard_pairs(sh, 0.0, max_gram_df=None)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped == 200 * 199 // 2
+    assert n_capped == 0
+
+    # row-count assert on the join input itself: no surviving gram can
+    # put more than cap^2 rows in a bucket
+    pruned_df = (
+        sh.join(
+            F.broadcast(
+                sh.groupBy("gram").agg(F.count("*").alias("gdf"))
+                .where(F.col("gdf") > 50).select("gram")
+            ),
+            "gram", "left_anti",
+        )
+        .groupBy("gram").count().agg(F.max("count")).first()[0]
+    )
+    assert pruned_df <= 50
+
+    # identical docs still score 1.0 through the cap
+    twins = spark.createDataFrame(
+        [(1, "common hot gram x y z"), (2, "common hot gram x y z")]
+        + [(10 + i, f"common hot gram a{i} b{i} c{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(shingles(twins), 0.9, max_gram_df=30).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+
+
+def test_edit_distance_length_blocking_lossless_and_pruning(spark):
+    # Length-band blocking must lose nothing (lev<=d implies |dlen|<=d)
+    # while meeting strictly fewer candidate pairs than all-pairs.
+    from flink_bm25_spark.operators.dedup import edit_distance_pairs
+
+    vals = (
+        ["kettle", "kettles", "kegtle", "settle"]        # a lev<=3 clique
+        + ["abcdefghij" + str(i) for i in range(30)]      # same-length band
+        + ["x" * (20 + i) for i in range(30)]             # spread lengths
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r.v1, r.v2): r.dist
+        for r in edit_distance_pairs(df, "name", 3).collect()
+    }
+    # brute-force reference
+    import itertools
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return m[-1]
+
+    want = {
+        (min(a, b), max(a, b)): lev(min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(set(vals)), 2)
+        if lev(a, b) <= 3
+    }
+    assert got == want
+
+    # candidate pruning: pairs meeting the join are far fewer than n^2/2
+    n = len(set(vals))
+    names = df.select(F.col("name").alias("v")).distinct()
+    a = names.select(
+        F.col("v").alias("va"),
+        F.explode(F.sequence(F.length("v"), F.length("v") + F.lit(3))).alias("blen"),
+    )
+    b = names.select(F.col("v").alias("vb"), F.length("v").alias("blen"))
+    n_cand = (
+        a.join(b, "blen").where(F.col("va") != F.col("vb"))
+        .select(F.least("va", "vb"), F.greatest("va", "vb")).distinct().count()
+    )
+    assert n_cand < n * (n - 1) // 2 / 2

