@@ -63,6 +63,7 @@ from flink_bm25_spark.operators.text_analysis import (
     token_stats,
 )
 from flink_bm25_spark.operators.tf import topk_terms
+from flink_bm25_spark.functions.pos import nature_sql as _nature_sql
 from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
 from flink_bm25_spark.sources.tables import load_table
 
@@ -157,6 +158,22 @@ def _q_tokenize_explode(spark, sf_dir):
 def _q_stopword_filter(spark, sf_dir):
     # P2/P3 — stopword predicate (BatchBM25PreMain.java:38-48)
     return filter_stopwords(tokenize(load_table(spark, "documents", sf_dir)))
+
+
+def _q_pos_filter(spark, sf_dir):
+    # P2 POS half — tag every token with an ansj-style nature and keep the
+    # noun family + drop stopwords, exactly the fused reference predicate
+    # expectedNature.contains(natureStr) && !stopWords.contains(word)
+    # (BatchBM25PreMain.java:38-48,191); then count per (word, nature) as
+    # the reference's distinct/count stage does.
+    from flink_bm25_spark.functions.pos import filter_nature, pos_tag
+
+    toks = filter_stopwords(tokenize(load_table(spark, "documents", sf_dir)))
+    return (
+        filter_nature(pos_tag(toks))
+        .groupBy("word", "nature")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def _stats(spark, sf_dir):
@@ -1612,56 +1629,79 @@ def _zorder_oracle_sql(bits: int = 13) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_scan_project": _q_scan_project,
-        "q_point_lookup": _q_point_lookup,
-        "q_filter_limit": _q_filter_limit,
-        "q_paged_scan": _q_paged_scan,
-        "q_concat_fields": _q_concat_fields,
+        # ---- driver-checked window (first 50): flagships + one per family ----
+        # reference-core BM25 surface
         "q_tokenize_explode": _q_tokenize_explode,
         "q_stopword_filter": _q_stopword_filter,
+        "q_pos_filter": _q_pos_filter,
         "q_tf": _q_tf,
-        "q_doc_len": _q_doc_len,
-        "q_distinct_words": _q_distinct_words,
         "q_df": _q_df,
         "q_idf": _q_idf,
-        "q_count_docs": _q_count_docs,
+        "q_tfidf": _q_tfidf,
+        "q_bm25_rank": _q_bm25_rank,
         "q_topk_per_doc": _q_topk_per_doc,
+        "q_tf_vector_sink": _q_tf_vector_sink,
+        "q_more_like_this": _q_more_like_this,
+        "q_count_docs": _q_count_docs,
+        "q_distinct_words": _q_distinct_words,
         "q_sort_desc": _q_sort_desc,
         "q_union_merge": _q_union_merge,
-        "q_tfidf": _q_tfidf,
-        "q_more_like_this": _q_more_like_this,
-        "q_bm25_rank": _q_bm25_rank,
-        "q_tf_vector_sink": _q_tf_vector_sink,
+        "q_tpch_q1": _q_tpch_q1,
+        # sources / scans
+        "q_scan_project": _q_scan_project,
+        "q_paged_scan": _q_paged_scan,
+        # event windows / streaming batch twins
         "q_window_tumbling": _q_window_tumbling,
-        "q_window_sliding": _q_window_sliding,
         "q_session_window": _q_session_window,
         "q_running_total": _q_running_total,
-        # dedup extension
+        # dedup family
         "q_dedup_exact": _q_dedup_exact,
         "q_dedup_token_set": _q_dedup_token_set,
-        "q_shingles": _q_shingles,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_minhash_signatures": _q_minhash_signatures,
         "q_dedup_minhash": _q_dedup_minhash,
         "q_dedup_clusters": _q_dedup_clusters,
-        "q_corpus_clean": _q_corpus_clean,
-        "q_simhash": _q_simhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
-        "q_embed_quantize": _q_embed_quantize,
+        "q_dup_span_fraction": _q_dup_span_fraction,
+        "q_sorted_neighborhood": _q_sorted_neighborhood,
+        "q_edit_distance": _q_edit_distance,
+        # ANN / embeddings
         "q_ann_cosine_topk": _q_ann_cosine_topk,
-        # text analysis extension
-        "q_token_stats": _q_token_stats,
-        "q_bpe_token_count": _q_bpe_token_count,
+        "q_embed_quantize": _q_embed_quantize,
+        "q_kmeans": _q_kmeans,
+        "q_chunk_embeddings": _q_chunk_embeddings,
+        # text analysis
         "q_quality_scores": _q_quality_scores,
+        "q_lang_id": _q_lang_id,
+        "q_bpe_token_count": _q_bpe_token_count,
+        "q_lm_perplexity": _q_lm_perplexity,
+        "q_fingerprint": _q_fingerprint,
+        # curation / training-data pipeline
+        "q_curation_pipeline": _q_curation_pipeline,
+        "q_decontaminate": _q_decontaminate,
+        "q_corpus_clean": _q_corpus_clean,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_temperature_mix": _q_temperature_mix,
+        "q_stratified_sample": _q_stratified_sample,
+        # sketches
+        "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
+        "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
+        "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
+        # ---- beyond the 50-query window (driver rows-only in overflow;
+        # verified by scripts/driver_sweep.py + pytest) ----
+        "q_point_lookup": _q_point_lookup,
+        "q_filter_limit": _q_filter_limit,
+        "q_concat_fields": _q_concat_fields,
+        "q_doc_len": _q_doc_len,
+        "q_window_sliding": _q_window_sliding,
+        "q_shingles": _q_shingles,
+        "q_minhash_signatures": _q_minhash_signatures,
+        "q_simhash": _q_simhash,
+        "q_token_stats": _q_token_stats,
         "q_repetition_scores": _q_repetition_scores,
         "q_redact_pii": _q_redact_pii,
-        "q_lang_id": _q_lang_id,
-        "q_fingerprint": _q_fingerprint,
         "q_corpus_profile": _q_corpus_profile,
-        # relational / events
-        "q_tpch_q1": _q_tpch_q1,
         "q_mktsegment_revenue": _q_mktsegment_revenue,
         "q_top_customers": _q_top_customers,
         "q_events_extract": _q_events_extract,
@@ -1684,15 +1724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": _q_rank_functions,
         "q_orders_by_month": _q_orders_by_month,
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
-        "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
-        "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
-        "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         "q_inverted_index": _q_inverted_index,
         "q_phrase_search": _q_phrase_search,
-        "q_stratified_sample": _q_stratified_sample,
         "q_hash_split": _q_hash_split,
         "q_sessionize": _q_sessionize,
-        "q_edit_distance": _q_edit_distance,
         "q_small_qty_revenue": _q_small_qty_revenue,
         "q_forecast_revenue": _q_forecast_revenue,
         "q_late_ship_priority": _q_late_ship_priority,
@@ -1719,12 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q16": _q_tpch_q16,
         "q_tpch_q20": _q_tpch_q20,
-        "q_decontaminate": _q_decontaminate,
         "q_bpe_pair_counts": _q_bpe_pair_counts,
         "q_quality_gate": _q_quality_gate,
-        "q_kmeans": _q_kmeans,
-        "q_temperature_mix": _q_temperature_mix,
-        "q_pack_sequences": _q_pack_sequences,
         "q_zorder_key": _q_zorder_key,
         "q_feature_hash": _q_feature_hash,
         "q_histogram": _q_histogram,
@@ -1732,13 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_merged": _q_hll_merged,
         "q_hll_by_lang": _q_hll_by_lang,
         "q_outliers": _q_outliers,
-        "q_dup_span_fraction": _q_dup_span_fraction,
-        "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_chunk_documents": _q_chunk_documents,
-        "q_chunk_embeddings": _q_chunk_embeddings,
-        "q_lm_perplexity": _q_lm_perplexity,
         "q_collocations": _q_collocations,
-        "q_curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -1966,6 +1992,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_tokenize_explode": f"WITH {_PIPE} SELECT doc_id, word FROM tokens",
         "q_stopword_filter": f"WITH {_PIPE} SELECT doc_id, word FROM filtered",
+        "q_pos_filter": f"""
+            WITH {_PIPE},
+            tagged AS (
+              SELECT word, {_nature_sql("word")} AS nature FROM filtered)
+            SELECT word, nature, count(*) AS n
+            FROM tagged WHERE nature IN ('n')
+            GROUP BY word, nature
+        """,
         "q_tf": f"WITH {_PIPE} SELECT doc_id, word, tf FROM tf",
         "q_doc_len": f"WITH {_PIPE} SELECT doc_id, dl FROM dlen",
         "q_distinct_words": f"WITH {_PIPE} SELECT DISTINCT word FROM filtered",

@@ -2,9 +2,11 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Each query is forced with a full-result action (count of the final
-DataFrame) so the whole plan executes; timings include Catalyst planning
-but exclude session startup.
+Each query is forced with a ``noop``-format write so every expression in
+the final plan is actually evaluated — ``count()`` would let Catalyst
+prune expensive projections (e.g. ``collect_list`` vectors) that a count
+does not need, under-measuring those queries.  Timings include Catalyst
+planning but exclude session startup.
 """
 
 from __future__ import annotations
@@ -60,7 +62,7 @@ def main() -> None:
     for _ in range(2):
         for name in names:
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 

@@ -9,7 +9,7 @@ is only folded into the nested document shape at the sink boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +71,58 @@ def write_text(df: DataFrame, path: str) -> None:
     df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def reference_text_lines(
+    tf: DataFrame, k: int | None = None, doc_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, line)`` in the reference's golden text format: one
+    ``(word,count)`` tuple per line, count-desc (word-asc tiebreak), the
+    exact shape of ``output/{pid}.txt`` written by
+    ``backup/BatchBM25PrePrint.java:224-225`` (Flink ``Tuple2.toString``
+    via ``writeAsText`` after ``sortPartition(1, DESCENDING)``).
+
+    ``k`` applies the main job's ``MAX_WORD_COUNT = 30`` cap
+    (``BatchBM25PreMain.java:50``) when the sink should mirror the Mongo
+    top-30 contract instead of the uncapped golden files.
+    """
+    w = F.row_number().over(
+        Window.partitionBy(doc_col).orderBy(F.desc("tf"), F.asc("word"))
+    )
+    ranked = tf.withColumn("rk", w)
+    if k is not None:
+        ranked = ranked.where(F.col("rk") <= k)
+    return ranked.select(
+        F.col(doc_col),
+        F.col("rk"),
+        F.concat(F.lit("("), F.col("word"), F.lit(","), F.col("tf"), F.lit(")")).alias(
+            "line"
+        ),
+    )
+
+
+def write_reference_text(
+    tf: DataFrame, path: str, k: int | None = None, doc_col: str = "doc_id"
+) -> None:
+    """K4 in the reference's own on-disk format: one directory per doc id
+    (Hive-partitioned analogue of one ``output/{pid}.txt`` per pid), lines
+    ``(word,count)`` count-desc.
+
+    In-file order at scale WITHOUT a driver loop: rows are repartitioned
+    by ``doc_col`` and sorted ``(doc, -count, word)``; the partitioned
+    text writer's required ordering (by partition column) is a prefix of
+    that sort, so Spark keeps the existing order and each part file comes
+    out count-desc.  One shuffle total, any number of documents.
+    """
+    lines = reference_text_lines(tf, k=k, doc_col=doc_col)
+    (
+        lines.repartition(F.col(doc_col))
+        .sortWithinPartitions(doc_col, "rk")
+        .select(F.col(doc_col), F.col("line").alias("value"))
+        .write.mode("overwrite")
+        .partitionBy(doc_col)
+        .text(path)
+    )
 
 
 def write_sorted_runs(

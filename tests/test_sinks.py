@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import tempfile
 
+from pyspark.sql import functions as F
+
 from flink_bm25_spark.operators.pipeline import corpus_stats_for
 from flink_bm25_spark.operators.sinks import tf_vectors, write_text, write_tf_parquet
 from tests.conftest import SF_DIR
@@ -112,3 +114,87 @@ def test_sorted_runs_are_globally_ordered(spark, tmp_path):
             assert words[0] >= prev_max  # ranges don't overlap, in file order
         prev_max = words[-1]
     assert total == tf.count()  # nothing lost
+
+
+# --- reference golden text format (output/{pid}.txt) ---------------------
+
+import os
+import re
+
+GOLDEN_DIR = "/root/reference/output"
+# Flink Tuple2.toString of ("word", count): no quotes, no spaces.
+GOLDEN_LINE = re.compile(r"^\((?P<w>.+),(?P<c>\d+)\)$")
+
+
+def _parse_golden(path):
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.rstrip("\n")
+            m = GOLDEN_LINE.match(ln)
+            assert m, f"golden line does not parse: {ln!r}"
+            out.append((m.group("w"), int(m.group("c"))))
+    return out
+
+
+def test_reference_goldens_structural_contract():
+    """The committed goldens (backup/BatchBM25PrePrint.java:224-225) are
+    (word,count) tuples with counts non-increasing — pin the contract our
+    emitter must reproduce."""
+    files = sorted(os.listdir(GOLDEN_DIR))[:5]
+    assert files, "reference goldens missing"
+    for name in files:
+        rows = _parse_golden(os.path.join(GOLDEN_DIR, name))
+        counts = [c for _, c in rows]
+        assert counts == sorted(counts, reverse=True), name
+
+
+def test_reference_text_sink_replays_golden_shape(spark, tmp_path):
+    """write_reference_text emits files a reference consumer could not
+    tell apart structurally: same line grammar, count-desc order, and
+    (with k=30) the MAX_WORD_COUNT cap of BatchBM25PreMain.java:50."""
+    from flink_bm25_spark.operators.sinks import (
+        reference_text_lines,
+        write_reference_text,
+    )
+
+    s = corpus_stats_for(spark, SF_DIR)
+    path = str(tmp_path / "ref_text")
+    write_reference_text(s.tf, path, k=30)
+
+    doc_dirs = [d for d in os.listdir(path) if d.startswith("doc_id=")]
+    assert len(doc_dirs) == s.tf.select("doc_id").distinct().count()
+
+    # Re-read one partition the way a reference consumer would read
+    # output/{pid}.txt: parse with the SAME regex the goldens satisfy.
+    some = sorted(doc_dirs)[0]
+    part = [
+        f for f in os.listdir(os.path.join(path, some)) if f.startswith("part-")
+    ]
+    rows = []
+    for p in part:
+        rows += _parse_golden(os.path.join(path, some, p))
+    counts = [c for _, c in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert 0 < len(rows) <= 30
+
+    # Values, not just shape: the partition's content equals the engine's
+    # own top-30 TF for that doc (count-desc, word-asc — the emitter's
+    # deterministic tiebreak).
+    doc_id = int(some.split("=")[1])
+    expect = [
+        (r["word"], r["tf"])
+        for r in s.tf.where(f"doc_id = {doc_id}")
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(30)
+        .collect()
+    ]
+    # in-file line order IS the rank order (sorted-prefix write path)
+    assert rows == expect
+    # and the line grammar round-trips through reference_text_lines
+    first = (
+        reference_text_lines(s.tf, k=30)
+        .where(f"doc_id = {doc_id} and rk = 1")
+        .first()
+    )
+    assert first["line"] == f"({expect[0][0]},{expect[0][1]})"
