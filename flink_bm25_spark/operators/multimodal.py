@@ -4,9 +4,12 @@ metadata (large-scale training-data-pipeline extension).
 Design: media bytes are an opaque ``binary`` column; every transformation
 is an Arrow-batched ``mapInPandas`` stage so payloads move as columnar
 batches, never row-at-a-time through Python pickling.  Partitioning,
-schemas and batch shapes are real and tested; the codec itself is STUBBED
-(this container ships no image/audio libraries): ``decode_image`` routes
-to a clearly-marked deterministic fake unless a real decoder is injected.
+schemas and batch shapes are real and tested.  Codecs are injectable:
+the default is a clearly-marked deterministic fake (this container ships
+no PIL/opencv), and :mod:`flink_bm25_spark.functions.pnm` provides a REAL
+pure-numpy Netpbm (PPM/PGM) codec — ``decode_images(decoder=pnm_decode)``
+/ ``resize_images(resizer=pnm_resize)`` exercise genuine decode → scale →
+re-encode end-to-end.
 
 At 100 TB: binary payloads dominate row size, so operators (a) select only
 the columns they need (Parquet never materializes the blob for

@@ -124,3 +124,81 @@ def test_extract_features_null_payload(spark):
     df = spark.createDataFrame([(1, None)], "id long, payload binary")
     [r] = extract_features(df).collect()
     assert r.embedding is None
+
+
+# --- real codec: pure-numpy Netpbm (PPM/PGM) -----------------------------
+
+import numpy as np
+
+from flink_bm25_spark.functions.pnm import (
+    pnm_decode,
+    pnm_encode,
+    pnm_pixels,
+    pnm_resize,
+)
+
+
+def _ppm(w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    return pnm_encode(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+@pytest.fixture(scope="module")
+def pnm_blobs(spark):
+    rows = [
+        (0, _ppm(8, 6, 0)),
+        (1, _ppm(33, 17, 1)),
+        (2, pnm_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))),  # P5
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_pnm_roundtrip_and_comments():
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(pnm_pixels(pnm_encode(px)), px)
+    # header comments are part of the public format
+    commented = b"P6 # rgb\n# size next\n4 2\n255\n" + px.tobytes()
+    assert np.array_equal(pnm_pixels(commented), px)
+
+
+def test_pnm_rejects_garbage():
+    for bad in (b"", b"JFIF....", b"P6\n4 2\n255\n\x00"):
+        with pytest.raises(ValueError):
+            pnm_pixels(bad)
+
+
+def test_decode_images_real_codec(spark, pnm_blobs):
+    out = {
+        r.id: r
+        for r in decode_images(pnm_blobs, decoder=pnm_decode).collect()
+    }
+    assert (out[0].width, out[0].height, out[0].fmt) == (8, 6, "ppm")
+    assert (out[1].width, out[1].height, out[1].n_pixels) == (33, 17, 561)
+    assert (out[2].width, out[2].height, out[2].fmt) == (8, 8, "pgm")
+    assert out[3].width is None and out[3].fmt is None
+
+
+def test_resize_real_codec_roundtrips(spark, pnm_blobs):
+    out = {
+        r.id: r
+        for r in resize_images(
+            pnm_blobs.where("id in (0, 1)"), target=4, resizer=pnm_resize
+        ).collect()
+    }
+    for i in (0, 1):
+        px = pnm_pixels(bytes(out[i].payload))
+        assert px.shape == (4, 4, 3)
+        assert (out[i].width, out[i].height) == (4, 4)
+    # distributed result == local reference resize
+    local = pnm_pixels(pnm_resize(_ppm(8, 6, 0), 4))
+    assert np.array_equal(pnm_pixels(bytes(out[0].payload)), local)
+
+
+def test_nearest_neighbor_preserves_constant_regions():
+    # a half-black/half-white image stays half/half under NN resize
+    px = np.zeros((10, 10, 3), dtype=np.uint8)
+    px[:, 5:, :] = 255
+    small = pnm_pixels(pnm_resize(pnm_encode(px), 4))
+    assert np.array_equal(small[:, :2, :], np.zeros((4, 2, 3), np.uint8))
+    assert np.array_equal(small[:, 2:, :], np.full((4, 2, 3), 255, np.uint8))
