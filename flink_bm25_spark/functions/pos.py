@@ -126,6 +126,38 @@ def pos_tag(tokens: DataFrame, word_col: str = "word") -> DataFrame:
     return tokens.withColumn("nature", nature_expr(F.col(word_col)))
 
 
+def pos_tag_with_lexicon(
+    tokens: DataFrame,
+    lexicon: DataFrame,
+    word_col: str = "word",
+    default_nature: str = "n",
+) -> DataFrame:
+    """Dictionary POS tagging — the direct analogue of ansj's word →
+    nature dictionary (the reference's tagger is lexicon-driven; natures
+    like ``ns``/``nt``/``nz`` are dictionary facts, not derivable by
+    suffix rules).
+
+    ``lexicon`` is a ``(word, nature)`` relation.  POS dictionaries are
+    small (≈10⁵ rows ≈ a few MB) against a corpus of any size, so this is
+    a **broadcast** left join — map-side, no shuffle of the token stream,
+    the correct 100 TB shape.  Unknown words default to noun, same
+    convention as :func:`nature_expr` and ansj's OOV handling.
+
+    Compose with :func:`filter_nature` (natures=("n","ns","nt","nz")) to
+    reproduce the reference predicate verbatim.
+    """
+    lex = F.broadcast(
+        lexicon.select(
+            F.col(word_col).alias("__lex_word"), F.col("nature").alias("__lex_nature")
+        )
+    )
+    out = tokens.join(lex, tokens[word_col] == lex["__lex_word"], "left")
+    return out.select(
+        *tokens.columns,
+        F.coalesce(F.col("__lex_nature"), F.lit(default_nature)).alias("nature"),
+    )
+
+
 def filter_nature(
     tokens: DataFrame,
     natures: tuple[str, ...] = NOUN_FAMILY,

@@ -87,6 +87,66 @@ def cjk_segment(text: str) -> list[str]:
     return out
 
 
+def make_fmm_segmenter(
+    dictionary: dict[str, str] | set[str] | list[str],
+    max_word_len: int = 8,
+):
+    """Dictionary-based CJK segmenter: forward maximum matching (FMM) —
+    the textbook public algorithm behind dictionary taggers like the
+    reference's ansj (``pom.xml:21-25``, ``BatchBM25PreMain.java:186``).
+
+    At each position try the LONGEST dictionary word first (capped at
+    ``max_word_len`` chars); on no match fall back to the overlapping
+    bigram of :func:`cjk_segment` for that character (single char if the
+    run is length 1), so out-of-vocabulary text degrades to the engine's
+    default segmentation instead of char soup.
+
+    Returns a ``segment(text) -> list[str]`` closure for the
+    ``tokenize_with_udf`` slot: cloudpickle ships the dictionary by value
+    to executors once per partition — the broadcast-dictionary pattern, no
+    driver loop.  When ``dictionary`` maps word → nature (POS tag), pair
+    the output with :func:`flink_bm25_spark.functions.pos.pos_tag_with_lexicon`
+    to reproduce the reference's (word, nature) tuples.
+    """
+    words = set(dictionary)
+
+    def segment(text: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(text or "")
+        covered = -1  # rightmost index already inside an emitted bigram
+        while i < n:
+            ch = text[i]
+            if not _is_cjk(ch):
+                # delegate the non-CJK run to the default tokenizer
+                j = i
+                while j < n and not _is_cjk(text[j]):
+                    j += 1
+                out.extend(cjk_segment(text[i:j]))
+                i = j
+                continue
+            match = None
+            for ln in range(min(max_word_len, n - i), 0, -1):
+                cand = text[i : i + ln]
+                if cand in words and all(_is_cjk(c) for c in cand):
+                    match = cand
+                    break
+            if match:
+                out.append(match)
+                i += len(match)
+            else:
+                # OOV ideograph: overlapping bigram like cjk_segment; a
+                # lone char only when nothing else covers it (run of 1)
+                if i + 1 < n and _is_cjk(text[i + 1]):
+                    out.append(text[i : i + 2])
+                    covered = i + 1
+                elif i > covered:
+                    out.append(ch)
+                i += 1
+        return out
+
+    return segment
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     """Document quality signals for pipeline filtering (LLM-data extension).
 

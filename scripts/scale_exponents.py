@@ -1,0 +1,117 @@
+"""Time-vs-size exponents for the dedup/curation family — evidence that
+the LSH pipelines are ~linear in corpus size (exponent ≈ 1), not
+quadratic like their naive all-pairs formulations.
+
+Scaling construction: the corpus is replicated M× with every word salted
+by its replica id (``regexp_replace(text, '(\\S+)', '$1·<rep>')``), so
+
+- within one replica the duplicate structure of the base corpus is
+  preserved EXACTLY (same shingle sets up to the salt, same Jaccard), and
+- across replicas no shingle ever matches, so the true near-dup pair set
+  grows exactly M× (linearly), never quadratically.
+
+That makes wall-time the only variable: exponent
+``log(t_big / t_small) / log(m_big / m_small)`` ≈ 1.0 means the engine
+does work proportional to the data.  (Plain replication would be wrong:
+each doc would gain M−1 identical twins and the CORRECT output itself
+would grow ~M², drowning the engine signal.)
+
+Run: python scripts/scale_exponents.py [mults]   # default "1,4,8"
+Writes a markdown table to stdout; paste into THROUGHPUT.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.cleaning import curation_pipeline
+    from flink_bm25_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+        shingles,
+        simhash_pairs,
+        simhash_signatures_from_tokens,
+    )
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+    from flink_bm25_spark.session import get_spark
+    from flink_bm25_spark.sources.tables import load_documents
+
+    mults = [int(m) for m in (sys.argv[1] if len(sys.argv) > 1 else "1,4,8").split(",")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_exponents")
+    base = load_documents(spark, sf_dir)
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "scale_exponents",
+    )
+
+    steps = {
+        "minhash_lsh_pairs": lambda d: minhash_dedup_pairs(d).count(),
+        "simhash_pairs": lambda d: simhash_pairs(
+            simhash_signatures_from_tokens(filter_stopwords(tokenize(d)))
+        ).count(),
+        "ngram_jaccard_pairs": lambda d: jaccard_pairs(
+            shingles(d), threshold=0.8
+        ).count(),
+        "curation_pipeline": lambda d: curation_pipeline(
+            d, benchmark=base.limit(25), weights={"en": 0.5, "de": 2.3}
+        ).count(),
+    }
+
+    rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}
+    for mult in mults:
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs = (
+            base.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                    "doc_id"
+                ),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1·"), F.col("rep").cast("string")),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # materialize so every step reads parquet, not the generator
+        d = f"{tmp}_x{mult}"
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        mat = spark.read.parquet(f"{d}/documents.parquet")
+        n = mat.count()
+        for name, fn in steps.items():
+            t0 = time.perf_counter()
+            out = fn(mat)
+            dt = time.perf_counter() - t0
+            rows[name][mult] = (dt, out)
+            print(f"x{mult} ({n} docs) {name}: {out} rows in {dt:.1f}s", flush=True)
+
+    lo, hi = mults[0], mults[-1]
+    print("\n| step | " + " | ".join(f"x{m} sec (rows)" for m in mults) + " | exponent |")
+    print("|---|" + "---|" * (len(mults) + 1))
+    for name in steps:
+        t_lo, t_hi = rows[name][lo][0], rows[name][hi][0]
+        exp = (
+            math.log(t_hi / t_lo) / math.log(hi / lo) if hi > lo else float("nan")
+        )
+        cells = " | ".join(f"{rows[name][m][0]:.1f} ({rows[name][m][1]})" for m in mults)
+        print(f"| {name} | {cells} | **{exp:.2f}** |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,3 +48,30 @@ def test_cjk_bm25_end_to_end(spark):
     ).collect()
     assert ranked[0]["doc_id"] == 1
     assert all(r["doc_id"] != 2 for r in ranked)  # doc 2 never matches
+
+
+# --- dictionary-based FMM segmentation ------------------------------------
+
+
+def test_fmm_prefers_longest_dictionary_word():
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+
+    seg = make_fmm_segmenter({"被告人", "被告", "人民法院"})
+    # longest match wins (被告人 over 被告); OOV 在 falls back to the
+    # overlapping bigram 在人; then 人民法院 matches whole.
+    assert seg("被告人在人民法院") == ["被告人", "在人", "人民法院"]
+
+
+def test_fmm_oov_degrades_to_bigrams():
+    from flink_bm25_spark.functions.text import cjk_segment, make_fmm_segmenter
+
+    seg = make_fmm_segmenter(set())
+    # empty dictionary → identical to the default overlapping-bigram path
+    assert seg("被告人王某") == cjk_segment("被告人王某")
+
+
+def test_fmm_mixed_script_delegates_non_cjk():
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+
+    seg = make_fmm_segmenter({"北京"})
+    assert seg("北京 Spark 引擎") == ["北京", "spark", "引擎"]

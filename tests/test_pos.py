@@ -137,3 +137,52 @@ def test_plan_stays_codegen(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- dictionary (lexicon) tagging — the ansj-shaped path ------------------
+
+
+def test_lexicon_tagger_broadcast_join(spark):
+    from flink_bm25_spark.functions.pos import pos_tag_with_lexicon
+
+    toks = spark.createDataFrame(
+        [(1, "北京"), (1, "大学"), (1, "unknown")], "doc_id long, word string"
+    )
+    lex = spark.createDataFrame(
+        [("北京", "ns"), ("大学", "nt")], "word string, nature string"
+    )
+    out = pos_tag_with_lexicon(toks, lex)
+    got = {r["word"]: r["nature"] for r in out.collect()}
+    assert got == {"北京": "ns", "大学": "nt", "unknown": "n"}
+    assert out.columns == ["doc_id", "word", "nature"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_reference_predicate_via_lexicon(spark):
+    """End-to-end ansj-analogue: FMM dictionary segmentation →
+    lexicon natures → keep {n, ns, nt, nz} minus stopwords — the exact
+    reference predicate (BatchBM25PreMain.java:38-48,191)."""
+    from flink_bm25_spark.functions.pos import filter_nature, pos_tag_with_lexicon
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+
+    dictionary = {
+        "被告人": "n",
+        "北京": "ns",
+        "法院": "nt",
+        "判决": "v",
+        "的": "x",
+    }
+    seg = make_fmm_segmenter(dictionary)
+    docs = spark.createDataFrame(
+        [(1, "北京法院的判决被告人")], "doc_id long, text string"
+    )
+    toks = tokenize_with_udf(docs, seg)
+    lex = spark.createDataFrame(
+        list(dictionary.items()), "word string, nature string"
+    )
+    kept = filter_nature(
+        pos_tag_with_lexicon(toks, lex), natures=("n", "ns", "nt", "nz")
+    )
+    assert {r["word"] for r in kept.collect()} == {"北京", "法院", "被告人"}
