@@ -220,6 +220,16 @@ def _q_topk_per_doc(spark, sf_dir):
     return topk_terms(_stats(spark, sf_dir).tf, TOP_K_TERMS)
 
 
+def _q_top30_lines(spark, sf_dir):
+    # K4 golden contract — the reference's output/{pid}.txt lines:
+    # "(word,count)" rank-ordered desc by count (asc word tiebreak), top-30
+    # (backup/BatchBM25PrePrint.java:224-225, MAX_WORD_COUNT
+    # BatchBM25PreMain.java:50).  Value-hash oracle pins format AND order.
+    from flink_bm25_spark.operators.sinks import reference_text_lines
+
+    return reference_text_lines(_stats(spark, sf_dir).tf, k=30)
+
+
 def _q_sort_desc(spark, sf_dir):
     # O1/O2 — global word counts sorted desc (backup/BatchBM25Pre.java:156)
     s = _stats(spark, sf_dir)
@@ -1641,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_rank": _q_bm25_rank,
         "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
+        "q_top30_lines": _q_top30_lines,
         "q_more_like_this": _q_more_like_this,
         "q_count_docs": _q_count_docs,
         "q_distinct_words": _q_distinct_words,
@@ -1662,7 +1673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q_dedup_clusters,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
-        "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_dup_span_fraction": _q_dup_span_fraction,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_edit_distance": _q_edit_distance,
@@ -1690,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
+        "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_point_lookup": _q_point_lookup,
         "q_filter_limit": _q_filter_limit,
         "q_concat_fields": _q_concat_fields,
@@ -2016,6 +2027,18 @@ def oracle_sql() -> dict[str, str]:
               FROM tf
             )
             SELECT doc_id, word, tf, rk FROM ranked WHERE rk <= {TOP_K_TERMS}
+        """,
+        "q_top30_lines": f"""
+            WITH {_PIPE},
+            ranked AS (
+              SELECT doc_id, word, tf,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, word ASC
+                     ) AS INTEGER) AS rk
+              FROM tf
+            )
+            SELECT doc_id, rk, '(' || word || ',' || tf || ')' AS line
+            FROM ranked WHERE rk <= 30
         """,
         "q_sort_desc": f"""
             WITH {_PIPE}

@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # operator family (agg, window/top-k, join, sort, event windows, dedup, ANN).
 HEADLINE = [
     "q_tf",
+    "q_pos_filter",
     "q_topk_per_doc",
     "q_df",
     "q_tfidf",
