@@ -1419,6 +1419,30 @@ def _q_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def _q_multimodal_meta(spark, sf_dir):
+    # Multimodal metadata stage, gate-checked: opaque binary payloads
+    # (synthesized in-plan from the text fixture — UTF-8 bytes stand in
+    # for image blobs) -> typed metadata (n_bytes, md5 digest) with NO
+    # decode.  Pure JVM expressions; Catalyst prunes the blob for
+    # metadata-only consumers.  Oracle twin: octet_length + md5 in DuckDB.
+    from flink_bm25_spark.operators.multimodal import attach_binary_metadata
+
+    blobs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return attach_binary_metadata(blobs).select("id", "n_bytes", "digest")
+
+
+def _q_training_shuffle(spark, sf_dir):
+    # Deterministic epoch shuffle: hash-ordered shards + in-shard rank —
+    # reproducible pseudo-random training order with one shard exchange,
+    # no global sort (trainer-facing layout op).
+    from flink_bm25_spark.operators.sampling import training_shuffle
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return training_shuffle(docs, n_shards=32, seed="shuffle:0")
+
+
 def _q_chunk_embeddings(spark, sf_dir):
     # The RAG prep flow end-to-end: chunk the corpus, then feature-hash
     # each CHUNK into a retrieval vector — two verified operators
@@ -1676,11 +1700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_fraction": _q_dup_span_fraction,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_edit_distance": _q_edit_distance,
-        # ANN / embeddings
+        # ANN / embeddings / multimodal
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_embed_quantize": _q_embed_quantize,
         "q_kmeans": _q_kmeans,
-        "q_chunk_embeddings": _q_chunk_embeddings,
+        "q_multimodal_meta": _q_multimodal_meta,
         # text analysis
         "q_quality_scores": _q_quality_scores,
         "q_lang_id": _q_lang_id,
@@ -1693,7 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": _q_corpus_clean,
         "q_pack_sequences": _q_pack_sequences,
         "q_temperature_mix": _q_temperature_mix,
-        "q_stratified_sample": _q_stratified_sample,
+        "q_training_shuffle": _q_training_shuffle,
         # sketches
         "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
@@ -1701,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
+        "q_chunk_embeddings": _q_chunk_embeddings,
+        "q_stratified_sample": _q_stratified_sample,
         "q_point_lookup": _q_point_lookup,
         "q_filter_limit": _q_filter_limit,
         "q_concat_fields": _q_concat_fields,
@@ -2027,6 +2053,23 @@ def oracle_sql() -> dict[str, str]:
               FROM tf
             )
             SELECT doc_id, word, tf, rk FROM ranked WHERE rk <= {TOP_K_TERMS}
+        """,
+        "q_training_shuffle": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {_h60("'shuffle:0:' || CAST(doc_id AS VARCHAR)")} AS oh
+              FROM documents)
+            SELECT doc_id, CAST(oh % 32 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY oh % 32 ORDER BY oh ASC, doc_id ASC
+                   ) - 1 AS BIGINT) AS pos
+            FROM h
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
         """,
         "q_top30_lines": f"""
             WITH {_PIPE},

@@ -196,3 +196,37 @@ def pack_sequences(
             "seq_id", F.floor(F.col("offset") / F.lit(budget)).cast("long")
         )
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: str = "shuffle:0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: ``(…, shard, pos)``.
+
+    Trainers need the corpus in pseudo-random order, reproducible across
+    reruns, with NO total-order bottleneck.  Each doc gets a 60-bit
+    order hash from ``(seed, key)``; ``shard = hash % n_shards`` and
+    ``pos`` ranks docs *within* the shard by the same hash — so reading
+    the shards in id order and each shard in ``pos`` order yields one
+    fixed pseudo-random permutation of the corpus.  Changing ``seed``
+    yields an independent permutation (fresh epoch order).
+
+    Scale shape: ONE exchange on the shard key + a per-shard window sort
+    (each shard is corpus/n_shards rows — size the shard count so a
+    shard fits an executor).  A global ``orderBy(rand())`` would sort
+    the whole corpus through one range exchange and is not reproducible;
+    this is, and it parallelizes by shard.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    oh = h60(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("__oh").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__oh", oh)
+        .withColumn("shard", (F.col("__oh") % F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__oh")
+    )

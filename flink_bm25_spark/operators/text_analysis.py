@@ -186,6 +186,30 @@ def quality_percentile_gate(documents: DataFrame, cutoff: float = 0.75) -> DataF
     )
 
 
+def quality_percentile_gate_approx(
+    documents: DataFrame, cutoff: float = 0.75, accuracy: int = 10_000
+) -> DataFrame:
+    """100 TB form of :func:`quality_percentile_gate`: the threshold comes
+    from ``approx_percentile`` — a mergeable t-digest-style sketch built
+    in ONE tree aggregation (map-side partials, no global sort, no
+    single-reducer window) — then broadcast back as a scalar filter.
+
+    Error is bounded by the sketch ``accuracy`` (rank error ≤ 1/accuracy),
+    so the kept set can differ from the exact gate only for documents
+    within that rank band of the cutoff.  Returns ``(doc_id, keep_score)``
+    (no exact ``pr`` — computing one would reintroduce the global sort).
+    """
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    thr = scored.agg(
+        F.percentile_approx("keep_score", cutoff, accuracy).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .where(F.col("keep_score") >= F.col("__thr"))
+        .select("doc_id", "keep_score")
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Per-document quality signals + a composite keep-score for pipeline
     filtering (length, stopword density, punctuation density)."""

@@ -427,3 +427,48 @@ def test_compact_curated_preserves_rows(spark, tmp_path):
     import glob
     import os
     assert len(glob.glob(os.path.join(path, "*.parquet"))) <= 2
+
+
+def test_quality_gate_approx_agrees_with_exact_off_boundary(spark):
+    """The sketch-threshold gate equals the exact percent_rank gate except
+    possibly inside the sketch's rank-error band; at accuracy=10000 on a
+    500-doc corpus the band is < 1 doc, so the sets must be identical up
+    to boundary ties on keep_score."""
+    from flink_bm25_spark.operators.text_analysis import (
+        quality_percentile_gate,
+        quality_percentile_gate_approx,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    exact = {r["doc_id"]: r["keep_score"] for r in
+             quality_percentile_gate(docs, cutoff=0.75).collect()}
+    approx = {r["doc_id"]: r["keep_score"] for r in
+              quality_percentile_gate_approx(docs, cutoff=0.75).collect()}
+    # any disagreement must sit exactly at the threshold score
+    only_exact = set(exact) - set(approx)
+    only_approx = set(approx) - set(exact)
+    boundary = min(exact.values())
+    assert all(exact[d] == boundary for d in only_exact)
+    assert all(approx[d] <= boundary for d in only_approx)
+    # and the bulk of the gate agrees
+    assert len(set(exact) & set(approx)) >= 0.95 * len(exact)
+
+
+def test_quality_gate_approx_plan_has_no_global_sort(spark):
+    from flink_bm25_spark.operators.text_analysis import (
+        quality_percentile_gate_approx,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        quality_percentile_gate_approx(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no single-reducer percent_rank window; the threshold joins back as
+    # a broadcast one-row scalar (nested-loop over ONE row is fine)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -152,3 +152,37 @@ def test_pack_sequences_layout(spark):
             run += r["n_tokens"]
     # every doc appears exactly once across shards
     assert len(packed) == lens.count()
+
+
+def test_training_shuffle_is_reproducible_permutation(spark):
+    from flink_bm25_spark.operators.sampling import training_shuffle
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    a = training_shuffle(docs, n_shards=8, seed="shuffle:0").collect()
+    b = training_shuffle(docs, n_shards=8, seed="shuffle:0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # valid layout: every doc exactly once; (shard, pos) is a dense key
+    assert len({r["doc_id"] for r in a}) == len(a) == docs.count()
+    keys = {(r["shard"], r["pos"]) for r in a}
+    assert len(keys) == len(a)
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in a)
+    for sh, n in sizes.items():
+        assert {p for s, p in keys if s == sh} == set(range(n))  # dense 0..n-1
+
+
+def test_training_shuffle_seed_changes_order_not_membership(spark):
+    from flink_bm25_spark.operators.sampling import training_shuffle
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    e0 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in training_shuffle(docs, n_shards=8, seed="epoch:0").collect()}
+    e1 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in training_shuffle(docs, n_shards=8, seed="epoch:1").collect()}
+    assert set(e0) == set(e1)
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > 0.9 * len(e0)  # a fresh epoch reorders nearly everything
