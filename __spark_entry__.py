@@ -1433,6 +1433,19 @@ def _q_multimodal_meta(spark, sf_dir):
     return attach_binary_metadata(blobs).select("id", "n_bytes", "digest")
 
 
+def _q_bpe_learn(spark, sf_dir):
+    # Iterative BPE vocabulary training (6 greedy merge rounds) — the
+    # corpus is shuffled ONCE into the word vocab; each round aggregates
+    # the vocab relation and only the argmax pair reaches the driver
+    # (kmeans posture).  Oracle: the same 6 rounds unrolled in SQL.
+    from flink_bm25_spark.operators.text_analysis import learn_bpe
+
+    merges = learn_bpe(load_table(spark, "documents", sf_dir), n_merges=6)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, cnt long"
+    )
+
+
 def _q_training_shuffle(spark, sf_dir):
     # Deterministic epoch shuffle: hash-ordered shards + in-shard rank —
     # reproducible pseudo-random training order with one shard exchange,
@@ -1709,8 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": _q_quality_scores,
         "q_lang_id": _q_lang_id,
         "q_bpe_token_count": _q_bpe_token_count,
+        "q_bpe_learn": _q_bpe_learn,
         "q_lm_perplexity": _q_lm_perplexity,
-        "q_fingerprint": _q_fingerprint,
         # curation / training-data pipeline
         "q_curation_pipeline": _q_curation_pipeline,
         "q_decontaminate": _q_decontaminate,
@@ -1725,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
+        "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
         "q_stratified_sample": _q_stratified_sample,
         "q_point_lookup": _q_point_lookup,
@@ -1813,6 +1827,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # bit-identical to flink_bm25_spark.functions.hashing.h60.
 def _h60(col: str) -> str:
     return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled-iteration oracle for q_bpe_learn: each round counts
+    freq-weighted adjacent symbol pairs, takes the argmax (count desc,
+    pair asc), and applies the merge as a substring replace — DuckDB's
+    left-to-right non-overlapping replace() has exactly BPE's greedy
+    in-word merge semantics, same as the engine's."""
+    ctes = [
+        """v AS (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents) WHERE word <> '' GROUP BY word),
+        s0 AS MATERIALIZED (
+          SELECT freq, ' ' || array_to_string(
+            list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+            || ' </w> ' AS syms
+          FROM v)"""
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""pc{r} AS MATERIALIZED (
+          SELECT p[1] AS w1, p[2] AS w2, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(a)), i -> [a[i], a[i+1]]))
+                     AS p
+            FROM (SELECT freq, string_split(trim(syms), ' ') AS a FROM s{r}))
+          GROUP BY 1, 2),
+        m{r} AS MATERIALIZED (
+          SELECT w1, w2, cnt FROM pc{r}
+          ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        s{r + 1} AS MATERIALIZED (
+          SELECT freq, replace(syms,
+            ' ' || (SELECT w1 FROM m{r}) || ' ' || (SELECT w2 FROM m{r}) || ' ',
+            ' ' || (SELECT w1 FROM m{r}) || (SELECT w2 FROM m{r}) || ' ') AS syms
+          FROM s{r})""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, w1 AS lhs, w2 AS rhs, cnt FROM m{r}"
+        for r in range(n_merges)
+    )
+    return f"WITH {', '.join(ctes)} {rows}"
 
 
 _P = 2_147_483_647
@@ -2054,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, word, tf, rk FROM ranked WHERE rk <= {TOP_K_TERMS}
         """,
+        "q_bpe_learn": _bpe_oracle_sql(6),
         "q_training_shuffle": f"""
             WITH h AS (
               SELECT doc_id,

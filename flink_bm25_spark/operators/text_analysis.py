@@ -501,3 +501,98 @@ def chunk_documents(
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
     )
+
+
+def bpe_word_vocab(documents: DataFrame) -> DataFrame:
+    """``(word, freq, syms)`` — the word-frequency dictionary BPE trains
+    on (Sennrich et al. 2016 operate on word counts, never the raw
+    corpus), with each word pre-split into space-joined character symbols
+    plus the ``</w>`` end marker: ``"h e l l o </w>"`` padded with one
+    space on each side so a merge is a plain substring replace.
+
+    ONE corpus-sized shuffle (the word count); everything after is
+    vocabulary-sized.
+    """
+    tokens = documents.select(
+        F.explode(
+            F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+        ).alias("word")
+    )
+    vocab = tokens.groupBy("word").agg(F.count("*").alias("freq"))
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    syms = F.concat(
+        F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w> ")
+    )
+    return vocab.select("word", "freq", syms.alias("syms"))
+
+
+def _sym_pair_counts(vocab: DataFrame) -> DataFrame:
+    """freq-weighted adjacent symbol-pair counts over the vocab relation."""
+    arr = F.split(F.trim(F.col("syms")), " ")
+    base = vocab.select("freq", arr.alias("_a"))
+    a = F.col("_a")
+
+    def pair(x, i):
+        return F.when(
+            i + 2 <= F.size(a),
+            F.struct(
+                F.element_at(a, (i + F.lit(1)).cast("int")).alias("w1"),
+                F.element_at(a, (i + F.lit(2)).cast("int")).alias("w2"),
+            ),
+        )
+
+    return (
+        base.select("freq", F.explode(F.transform(a, pair)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .groupBy("p.w1", "p.w2")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def learn_bpe(
+    documents: DataFrame, n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """Iterative BPE vocabulary training: ``[(rank, left, right, count)]``
+    — the standard greedy merge loop (count pairs → merge the argmax →
+    repeat), run distributed.
+
+    Scale shape mirrors :mod:`kmeans`: the corpus is touched ONCE (the
+    word-count shuffle in :func:`bpe_word_vocab`); each merge round runs
+    over the *vocabulary* relation (explode-pairs + one agg) and only the
+    single argmax row ever reaches the driver.  The merge itself is a
+    substring replace on the space-joined symbol string — Java's
+    left-to-right non-overlapping ``replace`` is exactly BPE's greedy
+    in-word merge semantics (``"a a a" → "aa a"``), and replays
+    bit-identically in any engine with the same ``replace``.
+
+    The vocab relation is cached and re-materialized per round so plan
+    depth stays constant across merges (lineage would otherwise nest
+    ``n_merges`` transforms).
+    """
+    vocab = bpe_word_vocab(documents).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _sym_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["w1"], top[0]["w2"], top[0]["cnt"]
+        merges.append((rank, left, right, int(cnt)))
+        nxt = vocab.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("syms"),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("syms"),
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges

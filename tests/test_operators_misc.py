@@ -373,3 +373,47 @@ def test_numeric_outliers_flags_injected_point(spark):
     got = numeric_outliers(df, "value", "event_type", z=3.0).collect()
     assert [r["event_id"] for r in got] == [100]
     assert got[0]["zscore"] > 3.0
+
+
+def test_learn_bpe_matches_pure_python_reference(spark):
+    """Differential oracle: the distributed greedy merge loop equals a
+    from-scratch Python BPE (Sennrich-style over word counts) on the same
+    corpus — merge rules, order, and counts."""
+    from collections import Counter
+
+    from flink_bm25_spark.operators.text_analysis import learn_bpe
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    got = learn_bpe(docs, n_merges=8)
+
+    vocab = Counter()
+    for (text,) in docs.select("text").collect():
+        for w in text.lower().split():
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in vocab}
+    want = []
+    for rank in range(8):
+        pc = Counter()
+        for w, freq in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freq
+        if not pc:
+            break
+        # argmax with (count desc, pair asc) tiebreak
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, cnt))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == want
