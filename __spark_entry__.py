@@ -1446,6 +1446,19 @@ def _q_bpe_learn(spark, sf_dir):
     )
 
 
+def _q_bpe_encode(spark, sf_dir):
+    # Train -> apply: the 6 learned merges re-segment the corpus and the
+    # subword counts come from one vocab-sized explode (merge application
+    # never touches corpus rows).  Oracle: same rounds unrolled + encode.
+    from flink_bm25_spark.operators.text_analysis import (
+        bpe_subword_counts,
+        learn_bpe,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_subword_counts(docs, learn_bpe(docs, n_merges=6))
+
+
 def _q_training_shuffle(spark, sf_dir):
     # Deterministic epoch shuffle: hash-ordered shards + in-shard rank —
     # reproducible pseudo-random training order with one shard exchange,
@@ -1720,9 +1733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": _q_multimodal_meta,
         # text analysis
         "q_quality_scores": _q_quality_scores,
-        "q_lang_id": _q_lang_id,
         "q_bpe_token_count": _q_bpe_token_count,
         "q_bpe_learn": _q_bpe_learn,
+        "q_bpe_encode": _q_bpe_encode,
         "q_lm_perplexity": _q_lm_perplexity,
         # curation / training-data pipeline
         "q_curation_pipeline": _q_curation_pipeline,
@@ -1738,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
+        "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
         "q_stratified_sample": _q_stratified_sample,
@@ -1829,7 +1843,7 @@ def _h60(col: str) -> str:
     return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
+def _bpe_oracle_sql(n_merges: int = 6, encode: bool = False) -> str:
     """Unrolled-iteration oracle for q_bpe_learn: each round counts
     freq-weighted adjacent symbol pairs, takes the argmax (count desc,
     pair asc), and applies the merge as a substring replace — DuckDB's
@@ -1863,6 +1877,13 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
             ' ' || (SELECT w1 FROM m{r}) || ' ' || (SELECT w2 FROM m{r}) || ' ',
             ' ' || (SELECT w1 FROM m{r}) || (SELECT w2 FROM m{r}) || ' ') AS syms
           FROM s{r})""")
+    if encode:
+        final = (
+            f"SELECT sub AS subword, CAST(sum(freq) AS BIGINT) AS n FROM ("
+            f"SELECT freq, unnest(string_split(trim(syms), ' ')) AS sub "
+            f"FROM s{n_merges}) GROUP BY 1"
+        )
+        return f"WITH {', '.join(ctes)} {final}"
     rows = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, w1 AS lhs, w2 AS rhs, cnt FROM m{r}"
         for r in range(n_merges)
@@ -2110,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, word, tf, rk FROM ranked WHERE rk <= {TOP_K_TERMS}
         """,
         "q_bpe_learn": _bpe_oracle_sql(6),
+        "q_bpe_encode": _bpe_oracle_sql(6, encode=True),
         "q_training_shuffle": f"""
             WITH h AS (
               SELECT doc_id,

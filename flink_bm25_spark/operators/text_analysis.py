@@ -596,3 +596,29 @@ def learn_bpe(
         vocab = nxt
     vocab.unpersist()
     return merges
+
+
+def bpe_subword_counts(
+    documents: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply learned BPE merges and count subwords: ``(subword, n)`` —
+    the encode half of tokenizer training (:func:`learn_bpe` is the
+    train half).
+
+    Scale shape: merges are applied to the DISTINCT word relation
+    (vocabulary-sized), never per corpus token — each rule is one
+    substring ``replace`` in a codegen'd expression chain; the corpus
+    contributes only its word-count shuffle, and subword totals come
+    from one vocab-sized explode + agg weighted by word frequency.
+    """
+    vocab = bpe_word_vocab(documents)
+    syms = F.col("syms")
+    for _rank, left, right, _cnt in merges:
+        syms = F.replace(
+            syms, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    return (
+        vocab.select("freq", F.explode(F.split(F.trim(syms), " ")).alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )

@@ -262,3 +262,47 @@ def test_embed_near_dup_lsh_no_nested_loop(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_shuffle_single_exchange(spark):
+    """Epoch shuffle = ONE hash exchange on the shard key + per-shard
+    window sort — never a global range sort."""
+    df = QUERIES["q_training_shuffle"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert count_exchanges(df) == 1
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_pos_filter_single_agg_exchange(spark):
+    """Tag+filter are codegen'd scalar CASEs fused into the scan stage;
+    the only exchange is the (word, nature) count aggregation."""
+    df = QUERIES["q_pos_filter"](spark, SF_DIR)
+    assert count_exchanges(df) <= 1
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top30_lines_window_is_partitioned(spark):
+    """The golden-format ranking runs per doc_id — a partitioned window,
+    not the single-reducer unpartitioned kind."""
+    df = QUERIES["q_top30_lines"](spark, SF_DIR)
+    plan = explain_str(df)
+    # a partitioned window hashes on doc_id; an unpartitioned one would
+    # plan an Exchange SinglePartition in front of the WindowExec
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_bpe_subword_counts_vocab_sized_shuffles(spark):
+    """Encode applies merges on the vocab relation: corpus contributes
+    ONE word-count shuffle; merge replaces are pure projection (no
+    Python, no extra corpus exchange)."""
+    from flink_bm25_spark.operators.text_analysis import bpe_subword_counts
+
+    docs = load_table(spark, "documents", SF_DIR)
+    merges = [(0, "e", "r", 0), (1, "e", "</w>", 0)]
+    df = bpe_subword_counts(docs, merges)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two aggs (word count, subword count) -> at most 4 exchanges with AQE
+    assert count_exchanges(df) <= 4
