@@ -50,8 +50,21 @@ class BM25Engine:
     # -- lifecycle ---------------------------------------------------------
 
     @classmethod
-    def fit(cls, documents: DataFrame, k1: float = BM25_K1, b: float = BM25_B) -> "BM25Engine":
-        return cls(build_corpus_stats(documents, cache_tf=True), k1=k1, b=b)
+    def fit(
+        cls,
+        documents: DataFrame,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        pos_filter: bool = False,
+    ) -> "BM25Engine":
+        """``pos_filter=True`` restricts every statistic to noun-family
+        non-stopword tokens — the reference's full fused predicate
+        (``BatchBM25PreMain.java:38-48,191``)."""
+        return cls(
+            build_corpus_stats(documents, cache_tf=True, pos_filter=pos_filter),
+            k1=k1,
+            b=b,
+        )
 
     def save(self, path: str) -> None:
         """Persist the sufficient statistics (the reference's tf5/idf4

@@ -75,13 +75,31 @@ def _parallelize_scan(documents: DataFrame) -> DataFrame:
 
 
 def build_corpus_stats(
-    documents: DataFrame, cache_tf: bool = False, tokenizer=tokenize
+    documents: DataFrame,
+    cache_tf: bool = False,
+    tokenizer=tokenize,
+    pos_filter: bool = False,
 ) -> CorpusStats:
     """``tokenizer`` is any ``documents -> (doc_id, word)`` transform — the
     default regex tokenizer, or a model-backed slot like
     ``partial(tokenize_with_udf, segment=cjk_segment)``; every downstream
-    statistic (TF/DF/IDF/BM25) is tokenizer-agnostic."""
+    statistic (TF/DF/IDF/BM25) is tokenizer-agnostic.
+
+    ``pos_filter=True`` reproduces the reference's FULL fused predicate —
+    keep only noun-family tokens AND drop stopwords
+    (``BatchBM25PreMain.java:38-48,191``) — so every downstream statistic
+    is computed over exactly the token population the reference used.
+    The tag + filter are scalar CASE expressions fused into the tokenize
+    stage (no extra shuffle, no Python).
+    """
     tokens = filter_stopwords(tokenizer(_parallelize_scan(documents)))
+    if pos_filter:
+        from flink_bm25_spark.functions.pos import (  # noqa: PLC0415
+            filter_nature,
+            pos_tag,
+        )
+
+        tokens = filter_nature(pos_tag(tokens)).drop("nature")
     tf = term_frequencies(tokens)
     if cache_tf:
         tf = tf.cache()

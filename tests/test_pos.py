@@ -186,3 +186,31 @@ def test_reference_predicate_via_lexicon(spark):
         pos_tag_with_lexicon(toks, lex), natures=("n", "ns", "nt", "nz")
     )
     assert {r["word"] for r in kept.collect()} == {"北京", "法院", "被告人"}
+
+
+def test_pipeline_pos_filter_option_restricts_statistics(spark):
+    """build_corpus_stats(pos_filter=True) computes TF/DF over exactly the
+    reference's token population: noun-family, non-stopword."""
+    from flink_bm25_spark.functions.pos import filter_nature, pos_tag
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+    from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    stats = build_corpus_stats(docs, pos_filter=True)
+    got_words = {r["word"] for r in stats.df_stats.collect()}
+    want_words = {
+        r["word"]
+        for r in filter_nature(pos_tag(filter_stopwords(tokenize(docs))))
+        .select("word")
+        .distinct()
+        .collect()
+    }
+    assert got_words == want_words
+    # default path unchanged: includes adjective-tagged vocab like 'fast'
+    base_words = {
+        r["word"] for r in build_corpus_stats(docs).df_stats.collect()
+    }
+    assert "fast" in base_words and "fast" not in got_words
+    assert got_words < base_words
