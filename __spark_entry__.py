@@ -613,7 +613,9 @@ def _q_mktsegment_revenue(spark, sf_dir):
     cust = load_table(spark, "customer", sf_dir)
     return (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            # customer is SF-scaled — no forced hint; AQE broadcasts the
+            # thin 2-column projection when runtime size allows
+            cust.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")
@@ -1079,7 +1081,7 @@ def _q_promo_revenue(spark, sf_dir):
     one = F.lit(1).cast("decimal(4,2)")
     rev = price * (one - disc)
     zero = F.lit(0).cast("decimal(18,4)")
-    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -1108,7 +1110,7 @@ def _q_brand_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#19") & q.between(20, 30) & F.col("p_size").between(1, 15))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(F.round(F.sum(price * (one - disc)).cast("double"), 6).alias("revenue"))
     )

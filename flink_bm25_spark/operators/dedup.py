@@ -176,8 +176,11 @@ def jaccard_pairs(
             .unionByName(pairs.select(F.col("d2").alias("doc_id")))
             .distinct()
         )
+        # No broadcast hint: the candidate set is duplicate-fraction-sized
+        # (data-dependent) — AQE broadcasts it when the runtime size
+        # allows and falls back to a shuffled semi-join when it doesn't.
         gram_sets = (
-            sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            sh.join(cand_docs, "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.collect_list("gram").alias("grams"))
         )
@@ -494,9 +497,11 @@ def minhash_dedup_pairs_incremental(
         .unionByName(cands.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    # Only candidate OLD docs are ever re-shingled.
+    # Only candidate OLD docs are ever re-shingled.  No broadcast hint —
+    # the candidate set is duplicate-fraction-sized (data-dependent);
+    # AQE picks the join strategy from runtime statistics.
     sh_old_cands = shingles(
-        old_documents.join(F.broadcast(cand_ids), "doc_id", "left_semi"), n
+        old_documents.join(cand_ids, "doc_id", "left_semi"), n
     )
     return jaccard_pairs(sh_new.unionByName(sh_old_cands), threshold, pairs=cands)
 

@@ -6,9 +6,13 @@ These shapes are the north-star extension that proves the engine's
 relational core handles the canonical multi-way join / aggregate patterns
 a 100 TB warehouse workload needs, each with an explicit scale posture:
 
-- **Dimension joins broadcast.** ``region`` (5), ``nation`` (25),
-  ``supplier`` (SF·100) and filtered ``part`` slices stay under the
-  broadcast threshold at any SF — no shuffle for them, ever.
+- **Dimension joins broadcast — by the right mechanism.**  ``region``
+  (5 rows) and ``nation`` (25) have FIXED cardinality, so their hints are
+  forced.  ``supplier``/``part``/``customer`` and HAVING-filtered sets
+  scale with SF: they carry NO hint — Catalyst's static size estimate or
+  AQE's runtime statistics broadcast them while they fit and fall back to
+  a shuffled join when they don't (a forced hint would OOM the driver at
+  100 TB instead).
 - **Fact-fact joins shuffle once on the join key.** ``lineitem ⋈ orders``
   hashes on ``orderkey``; AQE handles skew.  Filters are applied *before*
   the shuffle so only surviving rows move.
@@ -89,7 +93,7 @@ def q5_local_supplier_volume(
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -123,7 +127,7 @@ def q7_volume_shipping(
         (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
     ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
     return (
-        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -169,11 +173,11 @@ def q8_market_share(
     rev = _revenue()
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -214,8 +218,8 @@ def q9_product_profit(
     supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -297,7 +301,7 @@ def q15_top_supplier(
     supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(best), F.col("_total") == F.col("_best"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -323,7 +327,7 @@ def q18_large_volume_customers(
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
@@ -367,7 +371,7 @@ def q21_waiting_supplier(
     return (
         per_order.groupBy("_late_supp")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supplier), F.col("_late_supp") == F.col("s_suppkey"))
+        .join(supplier, F.col("_late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
@@ -439,7 +443,7 @@ def q3_shipping_priority(
     li = load_table(spark, "lineitem", sf_dir).where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -487,7 +491,7 @@ def q2_min_cost_supplier(
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
-    rcost = cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    rcost = cost.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     best = rcost.withColumn("mincost", F.min("cost").over(w)).where(
         F.col("cost") == F.col("mincost")
@@ -498,7 +502,7 @@ def q2_min_cost_supplier(
         .select("p_partkey")
     )
     return (
-        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.round("s_acctbal", 6).alias("s_acctbal"),
             "s_name",
@@ -539,7 +543,7 @@ def q11_important_part_values(
     )
     val = (
         load_table(spark, "lineitem", sf_dir)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_price() * _price("l_quantity")).alias("_val"))
     )
@@ -624,8 +628,8 @@ def q16_supplier_counts(
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        link.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        link.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -659,7 +663,7 @@ def q20_dominant_suppliers(
     shipped = (
         load_table(spark, "lineitem", sf_dir)
         .where((F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi))
-        .join(F.broadcast(pslice), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pslice, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_price("l_quantity")).alias("sq"))
     )
