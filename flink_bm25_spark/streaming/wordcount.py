@@ -63,13 +63,15 @@ def with_bootstrap_counts(live_counts: DataFrame, snapshot: DataFrame) -> DataFr
     ``keyBy().sum()`` (``backup/UnionTest.java:92-97``).  Structured
     Streaming forbids a streaming∪static union, but the algebra commutes:
     summing the union equals joining the aggregated stream with the static
-    snapshot and adding counts.  The snapshot side is broadcast — it is a
-    point-in-time state dump, small relative to the stream.
+    snapshot and adding counts.  The snapshot side carries NO broadcast
+    hint: a state dump is vocabulary-sized (data-dependent — a 10⁸-word
+    vocabulary is multi-GB), so the planner picks broadcast only while it
+    fits and a shuffled stream-static join otherwise.
 
     ``snapshot`` schema: (word, cnt).
     """
-    snap = F.broadcast(
-        snapshot.select(F.col("word"), F.col("cnt").cast("long").alias("snap_cnt"))
+    snap = snapshot.select(
+        F.col("word"), F.col("cnt").cast("long").alias("snap_cnt")
     )
     return (
         live_counts.join(snap, "word", "left_outer")
