@@ -38,10 +38,19 @@ def main() -> None:
 
     tiers = {
         "exact": lambda q: cosine_topk(emb, q, k=10),
+        "lsh(8p,h<=2)": lambda q: rp_lsh_topk(
+            emb, q, k=10, num_planes=8, probe_hamming=2
+        ),
         "lsh(8p,h<=3)": lambda q: rp_lsh_topk(
             emb, q, k=10, num_planes=8, probe_hamming=3
         ),
+        "lsh(8p,h<=4)": lambda q: rp_lsh_topk(
+            emb, q, k=10, num_planes=8, probe_hamming=4
+        ),
+        "ivf(16c,probe2)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=2),
         "ivf(16c,probe4)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=4),
+        "ivf(16c,probe6)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=6),
+        "ivf(16c,probe8)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=8),
         "int8(overfetch3)": lambda q: quantized_topk(emb, q, k=10, overfetch=3),
     }
     exact_sets = []
@@ -53,6 +62,11 @@ def main() -> None:
         " fraction they SKIP (see similarity.py docstrings for the scale"
         " rationale); recall is the number to read here."
     )
+    frac = {"lsh(8p,h<=2)": "~14%", "lsh(8p,h<=3)": "~36%",
+            "lsh(8p,h<=4)": "~64%", "ivf(16c,probe2)": "12.5%",
+            "ivf(16c,probe4)": "25%", "ivf(16c,probe6)": "37.5%",
+            "ivf(16c,probe8)": "50%", "int8(overfetch3)": "100% int8",
+            "exact": "100%"}
     for name, fn in tiers.items():
         t0 = time.perf_counter()
         hits = 0
@@ -62,7 +76,8 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / len(queries)
         print(
             f"{name:18s} recall@10 = {hits / (10 * len(queries)):.2f}  "
-            f"({dt * 1000:.0f} ms/query over {n} vectors)"
+            f"({dt * 1000:.0f} ms/query over {n} vectors; "
+            f"scan fraction {frac.get(name, '?')})"
         )
     spark.stop()
 
