@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from flink_bm25_spark.config import BM25_B, BM25_K1, SHINGLE_SIZE, STOPWORDS
 from flink_bm25_spark.operators.bm25 import bm25_rank
-from flink_bm25_spark.operators.df_idf import idf
 from flink_bm25_spark.operators.pipeline import CorpusStats, build_corpus_stats
 from flink_bm25_spark.operators.sinks import tf_vectors
 

@@ -38,12 +38,7 @@ from flink_bm25_spark.config import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
-from flink_bm25_spark.functions.hashing import (
-    h60,
-    h_mod_p,
-    minhash_seed_a,
-    minhash_seed_b,
-)
+from flink_bm25_spark.functions.hashing import h60, h_mod_p
 from flink_bm25_spark.functions.text import tokenize_expr
 
 
