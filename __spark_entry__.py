@@ -1310,6 +1310,24 @@ def _q_decontaminate(spark, sf_dir):
     return contamination(train, bench, n=3, min_overlap=3)
 
 
+def _q_decontam_bloom(spark, sf_dir):
+    # Bloom-filter decontamination: the eval grams collapse into a
+    # FIXED-size (1024-bit) portable filter, so the broadcast cost is
+    # O(bits) no matter how large the benchmark set — and because the
+    # Bloom is md5-derived, the flag decision (false positives included)
+    # replays bit-identically in the DuckDB oracle.
+    from flink_bm25_spark.operators.decontam import contamination_bloom
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    # 8192 bits for ~1.3k eval grams: FP ≈ 6% — the filter does real
+    # discrimination (1024 bits would saturate at this gram count)
+    return contamination_bloom(train, bench, n=3, min_overlap=3, bits=8192)
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     # One BPE merge-round's pair statistics: adjacent-token pair counts
     # over the whole corpus (map-side pair generation, ONE count shuffle).
@@ -1822,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16": _q_tpch_q16,
         "q_tpch_q20": _q_tpch_q20,
         "q_bpe_pair_counts": _q_bpe_pair_counts,
+        "q_decontam_bloom": _q_decontam_bloom,
         "q_quality_gate": _q_quality_gate,
         "q_zorder_key": _q_zorder_key,
         "q_feature_hash": _q_feature_hash,
@@ -2510,11 +2529,19 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN seeds s
             ),
             slots AS (
+              -- HUGEINT internally (BIGINT shift raises on bit 63), then
+              -- two's-complement fold back to the signed word Spark emits
               SELECT pos // 64 AS slot,
-                     bit_or(1::BIGINT << (pos % 64)) AS bits
+                     bit_or(1::HUGEINT << CAST(pos % 64 AS INT)) AS ubits
               FROM pos GROUP BY 1
             )
-            SELECT g.range AS slot, coalesce(s.bits, 0::BIGINT) AS bits
+            SELECT g.range AS slot,
+                   CAST(CASE WHEN coalesce(s.ubits, 0::HUGEINT)
+                               >= 9223372036854775808::HUGEINT
+                        THEN coalesce(s.ubits, 0::HUGEINT)
+                             - 18446744073709551616::HUGEINT
+                        ELSE coalesce(s.ubits, 0::HUGEINT) END AS BIGINT)
+                     AS bits
             FROM range(16) g LEFT JOIN slots s ON g.range = s.slot
         """,
         "q_embed_near_dup_lsh": f"""
@@ -3330,6 +3357,49 @@ def oracle_sql() -> dict[str, str]:
               FROM train_sh JOIN eval_grams USING (gram) GROUP BY 1)
             SELECT doc_id, n_grams, n_overlap, n_overlap >= 3 AS contaminated
             FROM sizes JOIN ov USING (doc_id)
+        """,
+        "q_decontam_bloom": f"""
+            WITH {_SHINGLES},
+            b AS (SELECT doc_id,
+                         {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS bkt
+                  FROM documents),
+            eval_grams AS (
+              SELECT DISTINCT gram FROM sh JOIN b USING (doc_id)
+              WHERE bkt < 5),
+            train_sh AS (
+              SELECT sh.* FROM sh JOIN b USING (doc_id) WHERE bkt >= 5),
+            seeds AS (SELECT * FROM (VALUES {_BLOOM_SEEDS}) s(a, b)),
+            epos AS (
+              SELECT ((s.a * e.h + s.b) % {_P}) % 8192 AS pos
+              FROM (SELECT {_h60("gram")} % {_P} AS h FROM eval_grams) e
+              CROSS JOIN seeds s),
+            slots AS MATERIALIZED (
+              -- HUGEINT internally: DuckDB's signed BIGINT shift raises
+              -- on bit 63 (Spark's shiftleft wraps); the bit TEST below
+              -- is sign-agnostic so unsigned internals are exact
+              SELECT pos // 64 AS slot,
+                     bit_or(1::HUGEINT << CAST(pos % 64 AS INT)) AS bits
+              FROM epos GROUP BY 1),
+            tpos AS (
+              SELECT t.doc_id, t.gram,
+                     ((s.a * t.h + s.b) % {_P}) % 8192 AS pos
+              FROM (SELECT doc_id, gram, {_h60("gram")} % {_P} AS h
+                    FROM train_sh) t
+              CROSS JOIN seeds s),
+            checked AS (
+              SELECT doc_id, gram,
+                     bool_and(
+                       ((coalesce(sl.bits, 0::HUGEINT)
+                         >> CAST(pos % 64 AS INT)) & 1) = 1) AS hit
+              FROM tpos LEFT JOIN slots sl ON pos // 64 = sl.slot
+              GROUP BY doc_id, gram),
+            sizes AS (SELECT doc_id, count(*) AS n_grams
+                      FROM train_sh GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS n_overlap_bloom
+                     FROM checked WHERE hit GROUP BY 1)
+            SELECT s.doc_id, s.n_grams, h.n_overlap_bloom,
+                   h.n_overlap_bloom >= 3 AS contaminated
+            FROM sizes s JOIN hits h USING (doc_id)
         """,
         "q_bpe_pair_counts": r"""
             WITH base AS (

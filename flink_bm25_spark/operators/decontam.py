@@ -104,3 +104,58 @@ def decontaminate(
         .select("doc_id")
     )
     return documents.join(flagged, "doc_id", "left_anti")
+
+
+def contamination_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    min_overlap: int = DEFAULT_MIN_OVERLAP,
+    bits: int = 1024,
+    k: int = 7,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`contamination` for benchmark sets
+    too large to broadcast as a gram relation.
+
+    :func:`contamination` broadcasts the distinct eval grams — O(eval
+    set) bytes.  Here the eval grams collapse into a **fixed-size** Bloom
+    filter (``bits`` bits, built in one mergeable aggregation), and the
+    train side probes it as a pure map-side expression: the broadcast
+    cost is O(bits) — constant, no matter how many benchmarks are
+    screened.  The filter is the portable md5-derived Bloom of
+    :mod:`flink_bm25_spark.operators.sketches`, so the flag decision is
+    deterministic and exactly reproducible in any engine (the oracle
+    replays the same bits).
+
+    One-sided error, in the SAFE direction for decontamination: false
+    positives can only INFLATE ``n_overlap_bloom`` (never deflate), so a
+    contaminated doc is never missed; a clean doc may occasionally be
+    over-dropped (rate set by bits/k vs eval-gram count).
+
+    Returns ``(doc_id, n_grams, n_overlap_bloom, contaminated)`` for
+    docs with at least one probe hit.
+    """
+    from flink_bm25_spark.operators.sketches import (  # noqa: PLC0415
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    eval_grams = shingles(benchmark, n=n).select("gram").distinct()
+    # 16-row (bits/64) relation — collected driver-side like any sketch,
+    # then shipped as literals inside the probe expression.
+    filter_rows = bloom_build(eval_grams, "gram", bits=bits, k=k).collect()
+
+    train_sh = shingles(train, n=n)
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        bloom_might_contain(train_sh, "gram", filter_rows, bits=bits, k=k)
+        .where("bloom_hit")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_bloom"))
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_overlap_bloom",
+        (F.col("n_overlap_bloom") >= F.lit(min_overlap)).alias("contaminated"),
+    )

@@ -23,6 +23,7 @@ COLLECT_ALLOWED = {
     "operators/multimodal.py",  # total-byte scalar for repartition sizing
     "api.py",                   # save(): n_docs scalar for metadata
     "operators/pipeline.py",    # corpus_size scalar (count)
+    "operators/decontam.py",    # Bloom filter rows: bits/64 (16) rows
 }
 
 

@@ -472,3 +472,48 @@ def test_quality_gate_approx_plan_has_no_global_sort(spark):
     # a broadcast one-row scalar (nested-loop over ONE row is fine)
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_bloom_no_false_negatives(spark):
+    """The Bloom probe can only INFLATE overlap counts (false positives),
+    never deflate them: every doc the exact check flags is flagged by the
+    Bloom variant, and per-doc n_overlap_bloom >= exact n_overlap."""
+    from flink_bm25_spark.operators.decontam import (
+        contamination,
+        contamination_bloom,
+    )
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    train, bench = docs.where("doc_id >= 50"), docs.where("doc_id < 50")
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination(train, bench, n=3, min_overlap=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_overlap_bloom"]
+        for r in contamination_bloom(
+            train, bench, n=3, min_overlap=3, bits=8192
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, (d, bloom[d], n)
+
+
+def test_contamination_bloom_broadcast_is_fixed_size(spark):
+    """The probe ships the filter as literals — the plan has NO join
+    against an eval-gram relation (that is the whole point: O(bits)
+    broadcast regardless of benchmark size)."""
+    from flink_bm25_spark.operators.decontam import contamination_bloom
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    out = contamination_bloom(
+        docs.where("doc_id >= 50"), docs.where("doc_id < 50"), bits=8192
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one corpus-side agg join pair (sizes x hits); no broadcast of grams
+    assert plan.count("Exchange") <= 6
