@@ -417,3 +417,28 @@ def test_learn_bpe_matches_pure_python_reference(spark):
                     i += 1
             syms[w] = out
     assert got == want
+
+
+def test_udtf_tokenizer_equals_builtin(spark):
+    """The Python-UDTF port path (Flink FlatMapFunction shape) produces
+    exactly the built-in explode tokenizer's output."""
+    from flink_bm25_spark.operators.tokenize import tokenize
+    from flink_bm25_spark.operators.udx import tokenize_udtf
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR).limit(50)
+    got = sorted(map(tuple, tokenize_udtf(docs).collect()))
+    want = sorted(map(tuple, tokenize(docs).collect()))
+    assert got == want
+
+
+def test_grouped_agg_udaf_equals_builtin_sum(spark):
+    from flink_bm25_spark.operators.udx import merge_counts_grouped_agg
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("a", 4), ("c", 1), ("b", 2)],
+        "word string, cnt long",
+    )
+    got = {r["word"]: r["cnt"] for r in merge_counts_grouped_agg(counts).collect()}
+    assert got == {"a": 7, "b": 7, "c": 1}
