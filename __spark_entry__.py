@@ -160,6 +160,15 @@ def _q_stopword_filter(spark, sf_dir):
     return filter_stopwords(tokenize(load_table(spark, "documents", sf_dir)))
 
 
+def _q_tokenize_udtf(spark, sf_dir):
+    # P1 via the arrow Python UDTF port path (Flink FlatMapFunction shape,
+    # BatchBM25PreMain.java:183-196) — same oracle as q_tokenize_explode,
+    # so the gate pins the UDTF's semantic equality with the builtin.
+    from flink_bm25_spark.operators.udx import tokenize_udtf
+
+    return tokenize_udtf(load_table(spark, "documents", sf_dir))
+
+
 def _q_pos_filter(spark, sf_dir):
     # P2 POS half — tag every token with an ansj-style nature and keep the
     # noun family + drop stopwords, exactly the fused reference predicate
@@ -1771,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
+        "q_tokenize_udtf": _q_tokenize_udtf,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -2126,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_tokenize_explode": f"WITH {_PIPE} SELECT doc_id, word FROM tokens",
         "q_stopword_filter": f"WITH {_PIPE} SELECT doc_id, word FROM filtered",
+        "q_tokenize_udtf": f"WITH {_PIPE} SELECT doc_id, word FROM tokens",
         "q_pos_filter": f"""
             WITH {_PIPE},
             tagged AS (
