@@ -1,0 +1,116 @@
+"""Command-line entry point — the Spark twin of the reference's jar
+invocation (``java -jar my-flink-project-1.0-SNAPSHOT.jar 150``,
+``README.md:10``: process the first N documents, write per-doc TF stores
+and golden text files).
+
+    python -m flink_bm25_spark precompute --input DIR [--limit N]
+        [--output DIR] [--golden-text DIR] [--pos-filter]
+    python -m flink_bm25_spark search --stats DIR "spark stream join"
+        [-k 10]
+    python -m flink_bm25_spark curate --input DIR --benchmark DIR
+        --output DIR [--weights en=0.5,de=2.3]
+
+``precompute`` = the reference's whole batch job (tokenize → predicate →
+TF top-30 → DF/IDF store), corpus-at-once instead of 2 jobs/document;
+``--golden-text`` additionally emits the ``(word,count)`` per-doc files
+of ``backup/BatchBM25PrePrint.java:224-225``.  ``search`` = the BM25
+ranking the reference's stored statistics exist to serve.  ``curate`` =
+the training-data pipeline extension.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in filter(None, (spec or "").split(",")):
+        k, _, v = part.partition("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="flink_bm25_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pre = sub.add_parser("precompute", help="build TF/DF/IDF stores")
+    pre.add_argument("--input", required=True, help="dir with documents.parquet")
+    pre.add_argument("--limit", type=int, default=None,
+                     help="first N docs by id (the reference's jar arg)")
+    pre.add_argument("--output", default=None, help="stats dir (parquet)")
+    pre.add_argument("--golden-text", default=None,
+                     help="also write (word,count) per-doc text files here")
+    pre.add_argument("--pos-filter", action="store_true",
+                     help="apply the reference's noun-family predicate")
+    pre.add_argument("--top-k", type=int, default=30)
+
+    srch = sub.add_parser("search", help="BM25 top-k over saved stats")
+    srch.add_argument("--stats", required=True)
+    srch.add_argument("query", help="space-separated terms")
+    srch.add_argument("-k", type=int, default=10)
+
+    cur = sub.add_parser("curate", help="clean/decontaminate/mix/pack")
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--benchmark", required=True)
+    cur.add_argument("--output", required=True)
+    cur.add_argument("--weights", default="")
+    cur.add_argument("--budget", type=int, default=512)
+
+    args = ap.parse_args(argv)
+
+    from flink_bm25_spark.session import get_spark  # noqa: PLC0415
+
+    spark = get_spark(app_name=f"flink_bm25_spark_{args.cmd}")
+    try:
+        if args.cmd == "precompute":
+            from flink_bm25_spark.api import BM25Engine  # noqa: PLC0415
+            from flink_bm25_spark.operators.sinks import (  # noqa: PLC0415
+                write_reference_text,
+            )
+            from flink_bm25_spark.sources.tables import load_documents  # noqa: PLC0415
+
+            docs = load_documents(spark, args.input)
+            if args.limit is not None:
+                # the jar arg: first N pids (reference getPidList order)
+                docs = docs.orderBy("doc_id").limit(args.limit)
+            engine = BM25Engine.fit(docs, pos_filter=args.pos_filter)
+            n = engine.stats.n_docs
+            print(f"precomputed statistics for {n} documents", file=sys.stderr)
+            if args.output:
+                engine.save(args.output)
+                print(f"stats -> {args.output}", file=sys.stderr)
+            if args.golden_text:
+                write_reference_text(
+                    engine.stats.tf, args.golden_text, k=args.top_k
+                )
+                print(f"golden text -> {args.golden_text}", file=sys.stderr)
+        elif args.cmd == "search":
+            from flink_bm25_spark.api import BM25Engine  # noqa: PLC0415
+
+            engine = BM25Engine.load(spark, args.stats)
+            for r in engine.search(args.query, k=args.k).collect():
+                print(f"{r['rk']}\t{r['doc_id']}\t{r['score']}")
+        elif args.cmd == "curate":
+            from flink_bm25_spark.operators.cleaning import (  # noqa: PLC0415
+                curation_pipeline,
+            )
+            from flink_bm25_spark.sources.tables import load_documents  # noqa: PLC0415
+
+            out = curation_pipeline(
+                load_documents(spark, args.input),
+                load_documents(spark, args.benchmark),
+                weights=_parse_weights(args.weights),
+                budget=args.budget,
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"curated layout -> {args.output}", file=sys.stderr)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,48 @@
+"""End-to-end CLI test — the reference's jar usage, Spark-side:
+precompute the first N docs, emit golden text, search the saved stats."""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_cli_precompute_then_search(tmp_path):
+    stats = str(tmp_path / "stats")
+    golden = str(tmp_path / "golden")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(
+        [sys.executable, "-m", "flink_bm25_spark", "precompute",
+         "--input", SF_DIR, "--limit", "50", "--output", stats,
+         "--golden-text", golden],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "precomputed statistics for 50 documents" in r.stderr
+
+    # golden dir: one partition dir per doc, lines in the reference format
+    doc_dirs = [d for d in os.listdir(golden) if d.startswith("doc_id=")]
+    assert len(doc_dirs) == 50
+    part = os.path.join(golden, doc_dirs[0])
+    lines = []
+    for f in os.listdir(part):
+        if f.startswith("part-"):
+            lines += open(os.path.join(part, f)).read().splitlines()
+    assert lines and all(re.match(r"^\(.+,\d+\)$", ln) for ln in lines)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "flink_bm25_spark", "search",
+         "--stats", stats, "spark stream join", "-k", "5"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rows = [ln.split("\t") for ln in r2.stdout.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert [int(x[0]) for x in rows] == list(range(1, len(rows) + 1))
+    scores = [float(x[2]) for x in rows]
+    assert scores == sorted(scores, reverse=True)
