@@ -1437,6 +1437,26 @@ def _q_dup_span_fraction(spark, sf_dir):
     return duplicated_span_fraction(load_table(spark, "documents", sf_dir), n=10)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    # Exact-substring-dedup REMOVAL (the action half of Lee et al. 2022):
+    # tokens covered by a cross-document 10-gram are cut and the document
+    # reassembled from the survivors — all joins/aggs, nothing quadratic.
+    from flink_bm25_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(load_table(spark, "documents", sf_dir), n=10)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
+    # the pair space; exact cosine scored only within clusters — the
+    # equi-join-on-cluster plan, never a cartesian.
+    from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.45, k=4, iterations=2
+    )
+
+
 def _q_sorted_neighborhood(spark, sf_dir):
     # Sorted-neighborhood blocking: sort by a cheap key, pair docs within
     # 3 positions — the complement to hash blocking (near keys that LSH
@@ -1779,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
+        "q_semantic_dedup": _q_semantic_dedup,
+        "q_remove_dup_spans": _q_remove_dup_spans,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_tokenize_udtf": _q_tokenize_udtf,
         "q_lang_id": _q_lang_id,
@@ -2079,6 +2101,90 @@ _SQ_DOT = (
     "list_sum(list_transform(a.embedding, (x, i) -> "
     "CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
 )
+
+# Deterministic Lloyd k-means, two rounds unrolled — identical arithmetic
+# to operators/kmeans.py (double math, 6-dp rounded distances/means,
+# argmin ties -> lower centroid id, left-fold distance sums).  Shared by
+# the q_kmeans oracle and every oracle that builds on the clustering
+# (q_semantic_dedup).  Final assignment relation: a3(vec_id, cluster).
+_KMEANS_CTES = """emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cid, e
+              FROM emb ORDER BY vec_id LIMIT 4
+            ),
+            d1 AS (
+              SELECT emb.vec_id, c0.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c0.e[i]) * (emb.e[i] - c0.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c0
+            ),
+            a1 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d1)
+              WHERE rk = 1
+            ),
+            m1 AS (
+              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
+                SELECT a1.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
+                FROM a1 JOIN emb USING (vec_id)
+                CROSS JOIN range(1, 65) t(i)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            -- empty clusters keep the previous round's centroid (standard
+            -- Lloyd; matches kmeans_assign's by_cid.get(cid, c) fallback)
+            c1 AS (
+              SELECT c0.cid, coalesce(m1.e, c0.e) AS e
+              FROM c0 LEFT JOIN m1 USING (cid)
+            ),
+            d2 AS (
+              SELECT emb.vec_id, c1.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c1.e[i]) * (emb.e[i] - c1.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c1
+            ),
+            a2 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d2)
+              WHERE rk = 1
+            ),
+            m2 AS (
+              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
+                SELECT a2.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
+                FROM a2 JOIN emb USING (vec_id)
+                CROSS JOIN range(1, 65) t(i)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            c2 AS (
+              SELECT c1.cid, coalesce(m2.e, c1.e) AS e
+              FROM c1 LEFT JOIN m2 USING (cid)
+            ),
+            d3 AS (
+              SELECT emb.vec_id, c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - c2.e[i]) * (emb.e[i] - c2.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb CROSS JOIN c2
+            ),
+            a3 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d3)
+              WHERE rk = 1
+            )"""
 _NORM = (
     "sqrt(list_sum(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 )
@@ -3441,85 +3547,8 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic to operators/kmeans.py: double math, distances and
         # per-dim means rounded to 6 dp, argmin ties -> lower centroid id,
         # left-fold distance sums (list_reduce == F.aggregate fold order).
-        "q_kmeans": """
-            WITH emb AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings
-            ),
-            c0 AS (
-              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-                       AS cid, e
-              FROM emb ORDER BY vec_id LIMIT 4
-            ),
-            d1 AS (
-              SELECT emb.vec_id, c0.cid,
-                     round(list_reduce(list_transform(range(1, 65),
-                         i -> (emb.e[i] - c0.e[i]) * (emb.e[i] - c0.e[i])),
-                       (a, b) -> a + b), 6) AS dist
-              FROM emb CROSS JOIN c0
-            ),
-            a1 AS (
-              SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
-                FROM d1)
-              WHERE rk = 1
-            ),
-            m1 AS (
-              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
-                SELECT a1.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
-                FROM a1 JOIN emb USING (vec_id)
-                CROSS JOIN range(1, 65) t(i)
-                GROUP BY 1, 2)
-              GROUP BY 1
-            ),
-            -- empty clusters keep the previous round's centroid (standard
-            -- Lloyd; matches kmeans_assign's by_cid.get(cid, c) fallback)
-            c1 AS (
-              SELECT c0.cid, coalesce(m1.e, c0.e) AS e
-              FROM c0 LEFT JOIN m1 USING (cid)
-            ),
-            d2 AS (
-              SELECT emb.vec_id, c1.cid,
-                     round(list_reduce(list_transform(range(1, 65),
-                         i -> (emb.e[i] - c1.e[i]) * (emb.e[i] - c1.e[i])),
-                       (a, b) -> a + b), 6) AS dist
-              FROM emb CROSS JOIN c1
-            ),
-            a2 AS (
-              SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
-                FROM d2)
-              WHERE rk = 1
-            ),
-            m2 AS (
-              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
-                SELECT a2.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
-                FROM a2 JOIN emb USING (vec_id)
-                CROSS JOIN range(1, 65) t(i)
-                GROUP BY 1, 2)
-              GROUP BY 1
-            ),
-            c2 AS (
-              SELECT c1.cid, coalesce(m2.e, c1.e) AS e
-              FROM c1 LEFT JOIN m2 USING (cid)
-            ),
-            d3 AS (
-              SELECT emb.vec_id, c2.cid,
-                     round(list_reduce(list_transform(range(1, 65),
-                         i -> (emb.e[i] - c2.e[i]) * (emb.e[i] - c2.e[i])),
-                       (a, b) -> a + b), 6) AS dist
-              FROM emb CROSS JOIN c2
-            ),
-            a3 AS (
-              SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
-                FROM d3)
-              WHERE rk = 1
-            )
+        "q_kmeans": f"""
+            WITH {_KMEANS_CTES}
             SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3
         """,
         # weights: en=0.5, de=2.3, fr=3.0, default 1.0; buckets=10000;
@@ -3684,6 +3713,61 @@ def oracle_sql() -> dict[str, str]:
                     ELSE round(CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
                                / l.n_tokens, 6) END AS dup_frac
         FROM lens l LEFT JOIN cov c USING (doc_id)
+    """
+    out["q_remove_dup_spans"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          FROM documents),
+        ps AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9] AS gram
+          FROM base, unnest(generate_series(1, len(ws) - 10 + 1)) t(i)),
+        cd AS (
+          SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ps)
+          GROUP BY gram HAVING count(*) >= 2),
+        fl AS (SELECT ps.* FROM ps JOIN cd USING (gram)),
+        cov AS (
+          SELECT DISTINCT doc_id, off FROM (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + 10 - 1)) AS off
+            FROM fl)),
+        toks AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS off, ws[i] AS tok
+          FROM base, unnest(generate_series(1, len(ws))) t(i)),
+        kept AS (
+          SELECT t.doc_id, t.off, t.tok FROM toks t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.off = c.off
+          WHERE c.doc_id IS NULL AND t.tok <> ''),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY off), ' ')
+                   AS cleaned_text
+          FROM kept GROUP BY doc_id),
+        lens AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT l.doc_id, l.n_tokens,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.cleaned_text, '') AS cleaned_text
+        FROM lens l LEFT JOIN agg a USING (doc_id)
+    """
+    out["q_semantic_dedup"] = f"""
+        WITH {_KMEANS_CTES},
+        cl AS (SELECT vec_id, cluster FROM a3),
+        nrm AS (SELECT vec_id, {_NORM.format(e='embedding')} AS nrm
+                FROM embeddings),
+        dots AS (
+          SELECT ca.cluster, a.vec_id AS d1, b.vec_id AS d2, {_SQ_DOT} AS dot
+          FROM embeddings a JOIN cl ca ON a.vec_id = ca.vec_id
+          JOIN cl cb ON ca.cluster = cb.cluster
+          JOIN embeddings b ON b.vec_id = cb.vec_id
+          WHERE a.vec_id < b.vec_id)
+        SELECT CAST(cluster AS INT) AS cluster, d1, d2,
+               round(dot / (x.nrm * y.nrm), 6) AS cos
+        FROM dots JOIN nrm x ON d1 = x.vec_id JOIN nrm y ON d2 = y.vec_id
+        WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.45
     """
     out["q_sorted_neighborhood"] = """
         WITH k AS (

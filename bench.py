@@ -35,6 +35,8 @@ HEADLINE = [
     "q_running_total",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_semantic_dedup",
+    "q_remove_dup_spans",
     "q_ann_cosine_topk",
     "q_tpch_q1",
     "q_mktsegment_revenue",

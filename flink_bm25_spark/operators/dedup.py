@@ -743,3 +743,76 @@ def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
+    """``(doc_id, n_tokens, n_kept, cleaned_text)`` — exact-substring
+    dedup REMOVAL (the action half of Lee et al. 2022, whose signal half
+    is :func:`duplicated_span_fraction`): every token covered by an
+    n-gram that also appears in ANOTHER document is cut, and the
+    document is reassembled from the surviving tokens in order.
+
+    Contract: token granularity (word n-grams over the lowercased
+    whitespace split), so ``cleaned_text`` is whitespace-normalized; a
+    document that is entirely boilerplate collapses to ``''`` (callers
+    typically drop rows below a length floor afterwards).
+
+    Relational shape (all corpus-sized steps are joins/aggs, nothing
+    quadratic): positional n-grams → gram doc-frequency ≥ 2 → flagged
+    grams explode into covered offsets → token relation anti-joins the
+    covered set → per-doc ordered reassembly via
+    ``array_sort(collect_list(struct(off, tok)))`` (deterministic
+    regardless of partitioning).  The reassembly shuffle is keyed by
+    doc_id — the same key as the TF aggregation, so at scale the two
+    stages co-partition.
+    """
+    pos_sh = positional_shingles(documents, n)
+    cross_doc = (
+        pos_sh.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= 2)
+        .select("gram")
+    )
+    covered = (
+        pos_sh.join(cross_doc, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("off"),
+        )
+        .distinct()
+    )
+    # Token relation over the RAW split array (same 0-based positions the
+    # positional shingles index), empties dropped only AFTER the
+    # coverage anti-join so offsets stay aligned.
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "off", "tok"
+        ),
+    ).select("doc_id", F.col("off").cast("long").alias("off"), "tok")
+    kept = toks.join(covered, ["doc_id", "off"], "left_anti").where(
+        F.col("tok") != ""
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    from flink_bm25_spark.operators.text_analysis import token_stats  # noqa: PLC0415
+
+    lens = token_stats(documents).select("doc_id", "n_tokens")
+    return lens.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

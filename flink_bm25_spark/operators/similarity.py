@@ -67,17 +67,24 @@ def embedding_near_dup_pairs(
     high thresholds, IVF cells for SemDeDup-style clustering), which
     bound the pair space before any exact scoring.
     """
+    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+
     g = num_blocks
     block_ids = F.array(*[F.lit(i) for i in range(g)])
-    a = embeddings.select(
+    # Per-vector norms bound BEFORE the block explode — each pair then
+    # costs one O(d) dot, not three (identical double arithmetic).
+    with_n = embeddings.withColumn("nrm", l2_norm(F.col("embedding")))
+    a = with_n.select(
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
         (F.col("vec_id") % g).cast("int").alias("bi"),
         F.explode(block_ids).alias("bj"),
     )
-    b = embeddings.select(
+    b = with_n.select(
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.explode(block_ids).alias("bi"),
         (F.col("vec_id") % g).cast("int").alias("bj"),
     )
@@ -85,7 +92,9 @@ def embedding_near_dup_pairs(
     scored = pairs.select(
         "d1",
         "d2",
-        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
 
@@ -119,10 +128,13 @@ def srp_band_keys(
     bits_per_band: int = 6,
     dim: int = 64,
     nnz: int = 8,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(vec_id, embedding, band, bkey)`` — banded sign-LSH keys from
-    sparse ±1 hyperplanes; one row per (vector, band), computed entirely
-    map-side (explode of a literal-folded struct array, no shuffle)."""
+    """``(vec_id, embedding, *carry_cols, band, bkey)`` — banded sign-LSH
+    keys from sparse ±1 hyperplanes; one row per (vector, band), computed
+    entirely map-side (explode of a literal-folded struct array, no
+    shuffle).  ``carry_cols`` ride along unmodified (e.g. a precomputed
+    norm)."""
     band_structs = []
     for b in range(bands):
         key = F.lit(0)
@@ -140,9 +152,12 @@ def srp_band_keys(
             F.struct(F.lit(b).alias("band"), key.cast("int").alias("bkey"))
         )
     return embeddings.select(
-        "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("bk")
+        "vec_id",
+        "embedding",
+        *carry_cols,
+        F.explode(F.array(*band_structs)).alias("bk"),
     ).select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", *carry_cols,
         F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
     )
 
@@ -171,27 +186,116 @@ def embedding_near_dup_pairs_lsh(
     (md5-derived planes), so the result replays bit-identically in the
     DuckDB oracle.
     """
-    keyed = srp_band_keys(embeddings, bands, bits_per_band, dim, nnz)
+    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+
+    keyed = srp_band_keys(
+        embeddings.withColumn("nrm", l2_norm(F.col("embedding"))).select(
+            "vec_id", "embedding", "nrm"
+        ),
+        bands,
+        bits_per_band,
+        dim,
+        nnz,
+        carry_cols=("nrm",),
+    )
     a = keyed.select(
         F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"),
-        "band", "bkey",
+        F.col("nrm").alias("na"), "band", "bkey",
     )
     b = keyed.select(
         F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"),
-        "band", "bkey",
+        F.col("nrm").alias("nb"), "band", "bkey",
     )
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "ea", "eb")
+        .select("d1", "d2", "ea", "eb", "na", "nb")
         .distinct()
     )
     scored = cand.select(
         "d1",
         "d2",
-        F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """``(cluster, d1, d2, cos)`` — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then find
+    near-duplicate pairs ONLY within each cluster.  The clustering bounds
+    the pair space — with k ∝ n/target_cluster_size the per-cluster
+    pairwise work stays constant as the corpus grows, which is exactly
+    why SemDeDup scales where all-pairs cosine cannot.
+
+    Plan shape: the within-cluster pairing is a plain shuffled equi-join
+    on ``cluster`` (never a cartesian/BroadcastNestedLoop), and the
+    k-means assignment itself is map-side codegen (centroids are k×d
+    literals — see ``operators/kmeans.py``).  Deterministic end-to-end:
+    fixed lowest-id init, 6-dp rounded distances/means/cosines, so the
+    DuckDB oracle replays the identical pair set.
+
+    At 100 TB: raise ``k`` so clusters stay ~10³–10⁴ vectors; cluster
+    sizes are observable via ``kmeans.cluster_sizes`` and a skewed
+    cluster can be split by recursing on it (standard SemDeDup practice).
+    """
+    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+    from flink_bm25_spark.operators.kmeans import kmeans_assign  # noqa: PLC0415
+
+    assigned = kmeans_assign(embeddings, k=k, iterations=iterations)
+    # Norms are per-VECTOR, not per-pair: bind them map-side before the
+    # pair join so each pair evaluates one O(d) dot instead of three
+    # (same double arithmetic, so oracle parity is unchanged).
+    emb_c = (
+        embeddings.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+    )
+    a = emb_c.select(
+        "cluster",
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb_c.select(
+        "cluster",
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("d1") < F.col("d2"))
+    return pairs.select(
+        "cluster",
+        "d1",
+        "d2",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Survivors of SemDeDup: drop the higher-id member of every
+    within-cluster near-dup pair (deterministic keep-lowest policy, same
+    as the MinHash/SimHash dedup family)."""
+    losers = (
+        semantic_dedup_pairs(embeddings, threshold, k, iterations)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.join(losers, "vec_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ COLLECT_ALLOWED = {
     "api.py",                   # save(): n_docs scalar for metadata
     "operators/pipeline.py",    # corpus_size scalar (count)
     "operators/decontam.py",    # Bloom filter rows: bits/64 (16) rows
+    "__main__.py",              # CLI search: prints the k-row top-k result
 }
 
 

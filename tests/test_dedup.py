@@ -378,3 +378,45 @@ def test_edit_distance_length_blocking_lossless_and_pruning(spark):
         .select(F.least("va", "vb"), F.greatest("va", "vb")).distinct().count()
     )
     assert n_cand < n * (n - 1) // 2 / 2
+
+
+def test_remove_duplicated_spans_cuts_cross_doc_boilerplate(spark):
+    # The action half of Lee et al. exact-substring dedup: a 10-token
+    # span shared across documents is cut from EVERY document carrying
+    # it; unique content survives in order; a wholly-boilerplate doc
+    # collapses to ''.
+    from flink_bm25_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one tail"),
+            (2, boiler + " other unique words"),
+            (3, "totally different text with no shared ten gram at all"),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=10).collect()}
+    assert out[1].cleaned_text == "unique one tail"
+    assert out[2].cleaned_text == "other unique words"
+    assert out[3].cleaned_text == docs.where("doc_id = 3").first().text
+    assert out[4].cleaned_text == "" and out[4].n_kept == 0
+    assert out[1].n_tokens == 13 and out[1].n_kept == 3
+
+
+def test_remove_duplicated_spans_consistent_with_fraction(spark):
+    # Cross-operator invariant on the fixture corpus: tokens removed ==
+    # tokens the signal operator reports as covered (same gram width).
+    from flink_bm25_spark.operators.dedup import (
+        duplicated_span_fraction,
+        remove_duplicated_spans,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    frac = {
+        r.doc_id: r.n_dup_tokens
+        for r in duplicated_span_fraction(docs, n=10).collect()
+    }
+    for r in remove_duplicated_spans(docs, n=10).collect():
+        assert r.n_tokens - r.n_kept == frac[r.doc_id], r.doc_id

@@ -224,3 +224,60 @@ def test_near_dup_lsh_subset_and_high_threshold_recall(spark):
     }
     want = {(int(r.vec_id), int(r.vec_id) + 100_000) for r in base}
     assert want <= found
+
+
+def test_semantic_dedup_pairs_cluster_bounded(spark):
+    # SemDeDup = clustered near-dup: (a) its pairs are a subset of the
+    # exact all-pairs relation at the same threshold; (b) a planted
+    # near-identical copy lands in its source's cluster and is found;
+    # (c) the plan is an equi-join on cluster, never a nested loop.
+    from flink_bm25_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    exact = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs(emb, 0.45).collect()
+    }
+    sem = semantic_dedup_pairs(emb, threshold=0.45, k=4, iterations=2)
+    got = {(r.d1, r.d2) for r in sem.collect()}
+    assert got <= exact
+    assert got  # the fixture's same-cluster near-dups are found
+
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Planted copy: nudge one component of vec 0 — cosine ~1, same
+    # cluster with certainty, so the pair MUST be recovered.
+    base = emb.where("vec_id = 0").first()
+    v = [float(x) for x in base.embedding]
+    v[0] += 1e-3
+    planted = emb.unionByName(
+        spark.createDataFrame(
+            [(99999, v)], "vec_id long, embedding array<float>"
+        )
+    )
+    pairs = {
+        (r.d1, r.d2)
+        for r in semantic_dedup_pairs(planted, threshold=0.99).collect()
+    }
+    assert (0, 99999) in pairs
+
+
+def test_semantic_dedup_survivors_drop_higher_id(spark):
+    from flink_bm25_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    pairs = semantic_dedup_pairs(emb, threshold=0.45).collect()
+    losers = {r.d2 for r in pairs}
+    survivors = {r.vec_id for r in semantic_dedup(emb, threshold=0.45).collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert survivors == all_ids - losers
+    # keep-lowest policy: the smaller member of every pair survives
+    # unless it lost some other pair
+    assert {r.d1 for r in pairs} - losers <= survivors
