@@ -1453,7 +1453,10 @@ def _q_semantic_dedup(spark, sf_dir):
     from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
 
     return semantic_dedup_pairs(
-        load_table(spark, "embeddings", sf_dir), threshold=0.45, k=4, iterations=2
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"),
+        threshold=0.45,
+        k=4,
+        iterations=2,
     )
 
 
@@ -1757,9 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_desc": _q_sort_desc,
         "q_union_merge": _q_union_merge,
         "q_tpch_q1": _q_tpch_q1,
-        # sources / scans
-        "q_scan_project": _q_scan_project,
-        "q_paged_scan": _q_paged_scan,
         # event windows / streaming batch twins
         "q_window_tumbling": _q_window_tumbling,
         "q_session_window": _q_session_window,
@@ -1772,7 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q_dedup_clusters,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
+        "q_semantic_dedup": _q_semantic_dedup,
         "q_dup_span_fraction": _q_dup_span_fraction,
+        "q_remove_dup_spans": _q_remove_dup_spans,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_edit_distance": _q_edit_distance,
         # ANN / embeddings / multimodal
@@ -1799,8 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
-        "q_semantic_dedup": _q_semantic_dedup,
-        "q_remove_dup_spans": _q_remove_dup_spans,
+        "q_scan_project": _q_scan_project,
+        "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_tokenize_udtf": _q_tokenize_udtf,
         "q_lang_id": _q_lang_id,

@@ -37,18 +37,21 @@ def main() -> None:
     from flink_bm25_spark.operators.dedup import (
         jaccard_pairs,
         minhash_dedup_pairs,
+        remove_duplicated_spans,
         shingles,
         simhash_pairs,
         simhash_signatures_from_tokens,
     )
+    from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
     from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
     from flink_bm25_spark.session import get_spark
-    from flink_bm25_spark.sources.tables import load_documents
+    from flink_bm25_spark.sources.tables import load_documents, load_embeddings
 
     mults = [int(m) for m in (sys.argv[1] if len(sys.argv) > 1 else "1,4,8").split(",")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale_exponents")
     base = load_documents(spark, sf_dir)
+    emb_base = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     tmp = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -67,6 +70,11 @@ def main() -> None:
         "curation_pipeline": lambda d: curation_pipeline(
             d, benchmark=base.limit(25), weights={"en": 0.5, "de": 2.3}
         ).count(),
+        # the length() filter forces cleaned_text to be computed — a bare
+        # count() would let Catalyst prune the whole reassembly
+        "remove_dup_spans": lambda d: remove_duplicated_spans(d, n=10)
+        .where(F.length("cleaned_text") >= 0)
+        .count(),
     }
 
     rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}
@@ -100,10 +108,50 @@ def main() -> None:
             rows[name][mult] = (dt, out)
             print(f"x{mult} ({n} docs) {name}: {out} rows in {dt:.1f}s", flush=True)
 
+        # SemDeDup scales by growing k with n (constant cluster size — the
+        # published recipe).  Replicas get a deterministic per-replica ±1
+        # sign flip per component: a diagonal orthogonal transform, so
+        # within-replica cosines (and near-dup structure) are preserved
+        # EXACTLY while cross-replica pairs decorrelate.
+        emb_rep = (
+            emb_base.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    * (
+                        1
+                        - 2
+                        * F.pmod(
+                            F.xxhash64(F.col("rep"), i), F.lit(2)
+                        ).cast("float")
+                    ),
+                ).alias("embedding"),
+            )
+        )
+        de = f"{tmp}_emb_x{mult}"
+        emb_rep.write.mode("overwrite").parquet(f"{de}/embeddings.parquet")
+        emat = spark.read.parquet(f"{de}/embeddings.parquet")
+        ne = emat.count()
+        t0 = time.perf_counter()
+        out = semantic_dedup_pairs(
+            emat, threshold=0.45, k=4 * mult, iterations=2
+        ).count()
+        dt = time.perf_counter() - t0
+        rows.setdefault("semantic_dedup(k∝n)", {})[mult] = (dt, out)
+        print(
+            f"x{mult} ({ne} vecs) semantic_dedup(k={4 * mult}): "
+            f"{out} rows in {dt:.1f}s",
+            flush=True,
+        )
+
     lo, hi = mults[0], mults[-1]
     print("\n| step | " + " | ".join(f"x{m} sec (rows)" for m in mults) + " | exponent |")
     print("|---|" + "---|" * (len(mults) + 1))
-    for name in steps:
+    for name in rows:
         t_lo, t_hi = rows[name][lo][0], rows[name][hi][0]
         exp = (
             math.log(t_hi / t_lo) / math.log(hi / lo) if hi > lo else float("nan")
