@@ -219,6 +219,105 @@ def resize_images(
     )
 
 
+AUDIO_META_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_samples long, duration_s double"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, int, float]] | None = None,
+) -> DataFrame:
+    """Audio decode stage: binary → (sample_rate, n_channels, n_samples,
+    duration_s).  Unlike the image tier, the DEFAULT decoder is REAL: the
+    pure-numpy RIFF/WAVE PCM parser (:mod:`flink_bm25_spark.functions.wav`)
+    ships with the engine, so no codec library is required.  Invalid
+    payloads raise ``ValueError`` (a real decode failure); NULL payloads
+    pass through as NULL metadata.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    if decoder is None:
+        from flink_bm25_spark.functions.wav import wav_meta  # noqa: PLC0415
+
+        decoder = wav_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rate, ch, ns, dur = [], [], [], []
+            for payload in pdf[bytes_col]:
+                if payload is None:
+                    rate.append(None), ch.append(None)
+                    ns.append(None), dur.append(None)
+                    continue
+                r, c, n, d = decoder(bytes(payload))
+                rate.append(r), ch.append(c), ns.append(n), dur.append(d)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sample_rate": pd.array(rate, dtype="Int32"),
+                    "n_channels": pd.array(ch, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    n_bands: int = 8,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Audio feature stage: binary → ``array<float>`` of real DSP
+    features (rms, zero-crossing rate, spectral centroid, FFT band
+    log-energies) — genuine signal processing via the numpy WAV codec,
+    Arrow-batched like every multimodal stage.  The fixed-width vector
+    feeds the ANN/k-means tier directly."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flink_bm25_spark.functions.wav import wav_features  # noqa: PLC0415
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "features": [
+                        None
+                        if p is None
+                        else [float(x) for x in wav_features(bytes(p), n_bands)]
+                        for p in pdf[bytes_col]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
 def sample_frames(
     df: DataFrame, every_n: int = 30, id_col: str = "id", bytes_col: str = "payload"
 ) -> DataFrame:
