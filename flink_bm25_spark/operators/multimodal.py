@@ -318,12 +318,49 @@ def extract_audio_features(
     )
 
 
+def sample_frames_demuxed(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    demuxer: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """REAL frame-sampling for video payloads: demux the container, keep
+    every ``every_n``-th frame chunk, emit ``(id, frame_idx, frame)``.
+    The default demuxer is the engine's own AVI/RIFF parser
+    (:mod:`flink_bm25_spark.functions.avi`) — no external library.
+    Arrow-batched ``mapInPandas``; NULL payloads yield no rows (an empty
+    video has no frames)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    if demuxer is None:
+        from flink_bm25_spark.functions.avi import avi_frames  # noqa: PLC0415
+
+        demuxer = avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf["id"], pdf[bytes_col]):
+                if payload is None:
+                    continue
+                for j, fr in enumerate(demuxer(bytes(payload))):
+                    if j % every_n == 0:
+                        ids.append(rid), idxs.append(j), frames.append(fr)
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema="id long, frame_idx int, frame binary"
+    )
+
+
 def sample_frames(
     df: DataFrame, every_n: int = 30, id_col: str = "id", bytes_col: str = "payload"
 ) -> DataFrame:
     """Frame-sampling stage for video payloads — STUB decode, real plumbing:
     emits one row per sampled frame index (1→N via posexplode), frame bytes
-    left NULL where a real demuxer would fill them."""
+    left NULL where a real demuxer would fill them.  For actual containers
+    use :func:`sample_frames_demuxed` (real AVI demux)."""
     n_frames = (F.length(F.col(bytes_col)) % 300 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(

@@ -310,3 +310,34 @@ def test_extract_audio_features_feeds_ann_tier(spark):
     assert cos(got[1], got[2]) > 0.999999
     assert cos(got[1][3:], got[3][3:]) < 0.5
     assert got[1][2] != got[3][2]  # centroids track the tones
+
+
+# ---------------------------------------------------------------------------
+# REAL video demux: AVI/RIFF (functions/avi.py) + frame sampling
+# ---------------------------------------------------------------------------
+
+from flink_bm25_spark.functions.avi import avi_encode, avi_frames  # noqa: E402
+from flink_bm25_spark.operators.multimodal import sample_frames_demuxed  # noqa: E402
+
+
+def test_avi_roundtrip_and_rejects_garbage():
+    frames = [b"frame-%d" % i for i in range(7)]  # odd lengths force padding
+    assert avi_frames(avi_encode(frames)) == frames
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"junk" * 8):
+        with pytest.raises(ValueError):
+            avi_frames(bad)
+
+
+def test_sample_frames_demuxed_real_default(spark):
+    vids = [
+        (1, bytearray(avi_encode([b"f%02d" % i for i in range(10)]))),
+        (2, bytearray(avi_encode([b"solo"]))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(vids, "id long, payload binary")
+    out = sample_frames_demuxed(df, every_n=3).collect()
+    got = {(r.id, r.frame_idx): bytes(r.frame) for r in out}
+    assert got == {
+        (1, 0): b"f00", (1, 3): b"f03", (1, 6): b"f06", (1, 9): b"f09",
+        (2, 0): b"solo",
+    }

@@ -126,3 +126,29 @@ def test_fmm_invariants(text, dictionary):
     for tok in out:
         if len(tok) > 2 and all(_is_cjk(c) for c in tok):
             assert tok in dictionary
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 200),
+    st.integers(1000, 96000),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_any_pcm(ch, n, rate, seed):
+    import numpy as np
+
+    from flink_bm25_spark.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.RandomState(seed % 2**31)
+    x = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got_rate, got = wav_decode(wav_encode(x, rate))
+    assert got_rate == rate and np.array_equal(got, x)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=64), max_size=16))
+@settings(max_examples=30, deadline=None)
+def test_avi_roundtrip_any_frames(frames):
+    from flink_bm25_spark.functions.avi import avi_encode, avi_frames
+
+    assert avi_frames(avi_encode(frames)) == frames
