@@ -1446,6 +1446,15 @@ def _q_remove_dup_spans(spark, sf_dir):
     return remove_duplicated_spans(load_table(spark, "documents", sf_dir), n=10)
 
 
+def _q_remove_repeated_spans(spark, sf_dir):
+    # Within-document repetition REMOVAL (intra-doc complement of
+    # q_remove_dup_spans): occurrences after a gram's first in-doc
+    # appearance are cut — one (doc_id, gram) window, no corpus state.
+    from flink_bm25_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(load_table(spark, "documents", sf_dir), n=10)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup (Abbas et al. 2023): deterministic k-means clusters bound
     # the pair space; exact cosine scored only within clusters — the
@@ -1801,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
+        "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -3733,6 +3743,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(generate_series(pos, pos + 10 - 1)) AS off
             FROM fl)),
+        toks AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS off, ws[i] AS tok
+          FROM base, unnest(generate_series(1, len(ws))) t(i)),
+        kept AS (
+          SELECT t.doc_id, t.off, t.tok FROM toks t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.off = c.off
+          WHERE c.doc_id IS NULL AND t.tok <> ''),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY off), ' ')
+                   AS cleaned_text
+          FROM kept GROUP BY doc_id),
+        lens AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT l.doc_id, l.n_tokens,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.cleaned_text, '') AS cleaned_text
+        FROM lens l LEFT JOIN agg a USING (doc_id)
+    """
+    out["q_remove_repeated_spans"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          FROM documents),
+        ps AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9] AS gram
+          FROM base, unnest(generate_series(1, len(ws) - 10 + 1)) t(i)),
+        rep AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, row_number() OVER (
+              PARTITION BY doc_id, gram ORDER BY pos) AS rn
+            FROM ps)
+          WHERE rn > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, off FROM (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + 10 - 1)) AS off
+            FROM rep)),
         toks AS (
           SELECT doc_id, CAST(i - 1 AS BIGINT) AS off, ws[i] AS tok
           FROM base, unnest(generate_series(1, len(ws))) t(i)),

@@ -745,46 +745,27 @@ def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
     )
 
 
-def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
-    """``(doc_id, n_tokens, n_kept, cleaned_text)`` — exact-substring
-    dedup REMOVAL (the action half of Lee et al. 2022, whose signal half
-    is :func:`duplicated_span_fraction`): every token covered by an
-    n-gram that also appears in ANOTHER document is cut, and the
-    document is reassembled from the surviving tokens in order.
-
-    Contract: token granularity (word n-grams over the lowercased
-    whitespace split), so ``cleaned_text`` is whitespace-normalized; a
-    document that is entirely boilerplate collapses to ``''`` (callers
-    typically drop rows below a length floor afterwards).
+def _reassemble_without(
+    documents: DataFrame, flagged: DataFrame, n: int
+) -> DataFrame:
+    """``(doc_id, n_tokens, n_kept, cleaned_text)`` — cut every token
+    covered by a flagged gram occurrence ``(doc_id, pos)`` and reassemble
+    each document from the survivors in order.
 
     Relational shape (all corpus-sized steps are joins/aggs, nothing
-    quadratic): positional n-grams → gram doc-frequency ≥ 2 → flagged
-    grams explode into covered offsets → token relation anti-joins the
-    covered set → per-doc ordered reassembly via
-    ``array_sort(collect_list(struct(off, tok)))`` (deterministic
-    regardless of partitioning).  The reassembly shuffle is keyed by
-    doc_id — the same key as the TF aggregation, so at scale the two
-    stages co-partition.
+    quadratic): flagged occurrences explode into covered offsets → the
+    token relation anti-joins the covered set → per-doc ordered
+    reassembly via ``array_sort(collect_list(struct(off, tok)))``
+    (deterministic regardless of partitioning).  The reassembly shuffle
+    is keyed by doc_id — the same key as the TF aggregation, so at scale
+    the two stages co-partition.
     """
-    pos_sh = positional_shingles(documents, n)
-    cross_doc = (
-        pos_sh.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("gdf"))
-        .where(F.col("gdf") >= 2)
-        .select("gram")
-    )
-    covered = (
-        pos_sh.join(cross_doc, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("off"),
-        )
-        .distinct()
-    )
+    covered = flagged.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "off"
+        ),
+    ).distinct()
     # Token relation over the RAW split array (same 0-based positions the
     # positional shingles index), empties dropped only AFTER the
     # coverage anti-join so offsets stay aligned.
@@ -816,3 +797,56 @@ def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
+    """``(doc_id, n_tokens, n_kept, cleaned_text)`` — exact-substring
+    dedup REMOVAL (the action half of Lee et al. 2022, whose signal half
+    is :func:`duplicated_span_fraction`): every token covered by an
+    n-gram that also appears in ANOTHER document is cut, and the
+    document is reassembled from the surviving tokens in order.
+
+    Contract: token granularity (word n-grams over the lowercased
+    whitespace split), so ``cleaned_text`` is whitespace-normalized; a
+    document that is entirely boilerplate collapses to ``''`` (callers
+    typically drop rows below a length floor afterwards).
+
+    Scale shape: positional n-grams → gram doc-frequency ≥ 2 → covered
+    offsets anti-join the token relation (see :func:`_reassemble_without`).
+    """
+    pos_sh = positional_shingles(documents, n)
+    cross_doc = (
+        pos_sh.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= 2)
+        .select("gram")
+    )
+    return _reassemble_without(documents, pos_sh.join(cross_doc, "gram"), n)
+
+
+def remove_repeated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
+    """``(doc_id, n_tokens, n_kept, cleaned_text)`` — WITHIN-document
+    repetition removal, the intra-doc complement of
+    :func:`remove_duplicated_spans` (the Gopher/MassiveText repetition
+    filters *score* repetition; this cuts it): every n-gram occurrence
+    after the FIRST occurrence of that gram in the same document is
+    flagged, its covered tokens removed, and the document reassembled.
+    A doc that is one phrase repeated M× keeps roughly one copy.
+
+    Scale shape: one window (``row_number`` over ``(doc_id, gram)`` by
+    position — hash-partitioned by doc+gram, no corpus-wide gram state)
+    then the shared coverage anti-join / reassembly.  Deterministic:
+    positions are unique within a partition key.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pos_sh = positional_shingles(documents, n)
+    w = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    repeats = (
+        pos_sh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    return _reassemble_without(documents, repeats, n)

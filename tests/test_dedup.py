@@ -420,3 +420,63 @@ def test_remove_duplicated_spans_consistent_with_fraction(spark):
     }
     for r in remove_duplicated_spans(docs, n=10).collect():
         assert r.n_tokens - r.n_kept == frac[r.doc_id], r.doc_id
+
+
+def test_remove_repeated_spans_cuts_intra_doc_repeats(spark):
+    # One phrase repeated 3x collapses to ~one copy; a no-repeat doc is
+    # untouched; cross-doc duplicates are NOT cut (that's the other op).
+    from flink_bm25_spark.operators.dedup import remove_repeated_spans
+
+    phrase = "p q r s t u v w x y"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([phrase] * 3)),
+            (2, "all distinct tokens here never repeat themselves at all ok fine"),
+            (3, phrase),  # same text as part of doc 1, but alone in-doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, n=10).collect()}
+    assert out[1].cleaned_text == phrase  # first occurrence survives
+    assert out[1].n_kept == 10 and out[1].n_tokens == 30
+    assert out[2].cleaned_text == docs.where("doc_id = 2").first().text
+    assert out[3].cleaned_text == phrase  # intra-doc op ignores doc 1's copy
+
+
+def test_span_removal_weird_whitespace_matches_duckdb(spark, duck):
+    # Offset alignment hazard: leading/multiple spaces create empty
+    # tokens in the raw split; both engines must agree on what survives.
+    import duckdb
+
+    from flink_bm25_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "w1  w2 w3 w4\tw5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, "  " + boiler + "  tail1 here"),
+        (2, boiler + " other tail"),
+        (3, "clean and unrelated text entirely without any shared grams"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_kept, r.cleaned_text)
+        for r in remove_duplicated_spans(docs, n=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_span_test",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = sorted(tuple(r) for r in
+                  con.execute(mod.oracle_sql()["q_remove_dup_spans"]).fetchall())
+    assert got == want
