@@ -225,37 +225,9 @@ class CorpusCurator:
                 old_sigs_wide=self.sigs_wide,
                 threshold=self.jaccard_threshold,
             )
-        # First-arrival wins: in a new-old pair the NEW member loses no
-        # matter its id (the old one is already emitted and cannot be
-        # retracted); in a new-new pair the greater id loses.  A plain
-        # greatest(d1, d2) would let a new duplicate with a SMALLER id
-        # than its archived twin slip through.
-        new_ids = new_documents.select("doc_id")
-        flagged_pairs = (
-            pairs.join(
-                new_ids.select(F.col("doc_id").alias("d1"))
-                .withColumn("_n1", F.lit(True)),
-                "d1",
-                "left",
-            )
-            .join(
-                new_ids.select(F.col("doc_id").alias("d2"))
-                .withColumn("_n2", F.lit(True)),
-                "d2",
-                "left",
-            )
-            .select(
-                F.when(
-                    F.coalesce(F.col("_n1"), F.lit(False))
-                    & F.coalesce(F.col("_n2"), F.lit(False)),
-                    F.greatest("d1", "d2"),
-                )
-                .when(F.coalesce(F.col("_n1"), F.lit(False)), F.col("d1"))
-                .otherwise(F.col("d2"))
-                .alias("doc_id")
-            )
-        )
-        losers = flagged_pairs.distinct()
+        from flink_bm25_spark.operators.dedup import first_arrival_losers  # noqa: PLC0415
+
+        losers = first_arrival_losers(pairs, new_documents.select("doc_id"))
         qual = quality_scores(new_documents).select("doc_id", "keep_score")
         contaminated = (
             overlap_counts(new_documents, self.eval_grams, n=self.decontam_n)
@@ -332,3 +304,94 @@ class CorpusCurator:
         if os.path.exists(docs_path):
             cur._docs = spark.read.parquet(docs_path)
         return cur
+
+
+class EmbeddingDeduper:
+    """Incremental SemDeDup-style screening — the embedding analog of
+    :class:`CorpusCurator`: state is a persisted sign-LSH band-key store
+    (vector + norm + band keys, ``similarity.embedding_band_store``), so
+    each batch is screened against EVERYTHING already ingested in
+    O(batch + candidates), the archive never re-keyed.
+
+        dd = EmbeddingDeduper(threshold=0.95)
+        keep1 = dd.screen_batch(day1_vectors)     # survivors, store grows
+        keep2 = dd.screen_batch(day2_vectors)     # dedups vs day1 too
+        dd.save("/state"); EmbeddingDeduper.load(spark, "/state")
+
+    Dedup policy is greedy-stream FIRST-ARRIVAL wins (same contract as
+    the curator): a new vector is dropped when its cosine to ANYTHING
+    already ingested reaches the threshold; within one batch, ties fall
+    to the lower vec_id.  Replaying the same batch sequence reproduces
+    the same survivors.
+    """
+
+    def __init__(
+        self,
+        keys_wide: DataFrame | None = None,
+        threshold: float = 0.9,
+        bands: int = 12,
+        bits_per_band: int = 6,
+        dim: int = 64,
+        nnz: int = 8,
+    ):
+        self.keys_wide = keys_wide
+        self.threshold = threshold
+        self.bands = bands
+        self.bits_per_band = bits_per_band
+        self.dim = dim
+        self.nnz = nnz
+
+    def screen_batch(self, new_vectors: DataFrame) -> DataFrame:
+        """Survivors of ``new_vectors`` vs the archive + each other; the
+        key store grows by ALL batch keys (a dropped vector's future
+        duplicates must still match it)."""
+        from flink_bm25_spark.operators.dedup import first_arrival_losers  # noqa: PLC0415
+        from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+            embedding_near_dup_pairs_incremental,
+        )
+
+        pairs, new_keys = embedding_near_dup_pairs_incremental(
+            self.keys_wide,
+            new_vectors,
+            threshold=self.threshold,
+            bands=self.bands,
+            bits_per_band=self.bits_per_band,
+            dim=self.dim,
+            nnz=self.nnz,
+        )
+        losers = first_arrival_losers(
+            pairs.select("d1", "d2"), new_vectors.select("vec_id")
+        )
+        survivors = new_vectors.join(losers, "vec_id", "left_anti")
+        self.keys_wide = (
+            new_keys
+            if self.keys_wide is None
+            else self.keys_wide.unionByName(new_keys)
+        )
+        return survivors
+
+    def save(self, path: str) -> None:
+        import shutil  # noqa: PLC0415
+
+        sub = os.path.join(path, "keys")
+        if self.keys_wide is not None:
+            self.keys_wide.write.mode("overwrite").parquet(sub)
+        elif os.path.exists(sub):
+            shutil.rmtree(sub)
+
+    def checkpoint_state(self, path: str) -> None:
+        """Eager lineage truncation + persist (same stage-checkpoint
+        rationale as ``CorpusCurator.checkpoint_state``: the store is a
+        union-chain whose plan depth grows per batch, and the overwrite
+        must not race the plan still reading the old files)."""
+        if self.keys_wide is not None:
+            self.keys_wide = self.keys_wide.localCheckpoint(eager=True)
+        self.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, **kw) -> "EmbeddingDeduper":
+        dd = cls(**kw)
+        keys_path = os.path.join(path, "keys")
+        if os.path.exists(keys_path):
+            dd.keys_wide = spark.read.parquet(keys_path)
+        return dd

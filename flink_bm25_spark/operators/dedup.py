@@ -501,6 +501,47 @@ def minhash_dedup_pairs_incremental(
     return jaccard_pairs(sh_new.unionByName(sh_old_cands), threshold, pairs=cands)
 
 
+def first_arrival_losers(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """``(doc_id)`` — which member of each near-dup pair is dropped under
+    the greedy-stream FIRST-ARRIVAL policy: in a new-old pair the NEW
+    member loses no matter its id (the old one is already emitted and
+    cannot be retracted); in a new-new pair the greater id loses.  A
+    plain ``greatest(d1, d2)`` would let a new duplicate with a SMALLER
+    id than its archived twin slip through.
+
+    ``pairs`` is any ``(d1, d2)`` relation; ``new_ids`` the single-column
+    id relation of the current batch (column name must match the pair
+    ids' source column, e.g. ``doc_id`` or ``vec_id``)."""
+    (id_col,) = new_ids.columns
+    flagged = (
+        pairs.join(
+            new_ids.select(F.col(id_col).alias("d1")).withColumn(
+                "_n1", F.lit(True)
+            ),
+            "d1",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col(id_col).alias("d2")).withColumn(
+                "_n2", F.lit(True)
+            ),
+            "d2",
+            "left",
+        )
+        .select(
+            F.when(
+                F.coalesce(F.col("_n1"), F.lit(False))
+                & F.coalesce(F.col("_n2"), F.lit(False)),
+                F.greatest("d1", "d2"),
+            )
+            .when(F.coalesce(F.col("_n1"), F.lit(False)), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias(id_col)
+        )
+    )
+    return flagged.distinct()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -222,6 +222,113 @@ def embedding_near_dup_pairs_lsh(
     return scored.where(F.col("cos") >= threshold)
 
 
+def embedding_band_store(
+    vectors: DataFrame,
+    bands: int = 12,
+    bits_per_band: int = 6,
+    dim: int = 64,
+    nnz: int = 8,
+) -> DataFrame:
+    """``(vec_id, embedding, nrm, band, bkey)`` — the persistable
+    sign-LSH key store for a vector batch: band keys plus the vector and
+    its precomputed norm, so future batches can candidate-join AND
+    exact-verify against the archive without ever re-keying it (the
+    embedding analog of the MinHash wide-signature store)."""
+    from flink_bm25_spark.functions.vectors import l2_norm  # noqa: PLC0415
+
+    return srp_band_keys(
+        vectors.withColumn("nrm", l2_norm(F.col("embedding"))).select(
+            "vec_id", "embedding", "nrm"
+        ),
+        bands,
+        bits_per_band,
+        dim,
+        nnz,
+        carry_cols=("nrm",),
+    )
+
+
+def embedding_near_dup_pairs_incremental(
+    old_keys: DataFrame | None,
+    new_vectors: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 12,
+    bits_per_band: int = 6,
+    dim: int = 64,
+    nnz: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs TOUCHING a new vector batch (new-new plus
+    new-old), without re-keying the archive: the batch-incremental twin
+    of :func:`embedding_near_dup_pairs_lsh`, same O(batch + candidates)
+    posture as ``dedup.minhash_dedup_pairs_incremental``.
+
+    The archive participates only through its persisted
+    :func:`embedding_band_store` relation (``old_keys``; None = empty
+    archive).  Returns ``(pairs, new_keys)`` where ``pairs`` is
+    ``(d1, d2, cos)`` with ``d1 < d2`` and ``new_keys`` is the batch's
+    key-store rows for the caller to append to the archive (ALL of them,
+    dropped vectors included — a dropped vector's future duplicates must
+    still match it).  Old-old pairs are not re-emitted; vec_ids must be
+    disjoint across batches.
+    """
+    from flink_bm25_spark.functions.vectors import dot  # noqa: PLC0415
+
+    new_keys = embedding_band_store(new_vectors, bands, bits_per_band, dim, nnz)
+    a = new_keys.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "band", "bkey",
+    )
+    b = new_keys.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "band", "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "ea", "eb", "na", "nb")
+    )
+    if old_keys is not None:
+        o = old_keys.select(
+            F.col("vec_id").alias("d_old"), F.col("embedding").alias("eo"),
+            F.col("nrm").alias("no"), "band", "bkey",
+        )
+        # Oriented (smaller id, larger id) so pair identity matches the
+        # full rebuild regardless of batch order.
+        no_cand = (
+            a.join(o, ["band", "bkey"])
+            .where(F.col("d1") != F.col("d_old"))
+            .select(
+                F.least("d1", "d_old").alias("d1"),
+                F.greatest("d1", "d_old").alias("d2"),
+                F.when(F.col("d1") < F.col("d_old"), F.col("ea"))
+                .otherwise(F.col("eo"))
+                .alias("ea"),
+                F.when(F.col("d1") < F.col("d_old"), F.col("eo"))
+                .otherwise(F.col("ea"))
+                .alias("eb"),
+                F.when(F.col("d1") < F.col("d_old"), F.col("na"))
+                .otherwise(F.col("no"))
+                .alias("na"),
+                F.when(F.col("d1") < F.col("d_old"), F.col("no"))
+                .otherwise(F.col("na"))
+                .alias("nb"),
+            )
+        )
+        cand = cand.unionByName(no_cand)
+    scored = (
+        cand.dropDuplicates(["d1", "d2"])
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return scored, new_keys
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

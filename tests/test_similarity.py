@@ -281,3 +281,113 @@ def test_semantic_dedup_survivors_drop_higher_id(spark):
     # keep-lowest policy: the smaller member of every pair survives
     # unless it lost some other pair
     assert {r.d1 for r in pairs} - losers <= survivors
+
+
+def test_embedding_incremental_equals_full_rebuild(spark):
+    # Screening batch B against archive A finds exactly the full-corpus
+    # LSH pairs that touch B (old-old pairs excluded by contract).
+    from flink_bm25_spark.operators.similarity import (
+        embedding_band_store,
+        embedding_near_dup_pairs_incremental,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    full = {
+        (r.d1, r.d2): r.cos
+        for r in embedding_near_dup_pairs_lsh(emb, 0.45).collect()
+    }
+    old_ids = {r.vec_id for r in old.select("vec_id").collect()}
+    expected = {
+        p: c for p, c in full.items() if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    pairs, new_keys = embedding_near_dup_pairs_incremental(
+        embedding_band_store(old), new, threshold=0.45
+    )
+    got = {(r.d1, r.d2): r.cos for r in pairs.collect()}
+    assert got == expected
+    assert set(new_keys.columns) == {"vec_id", "embedding", "nrm", "band", "bkey"}
+
+
+def test_embedding_deduper_first_arrival_and_replay(spark, tmp_path):
+    from flink_bm25_spark.api import EmbeddingDeduper
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    base = emb.limit(20).collect()
+
+    def nudged(r, new_id):
+        v = [float(x) for x in r.embedding]
+        v[0] += 1e-3
+        return (new_id, v)
+
+    # batch1: vectors 0..19; batch2: near-copies with LOWER ids (negative)
+    batch1 = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in base],
+        "vec_id long, embedding array<float>",
+    )
+    batch2 = spark.createDataFrame(
+        [nudged(r, -r.vec_id - 1) for r in base],
+        "vec_id long, embedding array<float>",
+    )
+    dd = EmbeddingDeduper(threshold=0.99)
+    s1 = {r.vec_id for r in dd.screen_batch(batch1).collect()}
+    s2 = {r.vec_id for r in dd.screen_batch(batch2).collect()}
+    assert s1 == {r.vec_id for r in base}  # fixture vectors aren't 0.99-dups
+    assert s2 == set()  # first arrival wins DESPITE batch2's smaller ids
+
+    # save/load continuity: a third batch of copies still screens out
+    dd.save(str(tmp_path / "state"))
+    from flink_bm25_spark.api import EmbeddingDeduper as DD
+    dd2 = DD.load(spark, str(tmp_path / "state"), threshold=0.99)
+    batch3 = spark.createDataFrame(
+        [nudged(r, 1000 + r.vec_id) for r in base],
+        "vec_id long, embedding array<float>",
+    )
+    assert dd2.screen_batch(batch3).count() == 0
+
+    # replay determinism: same sequence, same survivors
+    dd3 = EmbeddingDeduper(threshold=0.99)
+    r1 = {r.vec_id for r in dd3.screen_batch(batch1).collect()}
+    r2 = {r.vec_id for r in dd3.screen_batch(batch2).collect()}
+    assert (r1, r2) == (s1, s2)
+
+
+def test_embedding_screen_stream(spark, tmp_path):
+    # availableNow stream over parquet: two files -> micro-batches; dup
+    # vectors across the stream are screened with first-arrival policy.
+    from flink_bm25_spark.api import EmbeddingDeduper
+    from flink_bm25_spark.streaming.embedding_screen import (
+        read_screened,
+        screen_stream,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding]) for r in emb.limit(10).collect()
+    ]
+    dups = [(100 + i, v) for i, (_, v) in enumerate(rows)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # second file lands before the stream starts; availableNow drains both
+    spark.createDataFrame(
+        dups, "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(src)
+
+    out, ckpt, state = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "state")
+    )
+    screen_stream(stream, EmbeddingDeduper(threshold=0.999), out, ckpt, state)
+    kept = {r.vec_id for r in read_screened(spark, out).collect()}
+    # every exact-duplicate pair resolved to ONE surviving copy
+    assert len(kept) == 10
+    for (orig, _), (dup, _) in zip(rows, dups):
+        assert (orig in kept) != (dup in kept)
