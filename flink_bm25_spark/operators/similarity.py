@@ -1,18 +1,29 @@
 """Similarity search over ``array<float>`` embedding columns — the
 approximate-nearest-neighbor extension (BASELINE.json north star).
 
-Three tiers:
+Tiers:
 
 - :func:`cosine_topk` — brute-force top-k against a query vector.  The
   query is a broadcast literal, scoring is a map-side higher-order
   expression, and top-k is ``orderBy+limit`` (TakeOrderedAndProject), so
   even the "brute force" tier scans once with no shuffle — at 100 TB it is
   bounded by scan bandwidth.
-- :func:`embedding_near_dup_pairs` — all-pairs cosine ≥ threshold, for
-  corpus-level near-dup removal.  Quadratic; the scale path is the LSH tier.
-- :func:`rp_lsh_*` — random-hyperplane (sign) LSH: deterministic
-  md5-derived hyperplanes bucket vectors so candidate generation is an
-  equi-join on (table, bucket) instead of a cross join.
+- :func:`embedding_near_dup_pairs` — exact all-pairs cosine ≥ threshold
+  via a BLOCKED theta-join (O(n²) compute but a distributable plan);
+  the small-n verifier for the approximate tiers.
+- :func:`embedding_near_dup_pairs_lsh` / :func:`rp_lsh_*` —
+  random-hyperplane (sign) LSH: deterministic md5-derived hyperplanes
+  bucket vectors so candidate generation is an equi-join on
+  (band, bucket) instead of a cross join.
+- :func:`semantic_dedup_pairs` — SemDeDup: k-means cells bound the pair
+  space, exact cosine only within clusters.
+- :func:`embedding_near_dup_pairs_incremental` — the batch-incremental
+  form over a persisted band-key store (:func:`embedding_band_store`);
+  operational loop in ``api.EmbeddingDeduper``.
+- IVF (below) — coarse-quantizer cells, persisted partition-pruned.
+
+All pairwise scoring binds per-vector norms map-side (one O(d) dot per
+pair, not three).
 """
 
 from __future__ import annotations
@@ -675,6 +686,43 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
+    )
+
+
+def ivf_add(spark, path: str, new_vectors: DataFrame) -> None:
+    """Extend a persisted IVF index with a new vector batch WITHOUT
+    retraining — standard IVF maintenance (the coarse quantizer is only
+    retrained when drift degrades recall): each new vector is assigned
+    to its nearest EXISTING cell map-side (centroids are n_cells×d
+    literals compiled into the expression — no shuffle, no join) and
+    appended to that cell's partition directory, so probes keep their
+    partition-pruned scan shape over old and new vectors alike.
+
+    ``new_vectors`` must carry the same columns as the vectors the index
+    was built from (vec_ids disjoint from the archive, caller contract
+    shared with every incremental tier)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.kmeans import _squared_dist  # noqa: PLC0415
+
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    vec = F.col("embedding").cast("array<double>")
+    candidates = F.array(
+        *[
+            F.struct(
+                _squared_dist(vec, [float(x) for x in r["centroid"]]).alias(
+                    "dist"
+                ),
+                F.lit(int(r["cell"])).alias("cid"),
+            )
+            for r in sorted(cents, key=lambda r: int(r["cell"]))
+        ]
+    )
+    assigned = new_vectors.withColumn(
+        "cell", F.array_min(candidates)["cid"].cast("int")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
     )
 
 

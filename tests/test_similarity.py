@@ -391,3 +391,36 @@ def test_embedding_screen_stream(spark, tmp_path):
     assert len(kept) == 10
     for (orig, _), (dup, _) in zip(rows, dups):
         assert (orig in kept) != (dup in kept)
+
+
+def test_ivf_add_appends_without_retrain(spark, tmp_path):
+    # Index maintenance: vectors added after ivf_save are assigned to
+    # their nearest EXISTING cell and found by disk probes, and the
+    # probe keeps its partition-pruned scan shape.
+    from flink_bm25_spark.operators.similarity import (
+        ivf_add,
+        ivf_build,
+        ivf_save,
+        ivf_topk_from_disk,
+    )
+
+    emb = load_embeddings(spark, SF_DIR)
+    old = emb.where("vec_id < 400")
+    new = emb.where("vec_id >= 400")
+    model, assigned = ivf_build(old, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_save(model, assigned, path)
+    ivf_add(spark, path, new)
+
+    # a query equal to an ADDED vector finds it at cos 1.0
+    probe_row = new.orderBy("vec_id").first()
+    qvec = [float(x) for x in probe_row["embedding"]]
+    disk = ivf_topk_from_disk(spark, path, qvec, k=3, nprobe=3)
+    rows = disk.collect()
+    assert rows[0]["vec_id"] == probe_row["vec_id"]
+    assert rows[0]["cos"] == 1.0
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # archive + batch both present on disk
+    total = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+    assert total == emb.count()
