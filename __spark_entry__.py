@@ -1446,6 +1446,24 @@ def _q_remove_dup_spans(spark, sf_dir):
     return remove_duplicated_spans(load_table(spark, "documents", sf_dir), n=10)
 
 
+def _q_normalize_text(spark, sf_dir):
+    # Web-corpus text normalization (unicode punctuation fold, control
+    # strip, whitespace collapse) — dirt is synthesized IN-PLAN around
+    # the clean fixture text so the oracle value-checks every rule.
+    from flink_bm25_spark.functions.text import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    dirty = F.concat(
+        F.lit("“start”\x07  "),
+        F.col("text"),
+        F.lit(" –tail—end…\x1f "),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_text(dirty).alias("norm_text"),
+    ).withColumn("n_chars_norm", F.length("norm_text").cast("long"))
+
+
 def _q_remove_repeated_spans(spark, sf_dir):
     # Within-document repetition REMOVAL (intra-doc complement of
     # q_remove_dup_spans): occurrences after a gram's first in-doc
@@ -1811,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_remove_repeated_spans": _q_remove_repeated_spans,
+        "q_normalize_text": _q_normalize_text,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -3764,6 +3783,32 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_kept, 0) AS n_kept,
                coalesce(a.cleaned_text, '') AS cleaned_text
         FROM lens l LEFT JOIN agg a USING (doc_id)
+    """
+    out["q_normalize_text"] = """
+        WITH dirty AS (
+          SELECT doc_id,
+                 '“start”' || chr(7) || '  ' || text
+                 || ' –tail—end…' || chr(31) || ' ' AS d
+          FROM documents),
+        folded AS (
+          SELECT doc_id,
+                 replace(
+                   translate(d,
+                     '‘’“”–— ',
+                     '''''""-- '),
+                   '…', '...') AS d
+          FROM dirty),
+        norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(d,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]',
+                     '', 'g'),
+                   '\\s+', ' ', 'g')) AS norm_text
+          FROM folded)
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        FROM norm
     """
     out["q_remove_repeated_spans"] = r"""
         WITH base AS (

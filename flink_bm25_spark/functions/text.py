@@ -25,6 +25,33 @@ def tokenize_expr(text: Column) -> Column:
     return F.split(F.lower(text), TOKEN_SPLIT_PATTERN)
 
 
+def normalize_text(text: Column) -> Column:
+    """Deterministic web-corpus text normalization, entirely JVM-side
+    (translate + regexp chains, whole-stage codegen, replayable in ANSI
+    SQL):
+
+    1. fold common unicode punctuation to ASCII — curly quotes, en/em
+       dashes, NBSP (→ space), ellipsis (→ ``...``);
+    2. strip C0/C1 control characters (tab/newline survive to step 3 as
+       whitespace);
+    3. collapse whitespace runs to single spaces and trim.
+
+    The standard first stage of a cleaning pipeline (C4/MassiveText both
+    normalize before filtering); tokenization downstream then sees one
+    canonical surface form.
+    """
+    folded = F.translate(
+        text,
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0",
+        "''\"\"-- ",
+    )
+    folded = F.regexp_replace(folded, "\u2026", "...")
+    stripped = F.regexp_replace(
+        folded, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", ""
+    )
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 _CJK_RANGES = (
     (0x4E00, 0x9FFF),    # CJK Unified Ideographs
     (0x3400, 0x4DBF),    # Extension A

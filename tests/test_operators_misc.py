@@ -442,3 +442,22 @@ def test_grouped_agg_udaf_equals_builtin_sum(spark):
     )
     got = {r["word"]: r["cnt"] for r in merge_counts_grouped_agg(counts).collect()}
     assert got == {"a": 7, "b": 7, "c": 1}
+
+
+def test_normalize_text_rules(spark):
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.functions.text import normalize_text
+
+    cases = [
+        ("“Hi” \x07 a—b…  c\td\n", '"Hi" a-b... c d'),
+        ("  lead nbsp", "lead nbsp"),
+        ("already clean", "already clean"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               "i long, t string")
+    got = {r.i: r.n for r in df.select(
+        "i", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])

@@ -424,3 +424,35 @@ def test_ivf_add_appends_without_retrain(spark, tmp_path):
     # archive + batch both present on disk
     total = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
     assert total == emb.count()
+
+
+def test_audio_features_feed_embedding_deduper(spark):
+    # Cross-tier composition: WAV payloads -> real DSP feature vectors ->
+    # incremental embedding dedup.  Re-encodings of the same tone are
+    # near-dups; distinct tones survive.
+    import numpy as np
+
+    from flink_bm25_spark.api import EmbeddingDeduper
+    from flink_bm25_spark.functions.wav import wav_encode
+    from flink_bm25_spark.operators.multimodal import extract_audio_features
+    from pyspark.sql import functions as F
+
+    def tone(freq, amp=20000, rate=8000, secs=0.25):
+        t = np.arange(int(rate * secs)) / rate
+        return wav_encode((np.sin(2 * np.pi * freq * t) * amp).astype(np.int16), rate)
+
+    rows = [
+        (1, bytearray(tone(300))),
+        (2, bytearray(tone(300, amp=19995))),  # re-encode at a hair less gain
+        (3, bytearray(tone(2400))),
+    ]
+    blobs = spark.createDataFrame(rows, "id long, payload binary")
+    # dedup on the dimension-homogeneous band profile (the raw vector's
+    # centroid component dominates a plain cosine)
+    feats = extract_audio_features(blobs, n_bands=8).select(
+        F.col("id").alias("vec_id"),
+        F.slice(F.col("features"), 4, 8).alias("embedding"),
+    )
+    dd = EmbeddingDeduper(threshold=0.999, dim=8)
+    kept = {r.vec_id for r in dd.screen_batch(feats).collect()}
+    assert kept == {1, 3}  # the re-encoded tone deduped, distinct tone kept
