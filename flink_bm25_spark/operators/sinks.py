@@ -125,6 +125,28 @@ def write_reference_text(
     )
 
 
+def write_reference_idf(df_stats: DataFrame, path: str) -> None:
+    """The reference's OTHER golden file: global ``idf.txt`` — one
+    ``(word,df)`` tuple per line, the accumulated document-frequency
+    relation written by ``backup/BatchBM25PrePrint.java:227``
+    (``unionOperator.writeAsText("idf.txt", OVERWRITE)`` after the
+    union+groupBy+sum accumulation).  The Flink job writes it with the
+    job's parallelism-1 sink; here the vocabulary relation coalesces to
+    one file the same way (a vocabulary is words-sized, not corpus-sized
+    — at 100 TB it is still only the distinct-term table)."""
+    (
+        df_stats.orderBy(F.desc("df"), F.asc("word"))
+        .select(
+            F.concat(
+                F.lit("("), F.col("word"), F.lit(","), F.col("df"), F.lit(")")
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def write_sorted_runs(
     df: DataFrame, path: str, order_col: str, n_ranges: int = 8
 ) -> None:

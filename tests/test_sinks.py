@@ -198,3 +198,25 @@ def test_reference_text_sink_replays_golden_shape(spark, tmp_path):
         .first()
     )
     assert first["line"] == f"({expect[0][0]},{expect[0][1]})"
+
+
+def test_reference_idf_sink_golden_grammar(spark, tmp_path):
+    """write_reference_idf emits the global idf.txt shape of
+    backup/BatchBM25PrePrint.java:227: (word,df) tuples in one file,
+    parsed by the same grammar as the committed goldens, values equal to
+    the engine's DF relation."""
+    from flink_bm25_spark.operators.sinks import write_reference_idf
+
+    s = corpus_stats_for(spark, SF_DIR)
+    path = str(tmp_path / "idf_txt")
+    write_reference_idf(s.df_stats, path)
+
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 1  # one global file, like the reference's sink
+    rows = _parse_golden(os.path.join(path, parts[0]))
+    counts = [c for _, c in rows]
+    assert counts == sorted(counts, reverse=True)
+    want = {
+        (r["word"], r["df"]) for r in s.df_stats.select("word", "df").collect()
+    }
+    assert set(rows) == want and rows
