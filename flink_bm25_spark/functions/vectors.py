@@ -22,7 +22,21 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for zero vectors rather than an error: Spark 4 is ANSI mode,
+    where an unguarded x/0 throws — a single all-zeros embedding in a
+    100 TB corpus must not kill the job.  NULL drops out of every
+    ``cos >= threshold`` filter and top-k ordering downstream (the
+    DuckDB oracles agree because the fixtures contain no zero vectors)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def cosine_from_parts(ea: Column, eb: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed per-vector norms (the pair-join fast path:
+    one O(d) dot per pair).  Same zero-vector NULL guard as
+    :func:`cosine_similarity` — ANSI mode would otherwise throw."""
+    denom = na * nb
+    return F.when(denom != 0.0, dot(ea, eb) / denom)
 
 
 def l2_normalize(df, vec_col: str = "embedding", out_col: str = "unit"):

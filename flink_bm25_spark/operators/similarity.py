@@ -78,7 +78,10 @@ def embedding_near_dup_pairs(
     high thresholds, IVF cells for SemDeDup-style clustering), which
     bound the pair space before any exact scoring.
     """
-    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
 
     g = num_blocks
     block_ids = F.array(*[F.lit(i) for i in range(g)])
@@ -104,7 +107,9 @@ def embedding_near_dup_pairs(
         "d1",
         "d2",
         F.round(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ), 6
         ).alias("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
@@ -197,7 +202,10 @@ def embedding_near_dup_pairs_lsh(
     (md5-derived planes), so the result replays bit-identically in the
     DuckDB oracle.
     """
-    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
 
     keyed = srp_band_keys(
         embeddings.withColumn("nrm", l2_norm(F.col("embedding"))).select(
@@ -227,7 +235,9 @@ def embedding_near_dup_pairs_lsh(
         "d1",
         "d2",
         F.round(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ), 6
         ).alias("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
@@ -282,7 +292,7 @@ def embedding_near_dup_pairs_incremental(
     still match it).  Old-old pairs are not re-emitted; vec_ids must be
     disjoint across batches.
     """
-    from flink_bm25_spark.functions.vectors import dot  # noqa: PLC0415
+    from flink_bm25_spark.functions.vectors import cosine_from_parts  # noqa: PLC0415
 
     new_keys = embedding_band_store(new_vectors, bands, bits_per_band, dim, nnz)
     a = new_keys.select(
@@ -332,7 +342,9 @@ def embedding_near_dup_pairs_incremental(
             "d1",
             "d2",
             F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+                cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ), 6
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
@@ -364,7 +376,10 @@ def semantic_dedup_pairs(
     sizes are observable via ``kmeans.cluster_sizes`` and a skewed
     cluster can be split by recursing on it (standard SemDeDup practice).
     """
-    from flink_bm25_spark.functions.vectors import dot, l2_norm  # noqa: PLC0415
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
     from flink_bm25_spark.operators.kmeans import kmeans_assign  # noqa: PLC0415
 
     assigned = kmeans_assign(embeddings, k=k, iterations=iterations)
@@ -394,7 +409,9 @@ def semantic_dedup_pairs(
         "d1",
         "d2",
         F.round(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ), 6
         ).alias("cos"),
     ).where(F.col("cos") >= threshold)
 

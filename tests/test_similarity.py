@@ -456,3 +456,28 @@ def test_audio_features_feed_embedding_deduper(spark):
     dd = EmbeddingDeduper(threshold=0.999, dim=8)
     kept = {r.vec_id for r in dd.screen_batch(feats).collect()}
     assert kept == {1, 3}  # the re-encoded tone deduped, distinct tone kept
+
+
+def test_zero_vector_does_not_crash_any_tier(spark):
+    # ANSI mode: an unguarded x/0 throws — one all-zeros embedding in a
+    # 100 TB corpus must degrade to "no similarity", not kill the job.
+    from flink_bm25_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding").limit(50)
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with_zero = emb.unionByName(zero)
+    for pairs in (
+        embedding_near_dup_pairs(with_zero, 0.3),
+        embedding_near_dup_pairs_lsh(with_zero, 0.3),
+        semantic_dedup_pairs(with_zero, threshold=0.3, k=2, iterations=1),
+    ):
+        ids = {i for r in pairs.collect() for i in (r.d1, r.d2)}
+        assert 99999 not in ids  # zero vector is similar to nothing
+    top = cosine_topk(with_zero, [0.0] * 64, k=3).collect()
+    assert all(r.cos is None for r in top)  # NULL scores, no crash
