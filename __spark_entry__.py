@@ -456,6 +456,25 @@ def _q_corpus_clean(spark, sf_dir):
     return clean_corpus(load_table(spark, "documents", sf_dir))
 
 
+def _q_cluster_reps(spark, sf_dir):
+    # Keep-best election: per near-dup cluster, the member with the top
+    # quality keep_score (ties -> lowest doc_id).  The production
+    # alternative to cluster-min canonicals (operators/cleaning.py).
+    from flink_bm25_spark.operators.cleaning import (
+        elect_cluster_representatives,
+    )
+
+    return elect_cluster_representatives(load_table(spark, "documents", sf_dir))
+
+
+def _q_corpus_clean_keep_best(spark, sf_dir):
+    # clean_corpus under the keep-best policy: quality gate + drop every
+    # cluster member except the elected best-quality representative.
+    from flink_bm25_spark.operators.cleaning import clean_corpus_keep_best
+
+    return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return simhash_signatures(_stats(spark, sf_dir).tf)
 
@@ -1830,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
+        "q_cluster_reps": _q_cluster_reps,
+        "q_corpus_clean_keep_best": _q_corpus_clean_keep_best,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -2553,6 +2574,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_cluster_reps": f"""
+            WITH RECURSIVE {_CLUSTERS}, {_QUALITY}
+            SELECT canonical_id, doc_id AS best_doc, keep_score AS best_score
+            FROM (
+              SELECT c.canonical_id, c.doc_id, q.keep_score,
+                     row_number() OVER (
+                       PARTITION BY c.canonical_id
+                       ORDER BY q.keep_score DESC, c.doc_id
+                     ) AS rk
+              FROM comp c JOIN qual q USING (doc_id)
+            ) WHERE rk = 1
+        """,
+        "q_corpus_clean_keep_best": f"""
+            WITH RECURSIVE {_CLUSTERS}, {_QUALITY},
+            reps AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                         PARTITION BY c.canonical_id
+                         ORDER BY q.keep_score DESC, c.doc_id
+                       ) AS rk
+                FROM comp c JOIN qual q USING (doc_id)
+              ) WHERE rk = 1
+            )
+            SELECT q.doc_id, q.keep_score FROM qual q
+            WHERE q.keep_score >= 0.2
+              AND q.doc_id NOT IN
+                  (SELECT doc_id FROM comp
+                   WHERE doc_id NOT IN (SELECT doc_id FROM reps))
         """,
         "q_simhash": f"WITH {_PIPE}, {_SIMHASH} SELECT doc_id, simhash FROM ssig",
         "q_dedup_simhash": f"""

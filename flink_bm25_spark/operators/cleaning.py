@@ -51,6 +51,76 @@ def clean_corpus(
     )
 
 
+def elect_cluster_representatives(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """``(canonical_id, best_doc, best_score)`` — the highest-quality
+    member of each near-duplicate cluster (ties fall to the lowest
+    ``doc_id``), one row per cluster.
+
+    The reference's dedup story keeps the *first* representative it sees
+    (its ``(word,count)`` distinct, ``backup/BatchBM25Pre.java:153`` has
+    no notion of choice); ``clean_corpus`` refines that to the
+    deterministic cluster-min id.  Production corpus curation usually
+    wants neither: when boilerplate spawns a duplicate cluster, keep the
+    member with the best quality signal and drop the rest.  This is that
+    policy, as one declarative plan.
+
+    Scale shape: ``quality_scores`` is map-side codegen; the score join
+    is keyed on ``doc_id`` (same key the cluster relation is already
+    hashed on); the argmax window partitions by ``canonical_id``, whose
+    partition size is the cluster population — bounded and small, never
+    the corpus.  Nothing data-dependent is broadcast.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if pairs is None:
+        pairs = minhash_dedup_pairs(documents, jaccard_threshold)
+    members = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("keep_score"), F.asc("doc_id")
+    )
+    return (
+        members.join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("best_doc"),
+            F.col("keep_score").alias("best_score"),
+        )
+    )
+
+
+def clean_corpus_keep_best(
+    documents: DataFrame,
+    min_keep_score: float = 0.2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """``clean_corpus`` with the keep-best-quality election policy:
+    survivors are documents that clear the quality gate AND are either
+    unclustered or their cluster's elected best-quality representative.
+
+    Same plan skeleton as :func:`clean_corpus` (the loser set is
+    duplicate-fraction-sized and joined anti, AQE choosing the
+    strategy); only the election rule differs, so the two are directly
+    comparable A/B policies over one corpus.
+    """
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    pairs = minhash_dedup_pairs(documents, jaccard_threshold)
+    members = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    reps = elect_cluster_representatives(documents, pairs=pairs)
+    losers = members.join(
+        reps.select(F.col("best_doc").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    return scored.where(F.col("keep_score") >= min_keep_score).join(
+        losers, "doc_id", "left_anti"
+    )
+
+
 def curation_pipeline(
     documents: DataFrame,
     benchmark: DataFrame,

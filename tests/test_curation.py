@@ -517,3 +517,31 @@ def test_contamination_bloom_broadcast_is_fixed_size(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one corpus-side agg join pair (sizes x hits); no broadcast of grams
     assert plan.count("Exchange") <= 6
+
+
+def test_keep_best_election_beats_min_id(spark):
+    """A cluster whose lowest-id member is NOT its best-quality member:
+    min-id election and keep-best election must disagree, and keep-best
+    must pick the argmax keep_score."""
+    from flink_bm25_spark.operators.cleaning import (
+        clean_corpus,
+        clean_corpus_keep_best,
+        elect_cluster_representatives,
+    )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    longer = base + " x1 x2 x3"  # superset shingles: J = 28/31 ~ 0.90
+    other = " ".join(f"z{i:02d}" for i in range(25))  # unclustered
+    docs = _docs(spark, [(10, base), (20, longer), (30, other)])
+
+    reps = elect_cluster_representatives(docs).collect()
+    assert len(reps) == 1
+    # canonical is still the cluster-min id; the elected doc is the
+    # higher-scoring longer document (30 vs 33 tokens -> 0.30 vs 0.33)
+    assert reps[0].canonical_id == 10
+    assert reps[0].best_doc == 20
+
+    kept_best = {r.doc_id for r in clean_corpus_keep_best(docs).collect()}
+    kept_min = {r.doc_id for r in clean_corpus(docs).collect()}
+    assert kept_best == {20, 30}
+    assert kept_min == {10, 30}
