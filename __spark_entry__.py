@@ -475,6 +475,60 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_dq_null_profile(spark, sf_dir):
+    # Single-pass per-column null audit (operators/dq.py): per-column
+    # counters ride ONE map-side partial agg; the explode reshapes the
+    # 1-row result, never the data.
+    from flink_bm25_spark.operators.dq import null_profile
+
+    return null_profile(load_table(spark, "documents", sf_dir))
+
+
+def _q_dq_summary(spark, sf_dir):
+    # Composed data-quality audit: uniqueness, enum domain, row invariant,
+    # numeric range, referential integrity — one declarative plan, every
+    # union leg a scalar count.  The range and enum checks are non-vacuous
+    # on the fixture (outlier event values / the 'fr' slice).
+    from flink_bm25_spark.operators.dq import (
+        accepted_values_violations,
+        dq_summary,
+        expression_violations,
+        fk_orphans,
+        range_violations,
+        uniqueness_violations,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return dq_summary(
+        [
+            ("docs_doc_id_unique", uniqueness_violations(docs, ["doc_id"])),
+            (
+                "docs_lang_known",
+                accepted_values_violations(
+                    docs, "lang", ["en", "zh", "es", "de"]
+                ),
+            ),
+            (
+                "docs_n_chars_consistent",
+                expression_violations(
+                    docs, F.col("n_chars") == F.length("text")
+                ),
+            ),
+            (
+                "events_value_in_range",
+                range_violations(events, "value", 0.0, 400.0),
+            ),
+            (
+                "orders_custkey_fk",
+                fk_orphans(orders, customer, "o_custkey", "c_custkey"),
+            ),
+        ]
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return simhash_signatures(_stats(spark, sf_dir).tf)
 
@@ -1851,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": _q_normalize_text,
         "q_cluster_reps": _q_cluster_reps,
         "q_corpus_clean_keep_best": _q_corpus_clean_keep_best,
+        "q_dq_null_profile": _q_dq_null_profile,
+        "q_dq_summary": _q_dq_summary,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -2574,6 +2630,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_dq_null_profile": """
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                   round(CAST(count(*) - count(doc_id) AS DOUBLE)
+                         / count(*), 6) AS null_frac
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   round(CAST(count(*) - count(text) AS DOUBLE)
+                         / count(*), 6)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   round(CAST(count(*) - count(lang) AS DOUBLE)
+                         / count(*), 6)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   round(CAST(count(*) - count(source) AS DOUBLE)
+                         / count(*), 6)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   round(CAST(count(*) - count(n_chars) AS DOUBLE)
+                         / count(*), 6)
+            FROM documents
+        """,
+        "q_dq_summary": """
+            SELECT 'docs_doc_id_unique' AS "check",
+                   CAST(count(*) AS BIGINT) AS violations
+            FROM (SELECT doc_id FROM documents
+                  GROUP BY doc_id HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'docs_lang_known', CAST(count(*) AS BIGINT)
+            FROM documents
+            WHERE lang IS NULL OR lang NOT IN ('en', 'zh', 'es', 'de')
+            UNION ALL
+            SELECT 'docs_n_chars_consistent', CAST(count(*) AS BIGINT)
+            FROM documents
+            WHERE NOT coalesce(n_chars = length(text), false)
+            UNION ALL
+            SELECT 'events_value_in_range', CAST(count(*) AS BIGINT)
+            FROM events
+            WHERE value IS NULL OR value < 0.0 OR value > 400.0
+            UNION ALL
+            SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         """,
         "q_cluster_reps": f"""
             WITH RECURSIVE {_CLUSTERS}, {_QUALITY}
