@@ -475,6 +475,16 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_textrank(spark, sf_dir):
+    # TextRank keyword salience: weighted PageRank (3 fixed rounds) over
+    # the symmetrized word co-occurrence graph — the iterative-graph
+    # analytics twin of IDF ranking.  Oracle = the 3 rounds unrolled as
+    # CTEs (per-round 6-decimal rounding keeps both engines aligned).
+    from flink_bm25_spark.operators.text_analysis import textrank_keywords
+
+    return textrank_keywords(load_table(spark, "documents", sf_dir))
+
+
 def _q_dq_null_profile(spark, sf_dir):
     # Single-pass per-column null audit (operators/dq.py): per-column
     # counters ride ONE map-side partial agg; the explode reshapes the
@@ -1907,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean_keep_best": _q_corpus_clean_keep_best,
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
+        "q_textrank": _q_textrank,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -2630,6 +2641,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_textrank": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(ws, (x, i) ->
+                  CASE WHEN i + 1 <= len(ws)
+                       THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+                FROM base) WHERE p IS NOT NULL),
+            sym AS (
+              SELECT w1 AS src, w2 AS dst FROM bg WHERE w1 <> w2
+              UNION ALL
+              SELECT w2, w1 FROM bg WHERE w1 <> w2),
+            edges AS (SELECT src, dst, count(*) AS w FROM sym GROUP BY 1, 2),
+            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+                     FROM edges GROUP BY 1),
+            sh AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS share
+                   FROM edges e JOIN outw o USING (src)),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+            c1 AS (SELECT s.dst AS node, sum(s.share * r.rank) AS sv
+                   FROM sh s JOIN r0 r ON s.src = r.node GROUP BY 1),
+            r1 AS (SELECT n.node,
+                          round((1.0 - 0.85) + 0.85 * coalesce(c.sv, 0.0), 6)
+                            AS rank
+                   FROM nodes n LEFT JOIN c1 c USING (node)),
+            c2 AS (SELECT s.dst AS node, sum(s.share * r.rank) AS sv
+                   FROM sh s JOIN r1 r ON s.src = r.node GROUP BY 1),
+            r2 AS (SELECT n.node,
+                          round((1.0 - 0.85) + 0.85 * coalesce(c.sv, 0.0), 6)
+                            AS rank
+                   FROM nodes n LEFT JOIN c2 c USING (node)),
+            c3 AS (SELECT s.dst AS node, sum(s.share * r.rank) AS sv
+                   FROM sh s JOIN r2 r ON s.src = r.node GROUP BY 1),
+            r3 AS (SELECT n.node,
+                          round((1.0 - 0.85) + 0.85 * coalesce(c.sv, 0.0), 6)
+                            AS rank
+                   FROM nodes n LEFT JOIN c3 c USING (node))
+            SELECT node AS word, rank FROM r3
         """,
         "q_dq_null_profile": """
             SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

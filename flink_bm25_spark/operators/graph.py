@@ -97,3 +97,68 @@ def dedup_clusters(
             F.count("*").over(Window.partitionBy("canonical_id")).cast("long"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """``(node, rank)`` — weighted PageRank after a FIXED number of
+    iterations (no convergence test: a pinned round count is what makes
+    the result a deterministic, oracle-replayable relation).
+
+    rank'(v) = (1-d) + d * Σ_{(u,v)} rank(u) · w(u,v) / out_w(u)
+
+    Scale shape: the edge relation is normalized ONCE (share = w/out_w,
+    one keyed join) and checkpointed; each iteration is then one keyed
+    join (ranks are hashed on node, edges on src — the partitioning is
+    reused every round) plus one sum-aggregate, O(E) shuffle per round,
+    with ``localCheckpoint`` truncating lineage so the plan does not grow
+    with the iteration count.  Ranks are never broadcast and never reach
+    the driver.  Per-round 6-decimal rounding keeps the fixpoint
+    replayable across engines (same caveat as ``kmeans_assign``: rounding
+    makes cross-engine divergence improbable, not impossible).
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
+    )
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    shares = (
+        e.join(out_w, "_src")
+        .select(
+            "_src",
+            "_dst",
+            (F.col("_w").cast("double") / F.col("_ow")).alias("_share"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        shares.select(F.col("_src").alias("node"))
+        .unionByName(shares.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contrib = (
+            shares.join(ranks, shares["_src"] == ranks["node"])
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_share") * F.col("rank")).alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

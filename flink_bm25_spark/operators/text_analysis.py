@@ -622,3 +622,33 @@ def bpe_subword_counts(
         .groupBy("subword")
         .agg(F.sum("freq").cast("long").alias("n"))
     )
+
+
+def word_cooccurrence_edges(documents: DataFrame) -> DataFrame:
+    """``(src, dst, w)`` — the undirected word co-occurrence graph:
+    adjacent-token pairs symmetrized (both directions carry the combined
+    count) with self-loops dropped.  Map-side pair emission (the shared
+    bigram relation) + one count shuffle."""
+    bg = _bigram_relation(documents).where(F.col("w1") != F.col("w2"))
+    sym = bg.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionByName(bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def textrank_keywords(
+    documents: DataFrame, damping: float = 0.85, iterations: int = 3
+) -> DataFrame:
+    """``(word, rank)`` — TextRank (Mihalcea & Tarau 2004) keyword
+    salience: weighted PageRank over the word co-occurrence graph.  The
+    graph-analytics twin of the frequency-based IDF ranking the
+    reference materializes — rank reflects a word's centrality in the
+    adjacency structure, not just its count.  One O(E) shuffle per
+    iteration (:func:`flink_bm25_spark.operators.graph.pagerank`)."""
+    from flink_bm25_spark.operators.graph import pagerank  # noqa: PLC0415
+
+    edges = word_cooccurrence_edges(documents)
+    ranks = pagerank(
+        edges, damping=damping, iterations=iterations
+    )
+    return ranks.select(F.col("node").alias("word"), "rank")

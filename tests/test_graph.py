@@ -95,3 +95,56 @@ def test_random_graphs_match_union_find(spark):
             continue
         got = _cc(spark, edges)
         assert got == want, f"trial {trial}: n={n} m={m}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank == the dense power-iteration reference (same per-round
+    rounding) on a small weighted digraph, including a dangling-free
+    asymmetric structure and a sink-ish low-degree node."""
+    import numpy as np
+
+    from flink_bm25_spark.operators.graph import pagerank
+
+    raw = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1),
+        ("b", "d", 1), ("d", "a", 5),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string, w long")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+
+    nodes = sorted({x for e in raw for x in e[:2]})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    share = np.zeros((n, n))  # share[u, v] = w(u,v)/out_w(u)
+    outw = {}
+    for s, d, w in raw:
+        outw[s] = outw.get(s, 0) + w
+    for s, d, w in raw:
+        share[idx[s], idx[d]] = w / outw[s]
+    r = np.ones(n)
+    for _ in range(3):
+        r = np.round((1.0 - 0.85) + 0.85 * (share.T @ r), 6)
+    want = {nodes[i]: r[i] for i in range(n)}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_textrank_ranks_hub_word_highest(spark):
+    """The word adjacent to everything is the most central: TextRank
+    must rank it above the peripheral words (which frequency alone
+    would tie)."""
+    from flink_bm25_spark.operators.text_analysis import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "hub delta hub epsilon"),
+            (3, "alpha beta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ranks = {r.word: r.rank for r in textrank_keywords(docs).collect()}
+    assert max(ranks, key=ranks.get) == "hub"
+    # peripheral words that only touch the hub sit below it
+    assert ranks["delta"] < ranks["hub"]
