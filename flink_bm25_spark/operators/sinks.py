@@ -164,3 +164,43 @@ def write_sorted_runs(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_sized(
+    df: DataFrame, path: str, target_mb: float = 128.0
+) -> None:
+    """Parquet output with AQE-governed file sizing — the small-files
+    defense: at 100 TB a job that writes one file per shuffle partition
+    emits millions of KB-sized files (each a namenode entry and a
+    per-file open on every future scan), while a fixed ``coalesce(n)``
+    guesses wrong in both directions as data volume drifts.
+
+    The ``rebalance`` hint asks AQE to split oversized and merge
+    undersized shuffle partitions to ``advisoryPartitionSizeInBytes`` at
+    runtime — sized from OBSERVED bytes, so the same code yields sane
+    files at every scale, including skewed inputs (an oversized
+    partition is split, which plain ``repartition(n)`` cannot do).  The
+    target governs shuffle-stage bytes; on-disk parquet lands within the
+    columnar-compression ratio of it.
+    """
+    spark = df.sparkSession
+    target = int(target_mb * 1024 * 1024)
+    # The coalescer's min-partition floor (1 MB default) must scale with
+    # the target or any sub-MB advisory collapses to one partition.
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
+            max(1024, target // 5)
+        ),
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df.hint("rebalance").write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -220,3 +220,33 @@ def test_reference_idf_sink_golden_grammar(spark, tmp_path):
         (r["word"], r["df"]) for r in s.df_stats.select("word", "df").collect()
     }
     assert set(rows) == want and rows
+
+
+def test_write_sized_scales_file_count_with_target(spark, tmp_path):
+    """Smaller advisory target -> more (smaller) files; data identical
+    either way.  This is the AQE rebalance path, so the file count is
+    derived from observed bytes, not a hand-guessed coalesce()."""
+    import glob
+
+    from flink_bm25_spark.operators.sinks import write_sized
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    docs = load_documents(spark, SF_DIR)
+    small, large = str(tmp_path / "small"), str(tmp_path / "large")
+    write_sized(docs, small, target_mb=0.05)
+    write_sized(docs, large, target_mb=64.0)
+    n_small = len(glob.glob(small + "/part-*"))
+    n_large = len(glob.glob(large + "/part-*"))
+    assert n_large == 1  # everything fits one advisory-sized partition
+    assert n_small > n_large
+    a = sorted(map(tuple, spark.read.parquet(small).collect()))
+    b = sorted(map(tuple, spark.read.parquet(large).collect()))
+    assert a == b
+    # the conf tweak is restored after the write
+    assert spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+    ) in (None, "64MB")
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", None
+    ) in (None, "1MB")
