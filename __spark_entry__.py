@@ -475,6 +475,26 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # hash_split with near-dup clusters pinned to ONE split (bucket on the
+    # cluster canonical id): a doc and its near-copies can never straddle
+    # train/eval, closing the leakage hole in plain id-hash splitting.
+    from flink_bm25_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, "documents", sf_dir))
+
+
+def _q_token_budget_sample(spark, sf_dir):
+    # Per-language quota sampling by TOKEN budget, deterministic hash
+    # order; two-phase block cumsum (no per-group single-reducer window)
+    # proven identical to the naive single-window cutoff by the oracle.
+    from flink_bm25_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        load_table(spark, "documents", sf_dir), budget_tokens=3000
+    )
+
+
 def _q_textrank(spark, sf_dir):
     # TextRank keyword salience: weighted PageRank (3 fixed rounds) over
     # the symmetrized word co-occurrence graph — the iterative-graph
@@ -1918,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_leakage_safe_split": _q_leakage_safe_split,
+        "q_token_budget_sample": _q_token_budget_sample,
         "q_scan_project": _q_scan_project,
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
@@ -2641,6 +2663,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_leakage_safe_split": f"""
+            WITH RECURSIVE {_CLUSTERS}
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT d.doc_id,
+                     {_h60("CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)")}
+                       % 100 AS b
+              FROM documents d LEFT JOIN comp c USING (doc_id)
+            )
+        """,
+        "q_token_budget_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '')) AS BIGINT) AS n_tokens,
+                     {_h60("CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents),
+            o AS (
+              SELECT doc_id, lang, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY h % 16, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+              FROM t)
+            SELECT doc_id, lang, n_tokens FROM o WHERE before < 3000
         """,
         "q_textrank": r"""
             WITH base AS (

@@ -230,3 +230,113 @@ def training_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__oh")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    splits: Sequence[tuple[str, int]] = DEFAULT_SPLITS,
+    buckets: int = 100,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """``(doc_id, split)`` — :func:`hash_split` with the near-duplicate
+    leakage hole closed: members of one near-dup cluster bucket on their
+    cluster CANONICAL id, so a document and its near-copies can never
+    straddle train/val/test (plain id-hash splitting puts ~20% of each
+    cluster's copies in val/test, silently leaking train content into
+    eval).  Unclustered documents bucket on their own id, so adding the
+    cluster constraint never moves a non-duplicated document.
+
+    Scale shape: the cluster relation is duplicate-fraction-sized and
+    joins LEFT on ``doc_id`` (keyed, AQE-broadcastable when small); the
+    split decision itself stays a pure projection.
+    """
+    from flink_bm25_spark.operators.dedup import minhash_dedup_pairs  # noqa: PLC0415
+    from flink_bm25_spark.operators.graph import dedup_clusters  # noqa: PLC0415
+
+    if pairs is None:
+        pairs = minhash_dedup_pairs(documents, jaccard_threshold)
+    members = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    keyed = (
+        documents.select("doc_id")
+        .join(members, "doc_id", "left")
+        .withColumn("_skey", F.coalesce("canonical_id", F.col("doc_id")))
+    )
+    return hash_split(keyed, key_col="_skey", splits=splits, buckets=buckets).select(
+        "doc_id", "split"
+    )
+
+
+def token_budget_sample(
+    documents: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    buckets: int = 16,
+) -> DataFrame:
+    """``(doc_id, <group_col>, n_tokens)`` — per-group quota sampling by
+    TOKEN budget (the unit that actually prices pretraining), taking
+    documents in deterministic hash order until the group's budget is
+    spent.  A document is kept iff the tokens taken before it (in order)
+    are still under budget — so the document that crosses the line is
+    included and every group with data yields at least one document.
+
+    Scale shape — the naive form is one giant window per group (a single
+    sorted reducer per language at 100 TB).  Instead the cumsum runs in
+    TWO phases: documents hash into ``buckets`` blocks per group; block
+    token sums accumulate over a per-group window of only ``buckets``
+    rows; blocks fully under budget keep all documents with a map-side
+    semi-join, and only the ONE boundary block per group runs a
+    document-level window (partition size ≈ group/buckets).  Order is
+    (block, hash, doc_id), so the two-phase result is IDENTICAL to the
+    naive single-window cutoff — which is exactly what the DuckDB oracle
+    computes.
+    """
+    from flink_bm25_spark.functions.text import tokenize_expr  # noqa: PLC0415
+
+    toks = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+    h = h60(F.col("doc_id").cast("string"))
+    base = documents.select(
+        "doc_id",
+        F.col(group_col).alias("_grp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (h % F.lit(buckets)).alias("_bkt"),
+        h.alias("_h"),
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    bw = (
+        Window.partitionBy("_grp")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = (
+        base.groupBy("_grp", "_bkt")
+        .agg(F.sum("n_tokens").alias("_bsum"))
+        .withColumn("_before", F.coalesce(F.sum("_bsum").over(bw), F.lit(0)))
+    )
+    full = blocks.where(F.col("_before") + F.col("_bsum") <= F.lit(budget_tokens))
+    boundary = blocks.where(
+        (F.col("_before") < F.lit(budget_tokens))
+        & (F.col("_before") + F.col("_bsum") > F.lit(budget_tokens))
+    )
+
+    kept_full = base.join(full.select("_grp", "_bkt"), ["_grp", "_bkt"], "left_semi")
+    dw = (
+        Window.partitionBy("_grp", "_bkt")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        base.join(boundary.select("_grp", "_bkt", "_before"), ["_grp", "_bkt"])
+        .withColumn(
+            "_dbefore",
+            F.col("_before") + F.coalesce(F.sum("n_tokens").over(dw), F.lit(0)),
+        )
+        .where(F.col("_dbefore") < F.lit(budget_tokens))
+        .select(*base.columns)
+    )
+    return (
+        kept_full.unionByName(kept_boundary)
+        .select("doc_id", F.col("_grp").alias(group_col), "n_tokens")
+    )

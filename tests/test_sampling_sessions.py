@@ -186,3 +186,75 @@ def test_training_shuffle_seed_changes_order_not_membership(spark):
     assert set(e0) == set(e1)
     moved = sum(1 for d in e0 if e0[d] != e1[d])
     assert moved > 0.9 * len(e0)  # a fresh epoch reorders nearly everything
+
+
+def test_leakage_safe_split_pins_clusters_to_one_split(spark):
+    from flink_bm25_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    rows = [(i, base + f" tail{i}") for i in range(100, 110)]  # one cluster
+    rows += [(i, " ".join(f"u{i}x{j}" for j in range(20))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    assert len(got) == len(rows)
+    cluster_splits = {got[i] for i in range(100, 110)}
+    assert len(cluster_splits) == 1  # whole cluster in ONE split
+    # plain hash_split scatters the same cluster (the hole being closed)
+    plain = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert len({plain[i] for i in range(100, 110)}) > 1
+    # unclustered docs keep their plain hash_split assignment
+    for i in range(5):
+        assert got[i] == plain[i]
+
+
+def test_token_budget_sample_equals_naive_window(spark):
+    """The two-phase block cumsum must give EXACTLY the naive
+    one-window-per-group cutoff, and the crossing document is kept."""
+    import random
+
+    from flink_bm25_spark.functions.hashing import h60
+    from flink_bm25_spark.operators.sampling import token_budget_sample
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("aa", "bb"):
+        for i in range(60):
+            n = rng.randint(1, 30)
+            rows.append((len(rows), " ".join("t" * 3 for _ in range(n)), g))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    budget = 300
+    got = sorted(
+        (r.doc_id, r.lang, r.n_tokens)
+        for r in token_budget_sample(docs, budget).collect()
+    )
+
+    # naive reference: order by (h % 16, h, doc_id), exclusive cumsum
+    ordered = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+        h60(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    want = []
+    for g in ("aa", "bb"):
+        grp = sorted(
+            (r for r in ordered if r.lang == g),
+            key=lambda r: (r.h % 16, r.h, r.doc_id),
+        )
+        cum = 0
+        for r in grp:
+            if cum < budget:
+                want.append((r.doc_id, r.lang, r.n_tokens))
+            cum += r.n_tokens
+    assert got == sorted(want)
+    # the budget really truncates (non-vacuous) and every group survives
+    assert 0 < len(got) < len(rows)
+    assert {g for _, g, _ in got} == {"aa", "bb"}
