@@ -475,6 +475,15 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_key_skew(spark, sf_dir):
+    # Pre-flight skew diagnostics: top-k heaviest key values with share
+    # and cumulative share (groupBy + TakeOrderedAndProject + 1-row
+    # broadcast total; the window covers top_k rows only).
+    from flink_bm25_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(load_table(spark, "documents", sf_dir), "lang")
+
+
 def _q_leakage_safe_split(spark, sf_dir):
     # hash_split with near-dup clusters pinned to ONE split (bucket on the
     # cluster canonical id): a doc and its near-copies can never straddle
@@ -1938,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
         "q_token_budget_sample": _q_token_budget_sample,
         "q_scan_project": _q_scan_project,
@@ -2663,6 +2673,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_key_skew": """
+            WITH counts AS (
+              SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents GROUP BY 1),
+            tot AS (SELECT count(*) AS t FROM documents),
+            top AS (SELECT key, n_rows FROM counts
+                    ORDER BY n_rows DESC, key LIMIT 10)
+            SELECT key, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+                   round(sum(round(CAST(n_rows AS DOUBLE) / t, 6)) OVER (
+                     ORDER BY n_rows DESC, key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS cum_share
+            FROM top CROSS JOIN tot
         """,
         "q_leakage_safe_split": f"""
             WITH RECURSIVE {_CLUSTERS}

@@ -50,3 +50,42 @@ def numeric_outliers(
         .where(F.abs(F.col("zscore")) > F.lit(z))
         .select(id_col, group_col, value_col, "zscore")
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """``(key, n_rows, share, cum_share)`` — the ``top_k`` heaviest
+    values of a join/partition key with each one's share of the table
+    and the running share, heaviest first (ties to the smaller key).
+
+    The pre-flight check before any big keyed operation: a key whose
+    share approaches 1/shuffle-partitions predicts a straggler, and the
+    cumulative column shows whether skew is one hot key or a fat head.
+    Run it on a :func:`~pyspark.sql.DataFrame.sample` at 100 TB — shares
+    are ratios, so sampling preserves them.
+
+    Scale shape: one groupBy on the key, a global top-k (compiles to
+    TakeOrderedAndProject — no global sort), and a 1-row total that
+    broadcasts; the window runs over ``top_k`` rows on one partition,
+    which is exactly as small as it looks.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = (
+        Window.orderBy(F.desc("n_rows"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.col("_tot"), 6)
+        )
+        .withColumn("cum_share", F.round(F.sum("share").over(w), 6))
+        .select("key", "n_rows", "share", "cum_share")
+    )

@@ -461,3 +461,24 @@ def test_normalize_text_rules(spark):
         "i", normalize_text(F.col("t")).alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_key_skew_profile_shares_and_plan(spark):
+    from flink_bm25_spark.operators.profiling import key_skew_profile
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    out = key_skew_profile(df, "k", top_k=2).collect()
+    assert [(r.key, r.n_rows, r.share) for r in out] == [
+        ("hot", 90, 0.9),
+        ("cold", 10, 0.1),
+    ]
+    assert out[-1].cum_share == 1.0
+    # global top-k must compile to TakeOrderedAndProject, not a full sort
+    plan = (
+        key_skew_profile(df, "k", top_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
