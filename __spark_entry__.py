@@ -475,6 +475,24 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_winnow_fps(spark, sf_dir):
+    # Winnowing fingerprint selection (MOSS scheme): window-min sampling
+    # of the k-gram hash stream, rightmost-tie, entirely map-side (no
+    # shuffle; selection happens inside array columns).
+    from flink_bm25_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    # Copy-detection discovery over the winnowed sample: pairs sharing
+    # >= 2 fingerprints, with boilerplate fps (doc-freq > cap) pruned
+    # BEFORE the self-join so no bucket exceeds cap^2.
+    from flink_bm25_spark.operators.dedup import winnowing_dedup_pairs
+
+    return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
+
+
 def _q_key_skew(spark, sf_dir):
     # Pre-flight skew diagnostics: top-k heaviest key values with share
     # and cumulative share (groupBy + TakeOrderedAndProject + 1-row
@@ -1947,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_winnow_fps": _q_winnow_fps,
+        "q_winnow_pairs": _q_winnow_pairs,
         "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
         "q_token_budget_sample": _q_token_budget_sample,
@@ -2673,6 +2693,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_winnow_fps": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) - 2 >= 1 THEN
+                  list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i ->
+                    ('0x' || substring(md5(
+                       array_to_string(list_slice(ws, i, i + 2), ' ')),
+                       1, 15))::BIGINT)
+                ELSE []::BIGINT[] END AS hs
+              FROM base),
+            sel AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i ->
+                    {'pos': CAST(i + len(list_slice(hs, i, i + 3))
+                            - list_position(
+                                list_reverse(list_slice(hs, i, i + 3)),
+                                list_min(list_slice(hs, i, i + 3)))
+                            AS BIGINT),
+                     'fp': list_min(list_slice(hs, i, i + 3))}) AS s
+              FROM g WHERE len(hs) >= 1),
+            wfp AS (
+              SELECT DISTINCT doc_id, p['pos'] AS pos, p['fp'] AS fp
+              FROM (SELECT doc_id, unnest(s) AS p FROM sel))
+
+            SELECT doc_id, pos, fp FROM wfp
+        """,
+        "q_winnow_pairs": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) - 2 >= 1 THEN
+                  list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i ->
+                    ('0x' || substring(md5(
+                       array_to_string(list_slice(ws, i, i + 2), ' ')),
+                       1, 15))::BIGINT)
+                ELSE []::BIGINT[] END AS hs
+              FROM base),
+            sel AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i ->
+                    {'pos': CAST(i + len(list_slice(hs, i, i + 3))
+                            - list_position(
+                                list_reverse(list_slice(hs, i, i + 3)),
+                                list_min(list_slice(hs, i, i + 3)))
+                            AS BIGINT),
+                     'fp': list_min(list_slice(hs, i, i + 3))}) AS s
+              FROM g WHERE len(hs) >= 1),
+            wfp AS (
+              SELECT DISTINCT doc_id, p['pos'] AS pos, p['fp'] AS fp
+              FROM (SELECT doc_id, unnest(s) AS p FROM sel))
+,
+            dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+            rare AS (SELECT fp FROM dfp GROUP BY fp
+                     HAVING count(*) <= 50)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM dfp a JOIN rare USING (fp) JOIN dfp b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "q_key_skew": """
             WITH counts AS (

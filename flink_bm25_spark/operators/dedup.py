@@ -891,3 +891,160 @@ def remove_repeated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
         .select("doc_id", "pos")
     )
     return _reassemble_without(documents, repeats, n)
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """``(doc_id, pos, fp)`` — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003; the MOSS scheme): hash every token
+    ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum (ties to the RIGHTMOST minimum), dedupe selections.
+    Guarantees any shared run of ``w + k - 1`` tokens yields at least one
+    shared fingerprint, while storing only ~``2/(w+1)`` of all grams —
+    the principled sampling that plain "every n-th gram" lacks.
+
+    Scale shape: ENTIRELY map-side — token split, gram hashing, window
+    minima and the per-document dedupe all happen in one projection over
+    array columns (no explode of the gram stream, no shuffle at all);
+    rows leave the document only as the final selected-fingerprint
+    explode, whose fanout is the ~2/(w+1) sample rate.  Documents of
+    fewer than ``w`` grams winnow their single short window, so every
+    document with ``>= k`` tokens is represented.
+    """
+    base = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        ).alias("_ws"),
+    )
+    ws = F.col("_ws")
+    n_grams = F.size(ws) - F.lit(k - 1)
+    hashed = base.select(
+        "doc_id",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(ws, i.cast("int"), k)
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_hs"),
+    )
+    # Let-binding: CollapseProject would inline the `_hs` alias into
+    # every window expression below (4 references per window -> the
+    # whole gram-hash transform re-evaluated O(n) times per row, i.e.
+    # cubic in document length — measured 58 s for ONE 400-token doc).
+    # Wrapping the array in a 1-element transform binds it to a lambda
+    # variable, which Catalyst cannot substitute through: the hash array
+    # is evaluated exactly once per row, keeping selection O(n·w).
+    def _select_windows(hs):
+        n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+
+        def pick(i):
+            sl = F.slice(hs, i.cast("int"), w)
+            mn = F.array_min(sl)
+            r = F.array_position(F.reverse(sl), mn)
+            return F.struct(
+                (i + F.size(sl) - r).cast("long").alias("pos"), mn.alias("fp")
+            )
+
+        # The selected position is monotonically non-decreasing in the
+        # window start (the rightmost-argmin can never move left while
+        # its element stays in the window), so duplicate selections are
+        # always CONSECUTIVE — an adjacent-neighbor filter is exactly
+        # array_distinct, but O(m) instead of the O(m²) struct-compare
+        # loop array_distinct degrades to (measured 16 s/doc at 8k
+        # tokens).  sarr gets its own let-binding for the same
+        # no-inline reason as hs.
+        def _dedupe_adjacent(sarr):
+            return F.filter(
+                sarr,
+                lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                    x != F.element_at(sarr, i)
+                ),
+            )
+
+        return F.when(
+            F.size(hs) >= 1,
+            F.element_at(
+                F.transform(
+                    F.array(F.transform(F.sequence(F.lit(1), n_windows), pick)),
+                    _dedupe_adjacent,
+                ),
+                1,
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+
+    selected = hashed.select(
+        "doc_id",
+        F.element_at(
+            F.transform(F.array(F.col("_hs")), _select_windows), 1
+        ).alias("_sel"),
+    )
+    # explode_outer, NOT explode: for a plain explode, Catalyst's
+    # InferFiltersFromGenerate plants a `size(_sel) > 0` filter BELOW the
+    # projection stack with the whole selection expression inlined into
+    # it — re-evaluating the pipeline per row outside codegen (measured
+    # 233 s for one 32k-token doc vs 0.7 s without).  The null rows an
+    # empty selection produces are dropped on the generated column
+    # instead, which cannot be pushed below the Generate.
+    return (
+        selected.select("doc_id", F.explode_outer("_sel").alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .select(
+            "doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+        )
+    )
+
+
+def winnowing_dedup_pairs(
+    documents: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    max_fp_doc_freq: int = 50,
+) -> DataFrame:
+    """``(d1, d2, n_shared)`` — document pairs sharing at least
+    ``min_shared`` distinct winnowed fingerprints; the copy-detection
+    discovery path over the ~2/(w+1)-rate fingerprint sample instead of
+    the full gram relation.
+
+    Skew posture (the lesson from the n-gram Jaccard path): fingerprints
+    appearing in more than ``max_fp_doc_freq`` documents are boilerplate
+    — they cannot discriminate and would put df² rows into one join
+    bucket — so they are pruned BEFORE the self-join, bounding every
+    bucket at ``max_fp_doc_freq²``.
+    """
+    fps = winnowing_fingerprints(documents, k=k, w=w).select(
+        "doc_id", "fp"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= F.lit(max_fp_doc_freq))
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("doc_id").alias("d1"), "fp")
+    b = pruned.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )

@@ -480,3 +480,55 @@ def test_span_removal_weird_whitespace_matches_duckdb(spark, duck):
     want = sorted(tuple(r) for r in
                   con.execute(mod.oracle_sql()["q_remove_dup_spans"]).fetchall())
     assert got == want
+
+
+def test_winnowing_guarantee_and_mapside_plan(spark):
+    """Schleimer et al. guarantee: two documents sharing a run of
+    w + k - 1 = 6 tokens share at least one selected fingerprint.  And
+    the selection itself is shuffle-free (array ops in one projection)."""
+    import random
+
+    from flink_bm25_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(99)
+    shared = [f"s{i}" for i in range(6)]  # the common run
+    rows = []
+    for d in range(8):
+        left = [f"a{d}x{j}" for j in range(rng.randint(0, 10))]
+        right = [f"b{d}y{j}" for j in range(rng.randint(0, 10))]
+        rows.append((d, " ".join(left + shared + right)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnowing_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    common = set.intersection(*by_doc.values())
+    assert common, "every doc shares the 6-token run -> a common fp must exist"
+
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # selection is entirely map-side
+
+    # sampling density lands near the theoretical 2/(w+1)
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"t{rng.randint(0, 10**9)}" for _ in range(2000)))],
+        "doc_id bigint, text string",
+    )
+    n_sel = winnowing_fingerprints(long_doc).count()
+    density = n_sel / (2000 - 2)
+    assert 0.2 < density < 0.6  # 2/(w+1) = 0.4 +/- sampling noise
+
+
+def test_winnowing_pairs_prune_boilerplate(spark):
+    """A fingerprint present in more docs than the cap is dropped before
+    the self-join: 60 docs sharing ONLY boilerplate produce no pairs,
+    while genuine near-copies still pair."""
+    from flink_bm25_spark.operators.dedup import winnowing_dedup_pairs
+
+    boiler = " ".join(f"c{i}" for i in range(12))
+    rows = [(i, boiler + f" uniq{i}a uniq{i}b") for i in range(60)]
+    rows += [(100, "p q r s t u v w x y z1"), (101, "p q r s t u v w x y z2")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnowing_dedup_pairs(docs, min_shared=2, max_fp_doc_freq=50)
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert all(d1 >= 100 for d1, _ in got), "boilerplate-only docs must not pair"
