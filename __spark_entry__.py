@@ -475,6 +475,24 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_cohort_retention(spark, sf_dir):
+    # Cohort analysis: users bucketed by first-event week; per (cohort,
+    # weeks-since) distinct-active counts and retention ratio.  Integer
+    # period buckets (epoch_us div) — timezone/calendar-proof.
+    from flink_bm25_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(load_table(spark, "events", sf_dir))
+
+
+def _q_funnel(spark, sf_dir):
+    # First-occurrence ordered funnel (view -> click -> purchase): ONE
+    # aggregation of conditional minima per user — no per-step
+    # self-joins — then a count per reached depth.
+    from flink_bm25_spark.operators.sessions import funnel_counts
+
+    return funnel_counts(load_table(spark, "events", sf_dir))
+
+
 def _q_winnow_fps(spark, sf_dir):
     # Winnowing fingerprint selection (MOSS scheme): window-min sampling
     # of the k-gram hash stream, rightmost-tie, entirely map-side (no
@@ -1965,6 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_cohort_retention": _q_cohort_retention,
+        "q_funnel": _q_funnel,
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_key_skew": _q_key_skew,
@@ -2693,6 +2713,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_cohort_retention": """
+            WITH ev AS (
+              SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p
+              FROM events),
+            f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+            act AS (SELECT DISTINCT ev.u, cohort, p - cohort AS period
+                    FROM ev JOIN f USING (u)),
+            c AS (SELECT cohort, period, CAST(count(*) AS BIGINT) AS n_active
+                  FROM act GROUP BY 1, 2),
+            s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS sz
+                  FROM f GROUP BY 1)
+            SELECT cohort, period, n_active,
+                   round(CAST(n_active AS DOUBLE) / sz, 6) AS retention
+            FROM c JOIN s USING (cohort)
+        """,
+        "q_funnel": """
+            WITH pu AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view'
+                         THEN epoch_us(ts) * 1000 + event_id % 1000 END) AS t0,
+                     min(CASE WHEN event_type = 'click'
+                         THEN epoch_us(ts) * 1000 + event_id % 1000 END) AS t1,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) * 1000 + event_id % 1000 END) AS t2
+              FROM events GROUP BY user_id),
+            d AS (SELECT CASE WHEN t0 IS NULL THEN 0
+                              WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                              WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                              ELSE 3 END AS depth
+                  FROM pu)
+            SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx,
+                   CAST(sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_users
+            FROM d
+            UNION ALL
+            SELECT 'click', CAST(1 AS BIGINT),
+                   CAST(sum(CASE WHEN depth > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM d
+            UNION ALL
+            SELECT 'purchase', CAST(2 AS BIGINT),
+                   CAST(sum(CASE WHEN depth > 2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM d
         """,
         "q_winnow_fps": """
             WITH base AS (

@@ -45,6 +45,10 @@ HEADLINE = [
     "q_kmeans",
     "q_curation_pipeline",
     "q_lm_perplexity",
+    "q_winnow_fps",
+    "q_textrank",
+    "q_dq_summary",
+    "q_token_budget_sample",
 ]
 
 

@@ -61,3 +61,121 @@ def session_stats(
         F.max(us).alias("end_us"),
         F.round(F.sum(value), 6).alias("sum_value"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    period_s: int = 7 * 86400,
+) -> DataFrame:
+    """``(cohort, period, n_active, retention)`` — classic cohort
+    analysis: users grouped by the period of their FIRST event; for each
+    (cohort, periods-since-cohort) the count of distinct active users and
+    its ratio to the cohort's size.
+
+    Periods are integer ``epoch_us // period_us`` buckets (no calendar
+    arithmetic — identical in every engine and timezone-proof).
+
+    Scale shape: first-event assignment is one groupBy on the user key;
+    the event log joins the tiny (user, cohort) relation co-keyed on that
+    same key (AQE broadcasts it when it fits); activity dedup + count is
+    one aggregation.  Cohort sizes re-aggregate the per-cohort relation —
+    nothing user-level is ever broadcast or collected.
+    """
+    us = F.unix_micros(F.col(ts))
+    # integer division (div), never float: a double quotient truncated at
+    # a period boundary can disagree with exact integer math
+    per_us = period_s * 1_000_000
+    ev = events.select(
+        F.col(key).alias("_u"),
+        F.expr(f"unix_micros({ts}) div {per_us}L").alias("_p"),
+    )
+    firsts = ev.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    active = (
+        ev.join(firsts, "_u")
+        .select("_u", "cohort", (F.col("_p") - F.col("cohort")).alias("period"))
+        .distinct()
+    )
+    counts = active.groupBy("cohort", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("_size")
+    )
+    return (
+        counts.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period",
+            "n_active",
+            F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
+        )
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(step, step_idx, n_users)`` — first-occurrence ordered funnel:
+    a user reaches depth *k* when the FIRST occurrences of the step
+    events are strictly increasing in time through step *k* (the
+    standard first-touch funnel definition: first view < first click <
+    first purchase).
+
+    One aggregation computes every user's per-step earliest timestamps
+    (conditional ``min``s — no per-step self-joins, which is how funnel
+    queries die at scale); the ordering constraint folds left-to-right
+    over those k scalars per user, then one count per reached depth.
+    Integer microseconds throughout; ties broken by event_id so
+    same-timestamp chains resolve deterministically across engines.
+    """
+    us = F.unix_micros(F.col(ts))
+    # deterministic tiebreak packed into the low 3 digits (us * 1e6 would
+    # overflow BIGINT for modern epochs); a %1000 collision only merges
+    # the tiebreak for same-microsecond events, identically in the
+    # oracle, so cross-engine agreement is unaffected
+    key_us = us * F.lit(1000).cast("long") + F.col("event_id") % F.lit(1000)
+    aggs = [
+        F.min(F.when(F.col(type_col) == s, key_us)).alias(f"_t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(F.col(key).alias("_u")).agg(*aggs)
+    # completion time of step i = earliest step-i event strictly after
+    # completion of step i-1; computed left-to-right as nested minima
+    comp = per_user
+    prev = None
+    for i, _ in enumerate(steps):
+        t = F.col(f"_t{i}")
+        if prev is None:
+            c = t
+        else:
+            # earliest qualifying event after prev: with only the global
+            # min available, the step completes iff that min is later
+            c = F.when(prev.isNotNull() & t.isNotNull() & (t > prev), t)
+        comp = comp.withColumn(f"_c{i}", c)
+        prev = F.col(f"_c{i}")
+    depth = sum(
+        F.when(F.col(f"_c{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(steps))
+    )
+    # depth is contiguous from the left (step i completes only if i-1
+    # did), so "reached step i" == depth > i
+    reached = comp.select(depth.alias("_d"))
+    legs = None
+    for i, s in enumerate(steps):
+        leg = reached.agg(
+            F.sum(F.when(F.col("_d") > i, 1).otherwise(0))
+            .cast("long")
+            .alias("n_users")
+        ).select(
+            F.lit(s).alias("step"),
+            F.lit(i).cast("long").alias("step_idx"),
+            "n_users",
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs

@@ -258,3 +258,59 @@ def test_token_budget_sample_equals_naive_window(spark):
     # the budget really truncates (non-vacuous) and every group survives
     assert 0 < len(got) < len(rows)
     assert {g for _, g, _ in got} == {"aa", "bb"}
+
+
+def test_funnel_first_occurrence_ordering(spark):
+    from datetime import datetime, timezone
+
+    from flink_bm25_spark.operators.sessions import funnel_counts
+
+    def ev(eid, u, t, typ):
+        return (eid, datetime(2026, 1, 1, 0, 0, t, tzinfo=timezone.utc), u, typ)
+
+    rows = [
+        # u1: view(1) click(2) purchase(3) -> depth 3
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+        # u2: click(1) view(2) click(4)... first click BEFORE first view
+        # -> first-occurrence funnel stops at depth 1 (view only)
+        ev(4, 2, 1, "click"), ev(5, 2, 2, "view"), ev(6, 2, 4, "click"),
+        # u3: view only -> depth 1
+        ev(7, 3, 5, "view"),
+        # u4: purchase only -> depth 0
+        ev(8, 4, 6, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {r.step: r.n_users for r in funnel_counts(events).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_hand_example(spark):
+    from datetime import datetime, timezone
+
+    from flink_bm25_spark.operators.sessions import cohort_retention
+
+    day = 86400
+    def ev(eid, u, d):
+        return (eid, datetime.fromtimestamp(d * day, tz=timezone.utc), u, "view")
+
+    # weekly periods from epoch: days 0-6 = period 0, 7-13 = period 1...
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 8),   # u1: cohort 0, active periods 0,1
+        ev(3, 2, 1),                # u2: cohort 0, active period 0
+        ev(4, 3, 7), ev(5, 3, 15),  # u3: cohort 1, active periods 1,2 -> offsets 0,1
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r.cohort, r.period): (r.n_active, r.retention)
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1.0),
+        (0, 1): (1, 0.5),
+        (1, 0): (1, 1.0),
+        (1, 1): (1, 1.0),
+    }
