@@ -1048,3 +1048,75 @@ def winnowing_dedup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def winnowing_pairs_incremental(
+    old_fps: DataFrame,
+    new_documents: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    max_fp_doc_freq: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-incremental winnowing screen: returns ``(pairs, new_fps)``
+    where ``pairs = (d1, d2, n_shared)`` covers new-new AND new-old
+    document pairs sharing ``min_shared`` winnowed fingerprints, and
+    ``new_fps`` is the batch's fingerprint relation to append to the
+    store.  The operational twin of ``minhash_dedup_pairs_incremental``:
+    only the new batch is fingerprinted (O(batch) map work); the archive
+    participates purely through its persisted ``(doc_id, fp)`` store —
+    never re-read, never re-hashed.
+
+    Boilerplate pruning uses the doc-frequency of each fingerprint over
+    store ∪ batch, so a fingerprint that BECOMES boilerplate as batches
+    accumulate stops generating candidates exactly as it would in a full
+    rebuild.  Equals :func:`winnowing_dedup_pairs` over the union,
+    restricted to pairs touching the batch (pinned by test).
+    """
+    new_fps = (
+        winnowing_fingerprints(new_documents, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    all_fps = old_fps.select("doc_id", "fp").unionByName(new_fps)
+    rare = (
+        all_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= F.lit(max_fp_doc_freq))
+        .select("fp")
+    )
+    a = new_fps.join(rare, "fp").select(F.col("doc_id").alias("da"), "fp")
+    b = all_fps.join(rare, "fp").select(F.col("doc_id").alias("db"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+        )
+        .groupBy("d1", "d2")
+        .agg((F.count(F.lit(1))).alias("_n"))
+    )
+    # new-new pairs are counted twice (once from each side's probe);
+    # new-old exactly once.  Halve the double-counted ones via a semi
+    # membership flag instead of a distinct on the fp-level relation.
+    new_ids = new_documents.select("doc_id").distinct()
+    both_new = (
+        pairs.join(new_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .join(new_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        .select("d1", "d2", (F.col("_n") / 2).cast("long").alias("n_shared"))
+    )
+    one_new = (
+        pairs.join(
+            both_new.select("d1", "d2").withColumn("_b", F.lit(1)),
+            ["d1", "d2"],
+            "left_anti",
+        )
+        .select("d1", "d2", F.col("_n").cast("long").alias("n_shared"))
+    )
+    return (
+        both_new.unionByName(one_new).where(
+            F.col("n_shared") >= F.lit(min_shared)
+        ),
+        new_fps,
+    )

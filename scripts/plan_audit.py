@@ -71,6 +71,38 @@ AUDITED = [
         "positional grams map-side; gram-df + offset-coverage aggs, map-side partials",
     ),
     ("q_lm_perplexity", "model fit = two count aggs; scoring joins co-keyed on (w1,w2)"),
+    (
+        "q_winnow_fps",
+        "window-min selection inside array columns — ZERO exchanges before the explode",
+    ),
+    (
+        "q_winnow_pairs",
+        "boilerplate fps pruned pre-self-join; buckets bounded at cap²",
+    ),
+    ("q_textrank", "share relation normalized once; per-round keyed join + agg, O(E)"),
+    (
+        "q_dq_summary",
+        "scalar-only union legs; checks on one table share its scan",
+    ),
+    ("q_dq_null_profile", "ALL per-column null counters in ONE map-side agg pass"),
+    (
+        "q_token_budget_sample",
+        "two-phase cumsum: block window of ~buckets rows; doc window only in the boundary block",
+    ),
+    (
+        "q_leakage_safe_split",
+        "cluster relation duplicate-fraction-sized, keyed left join; split stays a projection",
+    ),
+    ("q_key_skew", "TakeOrderedAndProject top-k; window spans top_k rows only"),
+    (
+        "q_cohort_retention",
+        "first-event agg + co-keyed log join; nothing user-level broadcast",
+    ),
+    ("q_funnel", "ONE conditional-min agg per user; no per-step self-joins"),
+    (
+        "q_cluster_reps",
+        "argmax window partitioned by cluster — partition size = cluster population",
+    ),
 ]
 
 INTERESTING = re.compile(

@@ -532,3 +532,45 @@ def test_winnowing_pairs_prune_boilerplate(spark):
     got = {(r.d1, r.d2) for r in pairs.collect()}
     assert (100, 101) in got
     assert all(d1 >= 100 for d1, _ in got), "boilerplate-only docs must not pair"
+
+
+def test_winnowing_incremental_equals_full_restricted(spark):
+    """Incremental screen == full winnowing_dedup_pairs over old ∪ new,
+    restricted to pairs touching the new batch; and the returned store
+    delta reproduces the full fingerprint relation."""
+    import random
+
+    from flink_bm25_spark.operators.dedup import (
+        winnowing_dedup_pairs,
+        winnowing_fingerprints,
+        winnowing_pairs_incremental,
+    )
+
+    rng = random.Random(5)
+    base = " ".join(f"w{i:02d}" for i in range(25))
+    old_rows = [(i, base + f" o{i}a o{i}b") for i in range(6)]
+    old_rows += [(i, " ".join(f"x{i}y{j}" for j in range(15))) for i in range(10, 14)]
+    new_rows = [(100, base + " n100a n100b"), (101, " ".join(f"z{j}" for j in range(15)))]
+    new_rows += [(102, " ".join(f"x12y{j}" for j in range(15)))]  # near-copies doc 12
+    old = spark.createDataFrame(old_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+
+    old_fps = winnowing_fingerprints(old).select("doc_id", "fp").distinct()
+    pairs, new_fps = winnowing_pairs_incremental(old_fps, new, min_shared=2)
+    got = {(r.d1, r.d2): r.n_shared for r in pairs.collect()}
+
+    full = winnowing_dedup_pairs(old.unionByName(new), min_shared=2)
+    new_ids = {100, 101, 102}
+    want = {
+        (r.d1, r.d2): r.n_shared
+        for r in full.collect()
+        if r.d1 in new_ids or r.d2 in new_ids
+    }
+    assert got == want
+    assert want, "fixture must produce at least one batch-touching pair"
+    # the store delta matches a fresh fingerprint run on the batch
+    a = sorted(map(tuple, new_fps.collect()))
+    b = sorted(
+        map(tuple, winnowing_fingerprints(new).select("doc_id", "fp").distinct().collect())
+    )
+    assert a == b
