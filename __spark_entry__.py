@@ -565,11 +565,9 @@ def _q_dq_summary(spark, sf_dir):
     # union leg a scalar count.  The range and enum checks are non-vacuous
     # on the fixture (outlier event values / the 'fr' slice).
     from flink_bm25_spark.operators.dq import (
-        accepted_values_violations,
         dq_summary,
-        expression_violations,
+        dq_summary_fused,
         fk_orphans,
-        range_violations,
         uniqueness_violations,
     )
 
@@ -577,31 +575,37 @@ def _q_dq_summary(spark, sf_dir):
     events = load_table(spark, "events", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
-    return dq_summary(
+    # Row-level invariants on one table fuse into a SINGLE scan each
+    # (dq_summary_fused); join/grouping checks compose via dq_summary.
+    doc_checks = dq_summary_fused(
+        docs,
         [
-            ("docs_doc_id_unique", uniqueness_violations(docs, ["doc_id"])),
             (
                 "docs_lang_known",
-                accepted_values_violations(
-                    docs, "lang", ["en", "zh", "es", "de"]
-                ),
+                F.col("lang").isin("en", "zh", "es", "de"),
             ),
-            (
-                "docs_n_chars_consistent",
-                expression_violations(
-                    docs, F.col("n_chars") == F.length("text")
-                ),
-            ),
+            ("docs_n_chars_consistent", F.col("n_chars") == F.length("text")),
+        ],
+    )
+    event_checks = dq_summary_fused(
+        events,
+        [
             (
                 "events_value_in_range",
-                range_violations(events, "value", 0.0, 400.0),
-            ),
+                (F.col("value") >= 0.0) & (F.col("value") <= 400.0),
+            )
+        ],
+    )
+    relational = dq_summary(
+        [
+            ("docs_doc_id_unique", uniqueness_violations(docs, ["doc_id"])),
             (
                 "orders_custkey_fk",
                 fk_orphans(orders, customer, "o_custkey", "c_custkey"),
             ),
         ]
     )
+    return doc_checks.unionByName(event_checks).unionByName(relational)
 
 
 def _q_simhash(spark, sf_dir):

@@ -117,10 +117,10 @@ def expression_violations(df: DataFrame, predicate: Column) -> DataFrame:
 
 def dq_summary(checks: Sequence[tuple[str, DataFrame]]) -> DataFrame:
     """``(check, violations)`` — one row per named check, the union of
-    each check's 1-row count aggregate.  The whole audit is ONE
-    declarative plan: Catalyst shares scans between checks that read the
-    same table, and every union leg reduces to a scalar before the union
-    (no violation payload moves)."""
+    each check's 1-row count aggregate.  Every union leg reduces to a
+    scalar before the union (no violation payload moves), but each leg
+    plans its OWN scan — for many row-level checks on one table, use
+    :func:`dq_summary_fused`, which folds them into a single pass."""
     legs = [
         df.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
             F.lit(name).alias("check"), "violations"
@@ -131,3 +131,38 @@ def dq_summary(checks: Sequence[tuple[str, DataFrame]]) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def dq_summary_fused(
+    df: DataFrame, predicates: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """``(check, violations)`` for several ROW-LEVEL invariants of one
+    table in a SINGLE aggregate pass: each named predicate (the
+    condition that should HOLD; NULL counts as a violation) becomes a
+    conditional counter in one map-side partial agg — the table is
+    scanned once no matter how many checks ride along.  This is the
+    100 TB form for same-table checks; :func:`dq_summary` remains the
+    general composition for checks that need joins or grouping
+    (uniqueness, FK orphans) or span tables.
+    """
+    agg = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"__v{i}")
+            for i, (_, pred) in enumerate(predicates)
+        ]
+    )
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"), F.col(f"__v{i}").alias("violations")
+            )
+            for i, (name, _) in enumerate(predicates)
+        ]
+    )
+    return agg.select(F.explode(packed).alias("_p")).select(
+        "_p.check", "_p.violations"
+    )

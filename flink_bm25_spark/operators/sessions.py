@@ -164,18 +164,29 @@ def funnel_counts(
         for i in range(len(steps))
     )
     # depth is contiguous from the left (step i completes only if i-1
-    # did), so "reached step i" == depth > i
+    # did), so "reached step i" == depth > i.  ALL per-step counters ride
+    # ONE scalar aggregation over the per-user relation (a union of
+    # per-step agg legs would re-shuffle the event log once per step);
+    # the explode reshapes the single result row, never the data.
     reached = comp.select(depth.alias("_d"))
-    legs = None
-    for i, s in enumerate(steps):
-        leg = reached.agg(
+    one = reached.agg(
+        *[
             F.sum(F.when(F.col("_d") > i, 1).otherwise(0))
             .cast("long")
-            .alias("n_users")
-        ).select(
-            F.lit(s).alias("step"),
-            F.lit(i).cast("long").alias("step_idx"),
-            "n_users",
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
-    return legs
+            .alias(f"_r{i}")
+            for i in range(len(steps))
+        ]
+    )
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                F.lit(i).cast("long").alias("step_idx"),
+                F.col(f"_r{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return one.select(F.explode(packed).alias("_p")).select(
+        "_p.step", "_p.step_idx", "_p.n_users"
+    )

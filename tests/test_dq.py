@@ -76,3 +76,36 @@ def test_dq_summary_one_row_per_check(spark):
     )
     got = {r.check: r.violations for r in out.collect()}
     assert got == {"unique_id": 1, "fk_id": 1, "tag_domain": 2, "v_range": 3}
+
+
+def test_dq_summary_fused_single_scan_equals_composed(spark):
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.dq import (
+        accepted_values_violations,
+        dq_summary,
+        dq_summary_fused,
+        expression_violations,
+    )
+
+    df = _df(spark)
+    fused = dq_summary_fused(
+        df,
+        [
+            ("tag_domain", F.col("tag").isin("a", "b")),
+            ("v_positive", F.col("v") > 0.0),
+        ],
+    )
+    got = {r.check: r.violations for r in fused.collect()}
+    composed = dq_summary(
+        [
+            ("tag_domain", accepted_values_violations(df, "tag", ["a", "b"])),
+            ("v_positive", expression_violations(df, F.col("v") > 0.0)),
+        ]
+    )
+    want = {r.check: r.violations for r in composed.collect()}
+    assert got == want == {"tag_domain": 2, "v_positive": 2}
+    # both checks ride ONE aggregation (logical plan has a single
+    # Aggregate node), not one scan/agg pair per check
+    plan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
