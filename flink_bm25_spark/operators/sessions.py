@@ -114,25 +114,23 @@ def cohort_retention(
     )
 
 
-def funnel_counts(
+def funnel_user_depths(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     key: str = "user_id",
     ts: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """``(step, step_idx, n_users)`` — first-occurrence ordered funnel:
-    a user reaches depth *k* when the FIRST occurrences of the step
-    events are strictly increasing in time through step *k* (the
-    standard first-touch funnel definition: first view < first click <
-    first purchase).
+    """``(user_id, depth)`` — each user's reached funnel depth under
+    first-occurrence ordering (depth *k* = the first occurrences of the
+    step events strictly increase in time through step *k*).
 
-    One aggregation computes every user's per-step earliest timestamps
-    (conditional ``min``s — no per-step self-joins, which is how funnel
-    queries die at scale); the ordering constraint folds left-to-right
-    over those k scalars per user, then one count per reached depth.
-    Integer microseconds throughout; ties broken by event_id so
-    same-timestamp chains resolve deterministically across engines.
+    ONE aggregation of conditional minima per user plus a map-side fold
+    — which also makes it STREAMING-LEGAL (a single stateful aggregate:
+    run it on the event stream in update/complete mode and the per-user
+    depths converge to the batch answer; equivalence pinned in
+    ``test_streaming``).  Ties broken by event_id packed into the low
+    digits, so same-timestamp chains resolve identically across engines.
     """
     us = F.unix_micros(F.col(ts))
     # deterministic tiebreak packed into the low 3 digits (us * 1e6 would
@@ -144,9 +142,9 @@ def funnel_counts(
         F.min(F.when(F.col(type_col) == s, key_us)).alias(f"_t{i}")
         for i, s in enumerate(steps)
     ]
-    per_user = events.groupBy(F.col(key).alias("_u")).agg(*aggs)
-    # completion time of step i = earliest step-i event strictly after
-    # completion of step i-1; computed left-to-right as nested minima
+    per_user = events.groupBy(F.col(key).alias(key)).agg(*aggs)
+    # completion time of step i = first step-i occurrence, valid only if
+    # strictly after step i-1's completion; folded left-to-right
     comp = per_user
     prev = None
     for i, _ in enumerate(steps):
@@ -154,8 +152,6 @@ def funnel_counts(
         if prev is None:
             c = t
         else:
-            # earliest qualifying event after prev: with only the global
-            # min available, the step completes iff that min is later
             c = F.when(prev.isNotNull() & t.isNotNull() & (t > prev), t)
         comp = comp.withColumn(f"_c{i}", c)
         prev = F.col(f"_c{i}")
@@ -163,12 +159,22 @@ def funnel_counts(
         F.when(F.col(f"_c{i}").isNotNull(), 1).otherwise(0)
         for i in range(len(steps))
     )
-    # depth is contiguous from the left (step i completes only if i-1
-    # did), so "reached step i" == depth > i.  ALL per-step counters ride
-    # ONE scalar aggregation over the per-user relation (a union of
-    # per-step agg legs would re-shuffle the event log once per step);
-    # the explode reshapes the single result row, never the data.
-    reached = comp.select(depth.alias("_d"))
+    return comp.select(key, depth.cast("long").alias("depth"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(step, step_idx, n_users)`` — first-occurrence ordered funnel:
+    per-user depths (:func:`funnel_user_depths` — one aggregation, no
+    per-step self-joins) counted into per-step reach totals.
+    """
+    depths = funnel_user_depths(events, steps, key, ts, type_col)
+    reached = depths.select(F.col("depth").alias("_d"))
     one = reached.agg(
         *[
             F.sum(F.when(F.col("_d") > i, 1).otherwise(0))

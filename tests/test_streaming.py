@@ -291,3 +291,15 @@ def test_streaming_histogram_and_grouped_hll_equal_batch(spark):
     got2 = _rows(spark.sql("SELECT * FROM t_ghll"))
     want2 = _rows(hll_buckets_by(keyed(batch_ev), "event_type", "uid"))
     assert got2 == want2
+
+
+def test_funnel_depths_stream_equals_batch(spark):
+    """funnel_user_depths is a single stateful aggregate + map-side fold,
+    so it runs unchanged on the event stream (T4 unified API): complete
+    mode converges to the batch depths."""
+    from flink_bm25_spark.operators.sessions import funnel_user_depths
+
+    batch, stream = _stream_events(spark)
+    got = _run_complete(funnel_user_depths(stream), spark, "t_funnel")
+    want = funnel_user_depths(batch)
+    assert _rows(got) == _rows(want)
