@@ -2749,16 +2749,18 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 3 END AS depth
                   FROM pu)
             SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx,
-                   CAST(sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_users
+                   CAST(coalesce(sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_users
             FROM d
             UNION ALL
             SELECT 'click', CAST(1 AS BIGINT),
-                   CAST(sum(CASE WHEN depth > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(coalesce(sum(CASE WHEN depth > 1 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT)
             FROM d
             UNION ALL
             SELECT 'purchase', CAST(2 AS BIGINT),
-                   CAST(sum(CASE WHEN depth > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   CAST(coalesce(sum(CASE WHEN depth > 2 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT)
             FROM d
         """,
         "q_winnow_fps": """

@@ -177,7 +177,9 @@ def funnel_counts(
     reached = depths.select(F.col("depth").alias("_d"))
     one = reached.agg(
         *[
-            F.sum(F.when(F.col("_d") > i, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_d") > i, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_r{i}")
             for i in range(len(steps))

@@ -148,30 +148,64 @@ def srp_band_keys(
 ) -> DataFrame:
     """``(vec_id, embedding, *carry_cols, band, bkey)`` — banded sign-LSH
     keys from sparse ±1 hyperplanes; one row per (vector, band), computed
-    entirely map-side (explode of a literal-folded struct array, no
-    shuffle).  ``carry_cols`` ride along unmodified (e.g. a precomputed
-    norm)."""
-    band_structs = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(bits_per_band):
-            p = b * bits_per_band + j
-            terms = [
-                F.col("embedding")[idx].cast("double") * F.lit(float(s))
-                for idx, s in sparse_plane(p, dim, nnz)
-            ]
-            dot = terms[0]
-            for t in terms[1:]:
-                dot = dot + t
-            key = key + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("int").alias("bkey"))
+    entirely map-side (no shuffle).  ``carry_cols`` ride along unmodified
+    (e.g. a precomputed norm).
+
+    The plane coefficients live in two LITERAL matrices (index/sign per
+    plane) that ConstantFolding collapses into array constants, and the
+    bands × bits × nnz multiply-adds run as nested higher-order
+    functions over them.  The previous fully-unrolled spelling emitted
+    576 scalar expressions into one whole-stage-codegen method, blowing
+    Janino's 64 KB limit — Spark then fell back to INTERPRETING the
+    giant tree ("ERROR CodeGenerator ... grows beyond 64 KB" per run).
+    The HOF form keeps generated methods tiny; term order inside each
+    dot product is unchanged, so keys are bit-identical to the unrolled
+    form (pinned by test).
+    """
+    all_planes = [sparse_plane(p, dim, nnz) for p in range(bands * bits_per_band)]
+    idx_mat = F.lit([[int(i) for i, _ in pl] for pl in all_planes])
+    sgn_mat = F.lit([[float(s) for _, s in pl] for pl in all_planes])
+    emb = F.col("embedding")
+
+    def key_for(b):
+        def add_bit(acc, j):
+            p = (b * F.lit(bits_per_band) + j + F.lit(1)).cast("int")
+            idxs = F.element_at(idx_mat, p)
+            sgns = F.element_at(sgn_mat, p)
+            dot = F.aggregate(
+                F.sequence(F.lit(1), F.lit(nnz)),
+                F.lit(0.0),
+                lambda a, t: a
+                + F.element_at(emb, F.element_at(idxs, t.cast("int")) + 1).cast(
+                    "double"
+                )
+                * F.element_at(sgns, t.cast("int")),
+            )
+            # 2^j via double pow (exact for j < 53); the PySpark
+            # shiftleft wrapper only takes a Python-int bit count
+            return acc + F.when(
+                dot >= 0, F.pow(F.lit(2.0), j).cast("int")
+            ).otherwise(F.lit(0))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits_per_band - 1)), F.lit(0), add_bit
         )
+
+    bk = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"), key_for(b).cast("int").alias("bkey")
+        ),
+    )
+    # explode_outer: plain explode would trigger InferFiltersFromGenerate,
+    # duplicating the whole key computation into a pushed-down filter
+    # (same trap as dedup.winnowing_fingerprints); the array is never
+    # empty, so no null rows actually appear.
     return embeddings.select(
         "vec_id",
         "embedding",
         *carry_cols,
-        F.explode(F.array(*band_structs)).alias("bk"),
+        F.explode_outer(bk).alias("bk"),
     ).select(
         "vec_id", "embedding", *carry_cols,
         F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),

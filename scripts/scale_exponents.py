@@ -41,6 +41,8 @@ def main() -> None:
         shingles,
         simhash_pairs,
         simhash_signatures_from_tokens,
+        winnowing_dedup_pairs,
+        winnowing_fingerprints,
     )
     from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
     from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
@@ -75,6 +77,10 @@ def main() -> None:
         "remove_dup_spans": lambda d: remove_duplicated_spans(d, n=10)
         .where(F.length("cleaned_text") >= 0)
         .count(),
+        # salted replicas share no grams, so fp counts grow exactly M×
+        # and cross-replica pairs are structurally impossible
+        "winnowing_fps": lambda d: winnowing_fingerprints(d).count(),
+        "winnowing_pairs": lambda d: winnowing_dedup_pairs(d).count(),
     }
 
     rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}

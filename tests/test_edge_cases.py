@@ -73,3 +73,58 @@ def test_quality_scores_no_nulls_on_degenerate_text(spark):
     assert len(rows) == 3
     for r in rows:
         assert r.keep_score is not None  # guarded CASE, not NULL poison
+
+
+def test_new_ops_on_degenerate_corpora(spark):
+    """Round-2 operators on empty / single-doc / whitespace-only inputs:
+    empty or small relations, never a throw (ANSI mode is on)."""
+    from flink_bm25_spark.operators.cleaning import (
+        clean_corpus_keep_best,
+        elect_cluster_representatives,
+    )
+    from flink_bm25_spark.operators.dedup import (
+        winnowing_dedup_pairs,
+        winnowing_fingerprints,
+    )
+    from flink_bm25_spark.operators.sampling import (
+        leakage_safe_split,
+        token_budget_sample,
+    )
+    from flink_bm25_spark.operators.text_analysis import textrank_keywords
+
+    empty = _docs(spark, [])
+    assert winnowing_fingerprints(empty).count() == 0
+    assert winnowing_dedup_pairs(empty).count() == 0
+    assert textrank_keywords(empty).count() == 0
+    assert elect_cluster_representatives(empty).count() == 0
+    assert clean_corpus_keep_best(empty).count() == 0
+    assert leakage_safe_split(empty).count() == 0
+    assert token_budget_sample(empty, 100).count() == 0
+
+    degenerate = _docs(
+        spark, [_mk(1, ""), _mk(2, "   "), _mk(3, "one"), _mk(4, "a b")]
+    )
+    # shorter than k tokens -> no grams -> no fingerprints, no pairs
+    assert winnowing_fingerprints(degenerate).count() == 0
+    assert winnowing_dedup_pairs(degenerate).count() == 0
+    # single bigram "a b" -> one symmetric edge, two ranked words
+    tr = {r.word: r.rank for r in textrank_keywords(degenerate).collect()}
+    assert set(tr) == {"a", "b"} and tr["a"] == tr["b"]
+    # every doc gets a split; budget sampling keeps the short docs
+    assert leakage_safe_split(degenerate).count() == 4
+    kept = token_budget_sample(degenerate, 100, group_col="lang")
+    assert kept.count() == 4  # all under budget (0+0+1+2 tokens)
+
+
+def test_funnel_and_cohort_on_empty_events(spark):
+    from flink_bm25_spark.operators.sessions import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    events = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    assert cohort_retention(events).count() == 0
+    got = {r.step: r.n_users for r in funnel_counts(events).collect()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}

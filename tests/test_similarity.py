@@ -481,3 +481,49 @@ def test_zero_vector_does_not_crash_any_tier(spark):
         assert 99999 not in ids  # zero vector is similar to nothing
     top = cosine_topk(with_zero, [0.0] * 64, k=3).collect()
     assert all(r.cos is None for r in top)  # NULL scores, no crash
+
+
+def test_srp_hof_form_bit_identical_to_unrolled(spark):
+    """srp_band_keys' HOF/literal-matrix form must reproduce the fully
+    unrolled expression bit-for-bit (same term order in every dot
+    product).  The unrolled spelling is kept here as the reference: it
+    blew Janino's 64 KB method limit in whole-stage codegen and fell
+    back to interpretation — the HOF form exists to keep codegen alive
+    without changing a single key."""
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.similarity import (
+        sparse_plane,
+        srp_band_keys,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding").limit(200)
+
+    bands, bits, dim, nnz = 12, 6, 64, 8
+    structs = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(bits):
+            terms = [
+                F.col("embedding")[idx].cast("double") * F.lit(float(s))
+                for idx, s in sparse_plane(b * bits + j, dim, nnz)
+            ]
+            dot = terms[0]
+            for t in terms[1:]:
+                dot = dot + t
+            key = key + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        structs.append(
+            F.struct(F.lit(b).alias("band"), key.cast("int").alias("bkey"))
+        )
+    want = sorted(
+        map(
+            tuple,
+            emb.select(
+                "vec_id", F.explode(F.array(*structs)).alias("bk")
+            ).select("vec_id", "bk.band", "bk.bkey").collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, srp_band_keys(emb).select("vec_id", "band", "bkey").collect())
+    )
+    assert got == want
