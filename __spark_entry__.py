@@ -475,6 +475,14 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_period_growth(spark, sf_dir):
+    # Week-over-week trend per event type: counts per integer period,
+    # lag + ratio on the tiny aggregated relation (never the log).
+    from flink_bm25_spark.operators.sessions import period_growth
+
+    return period_growth(load_table(spark, "events", sf_dir))
+
+
 def _q_cohort_retention(spark, sf_dir):
     # Cohort analysis: users bucketed by first-event week; per (cohort,
     # weeks-since) distinct-active counts and retention ratio.  Integer
@@ -1987,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_period_growth": _q_period_growth,
         "q_cohort_retention": _q_cohort_retention,
         "q_funnel": _q_funnel,
         "q_winnow_fps": _q_winnow_fps,
@@ -2717,6 +2726,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_period_growth": """
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 604800000000 AS period,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, period, n,
+                   lag(n) OVER w AS prev_n,
+                   round(CAST(n AS DOUBLE) / lag(n) OVER w, 6) AS growth
+            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY period)
         """,
         "q_cohort_retention": """
             WITH ev AS (

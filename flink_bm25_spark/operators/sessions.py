@@ -198,3 +198,36 @@ def funnel_counts(
     return one.select(F.explode(packed).alias("_p")).select(
         "_p.step", "_p.step_idx", "_p.n_users"
     )
+
+
+def period_growth(
+    events: DataFrame,
+    period_s: int = 7 * 86400,
+    type_col: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """``(event_type, period, n, prev_n, growth)`` — period-over-period
+    trend per event type: counts in integer epoch periods, the previous
+    period's count (NULL for a type's first period) and the growth ratio
+    ``n / prev_n`` (NULL when there is no previous period).
+
+    Scale shape: one count aggregation over the fact table; the lag
+    window runs on the aggregated (type, period) relation — types ×
+    periods rows, never the event log.
+    """
+    per_us = period_s * 1_000_000
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.expr(f"unix_micros({ts}) div {per_us}L").alias("period"),
+        )
+        .groupBy("event_type", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("event_type").orderBy("period")
+    return counts.withColumn("prev_n", F.lag("n").over(w)).withColumn(
+        "growth",
+        F.round(F.col("n") / F.col("prev_n"), 6),
+    )
