@@ -475,6 +475,21 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_group_percentiles(spark, sf_dir):
+    # Exact per-group percentiles (sort-based `percentile`, interpolated
+    # — same definition as quantile_cont, so the VALUES hash-match, not
+    # just row counts).  One shuffle on the group key.
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.25), 6).alias("p25"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        )
+    )
+
+
 def _q_period_growth(spark, sf_dir):
     # Week-over-week trend per event type: counts per integer period,
     # lag + ratio on the tiny aggregated relation (never the log).
@@ -1995,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_group_percentiles": _q_group_percentiles,
         "q_period_growth": _q_period_growth,
         "q_cohort_retention": _q_cohort_retention,
         "q_funnel": _q_funnel,
@@ -2726,6 +2742,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_group_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
         """,
         "q_period_growth": """
             WITH c AS (
