@@ -92,3 +92,31 @@ def pnm_resize(payload: bytes, target: int) -> bytes:
     cols = np.minimum(((np.arange(target) + 0.5) * w / target).astype(np.int64), w - 1)
     out = a[rows][:, cols]
     return pnm_encode(out)
+
+
+def pnm_dhash(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of a PNM image: grayscale,
+    nearest-neighbor downscale to 9×8 (the same center-sampling map as
+    :func:`pnm_resize`), then one bit per horizontal gradient sign —
+    bit (r*8+c) set iff pixel[r,c] > pixel[r,c+1].  Robust to re-encode,
+    mild noise and uniform brightness shifts; deterministic everywhere
+    (integer arithmetic only).  Returned as a non-negative int < 2^63
+    is NOT guaranteed — callers store it as unsigned-in-BIGINT via the
+    signed reinterpretation."""
+    a = pnm_pixels(payload)
+    if a.ndim == 3:
+        # integer luma (ITU-R 601 weights scaled by 256) — no floats
+        a = (
+            a[:, :, 0].astype(np.int64) * 77
+            + a[:, :, 1].astype(np.int64) * 150
+            + a[:, :, 2].astype(np.int64) * 29
+        ) >> 8
+    else:
+        a = a.astype(np.int64)
+    h, w = a.shape
+    rows = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(9) + 0.5) * w / 9).astype(np.int64), w - 1)
+    g = a[rows][:, cols]
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64)
+    weights = (1 << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    return int(bits.flatten().reshape(8, 8).astype(np.uint64).__mul__(weights).sum())

@@ -381,3 +381,85 @@ def repartition_by_bytes(
     total = df.select(F.sum(F.length(F.col(bytes_col))).alias("b")).first()["b"] or 0
     parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
     return df.repartition(parts)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """``(id, dhash)`` — 64-bit perceptual difference hash per image
+    (:func:`flink_bm25_spark.functions.pnm.pnm_dhash` by default: REAL
+    decode via the pure-numpy Netpbm codec, 9×8 luma downscale, one bit
+    per horizontal gradient sign).  Arrow-batched ``mapInPandas``; the
+    unsigned 64-bit hash is stored in BIGINT via signed
+    reinterpretation (band extraction below uses unsigned shifts, so
+    the sign bit is just bit 63)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    if hasher is None:
+        from flink_bm25_spark.functions.pnm import pnm_dhash  # noqa: PLC0415
+
+        hasher = pnm_dhash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                h = hasher(bytes(payload))
+                out.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
+        run, schema="id long, dhash long"
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """``(d1, d2, hamming)`` — image pairs whose dHashes differ in at
+    most ``max_hamming`` bits, from a banded equi-join: 4 bands × 16
+    bits, so by pigeonhole hamming ≤ 3 leaves at least one band intact
+    — candidate generation has EXACTLY 100% recall (the same argument
+    as the SimHash tier), and the verify is one ``bit_count(xor)`` per
+    candidate.  Input: the ``(id, dhash)`` relation of
+    :func:`image_dhash`."""
+    legs = []
+    for b in range(4):
+        legs.append(
+            hashes.select(
+                "id",
+                "dhash",
+                F.lit(b).alias("band"),
+                (F.shiftrightunsigned(F.col("dhash"), 16 * b) % F.lit(65536))
+                .cast("int")
+                .alias("bkey"),
+            )
+        )
+    keyed = legs[0]
+    for leg in legs[1:]:
+        keyed = keyed.unionByName(leg)
+    a = keyed.select(
+        F.col("id").alias("d1"), F.col("dhash").alias("h1"), "band", "bkey"
+    )
+    b_ = keyed.select(
+        F.col("id").alias("d2"), F.col("dhash").alias("h2"), "band", "bkey"
+    )
+    cand = (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+    ).where(F.col("hamming") <= F.lit(max_hamming))

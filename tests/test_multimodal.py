@@ -341,3 +341,67 @@ def test_sample_frames_demuxed_real_default(spark):
         (1, 0): b"f00", (1, 3): b"f03", (1, 6): b"f06", (1, 9): b"f09",
         (2, 0): b"solo",
     }
+
+
+def test_image_dhash_near_dup_via_real_codec(spark):
+    """End-to-end perceptual dedup on REAL Netpbm images: a noisy
+    re-encode pairs with its source (hamming ~0), unrelated images do
+    not; banding recall is exact for hamming <= 3 (pigeonhole)."""
+    import numpy as np
+
+    from flink_bm25_spark.functions.pnm import pnm_dhash, pnm_encode
+    from flink_bm25_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    noisy = np.clip(base.astype(np.int16) + rng.integers(-3, 4, base.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([base] * 3, axis=-1)  # same content as P6
+    rows = [
+        (1, bytearray(pnm_encode(base))),
+        (2, bytearray(pnm_encode(noisy))),
+        (3, bytearray(pnm_encode(rng.integers(0, 255, (24, 24), dtype=np.uint8)))),
+        (4, bytearray(pnm_encode(rgb))),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    hashes = image_dhash(df)
+    got = {r.id: r.dhash for r in hashes.collect()}
+    assert got[5] is None
+    # the driver-side hash agrees with the distributed one (signed reinterp)
+    h1 = pnm_dhash(pnm_encode(base))
+    assert got[1] == (h1 - (1 << 64) if h1 >= (1 << 63) else h1)
+
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in image_near_dup_pairs(hashes.where("dhash is not null")).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    # grayscale and its RGB re-encode are perceptually identical
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert all({d1, d2} != {1, 3} and {d1, d2} != {2, 3} for d1, d2 in pairs)
+
+
+def test_image_dhash_banding_recall_exhaustive(spark):
+    """Every hash pair with hamming <= 3 MUST be found (pigeonhole on
+    4x16-bit bands): check against brute force on a synthetic batch of
+    close and far hashes, including sign-bit (bit 63) flips."""
+    import itertools
+    import random
+
+    from flink_bm25_spark.operators.multimodal import image_near_dup_pairs
+
+    rng = random.Random(2)
+    hs = [rng.getrandbits(64) for _ in range(12)]
+    hs += [hs[0] ^ 1, hs[0] ^ (1 << 63), hs[1] ^ 0b111, hs[2] ^ ((1 << 62) | 3)]
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+    df = spark.createDataFrame(list(enumerate(signed)), "id long, dhash long")
+    got = {(r.d1, r.d2) for r in image_near_dup_pairs(df).collect()}
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(hs)), 2)
+        if bin(hs[i] ^ hs[j]).count("1") <= 3
+    }
+    assert got == want and want
