@@ -463,3 +463,52 @@ def image_near_dup_pairs(
         "d2",
         F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
     ).where(F.col("hamming") <= F.lit(max_hamming))
+
+
+def video_near_dup_pairs(
+    videos: DataFrame,
+    min_shared: int = 2,
+    every_n: int = 1,
+    max_hash_freq: int = 50,
+    id_col: str = "id",
+    bytes_col: str = "payload",
+    hasher: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """``(d1, d2, n_shared)`` — video pairs sharing at least
+    ``min_shared`` distinct sampled-frame perceptual hashes: demux
+    (:func:`sample_frames_demuxed`, the real AVI parser), dHash each
+    sampled frame (:func:`image_dhash`), then the same
+    fingerprint-store join discipline as the text winnowing path —
+    frame hashes appearing in more than ``max_hash_freq`` videos
+    (black frames, title cards, test patterns) are pruned BEFORE the
+    self-join, so no join bucket exceeds ``max_hash_freq²``.
+
+    dHash's 9×8 gradient granularity absorbs re-encode noise (equal
+    hashes, not merely close — pinned in ``test_multimodal``), so
+    exact-match candidate generation suffices; lower ``every_n`` for
+    higher recall on cut-heavy content.
+    """
+    frames = sample_frames_demuxed(
+        videos, every_n=every_n, id_col=id_col, bytes_col=bytes_col
+    )
+    fh = (
+        image_dhash(frames, id_col="id", bytes_col="frame", hasher=hasher)
+        .where(F.col("dhash").isNotNull())
+        .distinct()
+    )
+    rare = (
+        fh.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= F.lit(max_hash_freq))
+        .select("dhash")
+    )
+    pruned = fh.join(rare, "dhash")
+    a = pruned.select(F.col("id").alias("d1"), "dhash")
+    b = pruned.select(F.col("id").alias("d2"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )

@@ -405,3 +405,35 @@ def test_image_dhash_banding_recall_exhaustive(spark):
         if bin(hs[i] ^ hs[j]).count("1") <= 3
     }
     assert got == want and want
+
+
+def test_video_near_dup_via_shared_frame_hashes(spark):
+    """Real end-to-end video dedup: AVI demux -> frame dHash -> shared
+    fingerprint join.  A re-cut sharing frames pairs with its source;
+    a ubiquitous black frame does not pair otherwise-unrelated videos."""
+    import numpy as np
+
+    from flink_bm25_spark.functions.avi import avi_encode
+    from flink_bm25_spark.functions.pnm import pnm_encode
+    from flink_bm25_spark.operators.multimodal import video_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    def img(seed=None, arr=None):
+        if arr is None:
+            arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+        return pnm_encode(arr)
+
+    black = pnm_encode(np.zeros((16, 16), dtype=np.uint8))
+    shared = [img() for _ in range(3)]
+    v1 = avi_encode([black] + shared + [img()])
+    v2 = avi_encode([black] + shared[1:] + [img(), img()])   # shares 2 frames
+    v3 = avi_encode([black] + [img() for _ in range(3)])     # only black shared
+    videos = spark.createDataFrame(
+        [(1, bytearray(v1)), (2, bytearray(v2)), (3, bytearray(v3))],
+        "id long, payload binary",
+    )
+    pairs = {
+        (r.d1, r.d2): r.n_shared
+        for r in video_near_dup_pairs(videos, min_shared=2, max_hash_freq=2).collect()
+    }
+    assert pairs == {(1, 2): 2}  # black frame (freq 3 > cap 2) pruned
