@@ -475,6 +475,67 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _synth_images():
+    """Deterministic PNM corpus with planted perceptual duplicates:
+    12 base images, 5 noisy re-encodes (ids 100+i), 3 RGB re-encodes
+    (ids 205..207).  Seeded — identical bytes on every run, so the
+    oracle can be the locally-precomputed expected pair table (same
+    pattern as the POS lexicon oracle: constants computed once by the
+    same public algorithm, then replayed as a VALUES relation)."""
+    import numpy as np  # noqa: PLC0415
+
+    from flink_bm25_spark.functions.pnm import pnm_encode  # noqa: PLC0415
+
+    rng = np.random.default_rng(20260814)
+    bases, imgs = [], []
+    for i in range(12):
+        a = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+        bases.append(a)
+        imgs.append((i, pnm_encode(a)))
+    for i in range(5):
+        noisy = np.clip(
+            bases[i].astype(np.int16) + rng.integers(-3, 4, (24, 24)), 0, 255
+        ).astype(np.uint8)
+        imgs.append((100 + i, pnm_encode(noisy)))
+    for i in range(5, 8):
+        imgs.append((200 + i, pnm_encode(np.stack([bases[i]] * 3, axis=-1))))
+    return imgs
+
+
+def _q_image_dedup(spark, sf_dir):
+    # Distributed perceptual image dedup: REAL Netpbm decode -> dHash
+    # (Arrow mapInPandas) -> banded hamming<=3 pairs.  Input is the
+    # fixed synthesized corpus (sf-independent); the oracle replays the
+    # expected pairs computed locally by the same public algorithm.
+    from flink_bm25_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rows = [(i, bytearray(b)) for i, b in _synth_images()]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    return image_near_dup_pairs(image_dhash(df))
+
+
+def _image_dedup_oracle_sql():
+    from flink_bm25_spark.functions.pnm import pnm_dhash  # noqa: PLC0415
+
+    hs = [(i, pnm_dhash(bytes(b))) for i, b in _synth_images()]
+    pairs = []
+    for x in range(len(hs)):
+        for y in range(x + 1, len(hs)):
+            (a, ha), (b, hb) = hs[x], hs[y]
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                pairs.append((min(a, b), max(a, b), d))
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in sorted(pairs))
+    return (
+        "SELECT CAST(c1 AS BIGINT) AS d1, CAST(c2 AS BIGINT) AS d2, "
+        "CAST(c3 AS INTEGER) AS hamming "
+        f"FROM (VALUES {vals}) AS t(c1, c2, c3)"
+    )
+
+
 def _q_group_percentiles(spark, sf_dir):
     # Exact per-group percentiles (sort-based `percentile`, interpolated
     # — same definition as quantile_cont, so the VALUES hash-match, not
@@ -2010,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_image_dedup": _q_image_dedup,
         "q_group_percentiles": _q_group_percentiles,
         "q_period_growth": _q_period_growth,
         "q_cohort_retention": _q_cohort_retention,
@@ -2743,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
         """,
+        "q_image_dedup": _image_dedup_oracle_sql(),
         "q_group_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.25), 6) AS p25,
