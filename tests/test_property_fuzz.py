@@ -152,3 +152,47 @@ def test_avi_roundtrip_any_frames(frames):
     from flink_bm25_spark.functions.avi import avi_encode, avi_frames
 
     assert avi_frames(avi_encode(frames)) == frames
+
+
+@given(
+    st.integers(2, 40),   # height
+    st.integers(2, 40),   # width
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_pnm_dhash_invariants(h, w, seed):
+    """dHash is deterministic, RGB-stacking-invariant (gray == its own
+    3-channel re-encode), and lands in [0, 2^64)."""
+    from flink_bm25_spark.functions.pnm import pnm_dhash, pnm_encode
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    g = pnm_dhash(pnm_encode(a))
+    assert 0 <= g < (1 << 64)
+    assert g == pnm_dhash(pnm_encode(a))  # deterministic
+    rgb = np.stack([a] * 3, axis=-1)
+    assert pnm_dhash(pnm_encode(rgb)) == g  # luma of gray == gray
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 120))
+@settings(max_examples=60, deadline=None)
+def test_winnowing_adjacent_dedupe_equals_distinct(seed, n):
+    """Pure-python mirror of the winnowing selection: the rightmost-
+    argmin position is monotone in the window start, so adjacent-
+    neighbor dedupe == set-distinct — the claim dedup.py's O(m) filter
+    relies on (heavy ties forced via a tiny hash alphabet)."""
+    import random
+
+    rng = random.Random(seed)
+    w = 4
+    h = [rng.randint(0, 6) for _ in range(n)]
+    picks = []
+    for s in range(max(n - w + 1, 1)):
+        sl = h[s:s + w]
+        mn = min(sl)
+        j = max(i for i, v in enumerate(sl) if v == mn)
+        picks.append((s + j, mn))
+    adj = [p for i, p in enumerate(picks) if i == 0 or p != picks[i - 1]]
+    assert len(adj) == len(set(adj)) == len(set(picks))
+    # monotonicity itself
+    assert all(a[0] <= b[0] for a, b in zip(picks, picks[1:]))
