@@ -536,6 +536,69 @@ def _image_dedup_oracle_sql():
     )
 
 
+def _synth_videos():
+    """Deterministic AVI corpus with planted shared frames: video 1 and
+    2 share three frames (a re-cut), video 3 shares only the black
+    boilerplate frame with everyone, video 4 is unrelated."""
+    import numpy as np  # noqa: PLC0415
+
+    from flink_bm25_spark.functions.avi import avi_encode  # noqa: PLC0415
+    from flink_bm25_spark.functions.pnm import pnm_encode  # noqa: PLC0415
+
+    rng = np.random.default_rng(20260815)
+
+    def img():
+        return pnm_encode(rng.integers(0, 255, (16, 16), dtype=np.uint8))
+
+    black = pnm_encode(np.zeros((16, 16), dtype=np.uint8))
+    shared = [img() for _ in range(3)]
+    return [
+        (1, avi_encode([black] + shared + [img()])),
+        (2, avi_encode([black] + shared + [img(), img()])),
+        (3, avi_encode([black] + [img() for _ in range(3)])),
+        (4, avi_encode([img() for _ in range(4)])),
+    ]
+
+
+def _q_video_dedup(spark, sf_dir):
+    # Distributed video near-dup: real AVI demux -> per-frame dHash ->
+    # shared-fingerprint join with boilerplate frames df-capped.  Fixed
+    # seeded corpus; oracle = locally-precomputed expected pair table.
+    from flink_bm25_spark.operators.multimodal import video_near_dup_pairs
+
+    rows = [(i, bytearray(b)) for i, b in _synth_videos()]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    return video_near_dup_pairs(df, min_shared=2, max_hash_freq=2)
+
+
+def _video_dedup_oracle_sql():
+    from flink_bm25_spark.functions.avi import avi_frames  # noqa: PLC0415
+    from flink_bm25_spark.functions.pnm import pnm_dhash  # noqa: PLC0415
+
+    fps = {
+        vid: {pnm_dhash(fr) for fr in avi_frames(bytes(b))}
+        for vid, b in _synth_videos()
+    }
+    df_count: dict[int, int] = {}
+    for hs in fps.values():
+        for h in hs:
+            df_count[h] = df_count.get(h, 0) + 1
+    rare = {h for h, c in df_count.items() if c <= 2}
+    ids = sorted(fps)
+    pairs = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(fps[ids[x]] & fps[ids[y]] & rare)
+            if n >= 2:
+                pairs.append((ids[x], ids[y], n))
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in sorted(pairs))
+    return (
+        "SELECT CAST(c1 AS BIGINT) AS d1, CAST(c2 AS BIGINT) AS d2, "
+        "CAST(c3 AS BIGINT) AS n_shared "
+        f"FROM (VALUES {vals}) AS t(c1, c2, c3)"
+    )
+
+
 def _q_group_percentiles(spark, sf_dir):
     # Exact per-group percentiles (sort-based `percentile`, interpolated
     # — same definition as quantile_cont, so the VALUES hash-match, not
@@ -2072,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
         "q_image_dedup": _q_image_dedup,
+        "q_video_dedup": _q_video_dedup,
         "q_group_percentiles": _q_group_percentiles,
         "q_period_growth": _q_period_growth,
         "q_cohort_retention": _q_cohort_retention,
@@ -2806,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
         """,
         "q_image_dedup": _image_dedup_oracle_sql(),
+        "q_video_dedup": _video_dedup_oracle_sql(),
         "q_group_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.25), 6) AS p25,
