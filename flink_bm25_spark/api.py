@@ -395,3 +395,90 @@ class EmbeddingDeduper:
         if os.path.exists(keys_path):
             dd.keys_wide = spark.read.parquet(keys_path)
         return dd
+
+
+class WinnowScreen:
+    """Incremental copy-detection screening — the WINNOWING analog of
+    :class:`EmbeddingDeduper`: state is the persisted ``(doc_id, fp)``
+    fingerprint relation, so each batch is screened against everything
+    already ingested in O(batch + candidates) and the archive text is
+    never re-read (``dedup.winnowing_pairs_incremental``).
+
+        ws = WinnowScreen(min_shared=2)
+        keep1 = ws.screen_batch(day1_docs)      # survivors, store grows
+        keep2 = ws.screen_batch(day2_docs)      # screens vs day1 too
+        ws.save("/state"); WinnowScreen.load(spark, "/state")
+
+    Dedup policy is greedy-stream FIRST-ARRIVAL wins (same contract as
+    the curator and the embedding deduper); the store keeps ALL batch
+    fingerprints — a dropped document's future copies must still match
+    it.  Boilerplate fingerprints are re-capped against the whole store
+    each batch, so a fingerprint that becomes ubiquitous stops pairing
+    exactly as in a full rebuild.
+    """
+
+    def __init__(
+        self,
+        fps: DataFrame | None = None,
+        min_shared: int = 2,
+        k: int = 3,
+        w: int = 4,
+        max_fp_doc_freq: int = 50,
+    ):
+        self.fps = fps
+        self.min_shared = min_shared
+        self.k = k
+        self.w = w
+        self.max_fp_doc_freq = max_fp_doc_freq
+
+    def screen_batch(self, new_documents: DataFrame) -> DataFrame:
+        from flink_bm25_spark.operators.dedup import (  # noqa: PLC0415
+            first_arrival_losers,
+            winnowing_pairs_incremental,
+        )
+
+        store = self.fps
+        if store is None:
+            store = new_documents.sparkSession.createDataFrame(
+                [], "doc_id long, fp long"
+            )
+        pairs, new_fps = winnowing_pairs_incremental(
+            store,
+            new_documents,
+            min_shared=self.min_shared,
+            k=self.k,
+            w=self.w,
+            max_fp_doc_freq=self.max_fp_doc_freq,
+        )
+        losers = first_arrival_losers(
+            pairs.select("d1", "d2"), new_documents.select("doc_id")
+        )
+        survivors = new_documents.join(losers, "doc_id", "left_anti")
+        self.fps = (
+            new_fps if self.fps is None else self.fps.unionByName(new_fps)
+        )
+        return survivors
+
+    def save(self, path: str) -> None:
+        import shutil  # noqa: PLC0415
+
+        sub = os.path.join(path, "fps")
+        if self.fps is not None:
+            self.fps.write.mode("overwrite").parquet(sub)
+        elif os.path.exists(sub):
+            shutil.rmtree(sub)
+
+    def checkpoint_state(self, path: str) -> None:
+        """Eager lineage truncation + persist (union-chain plan depth
+        grows per batch; the overwrite must not race readers)."""
+        if self.fps is not None:
+            self.fps = self.fps.localCheckpoint(eager=True)
+        self.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, **kw) -> "WinnowScreen":
+        ws = cls(**kw)
+        fps_path = os.path.join(path, "fps")
+        if os.path.exists(fps_path):
+            ws.fps = spark.read.parquet(fps_path)
+        return ws

@@ -248,3 +248,36 @@ def test_curator_first_arrival_wins_regardless_of_id_order(spark):
     assert first == {1000}
     second = {r["doc_id"] for r in cur.curate_batch(mk([1])).collect()}
     assert second == set(), "smaller-id latecomer must not displace the kept doc"
+
+
+def test_winnow_screen_incremental_loop(spark, tmp_path):
+    """WinnowScreen: first-arrival-wins across batches, state survives
+    save/load, and a copy arriving after its source is dropped even
+    when the source itself was dropped earlier."""
+    from flink_bm25_spark.api import WinnowScreen
+
+    base = " ".join(f"w{i:02d}" for i in range(20))
+    other = " ".join(f"z{i:02d}" for i in range(20))
+    b1 = spark.createDataFrame(
+        [(1, base + " a1 a2"), (2, other)], "doc_id bigint, text string"
+    )
+    # batch 2: a near-copy of doc 1 and a fresh doc
+    b2 = spark.createDataFrame(
+        [(10, base + " b1 b2"), (11, " ".join(f"y{i}" for i in range(20)))],
+        "doc_id bigint, text string",
+    )
+    # batch 3: a near-copy of doc 10 (which was DROPPED) must still drop
+    b3 = spark.createDataFrame(
+        [(20, base + " c1 c2")], "doc_id bigint, text string"
+    )
+
+    ws = WinnowScreen(min_shared=2)
+    k1 = {r.doc_id for r in ws.screen_batch(b1).collect()}
+    assert k1 == {1, 2}
+    ws.checkpoint_state(str(tmp_path / "st"))
+
+    ws = WinnowScreen.load(spark, str(tmp_path / "st"))
+    k2 = {r.doc_id for r in ws.screen_batch(b2).collect()}
+    assert k2 == {11}  # 10 near-dups the archived doc 1
+    k3 = {r.doc_id for r in ws.screen_batch(b3).collect()}
+    assert k3 == set()  # matches the dropped doc 10's stored fps
