@@ -314,3 +314,59 @@ def test_cohort_retention_hand_example(spark):
         (1, 0): (1, 1.0),
         (1, 1): (1, 1.0),
     }
+
+
+def test_funnel_differential_fuzz(spark):
+    """funnel_user_depths vs a brute-force python reference over random
+    event logs (many users, shuffled arrival, missing steps, repeated
+    steps, same-second ties resolved by event_id)."""
+    import random
+    from datetime import datetime, timezone
+
+    from flink_bm25_spark.operators.sessions import funnel_user_depths
+
+    rng = random.Random(42)
+    steps = ("view", "click", "purchase")
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(0, 8)):
+            eid += 1
+            t = rng.randint(0, 50)
+            rows.append(
+                (
+                    eid,
+                    datetime(2026, 2, 1, 0, 0, t, tzinfo=timezone.utc),
+                    u,
+                    rng.choice(steps + ("error", "signup")),
+                )
+            )
+    rng.shuffle(rows)
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {r.user_id: r.depth for r in funnel_user_depths(events).collect()}
+
+    # reference: first occurrence per step with (epoch_us*1000 + id%1000)
+    # packing, then the strictly-increasing prefix
+    first: dict[int, dict[str, int]] = {}
+    for eid_, ts, u, typ in rows:
+        if typ not in steps:
+            continue
+        key = int(ts.timestamp()) * 1_000_000 * 1000 + eid_ % 1000
+        d = first.setdefault(u, {})
+        if typ not in d or key < d[typ]:
+            d[typ] = key
+    want = {}
+    for eid_, ts, u, typ in rows:
+        want.setdefault(u, 0)
+    for u in want:
+        d = first.get(u, {})
+        depth, prev = 0, None
+        for s in steps:
+            if s not in d or (prev is not None and d[s] <= prev):
+                break
+            depth += 1
+            prev = d[s]
+        want[u] = depth
+    assert got == want
