@@ -1120,3 +1120,42 @@ def winnowing_pairs_incremental(
         ),
         new_fps,
     )
+
+
+def winnowing_shared_spans(
+    documents: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """``(d1, d2, pos1, pos2, fp)`` — the ALIGNED fingerprint matches
+    behind each candidate pair: for every shared winnowed fingerprint,
+    its gram position in both documents.  A copied run shows up as a
+    diagonal (``pos2 - pos1`` constant over consecutive positions) —
+    the attribution/provenance view a span-level deduper or a
+    plagiarism report builds on (MOSS's match-display stage).
+
+    The fingerprint relation is computed once and semi-join-pruned to
+    the pair docs before the fp join, so cost is O(candidate docs), not
+    O(corpus); the fp join itself inherits winnowing's ~2/(w+1) sample
+    rate.
+    """
+    cand = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    fps = winnowing_fingerprints(
+        documents.join(cand, "doc_id", "left_semi"), k=k, w=w
+    )
+    a = fps.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"), "fp"
+    )
+    b = fps.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"), "fp"
+    )
+    return (
+        a.join(b, "fp")
+        .join(pairs.select("d1", "d2"), ["d1", "d2"], "left_semi")
+        .select("d1", "d2", "pos1", "pos2", "fp")
+    )

@@ -574,3 +574,30 @@ def test_winnowing_incremental_equals_full_restricted(spark):
         map(tuple, winnowing_fingerprints(new).select("doc_id", "fp").distinct().collect())
     )
     assert a == b
+
+
+def test_winnowing_shared_spans_align_on_diagonal(spark):
+    """A copied run yields fingerprint matches on a constant diagonal
+    (pos2 - pos1 == the offset of the copied block), and only pair docs
+    are fingerprinted (semi-join pruning)."""
+    from flink_bm25_spark.operators.dedup import (
+        winnowing_dedup_pairs,
+        winnowing_shared_spans,
+    )
+
+    shared = " ".join(f"s{i:02d}" for i in range(12))
+    rows = [
+        (1, "a1 a2 a3 " + shared),                 # run starts at token 4
+        (2, shared + " b1 b2"),                    # run starts at token 1
+        (3, " ".join(f"u{i}" for i in range(15))), # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnowing_dedup_pairs(docs, min_shared=2)
+    assert {(r.d1, r.d2) for r in pairs.collect()} == {(1, 2)}
+
+    spans = winnowing_shared_spans(docs, pairs).collect()
+    assert spans
+    diags = {r.pos2 - r.pos1 for r in spans}
+    # doc1's copy of the run sits 3 tokens later than doc2's
+    assert diags == {-3}
+    assert all(r.d1 == 1 and r.d2 == 2 for r in spans)
