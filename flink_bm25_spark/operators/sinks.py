@@ -204,3 +204,52 @@ def write_sized(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    len_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> dict:
+    """Emit a sharded training dataset WITH its manifest: rows are
+    written partitioned by ``shard_col`` (one directory per shard — the
+    layout a data loader maps to workers), and a ``_manifest.json`` at
+    the root records (underscore prefix: ignored by Spark's file index,
+    like ``_SUCCESS``, so reading the dataset back skips it) per-shard row counts, token counts and an
+    order-insensitive content checksum, plus corpus totals.
+
+    The manifest is computed from ONE aggregation over the same
+    DataFrame (per-shard xor-of-row-hashes — mergeable and
+    order-insensitive, so any partitioning produces the same checksum),
+    and is the loader-side integrity contract: a resharded or truncated
+    copy fails the checksum without reading row payloads.  Returns the
+    manifest dict.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    data_cols = [c for c in df.columns if c != shard_col]
+    row_h = F.xxhash64(*[F.col(c) for c in data_cols])
+    per_shard = df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(len_col)).cast("long").alias("n_tokens"),
+        F.bit_xor(row_h).alias("checksum"),
+    )
+    shards = {
+        str(r[shard_col]): {
+            "n_rows": r["n_rows"],
+            "n_tokens": r["n_tokens"],
+            "checksum": int(r["checksum"]),
+        }
+        for r in per_shard.collect()
+    }
+    manifest = {
+        "shards": dict(sorted(shards.items())),
+        "total_rows": sum(s["n_rows"] for s in shards.values()),
+        "total_tokens": sum(s["n_tokens"] for s in shards.values()),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -250,3 +250,34 @@ def test_write_sized_scales_file_count_with_target(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", None
     ) in (None, "1MB")
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    """Sharded write + manifest: counts and token totals match; the
+    checksum is order-insensitive (any partitioning agrees) and catches
+    a truncated copy."""
+    import json
+
+    from flink_bm25_spark.operators.sinks import write_training_shards
+
+    rows = [(i, i % 3, 10 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
+    man = write_training_shards(df, str(tmp_path / "ds"))
+    on_disk = json.load(open(tmp_path / "ds" / "_manifest.json"))
+    assert man == on_disk
+    assert man["total_rows"] == 30
+    assert man["total_tokens"] == sum(10 + i for i in range(30))
+    assert set(man["shards"]) == {"0", "1", "2"}
+    # re-partitioned input -> identical manifest (order-insensitive)
+    man2 = write_training_shards(
+        df.repartition(7), str(tmp_path / "ds2")
+    )
+    assert man2 == man
+    # dropping a row flips that shard's checksum
+    man3 = write_training_shards(
+        df.where("doc_id <> 9"), str(tmp_path / "ds3")
+    )
+    assert man3["shards"]["0"]["checksum"] != man["shards"]["0"]["checksum"]
+    # round-trip: the partitioned layout reads back complete
+    back = spark.read.parquet(str(tmp_path / "ds"))
+    assert back.count() == 30 and set(back.columns) == {"doc_id", "shard", "n_tokens"}
