@@ -475,6 +475,25 @@ def _q_corpus_clean_keep_best(spark, sf_dir):
     return clean_corpus_keep_best(load_table(spark, "documents", sf_dir))
 
 
+def _q_dataset_diff(spark, sf_dir):
+    # Version audit: what changed between two dataset versions (derived
+    # in-plan: v_old drops doc_id%10==0, v_new drops doc_id%7==3 and
+    # appends ' v2' to every doc_id%5==0 text).  Sides reduce to
+    # (key, md5 content hash) BEFORE the full-outer join — digests move,
+    # not row payloads.
+    from flink_bm25_spark.operators.dq import dataset_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return dataset_diff(old, new, ["doc_id"])
+
+
 def _synth_images():
     """Deterministic PNM corpus with planted perceptual duplicates:
     12 base images, 5 noisy re-encodes (ids 100+i), 3 RGB re-encodes
@@ -2134,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_null_profile": _q_dq_null_profile,
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
+        "q_dataset_diff": _q_dataset_diff,
         "q_image_dedup": _q_image_dedup,
         "q_video_dedup": _q_video_dedup,
         "q_group_percentiles": _q_group_percentiles,
@@ -2868,6 +2888,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.keep_score >= 0.2
               AND q.doc_id NOT IN
                   (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+        """,
+        "q_dataset_diff": """
+            WITH o AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+            n AS (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                              ELSE text END AS text,
+                         lang, source, n_chars
+                  FROM documents WHERE doc_id % 7 <> 3)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text <> n.text OR o.lang <> n.lang
+                             OR o.source <> n.source
+                             OR o.n_chars <> n.n_chars THEN 'changed'
+                   END AS change
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR o.text <> n.text OR o.lang <> n.lang
+               OR o.source <> n.source OR o.n_chars <> n.n_chars
         """,
         "q_image_dedup": _image_dedup_oracle_sql(),
         "q_video_dedup": _video_dedup_oracle_sql(),

@@ -166,3 +166,50 @@ def dq_summary_fused(
     return agg.select(F.explode(packed).alias("_p")).select(
         "_p.check", "_p.violations"
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``(*keys, change)`` for every row that differs between two
+    dataset versions -- ``change`` in {'added', 'removed', 'changed'};
+    unchanged rows are omitted.  The audit behind any reprocessing run:
+    "what did the new pipeline version actually change?"
+
+    Each side reduces to ``(keys, content-hash)`` BEFORE the join (an
+    md5 of the compared columns with NULL markers and a \\x01 field
+    separator), so the full-outer join moves 32-byte digests instead of
+    row payloads, keyed on the same key both relations already hash on.
+    The hash is engine-portable (the DuckDB oracle replays it), unlike
+    an engine-native row hash.
+    """
+    cc = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c not in keys
+    ]
+
+    def content_hash(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in cc
+                ],
+            ).cast("binary")
+        )
+        return df.select(*keys, h.alias("_h"))
+
+    o = content_hash(old).withColumnRenamed("_h", "_ho")
+    n = content_hash(new).withColumnRenamed("_h", "_hn")
+    joined = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return joined.withColumn("change", change).where(
+        F.col("change").isNotNull()
+    ).select(*keys, "change")

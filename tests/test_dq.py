@@ -109,3 +109,27 @@ def test_dq_summary_fused_single_scan_equals_composed(spark):
     # Aggregate node), not one scan/agg pair per check
     plan = fused._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_dataset_diff_labels_and_null_handling(spark):
+    from flink_bm25_spark.operators.dq import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "id bigint, s string, v double",
+    )
+    got = {r.id: r.change for r in dataset_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (omitted); NULL->value and value->NULL are 'changed'
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    # digest-only join: the plan carries no payload columns past the hash
+    plan = (
+        dataset_diff(old, new, ["id"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan
