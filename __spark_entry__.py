@@ -2021,6 +2021,59 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def _q_curation_report(spark, sf_dir):
+    # Drop-accounting ledger: EVERY train doc with its keep/drop reason
+    # (quality > duplicate > contaminated precedence) — the observability
+    # companion of q_curation_pipeline over the same eval/train split.
+    from flink_bm25_spark.operators.cleaning import curation_report
+    from flink_bm25_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
+    train = labeled.where(F.col("split") == "train").drop("split")
+    bench = labeled.where(F.col("split") == "eval").drop("split")
+    return curation_report(train, benchmark=bench)
+
+
+def _curation_report_oracle_sql() -> str:
+    clusters_t = _CLUSTERS.replace("FROM documents", "FROM tdocs")
+    quality_t = _QUALITY.replace("FROM documents", "FROM tdocs")
+    return f"""
+        WITH RECURSIVE
+        bkt AS (SELECT doc_id,
+                       {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+                FROM documents),
+        tdocs AS (SELECT d.* FROM documents d JOIN bkt USING (doc_id)
+                  WHERE b >= 5),
+        edocs AS (SELECT d.* FROM documents d JOIN bkt USING (doc_id)
+                  WHERE b < 5),
+        {clusters_t}, {quality_t},
+        esh AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 2 <= len(ws)
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END))
+              AS gram
+            FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws
+                  FROM edocs)
+          ) WHERE gram IS NOT NULL
+        ),
+        ov AS (
+          SELECT doc_id, count(*) AS n_overlap
+          FROM sh JOIN esh USING (gram) GROUP BY 1),
+        contam AS (SELECT doc_id FROM ov WHERE n_overlap >= 3)
+        SELECT q.doc_id, q.keep_score,
+               CASE WHEN q.keep_score < 0.2 THEN 'quality'
+                    WHEN q.doc_id IN (SELECT doc_id FROM comp
+                                      WHERE doc_id <> canonical_id)
+                      THEN 'duplicate'
+                    WHEN q.doc_id IN (SELECT doc_id FROM contam)
+                      THEN 'contaminated'
+                    ELSE 'kept' END AS status
+        FROM qual q
+    """
+
+
 def _q_hll_merged(spark, sf_dir):
     # Spark takes the MERGE path (per-shard register states rolled up by
     # per-bucket max); the oracle takes the REBUILD path over the union.
@@ -2154,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dq_summary": _q_dq_summary,
         "q_textrank": _q_textrank,
         "q_dataset_diff": _q_dataset_diff,
+        "q_curation_report": _q_curation_report,
         "q_image_dedup": _q_image_dedup,
         "q_video_dedup": _q_video_dedup,
         "q_group_percentiles": _q_group_percentiles,
@@ -4318,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
+    out["q_curation_report"] = _curation_report_oracle_sql()
     out["q_chunk_embeddings"] = r"""
         WITH base AS (
           SELECT doc_id,

@@ -212,3 +212,57 @@ def curation_pipeline(
         "offset",
         "seq_id",
     )
+
+
+def curation_report(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_keep_score: float = 0.2,
+    jaccard_threshold: float = 0.8,
+    min_overlap: int = 3,
+    decontam_n: int = 3,
+) -> DataFrame:
+    """``(doc_id, keep_score, status)`` for EVERY input document —
+    ``status`` ∈ {'kept', 'quality', 'duplicate', 'contaminated'} with
+    that precedence — the drop-accounting ledger behind
+    :func:`clean_corpus` / ``curation_pipeline``: a pipeline that only
+    emits survivors cannot answer "why did my corpus shrink 40%?", and
+    at 100 TB the drop-reason distribution IS the monitoring signal
+    (a jump in 'duplicate' means an upstream feed started looping).
+
+    Same relations, one declarative plan: quality is map-side; the
+    loser and contaminated sets arrive as flag joins (duplicate-
+    fraction- and contamination-fraction-sized, keyed on doc_id — AQE
+    picks broadcast when they fit, exactly as in ``clean_corpus``).
+    """
+    from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    pairs = minhash_dedup_pairs(documents, jaccard_threshold)
+    losers = (
+        dedup_clusters(pairs)
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+        .withColumn("_dup", F.lit(True))
+    )
+    out = scored.join(losers, "doc_id", "left")
+    if benchmark is not None:
+        from flink_bm25_spark.operators.decontam import overlap_counts  # noqa: PLC0415
+
+        grams = shingles(benchmark, n=decontam_n).select("gram").distinct()
+        contam = (
+            overlap_counts(documents, grams, n=decontam_n)
+            .where(F.col("n_overlap") >= F.lit(min_overlap))
+            .select("doc_id")
+            .withColumn("_ct", F.lit(True))
+        )
+        out = out.join(contam, "doc_id", "left")
+    else:
+        out = out.withColumn("_ct", F.lit(None).cast("boolean"))
+    status = (
+        F.when(F.col("keep_score") < F.lit(min_keep_score), "quality")
+        .when(F.col("_dup"), "duplicate")
+        .when(F.col("_ct"), "contaminated")
+        .otherwise("kept")
+    )
+    return out.select("doc_id", "keep_score", status.alias("status"))
