@@ -677,6 +677,20 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _q_winnow_spans(spark, sf_dir):
+    # Copied-span attribution: aligned fingerprint positions for every
+    # winnowing candidate pair (the MOSS match-display stage); the fp
+    # relation is semi-join-pruned to pair docs before the position join.
+    from flink_bm25_spark.operators.dedup import (
+        winnowing_dedup_pairs,
+        winnowing_shared_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = winnowing_dedup_pairs(docs)
+    return winnowing_shared_spans(docs, pairs)
+
+
 def _q_key_skew(spark, sf_dir):
     # Pre-flight skew diagnostics: top-k heaviest key values with share
     # and cumulative share (groupBy + TakeOrderedAndProject + 1-row
@@ -2216,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": _q_funnel,
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
+        "q_winnow_spans": _q_winnow_spans,
         "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
         "q_token_budget_sample": _q_token_budget_sample,
@@ -2405,6 +2420,39 @@ jac AS (
 # Near-dup clusters over verified MinHash pairs: reachability via recursive
 # CTE, canonical = component-min doc id.  Prefix the full query with
 # `WITH RECURSIVE`.
+# Winnowing selection (k=3, w=4) as DuckDB CTEs - shared by the
+# q_winnow_* oracles (plain string: braces are DuckDB struct literals).
+_WINNOW = """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) - 2 >= 1 THEN
+                  list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i ->
+                    ('0x' || substring(md5(
+                       array_to_string(list_slice(ws, i, i + 2), ' ')),
+                       1, 15))::BIGINT)
+                ELSE []::BIGINT[] END AS hs
+              FROM base),
+            sel AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i ->
+                    {'pos': CAST(i + len(list_slice(hs, i, i + 3))
+                            - list_position(
+                                list_reverse(list_slice(hs, i, i + 3)),
+                                list_min(list_slice(hs, i, i + 3)))
+                            AS BIGINT),
+                     'fp': list_min(list_slice(hs, i, i + 3))}) AS s
+              FROM g WHERE len(hs) >= 1),
+            wfp AS (
+              SELECT DISTINCT doc_id, p['pos'] AS pos, p['fp'] AS fp
+              FROM (SELECT doc_id, unnest(s) AS p FROM sel))
+"""
+
+
 _CLUSTERS = f"""
 {_JACCARD},
 pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
@@ -3026,35 +3074,7 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT)
             FROM d
         """,
-        "q_winnow_fps": """
-            WITH base AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS ws
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                CASE WHEN len(ws) - 2 >= 1 THEN
-                  list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i ->
-                    ('0x' || substring(md5(
-                       array_to_string(list_slice(ws, i, i + 2), ' ')),
-                       1, 15))::BIGINT)
-                ELSE []::BIGINT[] END AS hs
-              FROM base),
-            sel AS (
-              SELECT doc_id,
-                list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i ->
-                    {'pos': CAST(i + len(list_slice(hs, i, i + 3))
-                            - list_position(
-                                list_reverse(list_slice(hs, i, i + 3)),
-                                list_min(list_slice(hs, i, i + 3)))
-                            AS BIGINT),
-                     'fp': list_min(list_slice(hs, i, i + 3))}) AS s
-              FROM g WHERE len(hs) >= 1),
-            wfp AS (
-              SELECT DISTINCT doc_id, p['pos'] AS pos, p['fp'] AS fp
-              FROM (SELECT doc_id, unnest(s) AS p FROM sel))
-
+        "q_winnow_fps": _WINNOW + """
             SELECT doc_id, pos, fp FROM wfp
         """,
         "q_winnow_pairs": """
@@ -3094,6 +3114,20 @@ def oracle_sql() -> dict[str, str]:
             FROM dfp a JOIN rare USING (fp) JOIN dfp b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_winnow_spans": _WINNOW + """,
+            dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+            rare AS (SELECT fp FROM dfp GROUP BY fp
+                     HAVING count(*) <= 50),
+            prs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM dfp a JOIN rare USING (fp) JOIN dfp b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT x.doc_id AS d1, y.doc_id AS d2,
+                   x.pos AS pos1, y.pos AS pos2, x.fp
+            FROM wfp x JOIN wfp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            JOIN prs ON prs.d1 = x.doc_id AND prs.d2 = y.doc_id
         """,
         "q_key_skew": """
             WITH counts AS (
@@ -4273,6 +4307,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
             FROM pairs WHERE p IS NOT NULL
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_winnow_spans": _WINNOW + """,
+            dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+            rare AS (SELECT fp FROM dfp GROUP BY fp
+                     HAVING count(*) <= 50),
+            prs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM dfp a JOIN rare USING (fp) JOIN dfp b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT x.doc_id AS d1, y.doc_id AS d2,
+                   x.pos AS pos1, y.pos AS pos2, x.fp
+            FROM wfp x JOIN wfp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+            JOIN prs ON prs.d1 = x.doc_id AND prs.d2 = y.doc_id
         """,
         "q_quality_gate": f"""
             WITH {_QUALITY},
