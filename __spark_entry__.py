@@ -677,6 +677,21 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _q_drift_psi(spark, sf_dir):
+    # Distribution-drift monitor: PSI of event values, first half of the
+    # time range (reference) vs second half (current), fixed bins — each
+    # side one count agg; binning map-side.
+    from flink_bm25_spark.operators.profiling import psi_drift
+
+    ev = load_table(spark, "events", sf_dir)
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    )
+    ref = ev.join(F.broadcast(mid)).where(F.unix_micros("ts") < F.col("m"))
+    cur = ev.join(F.broadcast(mid)).where(F.unix_micros("ts") >= F.col("m"))
+    return psi_drift(ref, cur, "value", [50.0, 100.0, 150.0, 200.0, 250.0])
+
+
 def _q_winnow_spans(spark, sf_dir):
     # Copied-span attribution: aligned fingerprint positions for every
     # winnowing candidate pair (the MOSS match-display stage); the fp
@@ -2231,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
+        "q_drift_psi": _q_drift_psi,
         "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
         "q_token_budget_sample": _q_token_budget_sample,
@@ -3114,6 +3130,44 @@ def oracle_sql() -> dict[str, str]:
             FROM dfp a JOIN rare USING (fp) JOIN dfp b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_drift_psi": """
+            WITH mid AS (
+              SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+              FROM events),
+            rb AS (
+              SELECT (CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 150 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 200 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 250 THEN 1 ELSE 0 END) AS bin
+              FROM events, mid WHERE epoch_us(ts) < m),
+            cb AS (
+              SELECT (CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 150 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 200 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 250 THEN 1 ELSE 0 END) AS bin
+              FROM events, mid WHERE epoch_us(ts) >= m),
+            rf AS (SELECT bin, count(*) / (SELECT count(*) FROM rb) AS ref_frac
+                   FROM rb GROUP BY bin),
+            cf AS (SELECT bin, count(*) / (SELECT count(*) FROM cb) AS cur_frac
+                   FROM cb GROUP BY bin),
+            bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(6)),
+            j AS (
+              SELECT b.bin,
+                     greatest(coalesce(ref_frac, 0.0), 1e-6) AS ref_frac,
+                     greatest(coalesce(cur_frac, 0.0), 1e-6) AS cur_frac
+              FROM bins b LEFT JOIN rf USING (bin) LEFT JOIN cf USING (bin)),
+            k AS (
+              SELECT bin, ref_frac, cur_frac,
+                     round((cur_frac - ref_frac) * ln(cur_frac / ref_frac), 6)
+                       AS contrib
+              FROM j)
+            SELECT bin, round(ref_frac, 6) AS ref_frac,
+                   round(cur_frac, 6) AS cur_frac, contrib,
+                   round(sum(contrib) OVER (), 6) AS psi
+            FROM k
         """,
         "q_winnow_spans": _WINNOW + """,
             dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
@@ -4307,6 +4361,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
             FROM pairs WHERE p IS NOT NULL
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "q_drift_psi": """
+            WITH mid AS (
+              SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+              FROM events),
+            rb AS (
+              SELECT (CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 150 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 200 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 250 THEN 1 ELSE 0 END) AS bin
+              FROM events, mid WHERE epoch_us(ts) < m),
+            cb AS (
+              SELECT (CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 150 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 200 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 250 THEN 1 ELSE 0 END) AS bin
+              FROM events, mid WHERE epoch_us(ts) >= m),
+            rf AS (SELECT bin, count(*) / (SELECT count(*) FROM rb) AS ref_frac
+                   FROM rb GROUP BY bin),
+            cf AS (SELECT bin, count(*) / (SELECT count(*) FROM cb) AS cur_frac
+                   FROM cb GROUP BY bin),
+            bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(6)),
+            j AS (
+              SELECT b.bin,
+                     greatest(coalesce(ref_frac, 0.0), 1e-6) AS ref_frac,
+                     greatest(coalesce(cur_frac, 0.0), 1e-6) AS cur_frac
+              FROM bins b LEFT JOIN rf USING (bin) LEFT JOIN cf USING (bin)),
+            k AS (
+              SELECT bin, ref_frac, cur_frac,
+                     round((cur_frac - ref_frac) * ln(cur_frac / ref_frac), 6)
+                       AS contrib
+              FROM j)
+            SELECT bin, round(ref_frac, 6) AS ref_frac,
+                   round(cur_frac, 6) AS cur_frac, contrib,
+                   round(sum(contrib) OVER (), 6) AS psi
+            FROM k
         """,
         "q_winnow_spans": _WINNOW + """,
             dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),

@@ -89,3 +89,78 @@ def key_skew_profile(
         .withColumn("cum_share", F.round(F.sum("share").over(w), 6))
         .select("key", "n_rows", "share", "cum_share")
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    bin_edges: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """``(bin, ref_frac, cur_frac, contrib)`` plus the bin-summed
+    population-stability index in every row (``psi``) — the standard
+    distribution-drift monitor between a reference window and the
+    current one:  ``PSI = Σ (cur−ref)·ln(cur/ref)`` over FIXED bin
+    fractions (industry rule of thumb: <0.1 stable, >0.25 drifted).
+
+    Bin edges are caller-fixed literals (from the reference period's
+    quantiles), so binning is a map-side CASE chain and each side costs
+    one count aggregation; empty bins are floored at ``eps`` to keep
+    the log finite.  Rounding to 6 decimals makes the score replayable
+    cross-engine.
+    """
+    def binned(df: DataFrame) -> DataFrame:
+        # bin index = number of edges <= value (map-side CASE chain)
+        c = F.col(col)
+        b = sum(
+            F.when(c >= F.lit(e), 1).otherwise(0) for e in bin_edges
+        )
+        return df.select(b.cast("int").alias("bin"))
+
+    def fracs(df: DataFrame, name: str) -> DataFrame:
+        counts = binned(df).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("_t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("_n") / F.col("_t")).alias(name)
+        )
+
+    bins = reference.sparkSession.range(0, len(bin_edges) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        bins.join(fracs(reference, "ref_frac"), "bin", "left")
+        .join(fracs(current, "cur_frac"), "bin", "left")
+        .select(
+            "bin",
+            F.greatest(F.coalesce("ref_frac", F.lit(0.0)), F.lit(eps)).alias(
+                "ref_frac"
+            ),
+            F.greatest(F.coalesce("cur_frac", F.lit(0.0)), F.lit(eps)).alias(
+                "cur_frac"
+            ),
+        )
+    )
+    contrib = F.round(
+        (F.col("cur_frac") - F.col("ref_frac"))
+        * F.log(F.col("cur_frac") / F.col("ref_frac")),
+        6,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        joined.withColumn("contrib", contrib)
+        .withColumn("psi", F.round(F.sum("contrib").over(w), 6))
+        .select(
+            "bin",
+            F.round("ref_frac", 6).alias("ref_frac"),
+            F.round("cur_frac", 6).alias("cur_frac"),
+            "contrib",
+            "psi",
+        )
+    )

@@ -482,3 +482,31 @@ def test_key_skew_profile_shares_and_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_psi_drift_detects_shift(spark):
+    import math
+
+    from flink_bm25_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 1, 5, 5, 9, 9]], "v double")
+    same = spark.createDataFrame([(float(v),) for v in [1, 5, 9]], "v double")
+    shifted = spark.createDataFrame([(float(v),) for v in [9, 9, 9]], "v double")
+    edges = [4.0, 8.0]
+
+    stable = psi_drift(ref, same, "v", edges).collect()
+    assert all(r.psi == 0.0 for r in stable)  # identical fractions
+
+    drifted = psi_drift(ref, shifted, "v", edges).collect()
+    psi = drifted[0].psi
+    # hand PSI: ref (1/3,1/3,1/3) vs cur (eps, eps, ~1): bins 0,1 shrink
+    eps = 1e-6
+    want = round(
+        sum(
+            round((c - r) * math.log(c / r), 6)
+            for r, c in [(1 / 3, eps), (1 / 3, eps), (1 / 3, 1.0)]
+        ),
+        6,
+    )
+    assert abs(psi - want) < 1e-9
+    assert psi > 0.25  # "drifted" by the standard rule of thumb
