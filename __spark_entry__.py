@@ -677,6 +677,61 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # In-engine supervised learning: logistic regression by 3 rounds of
+    # full-batch gradient descent (kmeans posture — one agg per round,
+    # d+1 floats to the driver, weights as codegen literals), scoring
+    # the whole corpus as a pure projection.  Oracle = the same rounds
+    # unrolled in SQL.
+    from flink_bm25_spark.operators.ml import quality_classifier_scores
+
+    return quality_classifier_scores(load_table(spark, "documents", sf_dir))
+
+
+def _logreg_oracle_sql() -> str:
+    feats = """
+        f AS (SELECT doc_id,
+                     round(least(n_tokens / 100.0, 1.0), 6) AS x1,
+                     stopword_ratio AS x2, punct_ratio AS x3,
+                     CASE WHEN keep_score >= 0.2 THEN 1.0 ELSE 0.0 END AS y
+              FROM qual)"""
+    sql = f"WITH {_QUALITY}, {feats},\n"
+    prev = None
+    for r in range(1, 4):
+        if prev is None:
+            p = "0.5"
+        else:
+            p = (
+                f"1.0 / (1.0 + exp(-({prev}.b + {prev}.w1 * x1 "
+                f"+ {prev}.w2 * x2 + {prev}.w3 * x3)))"
+            )
+        frm = "f" if prev is None else f"f, {prev}"
+        sql += f"""
+        g{r} AS (SELECT avg(y - {p}) AS g0,
+                        avg((y - {p}) * x1) AS g1,
+                        avg((y - {p}) * x2) AS g2,
+                        avg((y - {p}) * x3) AS g3
+                 FROM {frm}),"""
+        base = ("0.0", "0.0", "0.0", "0.0") if prev is None else (
+            f"{prev}.b", f"{prev}.w1", f"{prev}.w2", f"{prev}.w3"
+        )
+        gfrm = f"g{r}" if prev is None else f"g{r}, {prev}"
+        sql += f"""
+        w{r} AS (SELECT round({base[0]} + 0.5 * g0, 6) AS b,
+                        round({base[1]} + 0.5 * g1, 6) AS w1,
+                        round({base[2]} + 0.5 * g2, 6) AS w2,
+                        round({base[3]} + 0.5 * g3, 6) AS w3
+                 FROM {gfrm}),"""
+        prev = f"w{r}"
+    sql = sql.rstrip(",")
+    sql += f"""
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({prev}.b + {prev}.w1 * x1
+                     + {prev}.w2 * x2 + {prev}.w3 * x3))), 6) AS p
+        FROM f, {prev}"""
+    return sql
+
+
 def _q_drift_psi(spark, sf_dir):
     # Distribution-drift monitor: PSI of event values, first half of the
     # time range (reference) vs second half (current), fixed bins — each
@@ -2246,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
+        "q_quality_classifier": _q_quality_classifier,
         "q_drift_psi": _q_drift_psi,
         "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
@@ -3131,6 +3187,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "q_quality_classifier": _logreg_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (
               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
@@ -4362,6 +4419,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE p IS NOT NULL
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "q_quality_classifier": _logreg_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (
               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m

@@ -1,0 +1,109 @@
+"""Distributed supervised learning as relational algebra — logistic
+regression by full-batch gradient descent, the kmeans posture applied to
+a supervised model: per round, ONE aggregation computes the exact
+gradient map-side (partial sums fold before the 1-row shuffle), only the
+(d+1)-float weight vector ever reaches the driver, and the next round's
+scoring expression embeds those weights as codegen literals — no
+per-round broadcast variable, no ML library, no Python in the hot path.
+
+The canonical in-engine use is quality-filter fitting: train a
+lightweight classifier on a small labeled slice, then score the whole
+corpus with the closed-form sigmoid expression (a pure projection, so
+scoring 100 TB is scan-bound).  Per-round 6-decimal rounding of the
+weights keeps the fixpoint replayable across engines (same caveat as
+``kmeans_assign``); the oracle unrolls the same rounds in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _z(weights: Sequence[float], feature_cols: Sequence[str]) -> Column:
+    z = F.lit(float(weights[0]))
+    for wj, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c)
+    return z
+
+
+def _sigmoid(z: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """Full-batch gradient descent from ``w = 0``:
+
+        w ← round(w + lr · (1/n) Σ (y − σ(w·x)) · [1, x], 6)
+
+    Returns ``[bias, w_1, …, w_d]`` after ``iterations`` rounds.  Each
+    round is one aggregation over the (cached) training relation; the
+    driver only ever sees d+1 floats per round.
+    """
+    df = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    ).cache()
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iterations):
+        err = F.col("_y") - _sigmoid(_z(w, feature_cols))
+        grads = df.agg(
+            F.avg(err).alias("_g0"),
+            *[
+                F.avg(err * F.col(c)).alias(f"_g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).first()
+        w = [
+            round(w[j] + lr * float(grads[f"_g{j}"]), 6)
+            for j in range(len(w))
+        ]
+    return w
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    feature_cols: Sequence[str],
+    out_col: str = "p",
+) -> DataFrame:
+    """Append ``σ(w·x)`` (rounded to 6 decimals) — a pure projection:
+    scoring is map-side codegen, so the corpus pass is scan-bound."""
+    return df.withColumn(
+        out_col, F.round(_sigmoid(_z(weights, feature_cols)), 6)
+    )
+
+
+def quality_classifier_scores(
+    documents: DataFrame,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """``(doc_id, p)`` — the end-to-end quality-model demo: fit a
+    logistic model of the heuristic keep-gate (label: ``keep_score >=
+    0.2``) on the corpus's own quality features (scaled token count,
+    stopword ratio, punctuation ratio), then score every document.
+    Learning the heuristic's smooth surrogate gives a ranking signal
+    where the hard gate gives only a bit — the standard bootstrap for
+    quality classifiers before human labels exist.
+    """
+    from flink_bm25_spark.operators.text_analysis import quality_scores  # noqa: PLC0415
+
+    q = quality_scores(documents)
+    feats = q.select(
+        "doc_id",
+        F.round(F.least(F.col("n_tokens") / 100.0, F.lit(1.0)), 6).alias("x1"),
+        F.col("stopword_ratio").alias("x2"),
+        F.col("punct_ratio").alias("x3"),
+        (F.col("keep_score") >= 0.2).cast("double").alias("y"),
+    )
+    w = logreg_fit(feats, ["x1", "x2", "x3"], "y", iterations, lr)
+    return logreg_score(feats, w, ["x1", "x2", "x3"]).select("doc_id", "p")

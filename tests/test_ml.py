@@ -1,0 +1,51 @@
+"""In-engine logistic regression (operators/ml.py): gradient-descent
+differential vs numpy, scoring sanity, and the quality-classifier demo."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_bm25_spark.operators.ml import (
+    logreg_fit,
+    logreg_score,
+    quality_classifier_scores,
+)
+
+
+def test_logreg_matches_numpy_gd(spark):
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-1, 1, (200, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    rows = [(float(y[i]), float(X[i, 0]), float(X[i, 1])) for i in range(200)]
+    df = spark.createDataFrame(rows, "y double, a double, b double")
+
+    w = logreg_fit(df, ["a", "b"], "y", iterations=4, lr=0.5)
+
+    # numpy reference with the same per-round 6-decimal rounding
+    wn = np.zeros(3)
+    Xb = np.hstack([np.ones((200, 1)), X])
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ wn)))
+        g = (y - p) @ Xb / 200
+        wn = np.round(wn + 0.5 * g, 6)
+    assert np.allclose(w, wn, atol=1e-9), (w, wn)
+
+    # the learned direction separates: positive class scores higher
+    scored = logreg_score(df, w, ["a", "b"]).collect()
+    pos = [r.p for r in scored if r.y == 1.0]
+    neg = [r.p for r in scored if r.y == 0.0]
+    assert min(pos) > 0.4 and max(neg) < 0.6
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.1
+
+
+def test_quality_classifier_orders_by_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),  # long, clean -> keep
+            (2, "a b"),                                  # too short -> drop
+            (3, " ".join(f"v{i}" for i in range(60))),
+        ],
+        "doc_id bigint, text string",
+    )
+    p = {r.doc_id: r.p for r in quality_classifier_scores(docs).collect()}
+    assert p[1] > p[2] and p[3] > p[2]
