@@ -688,7 +688,10 @@ def _q_quality_classifier(spark, sf_dir):
     return quality_classifier_scores(load_table(spark, "documents", sf_dir))
 
 
-def _logreg_oracle_sql() -> str:
+def _logreg_oracle_core() -> tuple[str, str]:
+    """(CTE chain incl. features f and weight relations, final weight
+    relation name) — shared by the classifier-scores and metrics
+    oracles."""
     feats = """
         f AS (SELECT doc_id,
                      round(least(n_tokens / 100.0, 1.0), 6) AS x1,
@@ -723,13 +726,89 @@ def _logreg_oracle_sql() -> str:
                         round({base[3]} + 0.5 * g3, 6) AS w3
                  FROM {gfrm}),"""
         prev = f"w{r}"
-    sql = sql.rstrip(",")
-    sql += f"""
+    return sql.rstrip(","), prev
+
+
+def _logreg_oracle_sql() -> str:
+    core, prev = _logreg_oracle_core()
+    return core + f"""
         SELECT doc_id,
                round(1.0 / (1.0 + exp(-({prev}.b + {prev}.w1 * x1
                      + {prev}.w2 * x2 + {prev}.w3 * x3))), 6) AS p
         FROM f, {prev}"""
-    return sql
+
+
+def _classifier_metrics_oracle_sql() -> str:
+    core, prev = _logreg_oracle_core()
+    return core + f""",
+        sc AS (SELECT y,
+                      round(1.0 / (1.0 + exp(-({prev}.b + {prev}.w1 * x1
+                            + {prev}.w2 * x2 + {prev}.w3 * x3))), 6) AS s
+               FROM f, {prev}),
+        ps AS (SELECT s,
+                      CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS np,
+                      CAST(sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS nn
+               FROM sc GROUP BY s),
+        rk AS (SELECT *,
+                      coalesce(sum(np + nn) OVER (
+                        ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0.0) AS bef
+               FROM ps),
+        ag AS (SELECT sum(np * (bef + (np + nn + 1.0) / 2.0)) AS pr,
+                      sum(np) AS P, sum(nn) AS N
+               FROM rk),
+        cf AS (SELECT CAST(sum(CASE WHEN s >= 0.5 AND y = 1.0
+                                    THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+                      CAST(sum(CASE WHEN s >= 0.5 AND y <> 1.0
+                                    THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+                      CAST(sum(CASE WHEN s < 0.5 AND y = 1.0
+                                    THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM sc)
+        SELECT 'auc' AS metric,
+               round(CASE WHEN P > 0 AND N > 0
+                          THEN (pr - P * (P + 1.0) / 2.0) / (P * N) END,
+                     6) AS value
+        FROM ag
+        UNION ALL
+        SELECT 'accuracy', round((n - fp - fn) / n, 6) FROM cf
+        UNION ALL
+        SELECT 'precision',
+               round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END, 6)
+        FROM cf
+        UNION ALL
+        SELECT 'recall',
+               round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END, 6)
+        FROM cf
+        UNION ALL
+        SELECT 'f1',
+               round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                          AND tp / (tp + fp) + tp / (tp + fn) > 0
+                          THEN 2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                               / (tp / (tp + fp) + tp / (tp + fn)) END,
+                     6)
+        FROM cf"""
+
+
+def _q_classifier_metrics(spark, sf_dir):
+    # Model-evaluation metrics of the in-engine classifier vs its own
+    # labels: rank-based AUC over the bounded distinct-score relation
+    # (never a corpus sort) + one confusion pass.
+    from flink_bm25_spark.operators.ml import (
+        classifier_metrics,
+        quality_classifier_scores,
+    )
+    from flink_bm25_spark.operators.text_analysis import quality_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_classifier_scores(docs)
+    labels = quality_scores(docs).select(
+        "doc_id", (F.col("keep_score") >= 0.2).cast("double").alias("y")
+    )
+    return classifier_metrics(scored.join(labels, "doc_id"))
 
 
 def _q_drift_psi(spark, sf_dir):
@@ -2302,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
         "q_quality_classifier": _q_quality_classifier,
+        "q_classifier_metrics": _q_classifier_metrics,
         "q_drift_psi": _q_drift_psi,
         "q_key_skew": _q_key_skew,
         "q_leakage_safe_split": _q_leakage_safe_split,
@@ -3188,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "q_quality_classifier": _logreg_oracle_sql(),
+        "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (
               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
@@ -4420,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "q_quality_classifier": _logreg_oracle_sql(),
+        "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (
               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m

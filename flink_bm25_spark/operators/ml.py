@@ -107,3 +107,99 @@ def quality_classifier_scores(
     )
     w = logreg_fit(feats, ["x1", "x2", "x3"], "y", iterations, lr)
     return logreg_score(feats, w, ["x1", "x2", "x3"]).select("doc_id", "p")
+
+
+def classifier_metrics(
+    df: DataFrame,
+    label_col: str = "y",
+    score_col: str = "p",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``(metric, value)`` — AUC plus accuracy / precision / recall / F1
+    at ``threshold``, as two aggregation passes.
+
+    AUC uses the Mann-Whitney average-rank formula, computed over the
+    per-DISTINCT-SCORE relation: scores are 6-decimal-rounded upstream,
+    so that relation is bounded (≤ 10⁶ rows) no matter the corpus size,
+    and the rank window runs over it — never a global sort of the
+    scored corpus.  Ties get average ranks (exact, matching the
+    textbook definition).  Threshold metrics are one conditional-sum
+    pass.  Degenerate inputs (single-class) yield NULL AUC / metrics
+    rather than a division error (ANSI-safe).
+    """
+    scored = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    per_score = scored.groupBy("_s").agg(
+        F.sum(F.when(F.col("_y") == 1.0, 1).otherwise(0))
+        .cast("double")
+        .alias("_np"),
+        F.sum(F.when(F.col("_y") != 1.0, 1).otherwise(0))
+        .cast("double")
+        .alias("_nn"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "_before", F.coalesce(F.sum(F.col("_np") + F.col("_nn")).over(w), F.lit(0.0))
+    ).withColumn(
+        "_avg_rank",
+        F.col("_before") + (F.col("_np") + F.col("_nn") + 1.0) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum(F.col("_np") * F.col("_avg_rank")).alias("_pr"),
+        F.sum("_np").alias("_P"),
+        F.sum("_nn").alias("_N"),
+    )
+    auc = agg.select(
+        F.lit("auc").alias("metric"),
+        F.round(
+            F.when(
+                (F.col("_P") > 0) & (F.col("_N") > 0),
+                (F.col("_pr") - F.col("_P") * (F.col("_P") + 1.0) / 2.0)
+                / (F.col("_P") * F.col("_N")),
+            ),
+            6,
+        ).alias("value"),
+    )
+    pred = (F.col("_s") >= F.lit(threshold)).cast("double")
+    conf = scored.agg(
+        F.sum(F.when((pred == 1.0) & (F.col("_y") == 1.0), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when((pred == 1.0) & (F.col("_y") != 1.0), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+        F.sum(F.when((pred != 1.0) & (F.col("_y") == 1.0), 1).otherwise(0))
+        .cast("double")
+        .alias("fn"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+    packed = F.array(
+        F.struct(
+            F.lit("accuracy").alias("metric"),
+            F.round((F.col("n") - F.col("fp") - F.col("fn")) / F.col("n"), 6).alias(
+                "value"
+            ),
+        ),
+        F.struct(F.lit("precision").alias("metric"), F.round(prec, 6).alias("value")),
+        F.struct(F.lit("recall").alias("metric"), F.round(rec, 6).alias("value")),
+        F.struct(
+            F.lit("f1").alias("metric"),
+            F.round(
+                F.when(
+                    prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                    2.0 * prec * rec / (prec + rec),
+                ),
+                6,
+            ).alias("value"),
+        ),
+    )
+    thresh = conf.select(F.explode(packed).alias("_m")).select(
+        "_m.metric", "_m.value"
+    )
+    return auc.unionByName(thresh)

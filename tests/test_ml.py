@@ -49,3 +49,32 @@ def test_quality_classifier_orders_by_quality(spark):
     )
     p = {r.doc_id: r.p for r in quality_classifier_scores(docs).collect()}
     assert p[1] > p[2] and p[3] > p[2]
+
+
+def test_classifier_metrics_hand_case(spark):
+    """AUC with ties, plus threshold metrics, against hand arithmetic."""
+    rows = [
+        (1.0, 0.9), (1.0, 0.7), (0.0, 0.7), (1.0, 0.4), (0.0, 0.3),
+        (0.0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "y double, p double")
+    from flink_bm25_spark.operators.ml import classifier_metrics
+
+    got = {r.metric: r.value for r in classifier_metrics(df).collect()}
+    # pairs (pos, neg): (0.9>all three) 3 + (0.7: >0.3,>0.1, tie 0.7=0.5)
+    # + (0.4: >0.3,>0.1) => (3 + 2.5 + 2) / 9
+    assert got["auc"] == round(7.5 / 9, 6)
+    # threshold 0.5: predicted pos = {0.9, 0.7, 0.7} -> tp=2 fp=1 fn=1
+    assert got["precision"] == round(2 / 3, 6)
+    assert got["recall"] == round(2 / 3, 6)
+    assert got["accuracy"] == round(4 / 6, 6)
+    assert got["f1"] == round(2 / 3, 6)
+
+
+def test_classifier_metrics_single_class_null_auc(spark):
+    df = spark.createDataFrame([(1.0, 0.8), (1.0, 0.2)], "y double, p double")
+    from flink_bm25_spark.operators.ml import classifier_metrics
+
+    got = {r.metric: r.value for r in classifier_metrics(df).collect()}
+    assert got["auc"] is None  # no negative class -> undefined, not a crash
+    assert got["recall"] == 0.5
