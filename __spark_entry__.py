@@ -849,6 +849,17 @@ def _q_key_skew(spark, sf_dir):
     return key_skew_profile(load_table(spark, "documents", sf_dir), "lang")
 
 
+def _q_stratified_topk(spark, sf_dir):
+    # Exact-k-per-stratum deterministic sample (eval-set construction):
+    # hash-rank within group, first 20 per language survive.
+    from flink_bm25_spark.operators.sampling import stratified_topk_sample
+
+    return stratified_topk_sample(
+        load_table(spark, "documents", sf_dir).select("doc_id", "lang"),
+        k=20,
+    )
+
+
 def _q_leakage_safe_split(spark, sf_dir):
     # hash_split with near-dup clusters pinned to ONE split (bucket on the
     # cluster canonical id): a doc and its near-copies can never straddle
@@ -2384,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classifier_metrics": _q_classifier_metrics,
         "q_drift_psi": _q_drift_psi,
         "q_key_skew": _q_key_skew,
+        "q_stratified_topk": _q_stratified_topk,
         "q_leakage_safe_split": _q_leakage_safe_split,
         "q_token_budget_sample": _q_token_budget_sample,
         "q_scan_project": _q_scan_project,
@@ -3335,6 +3347,15 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      6) AS cum_share
             FROM top CROSS JOIN tot
+        """,
+        "q_stratified_topk": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 20
         """,
         "q_leakage_safe_split": f"""
             WITH RECURSIVE {_CLUSTERS}

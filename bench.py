@@ -49,6 +49,8 @@ HEADLINE = [
     "q_textrank",
     "q_dq_summary",
     "q_token_budget_sample",
+    "q_quality_classifier",
+    "q_curation_report",
 ]
 
 

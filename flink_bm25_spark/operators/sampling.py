@@ -340,3 +340,29 @@ def token_budget_sample(
         kept_full.unionByName(kept_boundary)
         .select("doc_id", F.col("_grp").alias(group_col), "n_tokens")
     )
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``min(k, |group|)`` rows per group, deterministically:
+    rows rank by their 60-bit key hash within each group (ties by key)
+    and the first ``k`` survive.  The fixed-size counterpart of
+    :func:`stratified_hash_sample` (which keeps a *fraction*): eval-set
+    construction wants "200 docs per language", not "2% of each".
+    Re-running, re-partitioning, or growing OTHER groups never changes
+    a group's picks; adding rows to a group only swaps picks whose hash
+    rank shifted.  One window shuffle on the group key.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    h = h60(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(k))
+        .drop("_rk")
+    )

@@ -370,3 +370,32 @@ def test_funnel_differential_fuzz(spark):
             prev = d[s]
         want[u] = depth
     assert got == want
+
+
+def test_stratified_topk_sample_stability(spark):
+    """Exact k per group; growing ANOTHER group never changes a group's
+    picks; growing the same group only swaps by hash rank."""
+    from flink_bm25_spark.operators.sampling import stratified_topk_sample
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    picks = {
+        g: {r.doc_id for r in rs}
+        for g, rs in (
+            ("a", stratified_topk_sample(df, 5).where("lang='a'").collect()),
+            ("b", stratified_topk_sample(df, 5).where("lang='b'").collect()),
+        )
+    }
+    assert len(picks["a"]) == 5 and len(picks["b"]) == 5
+
+    # add rows to group b only: group a's picks are untouched
+    grown = df.union(
+        spark.createDataFrame([(100 + i, "b") for i in range(20)], df.schema)
+    )
+    picks2 = {
+        r.doc_id for r in stratified_topk_sample(grown, 5).where("lang='a'").collect()
+    }
+    assert picks2 == picks["a"]
+    # a group smaller than k returns the whole group
+    tiny = spark.createDataFrame([(1, "z"), (2, "z")], df.schema)
+    assert stratified_topk_sample(tiny, 5).count() == 2
