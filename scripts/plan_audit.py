@@ -82,7 +82,7 @@ AUDITED = [
     ("q_textrank", "share relation normalized once; per-round keyed join + agg, O(E)"),
     (
         "q_dq_summary",
-        "scalar-only union legs; checks on one table share its scan",
+        "fused same-table checks = one agg pass; scalar-only union legs",
     ),
     ("q_dq_null_profile", "ALL per-column null counters in ONE map-side agg pass"),
     (
@@ -103,6 +103,30 @@ AUDITED = [
         "q_cluster_reps",
         "argmax window partitioned by cluster — partition size = cluster population",
     ),
+    (
+        "q_quality_classifier",
+        "GD weights as codegen literals; scoring is a pure projection",
+    ),
+    (
+        "q_classifier_metrics",
+        "AUC rank window over the bounded distinct-score relation",
+    ),
+    ("q_drift_psi", "map-side binning; one count agg per side; 6-row window"),
+    (
+        "q_dataset_diff",
+        "sides reduced to (key, digest) BEFORE the full-outer join",
+    ),
+    (
+        "q_curation_report",
+        "drop-sets as keyed flag joins; quality map-side; one plan",
+    ),
+    (
+        "q_winnow_spans",
+        "fp relation semi-join-pruned to pair docs before the position join",
+    ),
+    ("q_stratified_topk", "hash-rank window per group — one shuffle on the stratum"),
+    ("q_period_growth", "lag window on the aggregated (type, period) relation"),
+    ("q_group_percentiles", "sort-based exact percentile, one group-key shuffle"),
 ]
 
 INTERESTING = re.compile(
