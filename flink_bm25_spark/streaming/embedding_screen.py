@@ -1,5 +1,7 @@
-"""Continuous-ingest embedding dedup — the
-:class:`~flink_bm25_spark.api.EmbeddingDeduper` driven by a vector
+"""Continuous-ingest screening — any screener with the
+``screen_batch`` / ``checkpoint_state`` contract
+(:class:`~flink_bm25_spark.api.EmbeddingDeduper` over vectors,
+:class:`~flink_bm25_spark.api.WinnowScreen` over documents) driven by a
 stream, mirroring :mod:`flink_bm25_spark.streaming.curation` exactly:
 ``screen_batch`` has the ``foreachBatch`` contract, state checkpoints to
 parquet between triggers, and the survivor sink is effectively-once via
@@ -11,14 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_bm25_spark.api import EmbeddingDeduper
+from flink_bm25_spark.api import EmbeddingDeduper, WinnowScreen  # noqa: F401
 
 BATCH_COL = "_batch_id"
 
 
 def screen_stream(
     stream: DataFrame,
-    deduper: EmbeddingDeduper,
+    deduper: "EmbeddingDeduper | WinnowScreen",
     out_path: str,
     checkpoint: str,
     state_path: str | None = None,

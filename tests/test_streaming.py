@@ -303,3 +303,39 @@ def test_funnel_depths_stream_equals_batch(spark):
     got = _run_complete(funnel_user_depths(stream), spark, "t_funnel")
     want = funnel_user_depths(batch)
     assert _rows(got) == _rows(want)
+
+
+def test_winnow_screen_stream(spark, tmp_path):
+    """WinnowScreen through the generic screen_stream loop: near-copies
+    arriving in LATER micro-batches are screened against earlier ones
+    via the fingerprint store (first-arrival policy)."""
+    from flink_bm25_spark.api import WinnowScreen
+    from flink_bm25_spark.streaming.embedding_screen import (
+        read_screened,
+        screen_stream,
+    )
+
+    base = " ".join(f"w{i:02d}" for i in range(20))
+    other = " ".join(f"z{i:02d}" for i in range(20))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, base + " a1 a2"), (2, other)], "doc_id bigint, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(10, base + " b1 b2"), (11, " ".join(f"y{i}" for i in range(20)))],
+        "doc_id bigint, text string",
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt, state = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "state")
+    )
+    screen_stream(stream, WinnowScreen(min_shared=2), out, ckpt, state)
+    kept = {r.doc_id for r in read_screened(spark, out).collect()}
+    # exactly one of each near-dup pair survives; singletons survive
+    assert (1 in kept) != (10 in kept)
+    assert {2, 11} <= kept and len(kept) == 3
