@@ -306,3 +306,51 @@ def test_bpe_subword_counts_vocab_sized_shuffles(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # two aggs (word count, subword count) -> at most 4 exchanges with AQE
     assert count_exchanges(df) <= 4
+
+
+def test_funnel_single_user_agg_pair(spark):
+    """All per-step counters ride one user aggregation + one scalar
+    aggregation — never a union of per-step agg legs over the log."""
+    df = QUERIES["q_funnel"](spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+
+
+def test_stratified_topk_one_shuffle(spark):
+    df = QUERIES["q_stratified_topk"](spark, SF_DIR)
+    assert count_exchanges(df) == 1  # the stratum window's hash exchange
+
+
+def test_period_growth_window_over_aggregate(spark):
+    """The lag window runs on the aggregated (type, period) relation:
+    HashAggregate sits BELOW Window in the plan."""
+    df = QUERIES["q_period_growth"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_dataset_diff_digest_before_join(spark):
+    """Both sides reduce to (key, md5 digest) before the full-outer
+    join — payload columns never cross the join."""
+    df = QUERIES["q_dataset_diff"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FullOuter" in opt
+    join_pos = opt.index("Join FullOuter")
+    below = opt[join_pos:]
+    assert below.count("md5") >= 2  # digests computed under the join
+    assert "SortMergeJoin" in explain_str(df, "simple") or "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def test_winnow_fps_no_exchange(spark):
+    """Fingerprint selection is entirely map-side."""
+    df = QUERIES["q_winnow_fps"](spark, SF_DIR)
+    assert count_exchanges(df) == 0
+
+
+def test_quality_classifier_scoring_is_projection(spark):
+    """After fitting, corpus scoring carries NO join and NO broadcast —
+    weights are codegen literals (one agg pair for the final stats is
+    the only exchange)."""
+    df = QUERIES["q_quality_classifier"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert count_exchanges(df) == 0
