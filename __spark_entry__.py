@@ -677,6 +677,52 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _q_pca_top_component(spark, sf_dir):
+    # Spectral embedding QA: top principal direction by 3 power-iteration
+    # rounds on X'X without materializing the covariance (one d-sum agg
+    # per round; d floats to the driver).  Oracle = the rounds unrolled.
+    from flink_bm25_spark.operators.ml import power_iteration_top_component
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return power_iteration_top_component(emb)
+
+
+def _pca_oracle_sql(d: int = 64, iterations: int = 3) -> str:
+    # v0 = 1/sqrt(64) = 0.125 exactly; each round: dot per row (ascending
+    # adds, matching the engine), d sums, explicit ascending norm, 6-dec
+    # rounded normalize.
+    sql = (
+        "WITH v0 AS (SELECT ["
+        + ", ".join(["CAST(0.125 AS DOUBLE)"] * d)
+        + "] AS v)"
+    )
+    prev = "v0"
+    for r in range(1, iterations + 1):
+        # explicit DOUBLE casts: a bare float column times a DECIMAL
+        # literal would run (and accumulate) in FLOAT in DuckDB
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * v[{i + 1}]"
+            for i in range(d)
+        )
+        sums = ", ".join(
+            f"sum(CAST(embedding[{i + 1}] AS DOUBLE) * dot) AS s{i}"
+            for i in range(d)
+        )
+        nrm = " + ".join(f"s{i} * s{i}" for i in range(d))
+        vlist = ", ".join(f"round(s{i} / nrm, 6)" for i in range(d))
+        sql += f""",
+        d{r} AS (SELECT embedding, {dot} AS dot FROM embeddings, {prev}),
+        s{r} AS (SELECT {sums} FROM d{r}),
+        n{r} AS (SELECT *, sqrt({nrm}) AS nrm FROM s{r}),
+        v{r} AS (SELECT [{vlist}] AS v FROM n{r})"""
+        prev = f"v{r}"
+    sql += f"""
+        SELECT CAST(g.range AS INTEGER) AS dim, v[CAST(g.range AS INTEGER) + 1]
+                 AS component
+        FROM {prev}, range({d}) g"""
+    return sql
+
+
 def _q_quality_classifier(spark, sf_dir):
     # In-engine supervised learning: logistic regression by 3 rounds of
     # full-batch gradient descent (kmeans posture — one agg per round,
@@ -2391,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
+        "q_pca_top_component": _q_pca_top_component,
         "q_quality_classifier": _q_quality_classifier,
         "q_classifier_metrics": _q_classifier_metrics,
         "q_drift_psi": _q_drift_psi,
@@ -3279,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "q_pca_top_component": _pca_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(),
         "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """
@@ -4521,6 +4569,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE p IS NOT NULL
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "q_pca_top_component": _pca_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(),
         "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """

@@ -203,3 +203,60 @@ def classifier_metrics(
         "_m.metric", "_m.value"
     )
     return auc.unionByName(thresh)
+
+
+def power_iteration_top_component(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(dim, component)`` — the corpus's top (uncentered) principal
+    direction by power iteration on ``XᵀX``, WITHOUT materializing the
+    d×d covariance: each round computes ``s = Σ_rows (x·v)·x`` in ONE
+    aggregation (d running sums, partial-agg map-side) and normalizes
+    on the driver — d floats per round cross the wire, same posture as
+    k-means/logreg.  Embedding-space QA: the top component's dominance
+    reveals anisotropy (a rogue dominant direction is the classic
+    symptom of degenerate embeddings).
+
+    Deterministic: v₀ = 1/√d, per-round 6-decimal rounding of the
+    normalized vector (kmeans caveat applies); the oracle unrolls the
+    same rounds in SQL.
+    """
+    import math  # noqa: PLC0415
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "dim int, component double"
+        )
+    d = len(first[0])
+    embeddings = embeddings.cache()
+    v = [round(1.0 / math.sqrt(d), 6)] * d
+
+    e = F.col(vec_col)
+    for _ in range(iterations):
+        dot = None
+        for i in range(d):
+            t = F.element_at(e, i + 1).cast("double") * F.lit(v[i])
+            dot = t if dot is None else dot + t
+        # dot is projected ONCE per row before the aggregate — inlining
+        # it into each of the d sum columns would put d² multiply-adds
+        # into one generated method (the SRP codegen lesson)
+        projected = embeddings.select(e.alias("_e"), dot.alias("_dot"))
+        sums = projected.agg(
+            *[
+                F.sum(
+                    F.element_at(F.col("_e"), i + 1).cast("double")
+                    * F.col("_dot")
+                ).alias(f"_s{i}")
+                for i in range(d)
+            ]
+        ).first()
+        s = [float(sums[f"_s{i}"]) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in s))
+        v = [round(x / nrm, 6) for x in s]
+    rows = [(i, v[i]) for i in range(d)]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "dim int, component double"
+    )

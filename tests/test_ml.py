@@ -78,3 +78,28 @@ def test_classifier_metrics_single_class_null_auc(spark):
     got = {r.metric: r.value for r in classifier_metrics(df).collect()}
     assert got["auc"] is None  # no negative class -> undefined, not a crash
     assert got["recall"] == 0.5
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Bit-exact (after per-round rounding) against the dense numpy
+    power iteration, and the result is the dominant direction of a
+    corpus with one planted strong axis."""
+    from flink_bm25_spark.operators.ml import power_iteration_top_component
+
+    rng = np.random.default_rng(9)
+    d = 8
+    axis = np.zeros(d); axis[2] = 1.0
+    X = rng.normal(0, 0.1, (100, d)) + rng.normal(0, 3.0, (100, 1)) * axis
+    rows = [(i, [float(x) for x in X[i]]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.dim: r.component for r in power_iteration_top_component(emb).collect()}
+
+    Xf = np.array([[np.float32(x) for x in X[i]] for i in range(100)], dtype=np.float64)
+    v = np.round(np.full(d, 1.0 / np.sqrt(d)), 6)
+    for _ in range(3):
+        s = Xf.T @ (Xf @ v)
+        v = np.round(s / np.sqrt((s * s).sum()), 6)
+    assert max(abs(got[i] - v[i]) for i in range(d)) < 2e-6
+    # the planted axis dominates
+    assert abs(got[2]) == max(abs(got[i]) for i in range(d))
+    assert abs(got[2]) > 0.9
