@@ -51,6 +51,7 @@ HEADLINE = [
     "q_token_budget_sample",
     "q_quality_classifier",
     "q_curation_report",
+    "q_pca_top_component",
 ]
 
 
