@@ -677,6 +677,17 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _q_silhouette(spark, sf_dir):
+    # Clustering-quality gauge: simplified (centroid-based) silhouette
+    # of the deterministic k-means — O(n*k) scoring as a projection over
+    # final-centroid literals + one groupBy.  Oracle extends the
+    # unrolled-kmeans CTEs with the same distance arithmetic.
+    from flink_bm25_spark.operators.kmeans import simplified_silhouette
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return simplified_silhouette(emb, k=4, iterations=2)
+
+
 def _q_pca_top_component(spark, sf_dir):
     # Spectral embedding QA: top principal direction by 3 power-iteration
     # rounds on X'X without materializing the covariance (one d-sum agg
@@ -2437,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
+        "q_silhouette": _q_silhouette,
         "q_pca_top_component": _q_pca_top_component,
         "q_quality_classifier": _q_quality_classifier,
         "q_classifier_metrics": _q_classifier_metrics,
@@ -4640,6 +4652,41 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": f"""
             WITH {_KMEANS_CTES}
             SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3
+        """,
+        "q_silhouette": f"""
+            WITH {_KMEANS_CTES},
+            m3 AS (
+              SELECT cluster AS cid, list(v ORDER BY i) AS e FROM (
+                SELECT a3.cluster, t.i, round(avg(emb.e[t.i]), 6) AS v
+                FROM a3 JOIN emb USING (vec_id)
+                CROSS JOIN range(1, 65) t(i)
+                GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            sd AS (
+              SELECT a3.vec_id, a3.cluster, m3.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb.e[i] - m3.e[i]) * (emb.e[i] - m3.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM a3 JOIN emb USING (vec_id) CROSS JOIN m3
+            ),
+            ab AS (
+              SELECT vec_id, cluster,
+                     min(CASE WHEN cid = cluster THEN dist END) AS a,
+                     min(CASE WHEN cid <> cluster THEN dist END) AS b
+              FROM sd GROUP BY 1, 2
+            ),
+            sil AS (
+              SELECT cluster,
+                     CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+                          THEN round((b - a) / greatest(a, b), 6)
+                          ELSE 0.0 END AS s
+              FROM ab
+            )
+            SELECT CAST(cluster AS INT) AS cluster,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(s), 6) AS mean_s
+            FROM sil GROUP BY 1
         """,
         # weights: en=0.5, de=2.3, fr=3.0, default 1.0; buckets=10000;
         # extra-copy hash salted with ':t' (decorrelated from hash_split)

@@ -104,3 +104,73 @@ def kmeans_assign(
 def cluster_sizes(assignment: DataFrame) -> DataFrame:
     """``(cluster, n)`` — one tiny agg over the assignment relation."""
     return assignment.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+def simplified_silhouette(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(cluster, n, mean_s)`` — SIMPLIFIED silhouette of the k-means
+    clustering (Hruschka et al.): per point, ``a`` = squared distance to
+    its own final-cluster centroid, ``b`` = min distance to any other
+    centroid, ``s = (b − a) / max(a, b)`` — the centroid-based variant,
+    which is O(n·k) instead of the O(n²) pairwise original and is the
+    standard clustering-quality gauge at scale.
+
+    Final centroids are the means of the ASSIGNED clusters (k×d floats
+    to the driver, embedded as codegen literals — same posture as the
+    fit); scoring is then a pure projection plus one groupBy(cluster).
+    Distances use the fit's exact arithmetic (left-fold, 6-decimal
+    rounds), so the oracle replays bit-for-bit.  Single-cluster inputs
+    score 0 (undefined b) rather than erroring.
+    """
+    assigned = kmeans_assign(embeddings, k, iterations, id_col, vec_col)
+    joined = embeddings.join(assigned, id_col)
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster int, n long, mean_s double"
+        )
+    d = len(first[0])
+    vec_d = F.col(vec_col).cast("array<double>")
+    cent_rows = (
+        joined.groupBy("cluster")
+        .agg(
+            *[
+                F.round(F.avg(F.element_at(vec_d, i + 1)), 6).alias(f"c{i}")
+                for i in range(d)
+            ]
+        )
+        .collect()
+    )
+    cents = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in cent_rows}
+    candidates = F.array(
+        *[
+            F.struct(
+                _squared_dist(vec_d, cents[cid]).alias("dist"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    own = F.element_at(
+        F.filter(candidates, lambda c: c["cid"] == F.col("cluster")), 1
+    )["dist"]
+    other = F.array_min(
+        F.filter(candidates, lambda c: c["cid"] != F.col("cluster"))
+    )["dist"]
+    s = F.when(
+        other.isNotNull() & (F.greatest(own, other) > 0),
+        F.round((other - own) / F.greatest(own, other), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("_s", s)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_s"),
+        )
+    )

@@ -545,3 +545,28 @@ def test_keep_best_election_beats_min_id(spark):
     kept_min = {r.doc_id for r in clean_corpus(docs).collect()}
     assert kept_best == {20, 30}
     assert kept_min == {10, 30}
+
+
+def test_simplified_silhouette_separated_vs_mixed(spark):
+    """Well-separated blobs score near 1; splitting ONE blob into two
+    clusters (k too high) scores poorly for the split halves."""
+    import numpy as np
+
+    from flink_bm25_spark.operators.kmeans import simplified_silhouette
+
+    rng = np.random.default_rng(3)
+    blob_a = rng.normal(0.0, 0.05, (30, 8))
+    blob_b = rng.normal(5.0, 0.05, (30, 8))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([blob_a, blob_b]))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    good = simplified_silhouette(emb, k=2, iterations=2).collect()
+    assert len(good) == 2
+    assert all(r.mean_s > 0.9 for r in good)
+
+    over = simplified_silhouette(emb, k=4, iterations=2).collect()
+    # at least one over-split cluster scores clearly worse
+    assert min(r.mean_s for r in over) < 0.5
