@@ -127,6 +127,14 @@ AUDITED = [
     ("q_stratified_topk", "hash-rank window per group — one shuffle on the stratum"),
     ("q_period_growth", "lag window on the aggregated (type, period) relation"),
     ("q_group_percentiles", "sort-based exact percentile, one group-key shuffle"),
+    (
+        "q_pca_top_component",
+        "dot projected once per row; one d-sum agg per round (no covariance)",
+    ),
+    (
+        "q_silhouette",
+        "final-centroid literals; scoring a projection + one groupBy",
+    ),
 ]
 
 INTERESTING = re.compile(
