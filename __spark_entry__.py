@@ -677,6 +677,37 @@ def _q_winnow_pairs(spark, sf_dir):
     return winnowing_dedup_pairs(load_table(spark, "documents", sf_dir))
 
 
+def _calibration_oracle_sql() -> str:
+    core, prev = _logreg_oracle_core()
+    return core + f""",
+        sc AS (SELECT y,
+                      round(1.0 / (1.0 + exp(-({prev}.b + {prev}.w1 * x1
+                            + {prev}.w2 * x2 + {prev}.w3 * x3))), 6) AS p
+               FROM f, {prev}),
+        bb AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y
+               FROM sc)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(avg(p), 6) AS mean_p, round(avg(y), 6) AS frac_pos
+        FROM bb GROUP BY bin"""
+
+
+def _q_calibration(spark, sf_dir):
+    # Reliability diagram of the in-engine classifier: equal-width score
+    # bins with mean predicted probability vs observed positive rate.
+    from flink_bm25_spark.operators.ml import (
+        calibration_curve,
+        quality_classifier_scores,
+    )
+    from flink_bm25_spark.operators.text_analysis import quality_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_classifier_scores(docs)
+    labels = quality_scores(docs).select(
+        "doc_id", (F.col("keep_score") >= 0.2).cast("double").alias("y")
+    )
+    return calibration_curve(scored.join(labels, "doc_id"))
+
+
 def _q_silhouette(spark, sf_dir):
     # Clustering-quality gauge: simplified (centroid-based) silhouette
     # of the deterministic k-means — O(n*k) scoring as a projection over
@@ -2448,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fps": _q_winnow_fps,
         "q_winnow_pairs": _q_winnow_pairs,
         "q_winnow_spans": _q_winnow_spans,
+        "q_calibration": _q_calibration,
         "q_silhouette": _q_silhouette,
         "q_pca_top_component": _q_pca_top_component,
         "q_quality_classifier": _q_quality_classifier,
@@ -3340,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pca_top_component": _pca_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(),
+        "q_calibration": _calibration_oracle_sql(),
         "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (
@@ -4583,6 +4616,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pca_top_component": _pca_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(),
+        "q_calibration": _calibration_oracle_sql(),
         "q_classifier_metrics": _classifier_metrics_oracle_sql(),
         "q_drift_psi": """
             WITH mid AS (

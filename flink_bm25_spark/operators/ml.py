@@ -260,3 +260,34 @@ def power_iteration_top_component(
     return embeddings.sparkSession.createDataFrame(
         rows, "dim int, component double"
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    label_col: str = "y",
+    score_col: str = "p",
+    n_bins: int = 10,
+) -> DataFrame:
+    """``(bin, n, mean_p, frac_pos)`` — the reliability diagram behind a
+    probabilistic classifier: scores bucketed into ``n_bins`` equal-width
+    bins (bin = floor(p·n_bins), top edge clamped into the last bin),
+    each with its mean predicted probability and observed positive rate.
+    A calibrated model tracks the diagonal.  One map-side binning + one
+    count aggregation."""
+    p = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            p.alias("_p"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("_p"), 6).alias("mean_p"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+        )
+    )

@@ -103,3 +103,18 @@ def test_power_iteration_matches_numpy(spark):
     # the planted axis dominates
     assert abs(got[2]) == max(abs(got[i]) for i in range(d))
     assert abs(got[2]) > 0.9
+
+
+def test_calibration_curve_hand_case(spark):
+    from flink_bm25_spark.operators.ml import calibration_curve
+
+    rows = [
+        (1.0, 0.95), (0.0, 0.92), (1.0, 1.0),   # bin 9 (1.0 clamps in)
+        (1.0, 0.45), (0.0, 0.41),                # bin 4
+        (0.0, 0.05),                             # bin 0
+    ]
+    df = spark.createDataFrame(rows, "y double, p double")
+    got = {r.bin: (r.n, r.mean_p, r.frac_pos) for r in calibration_curve(df).collect()}
+    assert got[9] == (3, round((0.95 + 0.92 + 1.0) / 3, 6), round(2 / 3, 6))
+    assert got[4] == (2, 0.43, 0.5)
+    assert got[0] == (1, 0.05, 0.0)
