@@ -652,3 +652,45 @@ def textrank_keywords(
         edges, damping=damping, iterations=iterations
     )
     return ranks.select(F.col("node").alias("word"), "rank")
+
+
+def compression_ratio_scores(
+    documents: DataFrame, level: int = 6
+) -> DataFrame:
+    """``(doc_id, n_bytes, n_compressed, ratio)`` — zlib compression
+    ratio per document, the information-density quality signal
+    (SlimPajama-style: boilerplate and repetition compress far below
+    natural prose; extremely low ratios flag spam/templates, ratios
+    near 1 flag binary junk).
+
+    zlib has no SQL twin, so this is the engine's documented Python
+    path: Arrow-batched ``mapInPandas`` (one Python call per batch, the
+    multimodal codec pattern) — NOT a row-at-a-time UDF.  Deterministic
+    for a fixed zlib version/level; pinned by pytest rather than a
+    DuckDB oracle.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib  # noqa: PLC0415
+
+        for pdf in batches:
+            nb, nc = [], []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": nb, "n_compressed": nc}
+            )
+            out["ratio"] = [
+                round(c / b, 6) if b else 0.0 for b, c in zip(nb, nc)
+            ]
+            yield out
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, n_bytes long, n_compressed long, ratio double"
+    )

@@ -570,3 +570,32 @@ def test_simplified_silhouette_separated_vs_mixed(spark):
     over = simplified_silhouette(emb, k=4, iterations=2).collect()
     # at least one over-split cluster scores clearly worse
     assert min(r.mean_s for r in over) < 0.5
+
+
+def test_compression_ratio_flags_repetition(spark):
+    import numpy as np
+
+    from flink_bm25_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    rng = np.random.default_rng(1)
+    natural = " ".join(
+        "".join(chr(97 + rng.integers(0, 26)) for _ in range(6))
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 40),   # repetition -> compresses hard
+            (2, natural),                  # high-entropy prose-ish
+            (3, ""),                       # empty -> ratio 0, no crash
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in compression_ratio_scores(docs).collect()}
+    assert got[1].ratio < 0.2
+    assert got[2].ratio > 0.5
+    assert got[3].ratio == 0.0 and got[3].n_bytes == 0
+    # deterministic across runs
+    again = {r.doc_id: r.ratio for r in compression_ratio_scores(docs).collect()}
+    assert again == {k: v.ratio for k, v in got.items()}
