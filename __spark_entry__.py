@@ -456,6 +456,15 @@ def _q_corpus_clean(spark, sf_dir):
     return clean_corpus(load_table(spark, "documents", sf_dir))
 
 
+def _q_dedup_stats(spark, sf_dir):
+    # Dedup monitoring: the cluster-size histogram (+ size-1 singleton
+    # row) — sums to the corpus, so coverage is pinned, and a fattening
+    # tail is the looping-feed alarm.
+    from flink_bm25_spark.operators.dedup import dedup_stats
+
+    return dedup_stats(load_table(spark, "documents", sf_dir))
+
+
 def _q_cluster_reps(spark, sf_dir):
     # Keep-best election: per near-dup cluster, the member with the top
     # quality keep_score (ties -> lowest doc_id).  The production
@@ -2463,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
+        "q_dedup_stats": _q_dedup_stats,
         "q_cluster_reps": _q_cluster_reps,
         "q_corpus_clean_keep_best": _q_corpus_clean_keep_best,
         "q_dq_null_profile": _q_dq_null_profile,
@@ -3572,6 +3582,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
             FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "q_dedup_stats": f"""
+            WITH RECURSIVE {_CLUSTERS},
+            sizes AS (SELECT canonical_id, count(*) AS cluster_size
+                      FROM comp GROUP BY 1),
+            hist AS (SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
+                            CAST(count(*) AS BIGINT) AS n_clusters
+                     FROM sizes GROUP BY 1),
+            singles AS (
+              SELECT CAST(1 AS INTEGER) AS cluster_size,
+                     CAST((SELECT count(*) FROM documents)
+                          - (SELECT count(*) FROM comp) AS BIGINT)
+                       AS n_clusters
+            ),
+            u AS (SELECT * FROM hist
+                  UNION ALL
+                  SELECT * FROM singles WHERE n_clusters > 0)
+            SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+            FROM u GROUP BY cluster_size
         """,
         "q_cluster_reps": f"""
             WITH RECURSIVE {_CLUSTERS}, {_QUALITY}

@@ -1159,3 +1159,48 @@ def winnowing_shared_spans(
         .join(pairs.select("d1", "d2"), ["d1", "d2"], "left_semi")
         .select("d1", "d2", "pos1", "pos2", "fp")
     )
+
+
+def dedup_stats(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """``(cluster_size, n_clusters, n_docs)`` — the near-duplicate
+    cluster-size distribution plus a size-1 row for unclustered
+    documents: the dedup monitoring signal (a fattening tail means an
+    upstream feed started looping; the size-1 row pins total coverage
+    so the histogram always sums to the corpus).
+
+    One aggregation over the cluster relation + a 1-row corpus count;
+    cluster detection itself is the standard LSH pipeline.
+    """
+    from flink_bm25_spark.operators.graph import dedup_clusters  # noqa: PLC0415
+
+    pairs = minhash_dedup_pairs(documents, threshold)
+    members = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    sizes = members.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    n_clustered = members.agg(F.count(F.lit(1)).alias("_n"))
+    total = documents.agg(F.count(F.lit(1)).alias("_t"))
+    singletons = (
+        total.crossJoin(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("int").alias("cluster_size"),
+            (F.col("_t") - F.col("_n")).cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "n_clusters",
+        )
+        .unionByName(singletons)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+        .withColumn(
+            "n_docs",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long"),
+        )
+    )

@@ -601,3 +601,16 @@ def test_winnowing_shared_spans_align_on_diagonal(spark):
     # doc1's copy of the run sits 3 tokens later than doc2's
     assert diags == {-3}
     assert all(r.d1 == 1 and r.d2 == 2 for r in spans)
+
+
+def test_dedup_stats_sums_to_corpus(spark):
+    from flink_bm25_spark.operators.dedup import dedup_stats
+
+    base = " ".join(f"w{i:02d}" for i in range(25))
+    rows = [(i, base + f" t{i}a t{i}b") for i in range(4)]          # 4-cluster
+    rows += [(10, " ".join(f"x{j}" for j in range(20)))]            # singleton
+    rows += [(11, " ".join(f"y{j}" for j in range(20)))]            # singleton
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs) for r in dedup_stats(docs).collect()}
+    assert got == {4: (1, 4), 1: (2, 2)}
+    assert sum(n for _, n in got.values()) == len(rows)
