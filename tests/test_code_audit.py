@@ -74,6 +74,7 @@ def test_forced_broadcasts_are_annotated_bounded():
             assert "F.broadcast" not in src, f"{rel} regained a forced hint"
     dedup = open(os.path.join(PKG, "operators/dedup.py")).read()
     # the only dedup hints left are bounded by construction: the hot-gram
-    # set (df > cap, tiny) and the 4-row band-id literal (spark.range)
+    # set (df > cap, tiny), the 4-row band-id literal (spark.range), and
+    # dedup_stats' 1-row clustered-count scalar
     hints = re.findall(r"F\.broadcast\(\s*(\w+)", dedup)
-    assert set(hints) <= {"hot", "spark"}, hints
+    assert set(hints) <= {"hot", "spark", "n_clustered"}, hints
