@@ -62,8 +62,15 @@ def logreg_fit(
                 for j, c in enumerate(feature_cols)
             ],
         ).first()
+        # avg over an EMPTY relation is NULL — no data means no update
+        # (weights stay at their current value instead of a TypeError)
         w = [
-            round(w[j] + lr * float(grads[f"_g{j}"]), 6)
+            round(
+                w[j]
+                + lr
+                * (0.0 if grads[f"_g{j}"] is None else float(grads[f"_g{j}"])),
+                6,
+            )
             for j in range(len(w))
         ]
     return w

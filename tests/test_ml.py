@@ -118,3 +118,15 @@ def test_calibration_curve_hand_case(spark):
     assert got[9] == (3, round((0.95 + 0.92 + 1.0) / 3, 6), round(2 / 3, 6))
     assert got[4] == (2, 0.43, 0.5)
     assert got[0] == (1, 0.05, 0.0)
+
+
+def test_logreg_and_classifier_on_empty_input(spark):
+    from flink_bm25_spark.operators.ml import (
+        logreg_fit,
+        quality_classifier_scores,
+    )
+
+    empty = spark.createDataFrame([], "y double, a double")
+    assert logreg_fit(empty, ["a"], "y", iterations=2) == [0.0, 0.0]
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert quality_classifier_scores(empty_docs).count() == 0
