@@ -456,6 +456,17 @@ def _q_corpus_clean(spark, sf_dir):
     return clean_corpus(load_table(spark, "documents", sf_dir))
 
 
+def _q_compression_ratio(spark, sf_dir):
+    # SlimPajama-style information-density signal; zlib has no SQL twin,
+    # so this is a rows-only gate entry (the same class as
+    # q_approx_distinct) — values pinned by pytest instead.
+    from flink_bm25_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    return compression_ratio_scores(load_table(spark, "documents", sf_dir))
+
+
 def _q_dedup_stats(spark, sf_dir):
     # Dedup monitoring: the cluster-size histogram (+ size-1 singleton
     # row) — sums to the corpus, so coverage is pinned, and a fattening
@@ -2541,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": _q_rank_functions,
         "q_orders_by_month": _q_orders_by_month,
         "q_approx_distinct": _q_approx_distinct,  # rows-only: sketches differ by engine
+        "q_compression_ratio": _q_compression_ratio,  # rows-only: zlib has no SQL twin
         "q_inverted_index": _q_inverted_index,
         "q_phrase_search": _q_phrase_search,
         "q_hash_split": _q_hash_split,
