@@ -2297,8 +2297,9 @@ def _curation_oracle_sql() -> str:
           SELECT *, sum(n_tokens) OVER (
                    PARTITION BY shard ORDER BY mkey) - n_tokens AS "offset"
           FROM sharded)
-        SELECT doc_id, rep, lang, n_tokens, shard, "offset",
-               "offset" // 512 AS seq_id
+        SELECT doc_id, rep, lang, n_tokens, shard,
+               CAST("offset" AS BIGINT) AS "offset",
+               CAST("offset" // 512 AS BIGINT) AS seq_id
         FROM laid
     """
 
@@ -4797,8 +4798,9 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY shard ORDER BY doc_id) - n_tokens
                        AS "offset"
               FROM s)
-            SELECT doc_id, n_tokens, shard, "offset",
-                   "offset" // 512 AS seq_id
+            SELECT doc_id, n_tokens, shard,
+                   CAST("offset" AS BIGINT) AS "offset",
+                   CAST("offset" // 512 AS BIGINT) AS seq_id
             FROM c
         """,
         "q_zorder_key": _zorder_oracle_sql(bits=13),

@@ -34,3 +34,20 @@ def test_entry_smoke(spark):
     rows = out.collect()
     assert len(rows) >= 0
     assert out.columns == ["doc_id", "score", "rk"]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_no_widened_types(name, duck):
+    """The external gate hashes oracle output with dtype fidelity: DuckDB
+    widens integer window/aggregate sums to HUGEINT (int128), which can
+    never equal a Spark BIGINT column byte-for-byte even when every value
+    matches (root cause of the r02 q_pack_sequences / q_curation_pipeline
+    hash mismatches).  Pin: every emitted oracle column must be a plain
+    SQL type — no HUGEINT/INT128/DECIMAL leaks."""
+    rows = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    sus = [
+        (c, t)
+        for c, t, *_ in rows
+        if any(k in str(t).upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
+    ]
+    assert not sus, f"{name} emits widened types: {sus}"
