@@ -38,6 +38,16 @@ def _tokenize_query(query: str, stopwords: tuple[str, ...] = STOPWORDS) -> tuple
     return terms
 
 
+def _write_safe(df, path):  # noqa: ANN001 — DataFrame, str
+    """Overwrite-safe parquet write: eagerly truncate lineage first so a
+    plan that still READS ``path`` (state loaded from the same store it
+    is being saved back to) cannot race its own overwrite.  Returns the
+    checkpointed frame so callers can keep the truncated lineage."""
+    out = df.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+    return out
+
+
 class BM25Engine:
     """Fitted BM25 statistics + search over them."""
 
@@ -68,9 +78,13 @@ class BM25Engine:
     def save(self, path: str) -> None:
         """Persist the sufficient statistics (the reference's tf5/idf4
         collections, as parquet)."""
-        self.stats.tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
-        self.stats.df_stats.write.mode("overwrite").parquet(os.path.join(path, "df"))
-        self.stats.dlen.write.mode("overwrite").parquet(os.path.join(path, "dlen"))
+        self.stats.tf = _write_safe(self.stats.tf, os.path.join(path, "tf"))
+        self.stats.df_stats = _write_safe(
+            self.stats.df_stats, os.path.join(path, "df")
+        )
+        self.stats.dlen = _write_safe(
+            self.stats.dlen, os.path.join(path, "dlen")
+        )
         meta = {"n_docs": self.stats.n_docs, "k1": self.k1, "b": self.b}
         spark = self.stats.tf.sparkSession
         spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
@@ -260,17 +274,18 @@ class CorpusCurator:
     def save(self, path: str) -> None:
         import shutil  # noqa: PLC0415
 
-        self.eval_grams.write.mode("overwrite").parquet(
-            os.path.join(path, "eval_grams")
+        self.eval_grams = _write_safe(
+            self.eval_grams, os.path.join(path, "eval_grams")
         )
         # Stale subdirs from an earlier save are removed when the matching
         # in-memory state is None — otherwise a later ``load`` would
         # reconstruct an inconsistent curator (e.g. signatures without the
         # archive they were built from).
-        for name, state in (("sigs", self.sigs_wide), ("docs", self._docs)):
+        for name, attr in (("sigs", "sigs_wide"), ("docs", "_docs")):
             sub = os.path.join(path, name)
+            state = getattr(self, attr)
             if state is not None:
-                state.write.mode("overwrite").parquet(sub)
+                setattr(self, attr, _write_safe(state, sub))
             elif os.path.exists(sub):
                 shutil.rmtree(sub)
 
@@ -375,7 +390,7 @@ class EmbeddingDeduper:
 
         sub = os.path.join(path, "keys")
         if self.keys_wide is not None:
-            self.keys_wide.write.mode("overwrite").parquet(sub)
+            self.keys_wide = _write_safe(self.keys_wide, sub)
         elif os.path.exists(sub):
             shutil.rmtree(sub)
 
@@ -464,7 +479,7 @@ class WinnowScreen:
 
         sub = os.path.join(path, "fps")
         if self.fps is not None:
-            self.fps.write.mode("overwrite").parquet(sub)
+            self.fps = _write_safe(self.fps, sub)
         elif os.path.exists(sub):
             shutil.rmtree(sub)
 

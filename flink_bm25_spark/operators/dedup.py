@@ -511,7 +511,9 @@ def first_arrival_losers(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
 
     ``pairs`` is any ``(d1, d2)`` relation; ``new_ids`` the single-column
     id relation of the current batch (column name must match the pair
-    ids' source column, e.g. ``doc_id`` or ``vec_id``)."""
+    ids' source column, e.g. ``doc_id`` or ``vec_id``).  Pairs touching
+    NO new id (old-old) are ignored — both members are already emitted,
+    so neither can lose."""
     (id_col,) = new_ids.columns
     flagged = (
         pairs.join(
@@ -527,6 +529,10 @@ def first_arrival_losers(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
             ),
             "d2",
             "left",
+        )
+        .where(
+            F.coalesce(F.col("_n1"), F.lit(False))
+            | F.coalesce(F.col("_n2"), F.lit(False))
         )
         .select(
             F.when(

@@ -86,7 +86,7 @@ def decode_images(
                 w.append(wi), hgt.append(hi), fmt.append(fm)
             out = pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    "id": pdf["id"],
                     "width": pd.array(w, dtype="Int32"),
                     "height": pd.array(hgt, dtype="Int32"),
                     "fmt": fmt,
@@ -207,7 +207,7 @@ def resize_images(
                 w.append(target)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    "id": pdf["id"],
                     "payload": out_bytes,
                     "width": pd.array(w, dtype="Int32"),
                     "height": pd.array(w, dtype="Int32"),
@@ -256,7 +256,7 @@ def decode_audio(
                 rate.append(r), ch.append(c), ns.append(n), dur.append(d)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    "id": pdf["id"],
                     "sample_rate": pd.array(rate, dtype="Int32"),
                     "n_channels": pd.array(ch, dtype="Int32"),
                     "n_samples": pd.array(ns, dtype="Int64"),
@@ -413,7 +413,7 @@ def image_dhash(
                 h = hasher(bytes(payload))
                 out.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame(
-                {"id": pdf[id_col], "dhash": pd.array(out, dtype="Int64")}
+                {"id": pdf["id"], "dhash": pd.array(out, dtype="Int64")}
             )
 
     return df.select(F.col(id_col).alias("id"), F.col(bytes_col)).mapInPandas(
@@ -438,7 +438,12 @@ def image_near_dup_pairs(
                 "id",
                 "dhash",
                 F.lit(b).alias("band"),
-                (F.shiftrightunsigned(F.col("dhash"), 16 * b) % F.lit(65536))
+                # Mask, don't mod: shiftrightunsigned(h, 0) is the identity,
+                # and signed % would split a band-0 key L into L vs L-65536
+                # for negative (bit-63-set) hashes, silently losing pairs
+                # whose only intact band is band 0.
+                F.shiftrightunsigned(F.col("dhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
                 .cast("int")
                 .alias("bkey"),
             )

@@ -614,3 +614,18 @@ def test_dedup_stats_sums_to_corpus(spark):
     got = {r.cluster_size: (r.n_clusters, r.n_docs) for r in dedup_stats(docs).collect()}
     assert got == {4: (1, 4), 1: (2, 2)}
     assert sum(n for _, n in got.values()) == len(rows)
+
+
+def test_first_arrival_losers_ignores_old_old_pairs(spark):
+    """Regression (r02 advice): a pair touching NO new id (both members
+    already emitted from the archive) must flag nobody — neither can be
+    retracted."""
+    from flink_bm25_spark.operators.dedup import first_arrival_losers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 10), (10, 11)], "d1 long, d2 long"
+    )
+    new = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    losers = {r.doc_id for r in first_arrival_losers(pairs, new).collect()}
+    # (1,2) is old-old -> ignored; (2,10): new 10 loses; (10,11): greater 11 loses
+    assert losers == {10, 11}

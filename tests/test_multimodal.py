@@ -407,6 +407,22 @@ def test_image_dhash_banding_recall_exhaustive(spark):
     assert got == want and want
 
 
+def test_image_dhash_band0_sign_safe(spark):
+    """Regression (r02 advice): a positive/negative hash pair agreeing on
+    bits 0-15 whose <=3 differing bits all lie in bands 1-3 (incl. bit
+    63) has band 0 as its ONLY intact band.  Signed ``% 65536`` band
+    keys split that key into L vs L-65536 and silently drop the pair;
+    the mask-based key must keep it."""
+    from flink_bm25_spark.operators.multimodal import image_near_dup_pairs
+
+    h1 = 5
+    h2 = 5 | (1 << 63) | (1 << 47) | (1 << 31)  # hamming 3, bands 1-3 dirty
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in (h1, h2)]
+    df = spark.createDataFrame(list(enumerate(signed)), "id long, dhash long")
+    got = {(r.d1, r.d2, r.hamming) for r in image_near_dup_pairs(df).collect()}
+    assert got == {(0, 1, 3)}
+
+
 def test_video_near_dup_via_shared_frame_hashes(spark):
     """Real end-to-end video dedup: AVI demux -> frame dHash -> shared
     fingerprint join.  A re-cut sharing frames pairs with its source;
@@ -437,3 +453,31 @@ def test_video_near_dup_via_shared_frame_hashes(spark):
         for r in video_near_dup_pairs(videos, min_shared=2, max_hash_freq=2).collect()
     }
     assert pairs == {(1, 2): 2}  # black frame (freq 3 > cap 2) pruned
+
+
+def test_custom_id_col_plumbing(spark):
+    """Regression (r02 advice): every mapInPandas op aliases id_col to
+    'id' before the worker runs, so a non-default id_col (doc_id) must
+    not KeyError inside the Arrow batch."""
+    from flink_bm25_spark.functions.pnm import pnm_encode
+    from flink_bm25_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        image_dhash,
+        resize_images,
+    )
+    from flink_bm25_spark.functions.wav import wav_encode
+
+    img = pnm_encode([[0, 255], [255, 0]])
+    wav = wav_encode([0, 1000, -1000, 0], sample_rate=8000)
+    df = spark.createDataFrame(
+        [(7, bytearray(img), bytearray(wav))],
+        "doc_id long, img binary, audio binary",
+    )
+    assert image_dhash(df, bytes_col="img", id_col="doc_id").count() == 1
+    assert decode_images(df, bytes_col="img", id_col="doc_id").count() == 1
+    assert decode_audio(df, bytes_col="audio", id_col="doc_id").count() == 1
+    assert (
+        resize_images(df, target=1, bytes_col="img", id_col="doc_id").count()
+        == 1
+    )

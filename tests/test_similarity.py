@@ -527,3 +527,31 @@ def test_srp_hof_form_bit_identical_to_unrolled(spark):
         map(tuple, srp_band_keys(emb).select("vec_id", "band", "bkey").collect())
     )
     assert got == want
+
+
+def test_deduper_save_after_load_same_path(spark, tmp_path):
+    """Regression (r02 advice): save() on a store LOADED from the same
+    path must not self-overwrite the files its lazy plan still reads —
+    the lineage is truncated before the overwrite."""
+    from flink_bm25_spark.api import EmbeddingDeduper
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    batch = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.limit(8).collect()],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "state")
+    dd = EmbeddingDeduper(threshold=0.99)
+    dd.screen_batch(batch)
+    dd.save(p)
+    n_keys = dd.keys_wide.count()
+
+    dd2 = EmbeddingDeduper.load(spark, p, threshold=0.99)
+    more = spark.createDataFrame(
+        [(9000 + r.vec_id, [float(x) for x in r.embedding]) for r in emb.limit(8).collect()],
+        "vec_id long, embedding array<float>",
+    )
+    dd2.screen_batch(more)
+    dd2.save(p)  # direct save, NOT checkpoint_state — must not corrupt
+    dd3 = EmbeddingDeduper.load(spark, p, threshold=0.99)
+    assert dd3.keys_wide.count() == dd2.keys_wide.count() > n_keys
