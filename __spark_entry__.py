@@ -169,6 +169,93 @@ def _q_tokenize_udtf(spark, sf_dir):
     return tokenize_udtf(load_table(spark, "documents", sf_dir))
 
 
+# Dictionary-based CJK segmentation gate: the fixture corpus is latin, so
+# the query synthesizes ideograph text IN-PLAN with a per-char translate
+# (a->的, b->一, ...) and segments it with the FMM dictionary segmenter —
+# the engine's public stand-in for the reference's ansj model
+# (pom.xml:21-25, BatchBM25PreMain.java:186).  The dictionary holds every
+# single char (so no OOV-fallback path fires; that path is pinned by
+# pytest) plus multi-char words INCLUDING nested prefixes, so the gate
+# value-checks greedy longest-match, not just char passthrough.
+_CJK26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+_CJK_MAP = dict(zip("abcdefghijklmnopqrstuvwxyz", _CJK26))
+
+
+def _to_cjk(w: str) -> str:
+    return "".join(_CJK_MAP[c] for c in w)
+
+
+_FMM_MULTI = tuple(
+    _to_cjk(w)
+    for w in (
+        "table", "tab", "value", "val", "spark", "hash",
+        "scan", "sort", "window", "win", "merge", "mer",
+    )
+)
+_FMM_DICT = tuple(_CJK26) + _FMM_MULTI
+
+
+def _q_cjk_fmm(spark, sf_dir):
+    # Reference-parity: dictionary segmentation of CJK text (ansj's FMM
+    # core, BatchBM25PreMain.java:186) through the pluggable Arrow
+    # tokenizer slot; emits the (doc_id, word) token stream.
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.translate(
+            F.lower("text"), "abcdefghijklmnopqrstuvwxyz", _CJK26
+        ).alias("text"),
+    )
+    return tokenize_with_udf(docs, segment=make_fmm_segmenter(set(_FMM_DICT)))
+
+
+def _fmm_oracle_sql() -> str:
+    # FMM unrolled: runs are <= 8 chars (fixture max token length), each
+    # round consumes >= 1 char, so 8 greedy rounds cover every run.  The
+    # longest dictionary match at a position is arg_max over a prefix
+    # equi-join — only one dict word per length can match, so it is
+    # deterministic.
+    dict_vals = ", ".join(f"('{w}')" for w in _FMM_DICT)
+    rounds = []
+    prev = "s0"
+    for k in range(1, 9):
+        rounds.append(f"""
+        m{k} AS (
+          SELECT s.doc_id, s.ridx, s.run, s.pos,
+                 arg_max(d.w, length(d.w)) AS tok
+          FROM {prev} s JOIN fdict d
+            ON substr(s.run, s.pos, length(d.w)) = d.w
+          GROUP BY s.doc_id, s.ridx, s.run, s.pos),
+        s{k} AS (
+          SELECT doc_id, ridx, run, pos + length(tok) AS pos
+          FROM m{k} WHERE pos + length(tok) <= length(run))""")
+        prev = f"s{k}"
+    emits = "\n            UNION ALL ".join(
+        f"SELECT doc_id, tok AS word FROM m{k}" for k in range(1, 9)
+    )
+    return f"""
+        WITH tdocs AS (
+          SELECT doc_id,
+                 translate(lower(text), 'abcdefghijklmnopqrstuvwxyz',
+                           '{_CJK26}') AS tr
+          FROM documents),
+        runs AS (
+          SELECT doc_id, u['i'] AS ridx, u['w'] AS run FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     string_split_regex(tr, '\\s+'),
+                     (x, i) -> {{'w': x, 'i': i}})) AS u
+            FROM tdocs)
+          WHERE u['w'] <> ''),
+        fdict(w) AS (VALUES {dict_vals}),
+        s0 AS (SELECT doc_id, ridx, run, 1 AS pos FROM runs),
+        {",".join(rounds)}
+        {emits}
+    """
+
+
 def _q_pos_filter(spark, sf_dir):
     # P2 POS half — tag every token with an ansj-style nature and keep the
     # noun family + drop stopwords, exactly the fused reference predicate
@@ -287,6 +374,32 @@ def _q_bm25_rank(spark, sf_dir):
     # F3 — BM25 completion over the materialized statistics (SURVEY §2.4)
     s = _stats(spark, sf_dir)
     return bm25_rank(s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS, k=10)
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
+    # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
+    # column) fused by Reciprocal Rank Fusion — the modern completion of
+    # the statistics store the reference builds (MongoTFSink.java:43-58).
+    from flink_bm25_spark.operators.retrieval import hybrid_search
+
+    s = _stats(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return hybrid_search(
+        s.tf,
+        s.idf_stats,
+        s.dlen,
+        emb,
+        DEFAULT_QUERY_TERMS,
+        qvec,
+        k=10,
+        pool=20,
+        exclude_id=0,
+    )
 
 
 def _q_tf_vector_sink(spark, sf_dir):
@@ -2432,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idf": _q_idf,
         "q_tfidf": _q_tfidf,
         "q_bm25_rank": _q_bm25_rank,
+        "q_hybrid_rrf": _q_hybrid_rrf,
         "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_top30_lines": _q_top30_lines,
@@ -2515,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_tokenize_udtf": _q_tokenize_udtf,
+        "q_cjk_fmm": _q_cjk_fmm,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -2989,6 +3104,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tokenize_explode": f"WITH {_PIPE} SELECT doc_id, word FROM tokens",
         "q_stopword_filter": f"WITH {_PIPE} SELECT doc_id, word FROM filtered",
         "q_tokenize_udtf": f"WITH {_PIPE} SELECT doc_id, word FROM tokens",
+        "q_cjk_fmm": _fmm_oracle_sql(),
         "q_pos_filter": f"""
             WITH {_PIPE},
             tagged AS (
@@ -3120,6 +3236,63 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+        """,
+        "q_hybrid_rrf": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            ),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rk
+              FROM scored QUALIFY rk <= 20
+            ),
+            e AS (SELECT vec_id, embedding FROM embeddings),
+            q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+            dscored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(e.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                       / ({_NORM.format(e='e.embedding')} * {_NORM.format(e='qe')}),
+                     6) AS cos
+              FROM e, q WHERE e.vec_id <> 0
+            ),
+            dense AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+              FROM dscored QUALIFY rk <= 20
+            ),
+            u AS (
+              SELECT doc_id, CAST(1.0 AS DOUBLE) / (60.0 + rk) AS c FROM lex
+              UNION ALL
+              SELECT doc_id, CAST(1.0 AS DOUBLE) / (60.0 + rk) AS c FROM dense
+            ),
+            fused AS (
+              SELECT doc_id, round(sum(c), 6) AS rrf,
+                     CAST(count(*) AS INTEGER) AS n_systems
+              FROM u GROUP BY doc_id
+            ),
+            fr AS (
+              SELECT doc_id, rrf, n_systems,
+                     CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM fused
+            )
+            SELECT doc_id, rrf, n_systems, rk FROM fr WHERE rk <= 10
         """,
         "q_tf_vector_sink": f"""
             WITH {_PIPE},

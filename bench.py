@@ -25,10 +25,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q_tf",
     "q_pos_filter",
+    "q_cjk_fmm",
     "q_topk_per_doc",
     "q_df",
     "q_tfidf",
     "q_bm25_rank",
+    "q_hybrid_rrf",
     "q_tf_vector_sink",
     "q_sort_desc",
     "q_window_tumbling",

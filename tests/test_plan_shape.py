@@ -354,3 +354,12 @@ def test_quality_classifier_scoring_is_projection(spark):
     plan = explain_str(df, "simple")
     assert "Join" not in plan
     assert count_exchanges(df) == 0
+
+
+def test_hybrid_rrf_plan_shape(spark):
+    # Both rankers keep their distributed top-k (TakeOrderedAndProject);
+    # the fusion itself is a tiny union+agg over <= 2*pool rows.
+    df = QUERIES["q_hybrid_rrf"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -555,3 +555,60 @@ def test_deduper_save_after_load_same_path(spark, tmp_path):
     dd2.save(p)  # direct save, NOT checkpoint_state — must not corrupt
     dd3 = EmbeddingDeduper.load(spark, p, threshold=0.99)
     assert dd3.keys_wide.count() == dd2.keys_wide.count() > n_keys
+
+
+# --- hybrid retrieval (RRF) ----------------------------------------------
+
+
+def test_rrf_fuse_math_and_agreement(spark):
+    from flink_bm25_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rk int")
+    den = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rk int")
+    out = {r.doc_id: r for r in rrf_fuse([lex, den], k0=60, k=10).collect()}
+    # doc 2 appears in both systems: 1/62 + 1/61
+    assert out[2].n_systems == 2
+    assert abs(out[2].rrf - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # docs 1/3/4 appear once
+    assert out[1].n_systems == 1 and abs(out[1].rrf - round(1 / 61, 6)) < 1e-9
+    assert out[4].n_systems == 1 and abs(out[4].rrf - round(1 / 62, 6)) < 1e-9
+    # agreement dominates: doc 2 ranks first
+    assert out[2].rk == 1
+    # rank is dense 1..n over the fused set
+    assert sorted(r.rk for r in out.values()) == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_k_truncation_and_ties(spark):
+    from flink_bm25_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rk int")
+    out = rrf_fuse([a], k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]  # rank order preserved
+    # equal scores tie-break on id: two lists with symmetric ranks
+    b1 = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rk int")
+    b2 = spark.createDataFrame([(20, 1), (10, 2)], "doc_id long, rk int")
+    rows = rrf_fuse([b1, b2], k=2).collect()
+    assert [r.doc_id for r in rows] == [10, 20]  # same rrf, id ascending
+
+
+def test_hybrid_search_end_to_end(spark):
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+    from flink_bm25_spark.operators.retrieval import hybrid_search
+    from flink_bm25_spark.sources.tables import load_table
+    from flink_bm25_spark.config import DEFAULT_QUERY_TERMS
+
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_embeddings(spark, SF_DIR)
+    s = build_corpus_stats(docs)
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    out = hybrid_search(
+        s.tf, s.idf_stats, s.dlen, emb, DEFAULT_QUERY_TERMS, qvec,
+        k=10, pool=20, exclude_id=0,
+    )
+    rows = out.collect()
+    assert out.columns == ["doc_id", "rrf", "n_systems", "rk"]
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(1 <= r.n_systems <= 2 for r in rows)
+    # fused order is by score desc (ties id asc)
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
