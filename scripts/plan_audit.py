@@ -17,6 +17,14 @@ AUDITED = [
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),
     ("q_bm25_rank", "broadcast idf + broadcast avgdl; TakeOrderedAndProject top-k"),
+    (
+        "q_hybrid_rrf",
+        "both rankers keep TakeOrderedAndProject; RRF fuses <=2*pool rows",
+    ),
+    (
+        "q_cjk_fmm",
+        "translate fused into the scan; one Arrow mapInPandas stage, no shuffle",
+    ),
     ("q_dedup_minhash", "wide min-agg signature; banded equi-join; pruned verify"),
     ("q_ann_cosine_topk", "map-side scoring, no shuffle before the top-k heap"),
     ("q_tpch_q1", "decimal partial aggs; scan-level predicate pushdown"),
