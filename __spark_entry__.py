@@ -2200,6 +2200,19 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_contrastive_triplets(spark, sf_dir):
+    # Embedding-training data prep: for every anchor, the most-similar
+    # same-label vector (positive) and most-similar different-label
+    # vector (hard negative) — exact argmax via the blocked theta-join +
+    # one conditional struct-max agg; the 100 TB form mines within LSH/IVF
+    # candidates (candidates= parameter).
+    from flink_bm25_spark.operators.similarity import contrastive_triplets
+
+    return contrastive_triplets(
+        load_table(spark, "embeddings", sf_dir), label_col="label"
+    )
+
+
 def _q_sorted_neighborhood(spark, sf_dir):
     # Sorted-neighborhood blocking: sort by a cheap key, pair docs within
     # 3 positions — the complement to hash blocking (near keys that LSH
@@ -2568,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_near_dup": _q_embed_near_dup,
         "q_semantic_dedup": _q_semantic_dedup,
+        "q_contrastive_triplets": _q_contrastive_triplets,
         "q_dup_span_fraction": _q_dup_span_fraction,
         "q_remove_dup_spans": _q_remove_dup_spans,
         "q_sorted_neighborhood": _q_sorted_neighborhood,
@@ -4012,6 +4026,31 @@ def oracle_sql() -> dict[str, str]:
               FROM e, q WHERE e.vec_id <> 0
             )
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_contrastive_triplets": f"""
+            WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS other,
+                     a.label = b.label AS same,
+                     round(
+                       list_sum(list_transform(a.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / ({_NORM.format(e='a.embedding')}
+                          * {_NORM.format(e='b.embedding')}),
+                     6) AS cos
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY anchor_id, same
+                       ORDER BY cos DESC, other ASC) AS rk
+              FROM p),
+            pos AS (SELECT anchor_id, other AS pos_id, cos AS pos_cos
+                    FROM r WHERE same AND rk = 1),
+            neg AS (SELECT anchor_id, other AS neg_id, cos AS neg_cos
+                    FROM r WHERE NOT same AND rk = 1)
+            SELECT coalesce(pos.anchor_id, neg.anchor_id) AS anchor_id,
+                   pos_id, pos_cos, neg_id, neg_cos
+            FROM pos FULL JOIN neg ON pos.anchor_id = neg.anchor_id
         """,
         # --- text analysis extension ---
         "q_token_stats": """

@@ -386,6 +386,114 @@ def embedding_near_dup_pairs_incremental(
     return scored, new_keys
 
 
+def contrastive_triplets(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    num_blocks: int = 8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """``(anchor_id, pos_id, pos_cos, neg_id, neg_cos)`` — contrastive
+    training triplets mined from a labeled embedding table: for every
+    anchor, the most-similar SAME-label vector (the positive) and the
+    most-similar DIFFERENT-label vector (the hard negative — the pair
+    contrastive/triplet losses learn the most from).  An anchor whose
+    label class is a singleton gets a NULL positive (and vice versa for
+    a single-class corpus), so no anchor silently disappears.
+
+    Exact path: ordered pairs via the same fragment-replicate blocked
+    equi-join as :func:`embedding_near_dup_pairs` (shuffle O(n·G) rows,
+    per-task (n/G)² codegen cosines, never a BroadcastNestedLoopJoin),
+    then ONE groupBy(anchor) with two conditional struct-max aggregates
+    — no window over the corpus-sized pair relation.
+
+    At 100 TB pass ``candidates`` (an LSH/IVF ``(d1, d2)`` relation —
+    e.g. :func:`rp_lsh_candidate_pairs` output): hard-negative mining
+    over ANN candidates is the standard practice (the exact-argmax tier
+    stays as the small-n verifier), and the argmax is then linear in
+    candidates.  Deterministic: 6-dp rounded cosine, ties to the
+    smaller partner id.
+    """
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
+
+    with_n = embeddings.select(
+        "vec_id", "embedding", F.col(label_col).alias("_lbl")
+    ).withColumn("nrm", l2_norm(F.col("embedding")))
+    if candidates is None:
+        g = num_blocks
+        block_ids = F.array(*[F.lit(i) for i in range(g)])
+        a = with_n.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            F.col("_lbl").alias("la"),
+            (F.col("vec_id") % g).cast("int").alias("bi"),
+            F.explode(block_ids).alias("bj"),
+        )
+        b = with_n.select(
+            F.col("vec_id").alias("other"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.col("_lbl").alias("lb"),
+            F.explode(block_ids).alias("bi"),
+            (F.col("vec_id") % g).cast("int").alias("bj"),
+        )
+        pairs = (
+            a.join(b, ["bi", "bj"])
+            .where(F.col("anchor_id") != F.col("other"))
+        )
+    else:
+        # Each candidate pair feeds BOTH directions (either side may be
+        # the anchor); vectors/labels join back on the pair ids.
+        ordered = candidates.select(
+            F.col("d1").alias("anchor_id"), F.col("d2").alias("other")
+        ).unionByName(
+            candidates.select(
+                F.col("d2").alias("anchor_id"), F.col("d1").alias("other")
+            )
+        )
+        av = with_n.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            F.col("_lbl").alias("la"),
+        )
+        bv = with_n.select(
+            F.col("vec_id").alias("other"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.col("_lbl").alias("lb"),
+        )
+        pairs = ordered.join(av, "anchor_id").join(bv, "other")
+    scored = pairs.select(
+        "anchor_id",
+        "other",
+        (F.col("la") == F.col("lb")).alias("same"),
+        F.round(
+            cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ),
+            6,
+        ).alias("cos"),
+    )
+    # struct-max = (max cos, then max(-other) = min other): argmax with a
+    # deterministic tie-break in one partial-aggregating pass.
+    best = F.struct(F.col("cos"), (-F.col("other")).alias("nother"))
+    agg = scored.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same"), best)).alias("_p"),
+        F.max(F.when(~F.col("same"), best)).alias("_n"),
+    )
+    return agg.select(
+        "anchor_id",
+        (-F.col("_p.nother")).alias("pos_id"),
+        F.col("_p.cos").alias("pos_cos"),
+        (-F.col("_n.nother")).alias("neg_id"),
+        F.col("_n.cos").alias("neg_cos"),
+    )
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

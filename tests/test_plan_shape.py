@@ -363,3 +363,13 @@ def test_hybrid_rrf_plan_shape(spark):
     plan = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contrastive_triplets_plan_shape(spark):
+    # Exact tier is the fragment-replicate blocked equi-join — never a
+    # nested-loop/cartesian pair generator; argmax is a groupBy aggregate,
+    # not a window over the pair relation.
+    df = QUERIES["q_contrastive_triplets"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -612,3 +612,64 @@ def test_hybrid_search_end_to_end(spark):
     # fused order is by score desc (ties id asc)
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- contrastive triplet mining ------------------------------------------
+
+
+def test_contrastive_triplets_hand_case(spark):
+    from flink_bm25_spark.operators.similarity import contrastive_triplets
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),   # pos for 0
+        (2, [0.0, 1.0], "a"),
+        (3, [1.0, 0.05], "b"),  # hard negative for 0
+        (4, [-1.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.anchor_id: r for r in contrastive_triplets(df).collect()}
+    assert len(out) == 5
+    assert out[0].pos_id == 1 and out[0].neg_id == 3
+    assert out[0].pos_cos > 0.99 and out[0].neg_cos > 0.99
+    # anchor 3's positive is its only same-label partner
+    assert out[3].pos_id == 4
+    # no singleton here, so every field is populated
+    assert all(r.pos_id is not None and r.neg_id is not None for r in out.values())
+
+
+def test_contrastive_triplets_singleton_label_null_pos(spark):
+    from flink_bm25_spark.operators.similarity import contrastive_triplets
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "only"), (1, [0.5, 0.5], "b"), (2, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {r.anchor_id: r for r in contrastive_triplets(df).collect()}
+    assert out[0].pos_id is None and out[0].neg_id is not None
+    assert out[1].pos_id == 2 and out[1].neg_id == 0
+
+
+def test_contrastive_triplets_candidates_path_restricts(spark):
+    from flink_bm25_spark.operators.similarity import contrastive_triplets
+
+    emb = load_embeddings(spark, SF_DIR).limit(30)
+    exact = {r.anchor_id: r for r in contrastive_triplets(emb).collect()}
+    # candidates = ALL unordered pairs -> identical to the exact tier
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    allp = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        "d1 long, d2 long",
+    )
+    viac = {
+        r.anchor_id: r
+        for r in contrastive_triplets(emb, candidates=allp).collect()
+    }
+    assert set(exact) == set(viac)
+    for k in exact:
+        assert (exact[k].pos_id, exact[k].neg_id) == (
+            viac[k].pos_id,
+            viac[k].neg_id,
+        )
