@@ -691,6 +691,12 @@ def compression_ratio_scores(
             ]
             yield out
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from flink_bm25_spark.operators.pipeline import (  # noqa: PLC0415
+        _parallelize_scan,
+    )
+
+    # A single-file scan would serialize the whole zlib stage onto one
+    # core; spread it first (no-op when the scan already has splits).
+    return _parallelize_scan(documents.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, n_bytes long, n_compressed long, ratio double"
     )

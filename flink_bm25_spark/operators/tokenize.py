@@ -76,9 +76,20 @@ def tokenize_with_udf(
     Implemented with ``mapInPandas`` so Arrow moves batches (not rows) and
     the segmenter is constructed once per partition — the Spark equivalent
     of Flink's RichFunction ``open()`` lifecycle.
+
+    The input is spread across the cluster first (no-op when the scan
+    already has enough splits): a single small parquet file arrives as ONE
+    partition, which would serialize the entire Python segmentation stage
+    onto one core — the worst place to lose parallelism, since this is the
+    engine's only Python hot path.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
+    from flink_bm25_spark.operators.pipeline import (  # noqa: PLC0415
+        _parallelize_scan,
+    )
+
+    documents = _parallelize_scan(documents)
     out_schema = f"{id_col} long, word string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -52,9 +52,16 @@ def tokenize_udtf(documents: DataFrame) -> DataFrame:
                 if w:
                     yield doc_id, w
 
-    # lateral-join form: one UDTF call per document row
+    from flink_bm25_spark.operators.pipeline import (  # noqa: PLC0415
+        _parallelize_scan,
+    )
+
+    # lateral-join form: one UDTF call per document row; spread a
+    # single-file scan first or the Python stage runs on one core
     spark = documents.sparkSession
-    documents.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    _parallelize_scan(documents.select("doc_id", "text")).createOrReplaceTempView(
+        "__udtf_docs"
+    )
     spark.udtf.register("__tokenize_udtf", Tokenize)
     _ = lit  # imported for parity with docs; lateral join passes columns
     return spark.sql(

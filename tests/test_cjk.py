@@ -75,3 +75,16 @@ def test_fmm_mixed_script_delegates_non_cjk():
 
     seg = make_fmm_segmenter({"北京"})
     assert seg("北京 Spark 引擎") == ["北京", "spark", "引擎"]
+
+
+def test_python_tokenizer_spreads_single_partition_scan(spark):
+    """Regression: a single-file parquet scan arrives as ONE partition;
+    the Arrow tokenizer slot must spread it before the Python stage or
+    the whole segmentation serializes onto one core."""
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).coalesce(1)
+    out = tokenize_with_udf(docs, segment=lambda t: (t or "").split())
+    assert out.rdd.getNumPartitions() > 1
