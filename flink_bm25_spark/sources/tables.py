@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -99,6 +100,42 @@ def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def load_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """PERMISSIVE JSON-lines ingestion with a quarantine lane: returns
+    ``(good, quarantined)`` — well-formed rows parsed into ``schema``
+    versus raw malformed lines.  The production middle ground between
+    FAILFAST (one bad line kills a 100 TB ingest) and DROPMALFORMED
+    (bad lines vanish silently, unauditable).
+
+    One scan serves both lanes: the parsed frame is persisted before
+    splitting because (a) Spark refuses a query that reads ONLY the
+    internal corrupt column, and (b) without it each lane would re-read
+    and re-parse the raw input.  At real scale, write the parsed frame
+    to a staging table instead of memory-persisting and split from
+    there — same shape, durable.
+    """
+    from pyspark.sql.types import StringType, StructType  # noqa: PLC0415
+
+    full = StructType(schema.fields).add(corrupt_col, StringType())
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .persist()
+    )
+    good = parsed.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = parsed.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, quarantined
 
 
 def load_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -49,6 +49,21 @@ def main() -> None:
     from flink_bm25_spark.session import get_spark
     from flink_bm25_spark.sources.tables import load_documents, load_embeddings
 
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+
+    _cjk26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+    def _fmm_tokens(d):
+        translated = d.select(
+            "doc_id",
+            F.translate(
+                F.lower("text"), "abcdefghijklmnopqrstuvwxyz", _cjk26
+            ).alias("text"),
+        )
+        seg = make_fmm_segmenter(set(_cjk26))
+        return tokenize_with_udf(translated, segment=seg)
+
     mults = [int(m) for m in (sys.argv[1] if len(sys.argv) > 1 else "1,4,8").split(",")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale_exponents")
@@ -81,6 +96,11 @@ def main() -> None:
         # and cross-replica pairs are structurally impossible
         "winnowing_fps": lambda d: winnowing_fingerprints(d).count(),
         "winnowing_pairs": lambda d: winnowing_dedup_pairs(d).count(),
+        # the engine's one Python hot path (Arrow FMM segmentation) —
+        # map-side, so the exponent must be ~1 and the partition spread
+        # must actually engage (a 1-core stage would show here as a
+        # constant-slope wall regardless of M)
+        "cjk_fmm_tokens": lambda d: _fmm_tokens(d).count(),
     }
 
     rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}

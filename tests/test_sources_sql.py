@@ -158,3 +158,27 @@ def test_curation_views_sql_surface(spark):
     assert len(joined) == 3
     n_chunks = spark.sql("SELECT count(*) AS n FROM chunks").collect()[0]["n"]
     assert n_chunks >= spark.sql("SELECT count(*) FROM documents").collect()[0][0]
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_bm25_spark.sources.tables import load_json_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'  # type mismatch -> quarantine
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = load_json_quarantine(spark, str(p), schema)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    # every input line is accounted for in exactly one lane
+    assert good.count() + bad.count() == 4
