@@ -1223,6 +1223,28 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10, exclude_id=0)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # The IVF ANN scale tier, value-checked: deterministic coarse cells
+    # (the engine's reproducible k-means, same params as q_kmeans so the
+    # oracle reuses the unrolled-Lloyd CTEs), probe the 2 nearest cells,
+    # exact cosine only within them.
+    from flink_bm25_spark.operators.similarity import ivf_topk_exact
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_topk_exact(
+        emb.select("vec_id", "embedding"),
+        qvec,
+        k=10,
+        n_cells=4,
+        iterations=2,
+        nprobe=2,
+        exclude_id=0,
+    )
+
+
 # --- text analysis extension ------------------------------------------------
 
 
@@ -2588,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edit_distance": _q_edit_distance,
         # ANN / embeddings / multimodal
         "q_ann_cosine_topk": _q_ann_cosine_topk,
+        "q_ivf_topk": _q_ivf_topk,
         "q_embed_quantize": _q_embed_quantize,
         "q_kmeans": _q_kmeans,
         "q_multimodal_meta": _q_multimodal_meta,
@@ -4026,6 +4049,35 @@ def oracle_sql() -> dict[str, str]:
               FROM e, q WHERE e.vec_id <> 0
             )
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_ivf_topk": f"""
+            WITH {_KMEANS_CTES},
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            cd AS (
+              SELECT c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (c2.e[i] - qe[i]) * (c2.e[i] - qe[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM c2, q),
+            probe AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY dist ASC, cid ASC)
+                         AS rk
+                FROM cd)
+              WHERE rk <= 2),
+            cand AS (
+              SELECT a3.vec_id FROM a3 JOIN probe ON a3.cluster = probe.cid
+              WHERE a3.vec_id <> 0),
+            scored AS (
+              SELECT cand.vec_id,
+                     round(
+                       list_sum(list_transform(emb.e, (x, i) -> x * qe[i]))
+                       / (sqrt(list_sum(list_transform(emb.e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+                     6) AS cos
+              FROM cand JOIN emb USING (vec_id), q)
+            SELECT vec_id, cos FROM scored
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "q_contrastive_triplets": f"""
             WITH e AS (SELECT vec_id, embedding, label FROM embeddings),

@@ -61,18 +61,20 @@ def _with_cluster(
     return embeddings.withColumn("cluster", F.array_min(candidates)["cid"])
 
 
-def kmeans_assign(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Cluster assignment ``(id_col, cluster)`` after ``iterations``
-    Lloyd rounds from the deterministic init."""
+) -> list[list[float]]:
+    """Fit ``iterations`` Lloyd rounds from the deterministic init and
+    return the final centroids (k×d Python floats — the model IS the
+    literal set the assignment expression compiles in).  Empty input
+    returns ``[]``."""
     first = embeddings.select(vec_col).first()
     if first is None:
-        return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
+        return []
     d = len(first[0])
 
     # Each Lloyd round re-reads the embedding relation (assignment agg +
@@ -95,8 +97,22 @@ def kmeans_assign(
         by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in stats.collect()}
         # An empty cluster keeps its previous centroid (standard Lloyd).
         centroids = [by_cid.get(cid, c) for cid, c in enumerate(centroids)]
+    return centroids
 
-    return _with_cluster(embeddings, centroids, vec_col).select(
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment ``(id_col, cluster)`` after ``iterations``
+    Lloyd rounds from the deterministic init."""
+    centroids = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    if not centroids:
+        return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
+    return _with_cluster(embeddings.cache(), centroids, vec_col).select(
         id_col, F.col("cluster").cast("int").alias("cluster")
     )
 

@@ -604,6 +604,66 @@ def ivf_build(
     return model, assigned
 
 
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """``(vec_id, cos)`` — IVF ANN top-k with a fully DETERMINISTIC
+    coarse quantizer: cells come from the engine's own reproducible
+    k-means (``operators/kmeans.py`` — fixed lowest-id init, 6-dp
+    rounded distances/means), so unlike the MLlib-seeded
+    :func:`ivf_build`/:func:`ivf_topk` pair the entire probe — cell
+    fit, cell choice, candidate set, scores — replays exactly in a SQL
+    oracle.
+
+    Probe-cell choice uses the SAME rounded left-fold squared distance
+    as the fit (ties to the lower cell id) over the k×d centroid list —
+    driver-side arithmetic on k values, not a Spark job.  The scan then
+    filters to ``nprobe`` cells: with cell-partitioned storage
+    (:func:`ivf_save`) this is partition pruning, i.e. the engine reads
+    ~nprobe/n_cells of the corpus.  ``nprobe = n_cells`` degrades to the
+    brute-force scan — the recall-vs-cost dial.
+    """
+    from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
+        _with_cluster,
+        kmeans_fit,
+    )
+
+    centroids = kmeans_fit(
+        embeddings, k=n_cells, iterations=iterations
+    )
+    if not centroids:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cos double"
+        )
+    q = [float(x) for x in query_vec]
+
+    def _rdist(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(c, q):  # left fold == the fit's aggregate order
+            acc = acc + (a - b) * (a - b)
+        return round(acc, 6)
+
+    ranked = sorted((_rdist(c), cid) for cid, c in enumerate(centroids))
+    probe = [cid for _, cid in ranked[:nprobe]]
+    cand = _with_cluster(embeddings, centroids, "embedding").where(
+        F.col("cluster").isin(*probe)
+    )
+    qcol = F.array(*[F.lit(x) for x in q])
+    scored = cand.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("cos"),
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def ivf_topk(
     model,
     assigned: DataFrame,

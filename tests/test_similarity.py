@@ -673,3 +673,38 @@ def test_contrastive_triplets_candidates_path_restricts(spark):
             viac[k].pos_id,
             viac[k].neg_id,
         )
+
+
+def test_ivf_topk_exact_full_probe_equals_brute(spark):
+    from flink_bm25_spark.operators.similarity import cosine_topk, ivf_topk_exact
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    brute = [(r.vec_id, r.cos) for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    # probing EVERY cell degrades to the brute-force scan
+    full = [
+        (r.vec_id, r.cos)
+        for r in ivf_topk_exact(
+            emb, q, k=10, n_cells=4, nprobe=4, exclude_id=0
+        ).collect()
+    ]
+    assert full == brute
+
+
+def test_ivf_topk_exact_partial_probe_recall(spark):
+    from flink_bm25_spark.operators.similarity import cosine_topk, ivf_topk_exact
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    brute = {r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    part = ivf_topk_exact(emb, q, k=10, n_cells=4, nprobe=2, exclude_id=0)
+    rows = part.collect()
+    got = {r.vec_id for r in rows}
+    assert len(rows) == 10
+    # the query's own cell is probed, so neighbors cluster with it:
+    # recall@10 must be substantial even at nprobe=2/4
+    assert len(got & brute) >= 5
+    # scores of returned candidates match the brute scores exactly
+    bs = {r.vec_id: r.cos for r in cosine_topk(emb, q, k=500, exclude_id=0).collect()}
+    for r in rows:
+        assert r.cos == bs[r.vec_id]
