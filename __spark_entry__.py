@@ -1223,6 +1223,26 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10, exclude_id=0)
 
 
+def _q_late_interaction(spark, sf_dir):
+    # ColBERT-style MaxSim retrieval over multi-vector documents: the
+    # embeddings fixture is folded into 5-vector documents in-plan
+    # (mv_doc = vec_id // 5); the query is doc 0's five vectors.
+    from flink_bm25_spark.operators.retrieval import late_interaction_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    chunks = emb.select(
+        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_doc"),
+        "embedding",
+    )
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    ]
+    return late_interaction_topk(
+        chunks, qvecs, k=10, doc_col="mv_doc", exclude_doc=0
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     # The IVF ANN scale tier, value-checked: deterministic coarse cells
     # (the engine's reproducible k-means, same params as q_kmeans so the
@@ -2611,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN / embeddings / multimodal
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_ivf_topk": _q_ivf_topk,
+        "q_late_interaction": _q_late_interaction,
         "q_embed_quantize": _q_embed_quantize,
         "q_kmeans": _q_kmeans,
         "q_multimodal_meta": _q_multimodal_meta,
@@ -4049,6 +4070,39 @@ def oracle_sql() -> dict[str, str]:
               FROM e, q WHERE e.vec_id <> 0
             )
             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_late_interaction": f"""
+            WITH mv AS (
+              SELECT vec_id // 5 AS mv_doc,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS qi,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id < 5),
+            sc AS (
+              SELECT mv_doc, qi,
+                     round(
+                       list_sum(list_transform(e, (x, i) -> x * qe[i]))
+                       / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+                     6) AS c
+              FROM mv CROSS JOIN q
+              WHERE mv_doc <> 0),
+            -- pivot the per-query maxes so the final sum is the same
+            -- LEFT-ASSOCIATED m0+m1+m2+m3+m4 the engine compiles
+            mx AS (
+              SELECT mv_doc,
+                     max(CASE WHEN qi = 0 THEN c END) AS m0,
+                     max(CASE WHEN qi = 1 THEN c END) AS m1,
+                     max(CASE WHEN qi = 2 THEN c END) AS m2,
+                     max(CASE WHEN qi = 3 THEN c END) AS m3,
+                     max(CASE WHEN qi = 4 THEN c END) AS m4
+              FROM sc GROUP BY mv_doc)
+            SELECT CAST(mv_doc AS BIGINT) AS mv_doc,
+                   round(m0 + m1 + m2 + m3 + m4, 6) AS score
+            FROM mx
+            ORDER BY score DESC, mv_doc ASC LIMIT 10
         """,
         "q_ivf_topk": f"""
             WITH {_KMEANS_CTES},

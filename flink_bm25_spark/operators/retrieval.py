@@ -86,6 +86,64 @@ def rrf_fuse(
     return with_rank(topk, [F.desc("rrf"), F.asc(id_col)])
 
 
+def late_interaction_topk(
+    chunks: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    exclude_doc: int | None = None,
+) -> DataFrame:
+    """``(doc_id, score)`` — ColBERT-style late-interaction (MaxSim)
+    ranking over multi-vector documents (Khattab & Zaharia, SIGIR 2020):
+
+        score(d) = Σ_{q ∈ query} max_{v ∈ d} cos(q, v)
+
+    ``chunks`` holds one row per document vector (chunk/passage/token
+    embedding — e.g. the output of ``chunk_documents`` ∘
+    ``feature_hash_embeddings``); the query is a handful of vectors.
+
+    Scale shape: the query vectors fold into the expression tree as
+    Q×d literals, so per-row scoring is pure map-side codegen (Q cosines
+    per chunk, no join, no fanout); the MaxSim reduction is ONE
+    groupBy(doc) with Q conditional max aggregates (partial map-side
+    combine), and top-k compiles to TakeOrderedAndProject.  The corpus
+    is scanned once regardless of Q.  For query sets too large to inline
+    (hundreds of vectors), score via a broadcast join on a query-vector
+    relation instead — same maxsim-then-sum aggregation.
+
+    Deterministic: per-(chunk, query-vector) cosine rounded to 6
+    decimals before the max, final score re-rounded after the sum, ties
+    on doc id.
+    """
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_similarity,
+    )
+
+    if not query_vecs:
+        raise ValueError("late_interaction_topk needs at least one query vector")
+    cols = [F.col(doc_col)]
+    for qi, qv in enumerate(query_vecs):
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        cols.append(
+            F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias(
+                f"_c{qi}"
+            )
+        )
+    scored = chunks.select(*cols)
+    if exclude_doc is not None:
+        scored = scored.where(F.col(doc_col) != exclude_doc)
+    maxes = scored.groupBy(doc_col).agg(
+        *[F.max(f"_c{qi}").alias(f"_m{qi}") for qi in range(len(query_vecs))]
+    )
+    total = None
+    for qi in range(len(query_vecs)):
+        t = F.col(f"_m{qi}")
+        total = t if total is None else total + t
+    fused = maxes.select(doc_col, F.round(total, 6).alias("score"))
+    return fused.orderBy(F.desc("score"), F.asc(doc_col)).limit(k)
+
+
 def hybrid_search(
     tf: DataFrame,
     idf_stats: DataFrame,

@@ -708,3 +708,39 @@ def test_ivf_topk_exact_partial_probe_recall(spark):
     bs = {r.vec_id: r.cos for r in cosine_topk(emb, q, k=500, exclude_id=0).collect()}
     for r in rows:
         assert r.cos == bs[r.vec_id]
+
+
+def test_late_interaction_maxsim_hand_case(spark):
+    from flink_bm25_spark.operators.retrieval import late_interaction_topk
+
+    # doc 1: a perfect match for q0 and one for q1 -> score 2.0
+    # doc 2: only a q0 match (its other chunk is orthogonal) -> ~1.0
+    rows = [
+        (1, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]), (2, [0.0, 0.0001]),
+        (3, [-1.0, 0.0]), (3, [0.0, -1.0]),
+    ]
+    chunks = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    q = [[1.0, 0.0], [0.0, 1.0]]
+    out = [(r.doc_id, r.score) for r in late_interaction_topk(chunks, q, k=3).collect()]
+    assert out[0] == (1, 2.0)
+    assert out[1][0] == 2 and abs(out[1][1] - 2.0) < 0.01
+    # MaxSim takes each query vector's BEST chunk: doc 3's orthogonal
+    # chunk (cos 0) beats its anti-parallel one (cos -1) for both.
+    assert out[2] == (3, 0.0)
+
+
+def test_late_interaction_plan_is_scan_plus_one_agg(spark):
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.retrieval import late_interaction_topk
+
+    emb = load_embeddings(spark, SF_DIR).select(
+        (F.floor(F.col("vec_id") / 5)).cast("long").alias("doc_id"),
+        "embedding",
+    )
+    q = [[0.1] * 64, [0.2] * 64]
+    df = late_interaction_topk(emb, q, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # query folds into literals, no join/fanout
