@@ -1223,6 +1223,21 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10, exclude_id=0)
 
 
+def _q_ann_filtered(spark, sf_dir):
+    # Attribute-constrained ANN ("filtered vector search"): the predicate
+    # is just a relational filter fused below the top-k heap — the scan
+    # prunes to the label BEFORE any scoring, a shape dedicated vector
+    # stores bolt on as "pre-filtering".  Same brute tier as
+    # q_ann_cosine_topk, restricted to label = 1.
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return cosine_topk(
+        emb.where(F.col("label") == 1), qvec, k=10, exclude_id=0
+    )
+
+
 def _q_late_interaction(spark, sf_dir):
     # ColBERT-style MaxSim retrieval over multi-vector documents: the
     # embeddings fixture is folded into 5-vector documents in-plan
@@ -2631,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN / embeddings / multimodal
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_ivf_topk": _q_ivf_topk,
+        "q_ann_filtered": _q_ann_filtered,
         "q_late_interaction": _q_late_interaction,
         "q_embed_quantize": _q_embed_quantize,
         "q_kmeans": _q_kmeans,
@@ -4060,6 +4076,21 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_cosine_topk": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
             q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(e.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                       / ({_NORM.format(e='e.embedding')} * {_NORM.format(e='qe')}),
+                     6) AS cos
+              FROM e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_ann_filtered": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE label = 1),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
               SELECT e.vec_id,
                      round(

@@ -612,6 +612,7 @@ def ivf_topk_exact(
     iterations: int = 2,
     nprobe: int = 2,
     exclude_id: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """``(vec_id, cos)`` — IVF ANN top-k with a fully DETERMINISTIC
     coarse quantizer: cells come from the engine's own reproducible
@@ -628,15 +629,20 @@ def ivf_topk_exact(
     (:func:`ivf_save`) this is partition pruning, i.e. the engine reads
     ~nprobe/n_cells of the corpus.  ``nprobe = n_cells`` degrades to the
     brute-force scan — the recall-vs-cost dial.
+
+    Serving: pass ``centroids`` (a prior ``kmeans_fit`` result, or the
+    k×d list loaded from the index store) to skip the fit — one fit
+    serves every query.
     """
     from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
         _with_cluster,
         kmeans_fit,
     )
 
-    centroids = kmeans_fit(
-        embeddings, k=n_cells, iterations=iterations
-    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, k=n_cells, iterations=iterations
+        )
     if not centroids:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, cos double"

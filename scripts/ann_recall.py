@@ -18,6 +18,7 @@ def main() -> None:
         cosine_topk,
         ivf_build,
         ivf_topk,
+        ivf_topk_exact,
         quantized_topk,
         rp_lsh_topk,
     )
@@ -36,6 +37,10 @@ def main() -> None:
     assigned = assigned.cache()
     assigned.count()
 
+    from flink_bm25_spark.operators.kmeans import kmeans_fit
+
+    det_centroids = kmeans_fit(emb.select("vec_id", "embedding"), k=8)
+
     tiers = {
         "exact": lambda q: cosine_topk(emb, q, k=10),
         "lsh(8p,h<=2)": lambda q: rp_lsh_topk(
@@ -52,6 +57,16 @@ def main() -> None:
         "ivf(16c,probe6)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=6),
         "ivf(16c,probe8)": lambda q: ivf_topk(model, assigned, q, k=10, nprobe=8),
         "int8(overfetch3)": lambda q: quantized_topk(emb, q, k=10, overfetch=3),
+        # the oracle-replayable deterministic quantizer (q_ivf_topk path);
+        # fit ONCE — serving passes the stored centroids per query
+        "ivf_exact(8c,probe2)": lambda q: ivf_topk_exact(
+            emb.select("vec_id", "embedding"), q, k=10, nprobe=2,
+            centroids=det_centroids,
+        ),
+        "ivf_exact(8c,probe4)": lambda q: ivf_topk_exact(
+            emb.select("vec_id", "embedding"), q, k=10, nprobe=4,
+            centroids=det_centroids,
+        ),
     }
     exact_sets = []
     for q in queries:

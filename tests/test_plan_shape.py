@@ -373,3 +373,12 @@ def test_contrastive_triplets_plan_shape(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_filtered_pushes_label_to_scan(spark):
+    # the attribute constraint must reach the parquet scan (pre-filter),
+    # not evaluate after scoring
+    df = QUERIES["q_ann_filtered"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert "EqualTo(label,1)" in pf, pf
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
