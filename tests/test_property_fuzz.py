@@ -196,3 +196,36 @@ def test_winnowing_adjacent_dedupe_equals_distinct(seed, n):
     assert len(adj) == len(set(adj)) == len(set(picks))
     # monotonicity itself
     assert all(a[0] <= b[0] for a, b in zip(picks, picks[1:]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=st.sampled_from("的一是不了人我在有他"), max_size=24),
+    st.sets(
+        st.text(
+            alphabet=st.sampled_from("的一是不了人我在有他"),
+            min_size=2,
+            max_size=5,
+        ),
+        max_size=8,
+    ),
+)
+def test_fmm_full_coverage_is_exact_partition(text, multi_words):
+    """The q_cjk_fmm gate contract: when every single char is in the
+    dictionary (no OOV fallback can fire), FMM emits an exact partition
+    of the input — concatenation identity — and each token is either a
+    dictionary word or a single char whose every longer prefix extension
+    is absent (greed)."""
+    from flink_bm25_spark.functions.text import make_fmm_segmenter
+
+    dictionary = set("的一是不了人我在有他") | multi_words
+    seg = make_fmm_segmenter(dictionary)
+    out = seg(text)
+    assert "".join(out) == text
+    pos = 0
+    for tok in out:
+        assert tok in dictionary
+        # greedy: no LONGER dictionary word matches at this position
+        for ln in range(len(tok) + 1, min(8, len(text) - pos) + 1):
+            assert text[pos : pos + ln] not in dictionary
+        pos += len(tok)
