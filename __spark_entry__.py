@@ -2610,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_explode": _q_tokenize_explode,
         "q_stopword_filter": _q_stopword_filter,
         "q_pos_filter": _q_pos_filter,
+        "q_cjk_fmm": _q_cjk_fmm,
         "q_tf": _q_tf,
         "q_df": _q_df,
         "q_idf": _q_idf,
@@ -2620,7 +2621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_top30_lines": _q_top30_lines,
         "q_more_like_this": _q_more_like_this,
-        "q_count_docs": _q_count_docs,
         "q_distinct_words": _q_distinct_words,
         "q_sort_desc": _q_sort_desc,
         "q_union_merge": _q_union_merge,
@@ -2703,7 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paged_scan": _q_paged_scan,
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_tokenize_udtf": _q_tokenize_udtf,
-        "q_cjk_fmm": _q_cjk_fmm,
+        "q_count_docs": _q_count_docs,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
