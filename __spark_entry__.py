@@ -2374,6 +2374,15 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    # CCNet perplexity terciles (head/middle/tail) over the LM scores —
+    # the perplexity-stratified sampling recipe; exact-rank form for the
+    # gate, sketch-threshold twin for 100 TB.
+    from flink_bm25_spark.operators.text_analysis import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, "documents", sf_dir), alpha=0.1)
+
+
 def _q_collocations(spark, sf_dir):
     # PMI collocation mining over adjacent pairs (multiword expressions).
     from flink_bm25_spark.operators.text_analysis import collocations
@@ -2653,10 +2662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": _q_multimodal_meta,
         # text analysis
         "q_quality_scores": _q_quality_scores,
-        "q_bpe_token_count": _q_bpe_token_count,
         "q_bpe_learn": _q_bpe_learn,
         "q_bpe_encode": _q_bpe_encode,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_ccnet_buckets": _q_ccnet_buckets,
         # curation / training-data pipeline
         "q_curation_pipeline": _q_curation_pipeline,
         "q_decontaminate": _q_decontaminate,
@@ -2704,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "q_tokenize_udtf": _q_tokenize_udtf,
         "q_count_docs": _q_count_docs,
+        "q_bpe_token_count": _q_bpe_token_count,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -5461,6 +5471,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
     """
+    # CCNet terciles share the LM pipeline; ranking runs over the SAME
+    # 6-dp-rounded nll the engine ranks on (rank math is exact
+    # integer-ratio arithmetic, so buckets replay identically).
+    out["q_ccnet_buckets"] = out["q_lm_perplexity"].replace(
+        """SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
+        FROM sc GROUP BY doc_id""",
+        """, per AS (
+          SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
+          FROM sc GROUP BY doc_id),
+        rk AS (
+          SELECT doc_id, n_bigrams, nll,
+                 percent_rank() OVER (ORDER BY nll ASC) AS pr0
+          FROM per)
+        SELECT doc_id, n_bigrams, nll, round(pr0, 6) AS pr,
+               CASE WHEN pr0 < 1.0 / 3 THEN 'head'
+                    WHEN pr0 < 2.0 / 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rk""",
+    )
     out["q_collocations"] = """
         WITH base AS (
           SELECT doc_id,

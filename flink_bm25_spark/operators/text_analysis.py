@@ -384,6 +384,74 @@ def lm_perplexity_scores(
     return lm_score(documents, model)
 
 
+def ccnet_buckets(
+    documents: DataFrame,
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+) -> DataFrame:
+    """``(doc_id, n_bigrams, nll, pr, bucket)`` — CCNet's perplexity
+    bucketing (Wenzek et al. 2020, arXiv:1911.00359): rank every document
+    by LM negative log-likelihood and cut the corpus into ``head`` (most
+    LM-typical), ``middle``, ``tail`` terciles — the standard recipe for
+    perplexity-stratified sampling (train mostly on head+middle, keep a
+    measured tail slice for diversity).
+
+    Ranking uses the 6-dp-rounded ``nll`` (ties share a percent_rank —
+    rank arithmetic is exact integer-ratio math, so the bucketing
+    replays identically in any engine).  The exact percent_rank is a
+    single-partition window sort over the (doc_id, nll) relation — fine
+    for the scored-relation sizes the gate runs, but at 100 TB use
+    :func:`ccnet_buckets_approx`, which cuts on sketch quantiles with
+    no global sort (same pattern as ``quality_percentile_gate_approx``).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = lm_perplexity_scores(documents, alpha)
+    w = Window.orderBy(F.col("nll").asc())
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < F.lit(cuts[0]), "head")
+        .when(pr < F.lit(cuts[1]), "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.round(pr, 6).alias("pr"),
+        bucket.alias("bucket"),
+    )
+
+
+def ccnet_buckets_approx(
+    documents: DataFrame,
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """100 TB form of :func:`ccnet_buckets`: the two cut values come from
+    ``approx_percentile`` (one mergeable-sketch tree aggregation, no
+    global sort) and broadcast back as scalars; bucketing is then pure
+    map-side.  Documents within the sketch's rank-error band of a cut
+    may land in the adjacent bucket — everything else agrees with the
+    exact form.  Returns ``(doc_id, n_bigrams, nll, bucket)`` (no exact
+    ``pr`` — computing one would reintroduce the global sort)."""
+    scored = lm_perplexity_scores(documents, alpha)
+    thr = scored.agg(
+        F.percentile_approx("nll", cuts[0], accuracy).alias("__t1"),
+        F.percentile_approx("nll", cuts[1], accuracy).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("nll") < F.col("__t1"), "head")
+        .when(F.col("nll") < F.col("__t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .select("doc_id", "n_bigrams", "nll", bucket.alias("bucket"))
+    )
+
+
 def lm_model(
     pair_counts: DataFrame, uni_counts: DataFrame, vocab: DataFrame, alpha: float
 ) -> DataFrame:

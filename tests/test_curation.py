@@ -599,3 +599,43 @@ def test_compression_ratio_flags_repetition(spark):
     # deterministic across runs
     again = {r.doc_id: r.ratio for r in compression_ratio_scores(docs).collect()}
     assert again == {k: v.ratio for k, v in got.items()}
+
+
+def test_ccnet_buckets_terciles_and_order(spark):
+    from flink_bm25_spark.operators.text_analysis import ccnet_buckets
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = ccnet_buckets(load_table(spark, "documents", SF_DIR)).collect()
+    n = len(out)
+    by = {}
+    for r in out:
+        by.setdefault(r.bucket, []).append(r.nll)
+    # terciles cover the corpus and are ordered: every head nll <= every
+    # middle nll <= every tail nll
+    assert set(by) == {"head", "middle", "tail"}
+    assert sum(len(v) for v in by.values()) == n
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+    # roughly a third each (ties can shift boundaries slightly)
+    for k in by:
+        assert abs(len(by[k]) - n / 3) <= n * 0.1
+
+
+def test_ccnet_buckets_approx_agrees_off_boundary(spark):
+    from flink_bm25_spark.operators.text_analysis import (
+        ccnet_buckets,
+        ccnet_buckets_approx,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    exact = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    approx = {r.doc_id: r.bucket for r in ccnet_buckets_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    disagree = sum(1 for k in exact if exact[k] != approx[k])
+    # sketch error only near the two cuts
+    assert disagree <= len(exact) * 0.05
+    # the approx plan never sorts globally: no Window in it
+    plan = ccnet_buckets_approx(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
