@@ -2374,6 +2374,15 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_ngram_diversity(spark, sf_dir):
+    # distinct-n diversity per source — the mode-collapse monitor for
+    # synthetic/generated feeds (decaying ratio = same constructions on
+    # repeat).
+    from flink_bm25_spark.operators.text_analysis import ngram_diversity
+
+    return ngram_diversity(load_table(spark, "documents", sf_dir), n=3)
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     # CCNet perplexity terciles (head/middle/tail) over the LM scores —
     # the perplexity-stratified sampling recipe; exact-rank form for the
@@ -2714,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_udtf": _q_tokenize_udtf,
         "q_count_docs": _q_count_docs,
         "q_bpe_token_count": _q_bpe_token_count,
+        "q_ngram_diversity": _q_ngram_diversity,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -5470,6 +5480,24 @@ def oracle_sql() -> dict[str, str]:
           FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
+    """
+    out["q_ngram_diversity"] = r"""
+        WITH base AS (
+          SELECT source AS grp,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT grp, gram FROM (
+            SELECT grp, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 2 <= len(ws)
+                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END)) AS gram
+            FROM base) WHERE gram IS NOT NULL),
+        pg AS (SELECT grp, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        SELECT grp AS source, CAST(sum(c) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct,
+               round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+        FROM pg GROUP BY grp
     """
     # CCNet terciles share the LM pipeline; ranking runs over the SAME
     # 6-dp-rounded nll the engine ranks on (rank math is exact

@@ -35,6 +35,51 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_diversity(
+    documents: DataFrame, n: int = 3, by_col: str = "source"
+) -> DataFrame:
+    """``(by_col, n_grams, n_distinct, distinct_ratio)`` — corpus-level
+    distinct-n diversity per group (Li et al. 2016's distinct-n, applied
+    corpus-wide): the fraction of n-gram OCCURRENCES that are distinct
+    types.  The standard mode-collapse monitor for synthetic/generated
+    training data — a source whose ratio decays release-over-release is
+    emitting the same constructions on repeat (pair with ``psi_drift``
+    for the alarm).
+
+    Map-side gram explode + ONE two-level aggregation (distinct via a
+    pre-group on (group, gram) — count_distinct over the raw stream
+    would hold per-group hash sets); ratio rounded to 6 decimals.
+    """
+    ws = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+    grams = documents.select(
+        F.col(by_col).alias("grp"),
+        F.explode(
+            F.transform(
+                F.slice(ws, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+                lambda _, i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("grp", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(by_col),
+            "n_grams",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_grams"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
 def repetition_scores(documents: DataFrame) -> DataFrame:
     """``(doc_id, top_word_frac, dup_bigram_frac)`` — Gopher-style
     repetition quality filters for pretraining corpora.

@@ -25,6 +25,26 @@ AUDITED = [
         "q_cjk_fmm",
         "translate fused into the scan; one Arrow mapInPandas stage, no shuffle",
     ),
+    (
+        "q_contrastive_triplets",
+        "blocked theta-join pairs; argmax = ONE conditional struct-max agg",
+    ),
+    (
+        "q_ivf_topk",
+        "centroid literals map-side; cell filter = partition pruning shape",
+    ),
+    (
+        "q_late_interaction",
+        "QxD query literals, no join/fanout; MaxSim = one groupBy",
+    ),
+    (
+        "q_ann_filtered",
+        "label predicate pushed to the scan below the top-k heap",
+    ),
+    (
+        "q_ccnet_buckets",
+        "LM relations + tiny rank window; approx twin is Window-free",
+    ),
     ("q_dedup_minhash", "wide min-agg signature; banded equi-join; pruned verify"),
     ("q_ann_cosine_topk", "map-side scoring, no shuffle before the top-k heap"),
     ("q_tpch_q1", "decimal partial aggs; scan-level predicate pushdown"),

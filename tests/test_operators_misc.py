@@ -510,3 +510,20 @@ def test_psi_drift_detects_shift(spark):
     )
     assert abs(psi - want) < 1e-9
     assert psi > 0.25  # "drifted" by the standard rule of thumb
+
+
+def test_ngram_diversity_hand_case(spark):
+    from flink_bm25_spark.operators.text_analysis import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c", "rep"),   # grams: abc bca cab abc -> 3/4 distinct
+            (2, "a b c d e", "fresh"),   # grams: abc bcd cde -> 3/3
+            (3, "x y", "fresh"),         # too short: no grams
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in ngram_diversity(df, n=3).collect()}
+    assert out["rep"].n_grams == 4 and out["rep"].n_distinct == 3
+    assert out["rep"].distinct_ratio == 0.75
+    assert out["fresh"].n_grams == 3 and out["fresh"].distinct_ratio == 1.0
