@@ -2257,6 +2257,15 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_knn_graph(spark, sf_dir):
+    # k-nearest-neighbor graph (every vector's top-5 by cosine) — the
+    # substrate for graph dedup/clustering; blocked pairs + WindowGroupLimit
+    # per-anchor k-cut.
+    from flink_bm25_spark.operators.similarity import knn_graph
+
+    return knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
+
+
 def _q_contrastive_triplets(spark, sf_dir):
     # Embedding-training data prep: for every anchor, the most-similar
     # same-label vector (positive) and most-similar different-label
@@ -2724,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_count_docs": _q_count_docs,
         "q_bpe_token_count": _q_bpe_token_count,
         "q_ngram_diversity": _q_ngram_diversity,
+        "q_knn_graph": _q_knn_graph,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -4183,6 +4193,25 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN emb USING (vec_id), q)
             SELECT vec_id, cos FROM scored
             ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_knn_graph": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(a.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / ({_NORM.format(e='a.embedding')}
+                          * {_NORM.format(e='b.embedding')}),
+                     6) AS cos
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (
+              SELECT anchor_id, neighbor_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rk
+              FROM p)
+            SELECT anchor_id, neighbor_id, cos, rk FROM r WHERE rk <= 5
         """,
         "q_contrastive_triplets": f"""
             WITH e AS (SELECT vec_id, embedding, label FROM embeddings),

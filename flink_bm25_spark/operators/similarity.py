@@ -386,6 +386,94 @@ def embedding_near_dup_pairs_incremental(
     return scored, new_keys
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_blocks: int = 8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """``(anchor_id, neighbor_id, cos, rk)`` — the k-nearest-neighbor
+    graph of the embedding table (every vector's top-k by cosine), the
+    substrate for graph-based dedup/clustering (kNN connected
+    components, mutual-kNN pruning, label propagation).
+
+    Exact tier: ordered pairs from the fragment-replicate blocked
+    equi-join (never a nested-loop), then the per-anchor k-cut as a
+    ``row_number <= k`` window — Spark plans WindowGroupLimit, which
+    prunes to k rows per anchor inside each partition BEFORE the sort
+    feeds the window, so the pair relation never materializes a global
+    sort.  At 100 TB pass ``candidates`` (LSH/IVF pairs): the window
+    then ranks only candidate edges — the standard approximate-kNN-graph
+    build.  Deterministic: 6-dp cosine, ties to the smaller neighbor id.
+    """
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    with_n = embeddings.select("vec_id", "embedding").withColumn(
+        "nrm", l2_norm(F.col("embedding"))
+    )
+    if candidates is None:
+        g = num_blocks
+        block_ids = F.array(*[F.lit(i) for i in range(g)])
+        a = with_n.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            (F.col("vec_id") % g).cast("int").alias("bi"),
+            F.explode(block_ids).alias("bj"),
+        )
+        b = with_n.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.explode(block_ids).alias("bi"),
+            (F.col("vec_id") % g).cast("int").alias("bj"),
+        )
+        pairs = a.join(b, ["bi", "bj"]).where(
+            F.col("anchor_id") != F.col("neighbor_id")
+        )
+    else:
+        ordered = candidates.select(
+            F.col("d1").alias("anchor_id"), F.col("d2").alias("neighbor_id")
+        ).unionByName(
+            candidates.select(
+                F.col("d2").alias("anchor_id"),
+                F.col("d1").alias("neighbor_id"),
+            )
+        )
+        av = with_n.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        bv = with_n.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        pairs = ordered.join(av, "anchor_id").join(bv, "neighbor_id")
+    scored = pairs.select(
+        "anchor_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_parts(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def contrastive_triplets(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -744,3 +744,36 @@ def test_late_interaction_plan_is_scan_plus_one_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan  # query folds into literals, no join/fanout
+
+
+def test_knn_graph_shapes_and_symmetric_sanity(spark):
+    from flink_bm25_spark.operators.similarity import cosine_topk, knn_graph
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    out = knn_graph(emb.limit(40), k=3)
+    rows = out.collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert len(by_anchor) == 40
+    for a, nbrs in by_anchor.items():
+        assert sorted(r.rk for r in nbrs) == [1, 2, 3]
+        assert all(r.neighbor_id != a for r in nbrs)
+    # anchor 0's neighbors agree with the single-query brute tier
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    brute = [
+        r.vec_id
+        for r in cosine_topk(emb.limit(40), q, k=3, exclude_id=0).collect()
+    ]
+    mine = [r.neighbor_id for r in sorted(by_anchor[0], key=lambda r: r.rk)]
+    assert mine == brute
+
+
+def test_knn_graph_plan_uses_window_group_limit(spark):
+    from flink_bm25_spark.operators.similarity import knn_graph
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    plan = knn_graph(emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # k-cut pushed below the full sort
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
