@@ -2266,6 +2266,19 @@ def _q_knn_graph(spark, sf_dir):
     return knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
 
 
+def _q_mutual_knn_clusters(spark, sf_dir):
+    # Density clustering from the MUTUAL kNN graph (hub-pruned edges,
+    # components by pointer jumping, singletons kept) — the centroid-free
+    # complement of q_kmeans.
+    from flink_bm25_spark.operators.similarity import mutual_knn_clusters
+
+    return mutual_knn_clusters(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"),
+        k=5,
+        min_cos=0.3,
+    )
+
+
 def _q_contrastive_triplets(spark, sf_dir):
     # Embedding-training data prep: for every anchor, the most-similar
     # same-label vector (positive) and most-similar different-label
@@ -2734,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": _q_bpe_token_count,
         "q_ngram_diversity": _q_ngram_diversity,
         "q_knn_graph": _q_knn_graph,
+        "q_mutual_knn_clusters": _q_mutual_knn_clusters,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -4193,6 +4207,46 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN emb USING (vec_id), q)
             SELECT vec_id, cos FROM scored
             ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_mutual_knn_clusters": f"""
+            WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(a.embedding, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / ({_NORM.format(e='a.embedding')}
+                          * {_NORM.format(e='b.embedding')}),
+                     6) AS cos
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (
+              SELECT anchor_id, neighbor_id, cos,
+                     row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rk
+              FROM p),
+            kn AS (
+              SELECT anchor_id AS a, neighbor_id AS b
+              FROM r WHERE rk <= 5 AND cos >= 0.3),
+            mut AS (
+              SELECT least(a, b) AS d1, greatest(a, b) AS d2
+              FROM kn GROUP BY 1, 2 HAVING count(*) = 2),
+            edges AS (
+              SELECT d1 AS a, d2 AS b FROM mut
+              UNION
+              SELECT d2 AS a, d1 AS b FROM mut),
+            walk(node, reach) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT w.node, g.b FROM walk w JOIN edges g ON w.reach = g.a),
+            comp AS (
+              SELECT node, min(reach) AS component FROM walk GROUP BY node)
+            SELECT e.vec_id,
+                   coalesce(comp.component, e.vec_id) AS cluster,
+                   CAST(count(*) OVER (
+                     PARTITION BY coalesce(comp.component, e.vec_id))
+                     AS BIGINT) AS cluster_size
+            FROM e LEFT JOIN comp ON e.vec_id = comp.node
         """,
         "q_knn_graph": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

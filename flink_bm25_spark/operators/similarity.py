@@ -474,6 +474,61 @@ def knn_graph(
     )
 
 
+def mutual_knn_clusters(
+    embeddings: DataFrame,
+    k: int = 5,
+    min_cos: float = 0.0,
+    num_blocks: int = 8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """``(vec_id, cluster, cluster_size)`` — density-based clustering
+    from the MUTUAL kNN graph: an edge survives only when each endpoint
+    is in the other's top-k (and cos ≥ ``min_cos``); clusters are the
+    connected components of that graph, labeled by their minimum id.
+    Mutuality is the standard hub-pruning step — a hub vector that
+    appears in everyone's top-k but reciprocates none of them chains no
+    clusters together.  Vectors with no mutual edge are singletons
+    (cluster = own id), so the output is a total clustering.
+
+    Plan: :func:`knn_graph` edges (blocked pairs + WindowGroupLimit),
+    mutuality = one groupBy on the canonicalized pair with ``count = 2``
+    (each direction contributes exactly one row), components via the
+    O(log d) pointer-jumping of ``operators/graph.py``.
+    """
+    from flink_bm25_spark.operators.graph import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    edges = knn_graph(embeddings, k, num_blocks, candidates).where(
+        F.col("cos") >= F.lit(min_cos)
+    )
+    canon = edges.select(
+        F.least("anchor_id", "neighbor_id").alias("d1"),
+        F.greatest("anchor_id", "neighbor_id").alias("d2"),
+    )
+    mutual = (
+        canon.groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 2)
+        .select("d1", "d2")
+    )
+    comp = connected_components(mutual)
+    out = (
+        embeddings.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster"),
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    return out.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).cast("long"),
+    )
+
+
 def contrastive_triplets(
     embeddings: DataFrame,
     label_col: str = "label",

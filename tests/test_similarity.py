@@ -777,3 +777,40 @@ def test_knn_graph_plan_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan  # k-cut pushed below the full sort
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mutual_knn_clusters_hand_case(spark):
+    from flink_bm25_spark.operators.similarity import mutual_knn_clusters
+
+    # two tight pairs + a hub that points at everyone but reciprocates
+    # nothing at k=1 + an isolated vector
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # mutual with 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),   # mutual with 2
+        (4, [0.0, 0.0, 1.0]),      # isolated (low cos to all)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in mutual_knn_clusters(df, k=1, min_cos=0.5).collect()}
+    assert len(out) == 5
+    assert out[0].cluster == out[1].cluster == 0 and out[0].cluster_size == 2
+    assert out[2].cluster == out[3].cluster == 2 and out[2].cluster_size == 2
+    assert out[4].cluster == 4 and out[4].cluster_size == 1
+
+
+def test_mutual_knn_hub_does_not_chain(spark):
+    from flink_bm25_spark.operators.similarity import mutual_knn_clusters
+
+    # hub h sits between two tight pairs; with k=1 each pair prefers its
+    # twin, so h's outgoing edges are unreciprocated -> three clusters
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.03]),
+        (10, [0.0, 1.0]), (11, [0.03, 0.999]),
+        (5, [0.7, 0.7]),  # the hub
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in mutual_knn_clusters(df, k=1, min_cos=0.0).collect()}
+    assert out[0] == out[1] and out[10] == out[11]
+    assert out[0] != out[10]
+    assert out[5] not in (out[0], out[10])  # hub stays a singleton
