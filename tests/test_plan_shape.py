@@ -377,7 +377,10 @@ def test_contrastive_triplets_plan_shape(spark):
 
 def test_ann_filtered_pushes_label_to_scan(spark):
     # the attribute constraint must reach the parquet scan (pre-filter),
-    # not evaluate after scoring
+    # not evaluate after scoring.  Other tests may have cached the
+    # embeddings relation (an InMemoryRelation scan reports no
+    # PushedFilters), so pin the assertion to a fresh parquet scan.
+    spark.catalog.clearCache()
     df = QUERIES["q_ann_filtered"](spark, SF_DIR)
     pf = pushed_filters(df)
     assert "EqualTo(label,1)" in pf, pf
