@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
     srch.add_argument("query", help="space-separated terms")
     srch.add_argument("-k", type=int, default=10)
 
+    hyb = sub.add_parser(
+        "hybrid", help="BM25 + dense-cosine search fused by RRF"
+    )
+    hyb.add_argument("--stats", required=True, help="saved BM25 stats dir")
+    hyb.add_argument("--embeddings", required=True,
+                     help="dir with embeddings.parquet (vec_id = doc_id)")
+    hyb.add_argument("--query-vec-id", type=int, required=True,
+                     help="vec_id whose embedding is the dense query")
+    hyb.add_argument("query", help="space-separated terms (lexical half)")
+    hyb.add_argument("-k", type=int, default=10)
+    hyb.add_argument("--pool", type=int, default=20)
+
     cur = sub.add_parser("curate", help="clean/decontaminate/mix/pack")
     cur.add_argument("--input", required=True)
     cur.add_argument("--benchmark", required=True)
@@ -93,6 +105,41 @@ def main(argv: list[str] | None = None) -> int:
             engine = BM25Engine.load(spark, args.stats)
             for r in engine.search(args.query, k=args.k).collect():
                 print(f"{r['rk']}\t{r['doc_id']}\t{r['score']}")
+        elif args.cmd == "hybrid":
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            from flink_bm25_spark.api import BM25Engine  # noqa: PLC0415
+            from flink_bm25_spark.operators.retrieval import (  # noqa: PLC0415
+                hybrid_search,
+            )
+            from flink_bm25_spark.sources.tables import (  # noqa: PLC0415
+                load_embeddings,
+            )
+
+            engine = BM25Engine.load(spark, args.stats)
+            emb = load_embeddings(spark, args.embeddings)
+            row = emb.where(F.col("vec_id") == args.query_vec_id).first()
+            if row is None:
+                print(f"no embedding with vec_id={args.query_vec_id}",
+                      file=sys.stderr)
+                return 2
+            qvec = [float(x) for x in row["embedding"]]
+            from flink_bm25_spark.api import _tokenize_query  # noqa: PLC0415
+
+            fused = hybrid_search(
+                engine.stats.tf,
+                engine.stats.idf_stats,
+                engine.stats.dlen,
+                emb,
+                _tokenize_query(args.query),
+                qvec,
+                k=args.k,
+                pool=args.pool,
+            )
+            for r in fused.collect():
+                print(
+                    f"{r['rk']}\t{r['doc_id']}\t{r['rrf']}\t{r['n_systems']}"
+                )
         elif args.cmd == "curate":
             from flink_bm25_spark.operators.cleaning import (  # noqa: PLC0415
                 curation_pipeline,

@@ -45,6 +45,14 @@ AUDITED = [
         "q_ccnet_buckets",
         "LM relations + tiny rank window; approx twin is Window-free",
     ),
+    (
+        "q_knn_graph",
+        "blocked pairs; WindowGroupLimit pushes the per-anchor k-cut",
+    ),
+    (
+        "q_mutual_knn_clusters",
+        "mutuality = one count=2 groupBy; pointer-jump components",
+    ),
     ("q_dedup_minhash", "wide min-agg signature; banded equi-join; pruned verify"),
     ("q_ann_cosine_topk", "map-side scoring, no shuffle before the top-k heap"),
     ("q_tpch_q1", "decimal partial aggs; scan-level predicate pushdown"),

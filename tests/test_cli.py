@@ -46,3 +46,28 @@ def test_cli_precompute_then_search(tmp_path):
     assert [int(x[0]) for x in rows] == list(range(1, len(rows) + 1))
     scores = [float(x[2]) for x in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_hybrid_search(tmp_path):
+    stats = str(tmp_path / "stats")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(
+        [sys.executable, "-m", "flink_bm25_spark", "precompute",
+         "--input", SF_DIR, "--output", stats],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "flink_bm25_spark", "hybrid",
+         "--stats", stats, "--embeddings", SF_DIR,
+         "--query-vec-id", "0", "spark stream join", "-k", "5"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rows = [ln.split("\t") for ln in r2.stdout.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert [int(x[0]) for x in rows] == list(range(1, len(rows) + 1))
+    # fused scores descend; n_systems is 1 or 2
+    rrf = [float(x[2]) for x in rows]
+    assert rrf == sorted(rrf, reverse=True)
+    assert all(x[3] in ("1", "2") for x in rows)
