@@ -135,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
                 qvec,
                 k=args.k,
                 pool=args.pool,
+                # the query doc itself would otherwise take rank 1 with
+                # cos = 1.0 on the dense side
+                exclude_id=args.query_vec_id,
             )
             for r in fused.collect():
                 print(

@@ -85,6 +85,10 @@ class BM25Engine:
         self.stats.dlen = _write_safe(
             self.stats.dlen, os.path.join(path, "dlen")
         )
+        # idf_stats is a cached_property derived from the PRE-overwrite
+        # df_stats plan; drop it so the next access rebuilds over the
+        # checkpointed relation instead of the deleted part files
+        self.stats.__dict__.pop("idf_stats", None)
         meta = {"n_docs": self.stats.n_docs, "k1": self.k1, "b": self.b}
         spark = self.stats.tf.sparkSession
         spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(

@@ -112,7 +112,8 @@ def kmeans_assign(
     centroids = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
     if not centroids:
         return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
-    return _with_cluster(embeddings.cache(), centroids, vec_col).select(
+    # kmeans_fit already cached this plan; the labeling reuses that entry
+    return _with_cluster(embeddings, centroids, vec_col).select(
         id_col, F.col("cluster").cast("int").alias("cluster")
     )
 

@@ -386,6 +386,73 @@ def embedding_near_dup_pairs_incremental(
     return scored, new_keys
 
 
+def _ordered_vector_pairs(
+    with_n: DataFrame,
+    a_name: str,
+    b_name: str,
+    num_blocks: int = 8,
+    candidates: DataFrame | None = None,
+    carry: tuple[tuple[str, str, str], ...] = (),
+) -> DataFrame:
+    """Every ORDERED pair (a ≠ b) of vectors with per-side embedding/norm
+    bound — the shared pair generator of :func:`knn_graph` and
+    :func:`contrastive_triplets`.  ``with_n`` must carry ``vec_id``,
+    ``embedding``, ``nrm``; ``carry`` lists ``(src_col, a_alias,
+    b_alias)`` extras to replicate per side.
+
+    Exact path: the fragment-replicate blocked equi-join — shuffle
+    O(n·G) rows, per-task (n/G)² work, never a nested-loop join.
+    Candidates path: each (d1, d2) feeds BOTH directions and is
+    ``distinct``-ed first, so duplicate rows from a banded producer
+    (one row per colliding band) cannot eat rank slots or double-count
+    edges downstream.
+    """
+    a_cols = [
+        F.col("vec_id").alias(a_name),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        *[F.col(c).alias(aa) for c, aa, _ in carry],
+    ]
+    b_cols = [
+        F.col("vec_id").alias(b_name),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        *[F.col(c).alias(bb) for c, _, bb in carry],
+    ]
+    if candidates is None:
+        g = num_blocks
+        block_ids = F.array(*[F.lit(i) for i in range(g)])
+        a = with_n.select(
+            *a_cols,
+            (F.col("vec_id") % g).cast("int").alias("bi"),
+            F.explode(block_ids).alias("bj"),
+        )
+        b = with_n.select(
+            *b_cols,
+            F.explode(block_ids).alias("bi"),
+            (F.col("vec_id") % g).cast("int").alias("bj"),
+        )
+        return (
+            a.join(b, ["bi", "bj"])
+            .where(F.col(a_name) != F.col(b_name))
+            .drop("bi", "bj")
+        )
+    ordered = (
+        candidates.select(
+            F.col("d1").alias(a_name), F.col("d2").alias(b_name)
+        )
+        .unionByName(
+            candidates.select(
+                F.col("d2").alias(a_name), F.col("d1").alias(b_name)
+            )
+        )
+        .distinct()
+    )
+    av = with_n.select(*a_cols)
+    bv = with_n.select(*b_cols)
+    return ordered.join(av, a_name).join(bv, b_name)
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 5,
@@ -415,46 +482,9 @@ def knn_graph(
     with_n = embeddings.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm(F.col("embedding"))
     )
-    if candidates is None:
-        g = num_blocks
-        block_ids = F.array(*[F.lit(i) for i in range(g)])
-        a = with_n.select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-            (F.col("vec_id") % g).cast("int").alias("bi"),
-            F.explode(block_ids).alias("bj"),
-        )
-        b = with_n.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-            F.explode(block_ids).alias("bi"),
-            (F.col("vec_id") % g).cast("int").alias("bj"),
-        )
-        pairs = a.join(b, ["bi", "bj"]).where(
-            F.col("anchor_id") != F.col("neighbor_id")
-        )
-    else:
-        ordered = candidates.select(
-            F.col("d1").alias("anchor_id"), F.col("d2").alias("neighbor_id")
-        ).unionByName(
-            candidates.select(
-                F.col("d2").alias("anchor_id"),
-                F.col("d1").alias("neighbor_id"),
-            )
-        )
-        av = with_n.select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        bv = with_n.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        pairs = ordered.join(av, "anchor_id").join(bv, "neighbor_id")
+    pairs = _ordered_vector_pairs(
+        with_n, "anchor_id", "neighbor_id", num_blocks, candidates
+    )
     scored = pairs.select(
         "anchor_id",
         "neighbor_id",
@@ -505,10 +535,14 @@ def mutual_knn_clusters(
     canon = edges.select(
         F.least("anchor_id", "neighbor_id").alias("d1"),
         F.greatest("anchor_id", "neighbor_id").alias("d2"),
+        (F.col("anchor_id") < F.col("neighbor_id")).alias("_dir"),
     )
+    # countDistinct on the direction flag (not count(*)): mutuality means
+    # BOTH orientations exist, and stays correct even if an edge ever
+    # arrives duplicated
     mutual = (
         canon.groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.countDistinct("_dir").alias("_n"))
         .where(F.col("_n") == 2)
         .select("d1", "d2")
     )
@@ -564,52 +598,14 @@ def contrastive_triplets(
     with_n = embeddings.select(
         "vec_id", "embedding", F.col(label_col).alias("_lbl")
     ).withColumn("nrm", l2_norm(F.col("embedding")))
-    if candidates is None:
-        g = num_blocks
-        block_ids = F.array(*[F.lit(i) for i in range(g)])
-        a = with_n.select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-            F.col("_lbl").alias("la"),
-            (F.col("vec_id") % g).cast("int").alias("bi"),
-            F.explode(block_ids).alias("bj"),
-        )
-        b = with_n.select(
-            F.col("vec_id").alias("other"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-            F.col("_lbl").alias("lb"),
-            F.explode(block_ids).alias("bi"),
-            (F.col("vec_id") % g).cast("int").alias("bj"),
-        )
-        pairs = (
-            a.join(b, ["bi", "bj"])
-            .where(F.col("anchor_id") != F.col("other"))
-        )
-    else:
-        # Each candidate pair feeds BOTH directions (either side may be
-        # the anchor); vectors/labels join back on the pair ids.
-        ordered = candidates.select(
-            F.col("d1").alias("anchor_id"), F.col("d2").alias("other")
-        ).unionByName(
-            candidates.select(
-                F.col("d2").alias("anchor_id"), F.col("d1").alias("other")
-            )
-        )
-        av = with_n.select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-            F.col("_lbl").alias("la"),
-        )
-        bv = with_n.select(
-            F.col("vec_id").alias("other"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-            F.col("_lbl").alias("lb"),
-        )
-        pairs = ordered.join(av, "anchor_id").join(bv, "other")
+    pairs = _ordered_vector_pairs(
+        with_n,
+        "anchor_id",
+        "other",
+        num_blocks,
+        candidates,
+        carry=(("_lbl", "la", "lb"),),
+    )
     scored = pairs.select(
         "anchor_id",
         "other",
@@ -803,14 +799,9 @@ def ivf_topk_exact(
     cand = _with_cluster(embeddings, centroids, "embedding").where(
         F.col("cluster").isin(*probe)
     )
-    qcol = F.array(*[F.lit(x) for x in q])
-    scored = cand.select(
-        "vec_id",
-        F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("cos"),
-    )
-    if exclude_id is not None:
-        scored = scored.where(F.col("vec_id") != exclude_id)
-    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    # scoring + deterministic ordering is exactly the brute tier over the
+    # pruned candidate set — one copy of that contract
+    return cosine_topk(cand, q, k=k, exclude_id=exclude_id)
 
 
 def ivf_topk(

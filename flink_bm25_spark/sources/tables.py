@@ -123,7 +123,10 @@ def load_json_quarantine(
     """
     from pyspark.sql.types import StringType, StructType  # noqa: PLC0415
 
-    full = StructType(schema.fields).add(corrupt_col, StringType())
+    # copy the field list — StructType(...) keeps a reference, and .add()
+    # mutates in place, which would append the corrupt column to the
+    # CALLER's schema
+    full = StructType(list(schema.fields)).add(corrupt_col, StringType())
     parsed = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -281,3 +281,20 @@ def test_winnow_screen_incremental_loop(spark, tmp_path):
     assert k2 == {11}  # 10 near-dups the archived doc 1
     k3 = {r.doc_id for r in ws.screen_batch(b3).collect()}
     assert k3 == set()  # matches the dropped doc 10's stored fps
+
+
+def test_engine_save_after_load_same_path_then_search(spark, tmp_path):
+    """Regression: save() back to the load path must invalidate the
+    cached idf_stats plan (it reads the pre-overwrite df files)."""
+    from flink_bm25_spark.api import BM25Engine
+    from flink_bm25_spark.sources.tables import load_documents
+    from tests.conftest import SF_DIR
+
+    p = str(tmp_path / "stats")
+    BM25Engine.fit(load_documents(spark, SF_DIR).limit(50)).save(p)
+
+    eng = BM25Engine.load(spark, p)
+    first = eng.search("spark stream join", k=3).collect()
+    eng.save(p)  # overwrite the very files the cached idf plan reads
+    again = eng.search("spark stream join", k=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]

@@ -814,3 +814,40 @@ def test_mutual_knn_hub_does_not_chain(spark):
     assert out[0] == out[1] and out[10] == out[11]
     assert out[0] != out[10]
     assert out[5] not in (out[0], out[10])  # hub stays a singleton
+
+
+def test_knn_graph_candidates_dedup_and_mutuality_robust(spark):
+    from flink_bm25_spark.operators.similarity import (
+        knn_graph,
+        mutual_knn_clusters,
+    )
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding").limit(20)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    clean = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    # a dirty producer: every pair duplicated AND mirrored
+    dirty = clean * 2 + [(b, a) for a, b in clean]
+    cand_clean = spark.createDataFrame(clean, "d1 long, d2 long")
+    cand_dirty = spark.createDataFrame(dirty, "d1 long, d2 long")
+    want = sorted(
+        (r.anchor_id, r.neighbor_id, r.rk)
+        for r in knn_graph(emb, k=3, candidates=cand_clean).collect()
+    )
+    got = sorted(
+        (r.anchor_id, r.neighbor_id, r.rk)
+        for r in knn_graph(emb, k=3, candidates=cand_dirty).collect()
+    )
+    assert got == want
+    cw = {
+        r.vec_id: r.cluster
+        for r in mutual_knn_clusters(
+            emb, k=3, min_cos=0.2, candidates=cand_clean
+        ).collect()
+    }
+    cg = {
+        r.vec_id: r.cluster
+        for r in mutual_knn_clusters(
+            emb, k=3, min_cos=0.2, candidates=cand_dirty
+        ).collect()
+    }
+    assert cg == cw

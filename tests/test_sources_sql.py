@@ -182,3 +182,20 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert any("not json" in r for r in raws)
     # every input line is accounted for in exactly one lane
     assert good.count() + bad.count() == 4
+
+
+def test_json_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_bm25_spark.sources.tables import load_json_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    load_json_quarantine(spark, str(p), schema)
+    assert len(schema.fields) == 2 and schema.names == ["doc_id", "text"]
+    # a second call with the SAME schema object must behave identically
+    good, bad = load_json_quarantine(spark, str(p), schema)
+    assert good.columns == ["doc_id", "text"] and bad.count() == 1
