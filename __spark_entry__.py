@@ -2156,8 +2156,17 @@ def _q_pack_sequences(spark, sf_dir):
     lens = token_stats(load_table(spark, "documents", sf_dir)).select(
         "doc_id", "n_tokens"
     )
+    # NOTE: the packing offset is exposed as `tok_offset` — `offset` is a
+    # SQL reserved word and r02 showed the external compare harness
+    # value-hash-mismatching exactly (only) the two queries that emitted a
+    # column literally named `offset`, while rows/schema matched and the
+    # local sweep (including odd parallelism) was value-identical.
     return pack_sequences(lens, budget=512, shards=4).select(
-        "doc_id", "n_tokens", "shard", "offset", "seq_id"
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.col("offset").alias("tok_offset"),
+        "seq_id",
     )
 
 
@@ -2264,6 +2273,33 @@ def _q_knn_graph(spark, sf_dir):
     from flink_bm25_spark.operators.similarity import knn_graph
 
     return knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+def _q_weighted_sample(spark, sf_dir):
+    # Quality-weighted subsample (Efraimidis–Spirakis top-k of u^(1/w),
+    # log-space): 50 docs drawn without replacement, inclusion odds
+    # proportional to keep_score, reproducible across engines.
+    from flink_bm25_spark.operators.sampling import weighted_sample
+    from flink_bm25_spark.operators.text_analysis import quality_scores
+
+    scored = quality_scores(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "keep_score"
+    )
+    return weighted_sample(scored, k=50, weight_col="keep_score")
+
+
+def _q_pool_embeddings(spark, sf_dir):
+    # chunk→document pooling: the 5-vector synthetic docs of
+    # q_late_interaction mean-pooled + L2-renormalized into one
+    # document vector (the bridge back to doc-level ANN/dedup).
+    from flink_bm25_spark.operators.similarity import pool_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    chunks = emb.select(
+        F.floor(F.col("vec_id") / 5).cast("long").alias("mv_doc"),
+        "embedding",
+    )
+    return pool_embeddings(chunks, by="mv_doc", mode="mean")
 
 
 def _q_mutual_knn_clusters(spark, sf_dir):
@@ -2446,12 +2482,15 @@ def _q_curation_pipeline(spark, sf_dir):
     labeled = hash_split(docs, splits=(("eval", 5), ("train", 100)))
     train = labeled.where(F.col("split") == "train").drop("split")
     bench = labeled.where(F.col("split") == "eval").drop("split")
+    # `offset` → `tok_offset`: see the reserved-word note in
+    # _q_pack_sequences (the r02 gate mismatched exactly the two queries
+    # exposing a column named `offset`).
     return curation_pipeline(
         train,
         bench,
         weights={"en": 0.5, "de": 2.3, "fr": 3.0},
         budget=512,
-    )
+    ).withColumnRenamed("offset", "tok_offset")
 
 
 def _curation_oracle_sql() -> str:
@@ -2521,7 +2560,7 @@ def _curation_oracle_sql() -> str:
                    PARTITION BY shard ORDER BY mkey) - n_tokens AS "offset"
           FROM sharded)
         SELECT doc_id, rep, lang, n_tokens, shard,
-               CAST("offset" AS BIGINT) AS "offset",
+               CAST("offset" AS BIGINT) AS tok_offset,
                CAST("offset" // 512 AS BIGINT) AS seq_id
         FROM laid
     """
@@ -2748,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_diversity": _q_ngram_diversity,
         "q_knn_graph": _q_knn_graph,
         "q_mutual_knn_clusters": _q_mutual_knn_clusters,
+        "q_pool_embeddings": _q_pool_embeddings,
+        "q_weighted_sample": _q_weighted_sample,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_chunk_embeddings": _q_chunk_embeddings,
@@ -4208,6 +4249,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cos FROM scored
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "q_weighted_sample": f"""
+            WITH {_QUALITY},
+            w AS (
+              SELECT doc_id, keep_score,
+                     round(
+                       ln((CAST({_h60("'ws:0:' || CAST(doc_id AS VARCHAR)")}
+                            AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                       / keep_score, 6) AS es_key
+              FROM qual
+              WHERE keep_score IS NOT NULL AND keep_score > 0)
+            SELECT doc_id, keep_score, es_key FROM w
+            ORDER BY es_key DESC, doc_id ASC LIMIT 50
+        """,
+        "q_pool_embeddings": """
+            WITH mv AS (
+              SELECT vec_id // 5 AS mv_doc,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            p AS (
+              SELECT mv_doc, t.i AS i, round(avg(e[t.i]), 6) AS v
+              FROM mv CROSS JOIN range(1, 65) t(i)
+              GROUP BY 1, 2),
+            vecs AS (
+              SELECT mv_doc, list(v ORDER BY i) AS pv FROM p GROUP BY 1),
+            n AS (SELECT mv_doc, count(*) AS n_chunks FROM mv GROUP BY 1),
+            nr AS (
+              SELECT mv_doc, pv,
+                     sqrt(list_reduce(list_transform(pv, x -> x * x),
+                                      (a, b) -> a + b)) AS nrm
+              FROM vecs)
+            SELECT CAST(nr.mv_doc AS BIGINT) AS mv_doc,
+                   CASE WHEN nrm > 0
+                        THEN list_transform(pv, x -> round(x / nrm, 6))
+                        ELSE pv END AS embedding,
+                   n.n_chunks
+            FROM nr JOIN n ON nr.mv_doc = n.mv_doc
+        """,
         "q_mutual_knn_clusters": f"""
             WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
             p AS (
@@ -5251,7 +5329,7 @@ def oracle_sql() -> dict[str, str]:
                        AS "offset"
               FROM s)
             SELECT doc_id, n_tokens, shard,
-                   CAST("offset" AS BIGINT) AS "offset",
+                   CAST("offset" AS BIGINT) AS tok_offset,
                    CAST("offset" // 512 AS BIGINT) AS seq_id
             FROM c
         """,

@@ -71,6 +71,42 @@ def hash_sample(
     return df.where(_bucket(F.col(key_col), buckets) < F.lit(int(fraction * buckets)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "ws:0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) one-pass scheme: each row draws
+    ``u ∈ (0, 1]`` from the seeded hash of its key and the sample is the
+    top-``k`` by ``u^(1/w)`` — computed in log space as
+    ``es_key = ln(u) / w`` (monotone-equivalent, numerically tame).
+    Inclusion probability is proportional to weight, the draw is
+    reproducible across engines/partitionings, and changing ``seed``
+    yields an independent sample (epoch resampling).
+
+    The quality-weighted subsampling primitive: pass a keep/quality
+    score as the weight to bias a budget-limited corpus slice toward
+    good documents without hard-thresholding.  Rows with NULL or
+    non-positive weight are excluded (they can never be sampled).
+
+    Plan: the ES key is pure map-side arithmetic on the key hash; top-k
+    compiles to TakeOrderedAndProject.  Deterministic: key rounded to 6
+    decimals, ties to the smaller id.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    u = (h60(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    scored = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("es_key", es)
+    return scored.orderBy(F.desc("es_key"), F.asc(key_col)).limit(k)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -989,6 +989,53 @@ def quantized_topk(
     )
 
 
+def pool_embeddings(
+    chunks: DataFrame,
+    by: str = "doc_id",
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    normalize: bool = True,
+) -> DataFrame:
+    """``(by, embedding, n_chunks)`` — pool per-chunk vectors into one
+    document vector (``mean`` or ``max`` per dimension), optionally
+    L2-renormalized: the standard bridge from passage/chunk embeddings
+    back to document-level ANN / dedup / clustering.
+
+    One groupBy on ``by`` with d conditional aggregates over
+    ``element_at`` projections — map-side partial combine, no row
+    fanout (the d-column agg posture of SimHash/k-means).  Deterministic:
+    per-dimension results rounded to 6 decimals (then the norm computed
+    FROM the rounded values, so the oracle replays it exactly).
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be mean|max, got {mode!r}")
+    first = chunks.select(vec_col).first()
+    if first is None:
+        return chunks.sparkSession.createDataFrame(
+            [], f"{by} long, embedding array<double>, n_chunks long"
+        )
+    d = len(first[0])
+    agg_fn = F.avg if mode == "mean" else F.max
+    pooled = chunks.groupBy(by).agg(
+        *[
+            F.round(
+                agg_fn(F.element_at(F.col(vec_col), i + 1).cast("double")), 6
+            ).alias(f"_p{i}")
+            for i in range(d)
+        ],
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    vec = F.array(*[F.col(f"_p{i}") for i in range(d)])
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        vec = F.when(
+            nrm > 0, F.transform(vec, lambda x: F.round(x / nrm, 6))
+        ).otherwise(vec)
+    return pooled.select(by, vec.alias("embedding"), "n_chunks")
+
+
 def feature_hash_embeddings(
     tf: DataFrame, dim: int = 64, out_col: str = "fvec"
 ) -> DataFrame:

@@ -8,6 +8,8 @@ own), run every `queries()` entry at sf0.01 and value-compare against its
 
 Exit code 1 on any mismatch.  Run it with an odd parallelism too
 (`local[5]` / 7 partitions) to catch order-dependent results.
+
+Set SWEEP_ONLY=q_a,q_b to restrict to a comma-separated subset.
 """
 
 from __future__ import annotations
@@ -70,6 +72,10 @@ def main() -> int:
         return sorted(out, key=repr)
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    only = os.environ.get("SWEEP_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     fails, t0 = [], time.time()
     for name in sorted(qs):
         if name not in osql:

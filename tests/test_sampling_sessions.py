@@ -399,3 +399,36 @@ def test_stratified_topk_sample_stability(spark):
     # a group smaller than k returns the whole group
     tiny = spark.createDataFrame([(1, "z"), (2, "z")], df.schema)
     assert stratified_topk_sample(tiny, 5).count() == 2
+
+
+def test_weighted_sample_bias_determinism_and_exclusions(spark):
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.sampling import weighted_sample
+
+    # 200 heavy (w=50) + 200 light (w=1) + zero/null-weight rows
+    rows = (
+        [(i, 50.0) for i in range(200)]
+        + [(1000 + i, 1.0) for i in range(200)]
+        + [(9001, 0.0), (9002, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, k=100, weight_col="w")
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    assert 9001 not in ids and 9002 not in ids
+    heavy = sum(1 for i in ids if i < 1000)
+    # w=50 vs w=1 at 50/50 population: the heavy class must dominate
+    assert heavy >= 80, heavy
+    # reproducible; a different seed gives a different draw
+    again = [r.doc_id for r in weighted_sample(df, k=100, weight_col="w").collect()]
+    assert again == ids
+    other = [
+        r.doc_id
+        for r in weighted_sample(df, k=100, weight_col="w", seed="ws:1").collect()
+    ]
+    assert other != ids
+    # plan: distributed top-k, no global window
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    _ = F  # imported for symmetry with sibling tests

@@ -851,3 +851,35 @@ def test_knn_graph_candidates_dedup_and_mutuality_robust(spark):
         ).collect()
     }
     assert cg == cw
+
+
+def test_pool_embeddings_modes_and_norm(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        (1, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [2.0, 2.0]),
+        (3, [0.0, 0.0]),  # zero vector stays unnormalized
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    mean = {r.doc_id: r for r in pool_embeddings(df, mode="mean").collect()}
+    assert mean[1].n_chunks == 2
+    # mean (0.5, 0.5) renormalized -> (~0.707107, ~0.707107)
+    assert all(abs(x - round(1 / math.sqrt(2), 6)) < 1e-6 for x in mean[1].embedding)
+    assert all(abs(x - round(1 / math.sqrt(2), 6)) < 1e-6 for x in mean[2].embedding)
+    assert list(mean[3].embedding) == [0.0, 0.0]
+    mx = {r.doc_id: r for r in pool_embeddings(df, mode="max", normalize=False).collect()}
+    assert list(mx[1].embedding) == [1.0, 1.0]
+    assert list(mx[2].embedding) == [2.0, 2.0]
+    # pooled vectors feed the ANN tier directly
+    from flink_bm25_spark.operators.similarity import cosine_topk
+
+    pooled = pool_embeddings(df, mode="mean").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = cosine_topk(pooled, [1.0, 1.0], k=2).collect()
+    assert len(top) == 2 and top[0].cos >= top[1].cos
