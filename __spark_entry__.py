@@ -1994,10 +1994,40 @@ def _q_tpch_q9(spark, sf_dir):
     return q9_product_profit(spark, sf_dir)
 
 
+def _q_tpch_q4(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q4_order_priority
+
+    return q4_order_priority(spark, sf_dir)
+
+
+def _q_tpch_q6(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q6_forecast_revenue
+
+    return q6_forecast_revenue(spark, sf_dir)
+
+
 def _q_tpch_q10(spark, sf_dir):
     from flink_bm25_spark.plans.tpch import q10_returned_items
 
     return q10_returned_items(spark, sf_dir)
+
+
+def _q_tpch_q14(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q14_promotion_effect
+
+    return q14_promotion_effect(spark, sf_dir)
+
+
+def _q_tpch_q17(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(spark, sf_dir)
+
+
+def _q_tpch_q19(spark, sf_dir):
+    from flink_bm25_spark.plans.tpch import q19_discounted_revenue
+
+    return q19_discounted_revenue(spark, sf_dir)
 
 
 def _q_tpch_q13(spark, sf_dir):
@@ -2843,12 +2873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_history": _q_scd2_history,
         "q_cdc_apply": _q_cdc_apply,
         "q_tpch_q3": _q_tpch_q3,
+        "q_tpch_q4": _q_tpch_q4,
         "q_tpch_q5": _q_tpch_q5,
+        "q_tpch_q6": _q_tpch_q6,
         "q_tpch_q7": _q_tpch_q7,
         "q_tpch_q8": _q_tpch_q8,
         "q_tpch_q9": _q_tpch_q9,
         "q_tpch_q10": _q_tpch_q10,
         "q_tpch_q13": _q_tpch_q13,
+        "q_tpch_q14": _q_tpch_q14,
         "q_tpch_q15": _q_tpch_q15,
         "q_tpch_q18": _q_tpch_q18,
         "q_tpch_q21": _q_tpch_q21,
@@ -2857,6 +2890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11": _q_tpch_q11,
         "q_tpch_q12": _q_tpch_q12,
         "q_tpch_q16": _q_tpch_q16,
+        "q_tpch_q17": _q_tpch_q17,
+        "q_tpch_q19": _q_tpch_q19,
         "q_tpch_q20": _q_tpch_q20,
         "q_bpe_pair_counts": _q_bpe_pair_counts,
         "q_decontam_bloom": _q_decontam_bloom,
@@ -4872,6 +4907,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
         """,
+        "q_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_tpch_q6": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(l_discount AS DECIMAL(4,2)))
+                         AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.05
+              AND l_quantity < 24
+        """,
         "q_tpch_q5": f"""
             SELECT n_name,
                    round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
@@ -5079,6 +5135,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "q_tpch_q14": f"""
+            SELECT round(100.0
+                     * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END)
+                            AS DOUBLE)
+                     / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate <  TIMESTAMP '1996-10-01'
+        """,
+        "q_tpch_q17": """
+            WITH pt AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+            li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                   FROM lineitem JOIN pt ON l_partkey = p_partkey),
+            caps AS (SELECT l_partkey AS ck,
+                            0.2 * sum(l_quantity) / count(*) AS cap
+                     FROM li GROUP BY 1)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                              AS DOUBLE) / 7.0, 6) AS avg_yearly
+            FROM li JOIN caps ON l_partkey = ck
+            WHERE l_quantity < cap
+        """,
+        "q_tpch_q19": f"""
+            SELECT round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q_tpch_q16": """
             WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)

@@ -680,3 +680,216 @@ def q20_dominant_suppliers(
         .select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+def q4_order_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 (adapted: the fixture has no commit/receipt dates, so a
+    "late" order is one with any line shipped > ``late_days`` after the
+    order date — the module's Q21 lateness convention) — how many orders
+    of one quarter had at least one late line, by priority.
+
+    Scale posture: the EXISTS is ONE left-semi join — the quarter filter
+    prunes orders *before* the shuffle, lineitem carries only
+    ``(l_orderkey, l_shipdate)``, and the semi form never fans out
+    however many lines match.  Per-priority count is a 5-group agg.
+    """
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where((F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.05,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 — revenue that would have been kept had small-quantity
+    discounts in a band been dropped for one year: a pure scan
+    filter-aggregate, the canonical predicate-pushdown showcase.
+
+    Scale posture: NO shuffle at all — every predicate reaches the
+    parquet scan (``PushedFilters`` on shipdate/discount/quantity), only
+    two columns are read beyond them, and the single-row sum is a
+    partial-agg + one-row final.  The discount band compares the stored
+    doubles against the same double literals on both engines, so no
+    boundary row can flip.
+    """
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= date_lo)
+        & (F.col("l_shipdate") < date_hi)
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.round(
+            F.sum(_price() * _pct("l_discount")).cast("double"), 6
+        ).alias("revenue")
+    )
+
+
+def q14_promotion_effect(
+    spark: SparkSession,
+    sf_dir: str,
+    date_lo: str = "1996-09-01",
+    date_hi: str = "1996-10-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 (adapted: the fixture's ``p_type`` is a single word, so
+    the spec's ``LIKE 'PROMO%'`` is an equality on ``'PROMO'``) — the
+    percent of one month's revenue from promotional parts.
+
+    Scale posture: the month filter prunes lineitem before its only
+    join; ``part`` is projected to two columns and carries NO hint —
+    it scales with SF, so AQE broadcasts it while it fits and falls back
+    to a shuffled join when it doesn't.  Both sums share one aggregate
+    (conditional numerator), division happens once in double on the
+    2-row-free final — the Q8 share pattern.
+    """
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where((F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == promo_type, _revenue()).otherwise(zero)
+            ).alias("_promo"),
+            F.sum(_revenue()).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    brand: str = "Brand#3",
+    ptype: str = "SMALL",
+) -> DataFrame:
+    """TPC-H Q17 (adapted: ``p_container`` → ``p_type``) — yearly revenue
+    lost if orders below 20% of a part's average quantity were no longer
+    taken, over one brand+type slice.
+
+    Scale posture: the correlated scalar subquery is decorrelated by
+    hand — filter ``part`` FIRST (tiny slice, no hint: AQE broadcasts
+    it), join lineitem once, and derive each part's quantity cap with a
+    per-part aggregate joined back.  The cap is exact: quantities are
+    whole numbers, so ``sum`` is order-independent in double and
+    ``0.2 · sum / count`` is one deterministic division per part.  The
+    big table crosses the network once (twice counting the cap probe,
+    both on the same key — co-partitioned by AQE).
+    """
+    pslice = (
+        load_table(spark, "part", sf_dir)
+        .where((F.col("p_brand") == brand) & (F.col("p_type") == ptype))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pslice, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    caps = li.groupBy(F.col("l_partkey").alias("_ck")).agg(
+        (F.lit(0.2) * F.sum("l_quantity") / F.count(F.lit(1))).alias("_cap")
+    )
+    return (
+        li.join(caps, F.col("l_partkey") == F.col("_ck"))
+        .where(F.col("l_quantity") < F.col("_cap"))
+        .agg(
+            F.round(
+                F.sum(_price()).cast("double") / F.lit(7.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q19_discounted_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """TPC-H Q19 (adapted: ``p_container``/shipmode clauses → ``p_size``
+    bands, which the fixture has) — revenue from three disjunctive
+    brand × size × quantity slices.
+
+    Scale posture: the part-only half of each disjunct is factored OUT
+    by hand and applied before the join — OR-factorization across
+    disjuncts is exactly the rewrite Catalyst does not derive, and
+    without it every part row survives to the join.  The factored slice
+    is tiny and unhinted (AQE broadcasts it); the mixed predicate then
+    runs post-join on the survivors only.
+    """
+    branches = [
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#4", 1, 15, 20.0, 30.0),
+    ]
+    p_only = None
+    for b, slo, shi, _, _ in branches:
+        leg = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+        )
+        p_only = leg if p_only is None else (p_only | leg)
+    part = (
+        load_table(spark, "part", sf_dir)
+        .where(p_only)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    full = None
+    for b, slo, shi, qlo, qhi in branches:
+        leg = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        full = leg if full is None else (full | leg)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(full)
+        .agg(F.round(F.sum(_revenue()).cast("double"), 6).alias("revenue"))
+    )

@@ -175,6 +175,36 @@ def test_tpch_q18_aggregates_before_joining(spark):
     assert count_exchanges(QUERIES["q_tpch_q18"](spark, SF_DIR)) <= 2
 
 
+def test_tpch_q4_exists_is_semi_join(spark):
+    # The EXISTS must be ONE semi join (no fan-out on multi-line orders)
+    # with the quarter filter below it.
+    plan = explain_str(QUERIES["q_tpch_q4"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_is_pure_scan_aggregate(spark):
+    # Q6 is the pushdown showcase: no join anywhere, every predicate at
+    # the parquet scan, and the only exchange is the single-row final agg.
+    df = QUERIES["q_tpch_q6"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull" in plan and "l_shipdate" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_tpch_q14_q17_q19_join_shapes(spark):
+    # Q14/Q19: one hash join against the (pre-filtered) part side, never
+    # a nested loop.  Q19's part-only disjunction must be factored below
+    # the join — the part scan carries the brand pushdown.
+    for key in ("q_tpch_q14", "q_tpch_q17", "q_tpch_q19"):
+        plan = explain_str(QUERIES[key](spark, SF_DIR), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+    plan = explain_str(QUERIES["q_tpch_q19"](spark, SF_DIR), "formatted")
+    assert "p_brand" in plan.split("Join")[-1] or "In(p_brand" in plan
+
+
 def test_tpch_q2_correlated_min_is_one_window(spark):
     # The spec's correlated min-cost subquery must become a window min
     # inside the partkey partition — no decorrelated self-join of the
