@@ -106,15 +106,25 @@ def kmeans_assign(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Cluster assignment ``(id_col, cluster)`` after ``iterations``
-    Lloyd rounds from the deterministic init."""
+    Lloyd rounds from the deterministic init.
+
+    ``keep_vector=True`` carries ``vec_col`` through — the labeling is
+    map-side, so downstream consumers that need (vector, cluster)
+    together (SemDeDup pairing, silhouette scoring) must NOT re-join the
+    assignment back onto the embedding relation: that join is a full
+    shuffle of the widest column in the pipeline for data the label
+    expression never dropped.
+    """
     centroids = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    cols = [id_col, vec_col] if keep_vector else [id_col]
     if not centroids:
-        return embeddings.select(id_col, F.lit(0).alias("cluster")).limit(0)
+        return embeddings.select(*cols, F.lit(0).alias("cluster")).limit(0)
     # kmeans_fit already cached this plan; the labeling reuses that entry
     return _with_cluster(embeddings, centroids, vec_col).select(
-        id_col, F.col("cluster").cast("int").alias("cluster")
+        *cols, F.col("cluster").cast("int").alias("cluster")
     )
 
 
@@ -144,8 +154,11 @@ def simplified_silhouette(
     rounds), so the oracle replays bit-for-bit.  Single-cluster inputs
     score 0 (undefined b) rather than erroring.
     """
-    assigned = kmeans_assign(embeddings, k, iterations, id_col, vec_col)
-    joined = embeddings.join(assigned, id_col)
+    # keep_vector: the label is map-side codegen — joining the assignment
+    # back onto `embeddings` would shuffle the whole vector column twice.
+    joined = kmeans_assign(
+        embeddings, k, iterations, id_col, vec_col, keep_vector=True
+    )
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(

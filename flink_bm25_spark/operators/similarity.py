@@ -663,15 +663,15 @@ def semantic_dedup_pairs(
     )
     from flink_bm25_spark.operators.kmeans import kmeans_assign  # noqa: PLC0415
 
-    assigned = kmeans_assign(embeddings, k=k, iterations=iterations)
+    # keep_vector: assignment is map-side codegen, so carrying the vector
+    # through costs nothing — re-joining it back on vec_id would shuffle
+    # the embedding relation once per side for data never dropped.
     # Norms are per-VECTOR, not per-pair: bind them map-side before the
     # pair join so each pair evaluates one O(d) dot instead of three
     # (same double arithmetic, so oracle parity is unchanged).
-    emb_c = (
-        embeddings.select("vec_id", "embedding")
-        .join(assigned, "vec_id")
-        .withColumn("nrm", l2_norm(F.col("embedding")))
-    )
+    emb_c = kmeans_assign(
+        embeddings, k=k, iterations=iterations, keep_vector=True
+    ).withColumn("nrm", l2_norm(F.col("embedding")))
     a = emb_c.select(
         "cluster",
         F.col("vec_id").alias("d1"),

@@ -275,6 +275,20 @@ def test_kmeans_assignment_is_map_side(spark):
     assert "Join" not in plan
 
 
+def test_semantic_dedup_assignment_not_rejoined(spark):
+    # Cluster labels are map-side centroid literals carried WITH the
+    # vector (kmeans_assign keep_vector=True): the only join in the plan
+    # is the within-cluster pairing on `cluster` — a re-join of the
+    # assignment onto the embedding relation (a full shuffle of the
+    # widest column for data the labeler never dropped) must not appear.
+    df = QUERIES["q_semantic_dedup"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "vec_id#" not in plan.split("Join")[1].split("\n")[0], (
+        "pairing join keys on vec_id — assignment was re-joined"
+    )
+    assert count_exchanges(df) <= 1  # at most the cluster-key exchange
+
+
 def test_embed_near_dup_no_nested_loop(spark):
     # Exact all-pairs runs as a BLOCKED theta-join: a two-column hash
     # equi-join on block keys, never a BroadcastNestedLoopJoin or
