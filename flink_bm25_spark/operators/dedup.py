@@ -1035,16 +1035,22 @@ def winnowing_dedup_pairs(
     bucket — so they are pruned BEFORE the self-join, bounding every
     bucket at ``max_fp_doc_freq²``.
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     fps = winnowing_fingerprints(documents, k=k, w=w).select(
         "doc_id", "fp"
     ).distinct()
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # df-cap via a window count on the SAME fp partitioning the self-join
+    # needs — one pass over the fingerprint relation.  A groupBy+join-back
+    # would reference `fps` twice, and the whole per-document winnowing
+    # pipeline (md5 per gram) is re-derived once per reference.
+    pruned = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .where(F.col("_df") <= F.lit(max_fp_doc_freq))
-        .select("fp")
+        .select("doc_id", "fp")
     )
-    pruned = fps.join(rare, "fp")
     a = pruned.select(F.col("doc_id").alias("d1"), "fp")
     b = pruned.select(F.col("doc_id").alias("d2"), "fp")
     return (
@@ -1079,10 +1085,14 @@ def winnowing_pairs_incremental(
     rebuild.  Equals :func:`winnowing_dedup_pairs` over the union,
     restricted to pairs touching the batch (pinned by test).
     """
+    # Referenced three times (a leg, the union feeding rare + b leg);
+    # batch-sized, so cache it rather than re-fingerprint the batch per
+    # reference (LRU-evicted, same policy as the other stage checkpoints).
     new_fps = (
         winnowing_fingerprints(new_documents, k=k, w=w)
         .select("doc_id", "fp")
         .distinct()
+        .cache()
     )
     all_fps = old_fps.select("doc_id", "fp").unionByName(new_fps)
     rare = (
@@ -1145,7 +1155,15 @@ def winnowing_shared_spans(
     the pair docs before the fp join, so cost is O(candidate docs), not
     O(corpus); the fp join itself inherits winnowing's ~2/(w+1) sample
     rate.
+
+    ``pairs`` is referenced three times (candidate set + the final pair
+    semi-join) and is typically itself a full discovery plan
+    (:func:`winnowing_dedup_pairs`); it is duplicate-fraction-sized, so
+    it is cached here — the thin stage-checkpoint pattern of
+    ``clean_corpus`` — as is the candidate-pruned fingerprint relation
+    the two join legs share.
     """
+    pairs = pairs.select("d1", "d2").cache()
     cand = (
         pairs.select(F.col("d1").alias("doc_id"))
         .unionByName(pairs.select(F.col("d2").alias("doc_id")))
@@ -1153,7 +1171,7 @@ def winnowing_shared_spans(
     )
     fps = winnowing_fingerprints(
         documents.join(cand, "doc_id", "left_semi"), k=k, w=w
-    )
+    ).cache()
     a = fps.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"), "fp"
     )
