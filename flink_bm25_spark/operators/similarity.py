@@ -102,7 +102,9 @@ def embedding_near_dup_pairs(
         F.explode(block_ids).alias("bi"),
         (F.col("vec_id") % g).cast("int").alias("bj"),
     )
-    pairs = a.join(b, ["bi", "bj"]).where(F.col("d1") < F.col("d2"))
+    pairs = _spread(a, "bi", "bj").join(
+        _spread(b, "bi", "bj"), ["bi", "bj"]
+    ).where(F.col("d1") < F.col("d2"))
     scored = pairs.select(
         "d1",
         "d2",
@@ -113,6 +115,22 @@ def embedding_near_dup_pairs(
         ).alias("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
+
+
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash repartition of a pair-join leg on its join keys.
+
+    The blocked pair generators have TINY join inputs (n·G rows of a few
+    hundred bytes) but quadratic join OUTPUT compute — AQE's coalescing
+    sizes the stage by input bytes, collapses it to one or two tasks,
+    and the (n/G)² cosine work runs effectively single-threaded
+    (measured 3.9 s → 0.9 s on the SemDeDup pairing when pinned).  A
+    user-specified partition COUNT is exempt from AQE coalescing, so
+    this pins the pair stage at ``defaultParallelism`` tasks; the join
+    reuses the partitioning, adding no extra exchange.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *keys)
 
 
 def sparse_plane(p: int, dim: int = 64, nnz: int = 8) -> list[tuple[int, int]]:
@@ -433,7 +451,8 @@ def _ordered_vector_pairs(
             (F.col("vec_id") % g).cast("int").alias("bj"),
         )
         return (
-            a.join(b, ["bi", "bj"])
+            _spread(a, "bi", "bj")
+            .join(_spread(b, "bi", "bj"), ["bi", "bj"])
             .where(F.col(a_name) != F.col(b_name))
             .drop("bi", "bj")
         )
@@ -638,6 +657,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.45,
     k: int = 4,
     iterations: int = 2,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """``(cluster, d1, d2, cos)`` — SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then find
@@ -646,12 +666,17 @@ def semantic_dedup_pairs(
     pairwise work stays constant as the corpus grows, which is exactly
     why SemDeDup scales where all-pairs cosine cannot.
 
-    Plan shape: the within-cluster pairing is a plain shuffled equi-join
-    on ``cluster`` (never a cartesian/BroadcastNestedLoop), and the
-    k-means assignment itself is map-side codegen (centroids are k×d
-    literals — see ``operators/kmeans.py``).  Deterministic end-to-end:
-    fixed lowest-id init, 6-dp rounded distances/means/cosines, so the
-    DuckDB oracle replays the identical pair set.
+    Plan shape: the within-cluster pairing is an equi-join on
+    ``(cluster, block-grid)`` (never a cartesian/BroadcastNestedLoop),
+    and the k-means assignment itself is map-side codegen (centroids are
+    k×d literals — see ``operators/kmeans.py``).  A join on ``cluster``
+    alone has only k distinct keys — parallelism would be capped at k
+    tasks however many cores exist — so each side is fragment-replicated
+    ``num_blocks`` ways inside its cluster: pair {x, y} meets in exactly
+    the grid cell ``(x % G, y % G)``, giving k·G² independent tasks for
+    G× shuffle volume.  Deterministic end-to-end: fixed lowest-id init,
+    6-dp rounded distances/means/cosines, so the DuckDB oracle replays
+    the identical pair set.
 
     At 100 TB: raise ``k`` so clusters stay ~10³–10⁴ vectors; cluster
     sizes are observable via ``kmeans.cluster_sizes`` and a skewed
@@ -672,19 +697,30 @@ def semantic_dedup_pairs(
     emb_c = kmeans_assign(
         embeddings, k=k, iterations=iterations, keep_vector=True
     ).withColumn("nrm", l2_norm(F.col("embedding")))
+    g = max(1, num_blocks)
+    block_ids = F.array(*[F.lit(i) for i in range(g)])
     a = emb_c.select(
         "cluster",
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
+        (F.col("vec_id") % g).cast("int").alias("bi"),
+        F.explode(block_ids).alias("bj"),
     )
     b = emb_c.select(
         "cluster",
         F.col("vec_id").alias("d2"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
+        F.explode(block_ids).alias("bi"),
+        (F.col("vec_id") % g).cast("int").alias("bj"),
     )
-    pairs = a.join(b, "cluster").where(F.col("d1") < F.col("d2"))
+    pairs = (
+        _spread(a, "cluster", "bi", "bj")
+        .join(_spread(b, "cluster", "bi", "bj"), ["cluster", "bi", "bj"])
+        .where(F.col("d1") < F.col("d2"))
+        .drop("bi", "bj")
+    )
     return pairs.select(
         "cluster",
         "d1",

@@ -286,7 +286,11 @@ def test_semantic_dedup_assignment_not_rejoined(spark):
     assert "vec_id#" not in plan.split("Join")[1].split("\n")[0], (
         "pairing join keys on vec_id — assignment was re-joined"
     )
-    assert count_exchanges(df) <= 1  # at most the cluster-key exchange
+    # exactly the two INTENTIONAL leg repartitions (hashpartitioning on
+    # the cluster+block grid, pinned against AQE coalescing); the join
+    # reuses them, so no further exchange may appear.
+    assert count_exchanges(df) <= 2
+    assert plan.count("hashpartitioning(cluster") == 2
 
 
 def test_embed_near_dup_no_nested_loop(spark):
