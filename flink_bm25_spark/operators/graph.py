@@ -61,13 +61,17 @@ def connected_components(
         jump = merged.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
+        # LAZY checkpoint: the convergence scalar right below is the
+        # round's only action — it materializes the checkpoint as a side
+        # effect, so each round costs ONE Spark job, not an eager
+        # checkpoint job plus the agg.
         labels = (
             merged.join(jump, merged["component"] == jump["jnode"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # labels only ever decrease => their sum strictly decreases until
         # the fixpoint; a scalar comparison replaces a change-count join

@@ -72,17 +72,17 @@ def kmeans_fit(
     return the final centroids (k×d Python floats — the model IS the
     literal set the assignment expression compiles in).  Empty input
     returns ``[]``."""
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        return []
-    d = len(first[0])
-
     # Each Lloyd round re-reads the embedding relation (assignment agg +
     # the final labeling): cache it for the run.  Left to LRU eviction,
     # same policy as the dedup stage checkpoints.
     embeddings = embeddings.cache()
 
+    # The init collect doubles as the emptiness probe and supplies d —
+    # one Spark job, not a separate first() plus the collect.
     init_rows = embeddings.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        return []
+    d = len(init_rows[0][vec_col])
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
     for _ in range(iterations):
