@@ -35,11 +35,13 @@ def connected_components(
     pair graph — a deterministic canonical id.
     """
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Lazy: the first round's propagate join materializes it — no
+    # standalone checkpoint job.
     sym = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
