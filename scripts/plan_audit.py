@@ -76,7 +76,7 @@ AUDITED = [
     ("q_embed_quantize", "pure map-side higher-order exprs — zero shuffles"),
     (
         "q_semantic_dedup",
-        "cluster equi-join bounds the pair space; per-vector norms map-side",
+        "cluster+block-grid equi-join (kG² tasks, AQE-coalesce-pinned); norms map-side",
     ),
     (
         "q_remove_dup_spans",
@@ -87,8 +87,13 @@ AUDITED = [
     ("q_cms_sketch", "4x256 exact counters; weighted build, no row re-expansion"),
     ("q_phrase_search", "postings pre-filtered to phrase terms before the position join"),
     ("q_repetition_scores", "bigram metrics map-side; top-word via O(tokens) TF shuffle"),
+    ("q_tpch_q4", "EXISTS as one left-semi; quarter filter below the shuffle"),
     ("q_tpch_q5", "region/nation/supplier broadcast; ONE fact-fact shuffle chain"),
+    ("q_tpch_q6", "pure scan-agg: all predicates pushed to parquet, no join"),
     ("q_tpch_q10", "returned-revenue top-20 as TakeOrderedAndProject, no global sort"),
+    ("q_tpch_q14", "conditional-sum ratio over the unhinted (AQE) part join"),
+    ("q_tpch_q17", "hand-decorrelated quantity cap: part slice -> per-part agg -> join-back"),
+    ("q_tpch_q19", "part-only OR factored below the join; mixed predicate post-join"),
     ("q_tpch_q18", "HAVING agg runs FIRST; surviving orderkeys broadcast back"),
     ("q_tpch_q21", "EXISTS/NOT-EXISTS collapsed to one per-order aggregation"),
     ("q_tpch_q22", "1-row stats broadcast; inactivity as LEFT ANTI probe"),
