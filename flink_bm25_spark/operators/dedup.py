@@ -421,7 +421,12 @@ def minhash_dedup_pairs(
     wide = minhash_signatures_wide(sh, num_hashes)
     cands = lsh_candidate_pairs(wide, bands, num_hashes // bands).cache()
     cands.count()
-    return jaccard_pairs(sh, threshold, pairs=cands)
+    # The verified pair set is duplicate-fraction-sized (thin, tiny
+    # relative to the corpus) and is the input every downstream consumer
+    # (cluster election, loser flags, stats) re-derives: cache it so two
+    # queries over the same corpus slice (e.g. the curation pipeline and
+    # its drop-accounting report) pay the verify join once per session.
+    return jaccard_pairs(sh, threshold, pairs=cands).cache()
 
 
 def minhash_dedup_pairs_incremental(

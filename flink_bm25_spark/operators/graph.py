@@ -23,6 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Result memo keyed by (session, analyzed-plan semantic hash, src, dst).
+# The pointer-jumping loop is DRIVER-eager — its per-round actions run at
+# call time, so Spark's plan-keyed cache can never share the result
+# between two calls over the same pair relation (each call mints fresh
+# localCheckpoint RDDs).  The result is deterministic in the input, so a
+# semantic-hash memo is sound; entries are label relations (tiny), FIFO
+# capped.
+_CC_MEMO: dict[tuple[int, int, str, str], DataFrame] = {}
+_CC_MEMO_CAP = 32
+
 
 def connected_components(
     pairs: DataFrame,
@@ -34,6 +44,17 @@ def connected_components(
     ``component`` is the minimum node id reachable in the undirected
     pair graph — a deterministic canonical id.
     """
+    try:
+        memo_key = (
+            id(pairs.sparkSession),
+            pairs._jdf.queryExecution().analyzed().semanticHash(),
+            src,
+            dst,
+        )
+    except Exception:  # noqa: BLE001 — memo is best-effort
+        memo_key = None
+    if memo_key is not None and memo_key in _CC_MEMO:
+        return _CC_MEMO[memo_key]
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Lazy: the first round's propagate join materializes it — no
     # standalone checkpoint job.
@@ -81,6 +102,10 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if memo_key is not None:
+        if len(_CC_MEMO) >= _CC_MEMO_CAP:
+            _CC_MEMO.pop(next(iter(_CC_MEMO)))
+        _CC_MEMO[memo_key] = labels
     return labels
 
 
