@@ -61,6 +61,16 @@ def _with_cluster(
     return embeddings.withColumn("cluster", F.array_min(candidates)["cid"])
 
 
+# Centroid memo keyed by (session, analyzed-plan semantic hash, params).
+# The Lloyd loop is driver-eager (one collect per round), so Spark's
+# plan-keyed cache can never share a fit between the queries that reuse
+# the same clustering (assignment, SemDeDup pairing, silhouette, IVF
+# probes).  The fit is deterministic in its input; entries are k×d Python
+# floats, FIFO-capped.
+_KM_MEMO: dict[tuple, list[list[float]]] = {}
+_KM_MEMO_CAP = 32
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
@@ -72,6 +82,19 @@ def kmeans_fit(
     return the final centroids (k×d Python floats — the model IS the
     literal set the assignment expression compiles in).  Empty input
     returns ``[]``."""
+    try:
+        memo_key = (
+            id(embeddings.sparkSession),
+            embeddings._jdf.queryExecution().analyzed().semanticHash(),
+            k,
+            iterations,
+            id_col,
+            vec_col,
+        )
+    except Exception:  # noqa: BLE001 — memo is best-effort
+        memo_key = None
+    if memo_key is not None and memo_key in _KM_MEMO:
+        return _KM_MEMO[memo_key]
     # Each Lloyd round re-reads the embedding relation (assignment agg +
     # the final labeling): cache it for the run.  Left to LRU eviction,
     # same policy as the dedup stage checkpoints.
@@ -97,6 +120,10 @@ def kmeans_fit(
         by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in stats.collect()}
         # An empty cluster keeps its previous centroid (standard Lloyd).
         centroids = [by_cid.get(cid, c) for cid, c in enumerate(centroids)]
+    if memo_key is not None:
+        if len(_KM_MEMO) >= _KM_MEMO_CAP:
+            _KM_MEMO.pop(next(iter(_KM_MEMO)))
+        _KM_MEMO[memo_key] = centroids
     return centroids
 
 
