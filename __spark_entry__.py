@@ -555,6 +555,32 @@ def _q_cms_sketch(spark, sf_dir):
     return cms_build(_stats(spark, sf_dir).tf, "word", weight="tf")
 
 
+def _q_kmv_quantiles(spark, sf_dir):
+    # Mergeable quantiles via the deterministic bottom-k (KMV) row
+    # sample: six price quantiles of lineitem from a 256-row sketch —
+    # the value-checkable alternative to engine-native approx_percentile
+    # (whose internal sketches never agree across engines).
+    from flink_bm25_spark.operators.sketches import kmv_quantiles, kmv_sketch
+
+    # (l_orderkey, l_linenumber) is NOT row-unique in the fixture, so the
+    # key includes the value itself: rows sharing a key then share the
+    # value, and any tie-pick at the bottom-k boundary yields the same
+    # value multiset (the kmv_sketch key contract).
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.concat_ws(
+            ":",
+            "l_orderkey",
+            "l_linenumber",
+            # decimal, not double: double->string formatting is not
+            # byte-identical across engines; DECIMAL(12,2) is.
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+        ).alias("rk"),
+        "l_extendedprice",
+    )
+    sk = kmv_sketch(li, "l_extendedprice", "rk", k=256)
+    return kmv_quantiles(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_bloom_filter(spark, sf_dir):
     # Portable Bloom filter over the corpus vocabulary: the 16-slot filter
     # VALUE matches the oracle bit-for-bit (md5 positions + bit_or).
@@ -2777,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": _q_hll_distinct,  # portable HLL: value-hash checkable
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
+        "q_kmv_quantiles": _q_kmv_quantiles,  # mergeable bottom-k quantiles
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_remove_repeated_spans": _q_remove_repeated_spans,
@@ -4107,6 +4134,25 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'de' THEN 5000
                           ELSE 1000
                         END
+        """,
+        "q_kmv_quantiles": f"""
+            WITH s AS (
+              SELECT {_h60(
+                  "'kmv:0:' || (l_orderkey || ':' || l_linenumber || ':' "
+                  "|| CAST(l_extendedprice AS DECIMAL(12,2)))"
+              )} AS hk,
+                     (l_orderkey || ':' || l_linenumber || ':'
+                      || CAST(l_extendedprice AS DECIMAL(12,2))) AS key,
+                     CAST(l_extendedprice AS DOUBLE) AS v
+              FROM lineitem
+              ORDER BY hk, key LIMIT 256),
+            agg AS (SELECT list(v ORDER BY v) AS vs, count(*) AS n FROM s)
+            SELECT CAST(q AS DOUBLE) AS q,
+                   vs[CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS INT) + 1]
+                     AS est
+            FROM agg,
+                 (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(q)
+            WHERE n > 0
         """,
         "q_cms_sketch": f"""
             WITH {_PIPE},

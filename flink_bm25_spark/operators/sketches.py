@@ -450,3 +450,97 @@ def hll_estimate_by(buckets_rel: DataFrame, group_col: str) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
     ).otherwise(raw)
     return agg.select(group_col, F.round(est, 6).alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # sample size; rank error ~ O(sqrt(q(1-q)/k))
+
+
+def kmv_sketch(
+    values: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = KMV_K,
+    seed: str = "kmv:0",
+) -> DataFrame:
+    """``(hk, key, v)`` — the ``k`` rows whose seeded 60-bit key hash is
+    smallest: a DETERMINISTIC uniform row sample, and therefore a
+    mergeable quantile summary (the bottom-k/KMV sketch of
+    Bar-Yossef et al. 2002, carried with its value payload).
+
+    Completes the sketch family (HLL distinct / Bloom membership /
+    Count-Min frequency / equi-width histogram) with the missing
+    statistic: MERGEABLE quantiles.  Unlike an engine-native
+    ``approx_percentile`` (different internal sketches per engine, never
+    value-comparable), the bottom-k set is an exact deterministic
+    relation both engines reproduce hash-for-hash.
+
+    Merge law: bottom-k of a union == bottom-k of the combined multiset
+    — :func:`kmv_merge` equals a full rebuild EXACTLY (pinned by test),
+    so per-partition / per-day sketches roll up without rescanning.
+
+    ``key_col`` must be row-unique — or, when true row ids don't exist,
+    VALUE-DETERMINING (rows sharing a key share the value, e.g. by
+    concatenating the value into the key): then any tie-pick at the
+    bottom-k boundary yields the same value multiset.  The hash is
+    salted with ``seed`` so resampling is just a new seed.  Scale shape:
+    map-side hash + ``TakeOrderedAndProject`` (per-partition heaps, k
+    rows to the driver-side merge — never a global sort).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    hk = h60(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    return (
+        values.select(
+            hk.alias("hk"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .orderBy(F.asc("hk"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge bottom-k sketches: union, keep the ``k`` globally smallest
+    hashes.  Exactly equals :func:`kmv_sketch` over the unioned input
+    (keys are globally unique by the caller contract)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.orderBy(F.asc("hk"), F.asc("key")).limit(k)
+
+
+def kmv_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """``(q, est)`` — nearest-rank quantile estimates from the sample:
+    ``est(q) = sorted_v[floor(q * (n-1)) + 1]`` (1-based, integer index
+    math — no interpolation, so the pick is bit-exact across engines).
+
+    One single-row aggregate (``sort_array(collect_list(v))`` over ≤ k
+    doubles) exploded to one row per requested quantile — constant
+    state, same posture as the other sketch finalizers.
+    """
+    arr = F.sort_array(F.collect_list("v"))
+    one_row = sketch.agg(arr.alias("vs"), F.count(F.lit(1)).alias("n"))
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.element_at(
+                    F.col("vs"),
+                    (
+                        F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+                    ).cast("int"),
+                ).alias("est"),
+            )
+            for q in qs
+        ]
+    )
+    return (
+        one_row.where(F.col("n") > 0)
+        .select(F.explode(picks).alias("p"))
+        .select(F.col("p.q").alias("q"), F.col("p.est").alias("est"))
+    )

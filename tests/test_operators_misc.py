@@ -527,3 +527,61 @@ def test_ngram_diversity_hand_case(spark):
     assert out["rep"].n_grams == 4 and out["rep"].n_distinct == 3
     assert out["rep"].distinct_ratio == 0.75
     assert out["fresh"].n_grams == 3 and out["fresh"].distinct_ratio == 1.0
+
+
+def test_kmv_sketch_merge_equals_rebuild_and_quantiles(spark):
+    import random
+
+    from flink_bm25_spark.operators.sketches import (
+        kmv_merge,
+        kmv_quantiles,
+        kmv_sketch,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, float(rnd.randint(0, 100000)) / 100.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "rid long, val double")
+    k = 128
+
+    # merge law: bottom-k of per-half sketches == bottom-k of the whole
+    left = kmv_sketch(df.where("rid < 2500"), "val", "rid", k=k)
+    right = kmv_sketch(df.where("rid >= 2500"), "val", "rid", k=k)
+    merged = sorted(map(tuple, kmv_merge(left, right, k=k).collect()))
+    rebuilt = sorted(map(tuple, kmv_sketch(df, "val", "rid", k=k).collect()))
+    assert merged == rebuilt
+
+    # determinism + seed independence
+    again = sorted(map(tuple, kmv_sketch(df, "val", "rid", k=k).collect()))
+    assert again == rebuilt
+    other = sorted(
+        map(tuple, kmv_sketch(df, "val", "rid", k=k, seed="kmv:1").collect())
+    )
+    assert other != rebuilt
+
+    # accuracy: sample median within ~4/sqrt(k) rank error of the truth
+    est = {
+        r.q: r.est
+        for r in kmv_quantiles(
+            kmv_sketch(df, "val", "rid", k=k), [0.25, 0.5, 0.75]
+        ).collect()
+    }
+    svals = sorted(v for _, v in rows)
+    n = len(svals)
+    for q in (0.25, 0.5, 0.75):
+        true_rank = q * (n - 1)
+        est_rank = svals.index(est[q])
+        assert abs(est_rank - true_rank) / n <= 4.0 / (k ** 0.5), (q, est[q])
+
+    # plan: distributed top-k heap, never a global sort
+    plan = (
+        kmv_sketch(df, "val", "rid", k=k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    # empty input -> empty quantile relation (no NULL row)
+    empty = spark.createDataFrame([], "rid long, val double")
+    assert kmv_quantiles(kmv_sketch(empty, "val", "rid"), [0.5]).count() == 0
+    _ = F  # match sibling import usage
