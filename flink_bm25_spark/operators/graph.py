@@ -45,9 +45,14 @@ def connected_components(
     pair graph — a deterministic canonical id.
     """
     try:
+        # applicationId, not id(session): a Python session object's id can
+        # be reused after a restart, which would resurrect checkpointed
+        # RDDs of a dead SparkContext.  The schema string further guards
+        # the 32-bit semanticHash against collisions.
         memo_key = (
-            id(pairs.sparkSession),
+            pairs.sparkSession.sparkContext.applicationId,
             pairs._jdf.queryExecution().analyzed().semanticHash(),
+            str(pairs.schema),
             src,
             dst,
         )

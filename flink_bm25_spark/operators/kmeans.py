@@ -83,9 +83,12 @@ def kmeans_fit(
     literal set the assignment expression compiles in).  Empty input
     returns ``[]``."""
     try:
+        # applicationId, not id(session): survives Python id reuse across
+        # session restarts; schema string guards the 32-bit semanticHash.
         memo_key = (
-            id(embeddings.sparkSession),
+            embeddings.sparkSession.sparkContext.applicationId,
             embeddings._jdf.queryExecution().analyzed().semanticHash(),
+            str(embeddings.schema),
             k,
             iterations,
             id_col,

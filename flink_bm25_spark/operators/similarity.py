@@ -92,7 +92,7 @@ def embedding_near_dup_pairs(
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-        (F.col("vec_id") % g).cast("int").alias("bi"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bi"),
         F.explode(block_ids).alias("bj"),
     )
     b = with_n.select(
@@ -100,7 +100,7 @@ def embedding_near_dup_pairs(
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
         F.explode(block_ids).alias("bi"),
-        (F.col("vec_id") % g).cast("int").alias("bj"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bj"),
     )
     pairs = _spread(a, "bi", "bj").join(
         _spread(b, "bi", "bj"), ["bi", "bj"]
@@ -442,13 +442,13 @@ def _ordered_vector_pairs(
         block_ids = F.array(*[F.lit(i) for i in range(g)])
         a = with_n.select(
             *a_cols,
-            (F.col("vec_id") % g).cast("int").alias("bi"),
+            F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bi"),
             F.explode(block_ids).alias("bj"),
         )
         b = with_n.select(
             *b_cols,
             F.explode(block_ids).alias("bi"),
-            (F.col("vec_id") % g).cast("int").alias("bj"),
+            F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bj"),
         )
         return (
             _spread(a, "bi", "bj")
@@ -704,7 +704,7 @@ def semantic_dedup_pairs(
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-        (F.col("vec_id") % g).cast("int").alias("bi"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bi"),
         F.explode(block_ids).alias("bj"),
     )
     b = emb_c.select(
@@ -713,7 +713,7 @@ def semantic_dedup_pairs(
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
         F.explode(block_ids).alias("bi"),
-        (F.col("vec_id") % g).cast("int").alias("bj"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("bj"),
     )
     pairs = (
         _spread(a, "cluster", "bi", "bj")

@@ -883,3 +883,15 @@ def test_pool_embeddings_modes_and_norm(spark):
     )
     top = cosine_topk(pooled, [1.0, 1.0], k=2).collect()
     assert len(top) == 2 and top[0].cos >= top[1].cos
+
+
+def test_blocked_pairs_handle_negative_ids(spark):
+    # pmod block keys: a negative vec_id must still meet its partners —
+    # signed % would put it in block -1, which the exploded side never
+    # covers, silently losing pairs.
+    from flink_bm25_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(-5, [1.0, 0.0]), (-3, [1.0, 0.01]), (7, [1.0, 0.02])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.d1, r.d2) for r in embedding_near_dup_pairs(df, 0.9).collect()}
+    assert got == {(-5, -3), (-5, 7), (-3, 7)}
