@@ -581,6 +581,24 @@ def _q_kmv_quantiles(spark, sf_dir):
     return kmv_quantiles(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_kmv_by_lang(spark, sf_dir):
+    # Per-language quality-score quantiles from GROUPED bottom-k sketches
+    # (one WindowGroupLimit pass, O(groups x k) state): the per-source
+    # distribution monitor a curation pipeline watches for drift.
+    from flink_bm25_spark.operators.sketches import (
+        kmv_quantiles_by,
+        kmv_sketch_by,
+    )
+    from flink_bm25_spark.operators.text_analysis import quality_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_scores(docs).select("doc_id", "keep_score").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    sk = kmv_sketch_by(scored, "lang", "keep_score", "doc_id", k=64)
+    return kmv_quantiles_by(sk, "lang", [0.25, 0.5, 0.75])
+
+
 def _q_bloom_filter(spark, sf_dir):
     # Portable Bloom filter over the corpus vocabulary: the 16-slot filter
     # VALUE matches the oracle bit-for-bit (md5 positions + bit_or).
@@ -2804,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_filter": _q_bloom_filter,  # portable Bloom: value-hash checkable
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         "q_kmv_quantiles": _q_kmv_quantiles,  # mergeable bottom-k quantiles
+        "q_kmv_by_lang": _q_kmv_by_lang,  # grouped bottom-k quantiles
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_remove_repeated_spans": _q_remove_repeated_spans,
@@ -4134,6 +4153,28 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'de' THEN 5000
                           ELSE 1000
                         END
+        """,
+        "q_kmv_by_lang": f"""
+            WITH {_QUALITY},
+            kmvb AS (
+              SELECT d.lang,
+                     {_h60("'kmv:0:' || CAST(q.doc_id AS VARCHAR)")} AS hk,
+                     CAST(q.doc_id AS VARCHAR) AS key,
+                     CAST(q.keep_score AS DOUBLE) AS v
+              FROM qual q JOIN documents d ON q.doc_id = d.doc_id),
+            kmvtop AS (
+              SELECT lang, v FROM (
+                SELECT kmvb.*, row_number() OVER (
+                  PARTITION BY lang ORDER BY hk, key) AS rn
+                FROM kmvb)
+              WHERE rn <= 64),
+            kmvagg AS (SELECT lang, list(v ORDER BY v) AS vs, count(*) AS n
+                       FROM kmvtop GROUP BY 1)
+            SELECT lang, CAST(t.q AS DOUBLE) AS q,
+                   vs[CAST(floor(CAST(t.q AS DOUBLE) * (n - 1)) AS INT) + 1]
+                     AS est
+            FROM kmvagg, (VALUES (0.25),(0.5),(0.75)) t(q)
+            WHERE n > 0
         """,
         "q_kmv_quantiles": f"""
             WITH s AS (

@@ -544,3 +544,73 @@ def kmv_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
         .select(F.explode(picks).alias("p"))
         .select(F.col("p.q").alias("q"), F.col("p.est").alias("est"))
     )
+
+
+def kmv_sketch_by(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = KMV_K,
+    seed: str = "kmv:0",
+) -> DataFrame:
+    """``(group_col, hk, key, v)`` — one bottom-k sample PER GROUP, in a
+    single pass: ``row_number <= k`` over the group partition ordered by
+    the seeded hash.  Spark plans WindowGroupLimit, so each partition
+    keeps only k rows per group before the sort feeds the window — state
+    is O(groups × k) however large the corpus.  Same key contract and
+    merge law as :func:`kmv_sketch`, applied group-wise.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    hk = h60(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(F.asc("hk"), F.asc("key"))
+    return (
+        values.select(
+            F.col(group_col),
+            hk.alias("hk"),
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_quantiles_by(
+    sketch: DataFrame, group_col: str, qs: list[float]
+) -> DataFrame:
+    """``(group_col, q, est)`` — nearest-rank quantiles per group from a
+    grouped bottom-k sketch: ONE aggregate for all groups (sorted value
+    array + count per group), then the integer-index picks of
+    :func:`kmv_quantiles` exploded per requested quantile."""
+    arr = F.sort_array(F.collect_list("v"))
+    per_group = sketch.groupBy(group_col).agg(
+        arr.alias("vs"), F.count(F.lit(1)).alias("n")
+    )
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.element_at(
+                    F.col("vs"),
+                    (
+                        F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+                    ).cast("int"),
+                ).alias("est"),
+            )
+            for q in qs
+        ]
+    )
+    return (
+        per_group.where(F.col("n") > 0)
+        .select(F.col(group_col), F.explode(picks).alias("p"))
+        .select(
+            F.col(group_col),
+            F.col("p.q").alias("q"),
+            F.col("p.est").alias("est"),
+        )
+    )

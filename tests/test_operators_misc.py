@@ -585,3 +585,35 @@ def test_kmv_sketch_merge_equals_rebuild_and_quantiles(spark):
     empty = spark.createDataFrame([], "rid long, val double")
     assert kmv_quantiles(kmv_sketch(empty, "val", "rid"), [0.5]).count() == 0
     _ = F  # match sibling import usage
+
+
+def test_kmv_sketch_by_groupwise_law_and_plan(spark):
+    from flink_bm25_spark.operators.sketches import (
+        kmv_quantiles_by,
+        kmv_sketch_by,
+        kmv_sketch,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(900)]
+    df = spark.createDataFrame(rows, "rid long, grp string, val double")
+    k = 32
+    sk = kmv_sketch_by(df, "grp", "val", "rid", k=k)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.grp, []).append((r.hk, r.key, r.v))
+    # group-wise law: each group's sample == the ungrouped sketch of that
+    # group's rows
+    for g in ("g0", "g1", "g2"):
+        solo = [
+            (r.hk, r.key, r.v)
+            for r in kmv_sketch(
+                df.where(F.col("grp") == g), "val", "rid", k=k
+            ).collect()
+        ]
+        assert sorted(got[g]) == sorted(solo), g
+    # per-group quantiles exist for every group
+    qs = kmv_quantiles_by(sk, "grp", [0.5]).collect()
+    assert {r.grp for r in qs} == {"g0", "g1", "g2"}
+    # plan: the k-cut must run below the window sort (WindowGroupLimit)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
