@@ -23,6 +23,7 @@ COLLECT_ALLOWED = {
     "operators/multimodal.py",  # total-byte scalar for repartition sizing
     "api.py",                   # save(): n_docs scalar for metadata
     "operators/pipeline.py",    # corpus_size scalar (count)
+    "operators/ml.py",          # power iteration: d rows (one per dim) per round
     "operators/decontam.py",    # Bloom filter rows: bits/64 (16) rows
     "__main__.py",              # CLI search: prints the k-row top-k result
     "operators/sinks.py",       # shard manifest: n_shards rows (counts+checksum)
