@@ -2008,6 +2008,28 @@ def _q_salted_brand_revenue(spark, sf_dir):
     )
 
 
+def _q_split_join_revenue(spark, sf_dir):
+    # Hot/cold split join: keys above the threshold take the salted path,
+    # the rest join plain — same revenue-by-brand answer as the blanket
+    # salted join, measured hot set broadcast (bounded by n/threshold).
+    from flink_bm25_spark.operators.skew import split_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        split_join(li, part, "l_partkey", hot_threshold=8, buckets=4)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 6).alias("revenue"))
+    )
+
+
 def _q_tpch_q3(spark, sf_dir):
     from flink_bm25_spark.plans.tpch import q3_shipping_priority
 
@@ -2916,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_spend": _q_rolling_spend,
         "q_revenue_share": _q_revenue_share,
         "q_salted_brand_revenue": _q_salted_brand_revenue,
+        "q_split_join_revenue": _q_split_join_revenue,
         "q_scd2_history": _q_scd2_history,
         "q_cdc_apply": _q_cdc_apply,
         "q_tpch_q3": _q_tpch_q3,
@@ -4976,6 +4999,12 @@ def oracle_sql() -> dict[str, str]:
             FROM per_nation
         """,
         "q_salted_brand_revenue": f"""
+            SELECT p_brand,
+                   round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "q_split_join_revenue": f"""
             SELECT p_brand,
                    round(CAST(sum({_REV}) AS DOUBLE), 6) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey

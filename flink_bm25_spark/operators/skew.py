@@ -59,3 +59,47 @@ def salted_join(
     s = small.crossJoin(F.broadcast(replicas))
     out = b.join(s, [key, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def split_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_threshold: int = 100_000,
+    buckets: int = 16,
+    how: str = "inner",
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Hot/cold SPLIT join — the production form of skew handling:
+    keys above ``hot_threshold`` rows on the big side take the salted
+    path (bounded reducers, small side replicated only for those keys),
+    everything else takes the plain shuffled join untouched.  A blanket
+    :func:`salted_join` replicates the small side ``buckets``× for ALL
+    keys; splitting pays that price only where skew actually is.
+
+    ``hot_keys`` (a 1-column relation of hot key values) can be passed
+    from a prior profile (``profiling.key_skew``) or a previous batch;
+    otherwise it is measured with one aggregation over ``big``.  Either
+    way it is broadcast — by construction it holds at most
+    ``|big| / hot_threshold`` keys, so it is always broadcastable.
+
+    Result equals ``big.join(small, key, how)`` exactly for every
+    supported ``how`` (inner / left / left_semi / left_anti — the
+    :func:`salted_join` constraint; pinned by test): the hot/cold key
+    sets partition the big side, and each branch joins against exactly
+    the small rows its keys can match.
+    """
+    if hot_keys is None:
+        hot_keys = (
+            big.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > F.lit(hot_threshold))
+            .select(key)
+        )
+    hot = F.broadcast(hot_keys.select(key))
+    big_hot = big.join(hot, key, "left_semi")
+    big_cold = big.join(hot, key, "left_anti")
+    small_hot = small.join(hot, key, "left_semi")
+    cold_part = big_cold.join(small, key, how)
+    hot_part = salted_join(big_hot, small_hot, key, buckets, how)
+    return cold_part.unionByName(hot_part)

@@ -49,6 +49,39 @@ def test_salted_join_equals_plain(spark):
     assert semi.count() + anti.count() == li.count()
 
 
+def test_split_join_equals_plain_all_hows(spark):
+    from flink_bm25_spark.operators.skew import split_join
+
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, "part", SF_DIR).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    # threshold low enough that BOTH branches are exercised
+    hot_n = (
+        li.groupBy("l_partkey").count().where(F.col("count") > 3).count()
+    )
+    assert hot_n > 0, "fixture has no keys above the test threshold"
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = li.join(part, "l_partkey", how)
+        split = split_join(
+            li, part, "l_partkey", hot_threshold=3, buckets=4, how=how
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, split.collect())
+        ), how
+    # precomputed hot set short-circuits the measurement aggregation
+    pre = li.groupBy("l_partkey").count().where("count > 3").select("l_partkey")
+    via_pre = split_join(
+        li, part, "l_partkey", buckets=4, hot_keys=pre
+    )
+    assert via_pre.count() == li.join(part, "l_partkey").count()
+    # empty hot set degrades to the plain join
+    none_hot = split_join(li, part, "l_partkey", hot_threshold=10**9)
+    assert none_hot.count() == li.join(part, "l_partkey").count()
+
+
 def test_stateful_running_stats_matches_batch(spark):
     import shutil
     import tempfile
