@@ -83,6 +83,9 @@ AUDITED = [
         "gram-df + offset anti-join; doc_id-keyed ordered reassembly",
     ),
     ("q_hll_distinct", "constant-state sketch: 64-group agg, map-side partial max"),
+    ("q_kmv_quantiles", "bottom-k heap (TakeOrderedAndProject); 1-row finalizer"),
+    ("q_kmv_by_lang", "WindowGroupLimit k-cut per group; one agg for all groups"),
+    ("q_split_join_revenue", "hot keys salted, cold plain; hot set broadcast <= n/threshold"),
     ("q_bloom_filter", "16-slot bit_or agg; filter broadcasts as 128-byte literal"),
     ("q_cms_sketch", "4x256 exact counters; weighted build, no row re-expansion"),
     ("q_phrase_search", "postings pre-filtered to phrase terms before the position join"),
