@@ -177,3 +177,36 @@ def test_temperature_copy_counts_bounds_and_mean(keys, w):
     assert all(n in (int(w), int(w) + 1) for n in ns)
     if len(keys) >= 100:
         assert abs(sum(ns) / len(ns) - w) <= 0.55  # hash-slice variance
+
+
+def py_kmv(rows: list[tuple[int, float]], k: int, seed: str = "kmv:0"):
+    """Python twin of sketches.kmv_sketch: bottom-k by (hash, key)."""
+    keyed = [
+        (py_h60(f"{seed}:{rid}"), str(rid), v) for rid, v in rows
+    ]
+    return sorted(keyed)[:k]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=200),
+)
+def test_kmv_merge_law_property(rows, k, cut):
+    # bottom-k of the merge of any partition == bottom-k of the whole —
+    # the law that makes the quantile sketch distributive.
+    cut = min(cut, len(rows))
+    left, right = rows[:cut], rows[cut:]
+    merged = sorted(py_kmv(left, k) + py_kmv(right, k))[:k]
+    assert merged == py_kmv(rows, k)
+    # idempotent: sketching a sketch changes nothing
+    back = [(int(key), v) for _h, key, v in py_kmv(rows, k)]
+    assert py_kmv(back, k) == py_kmv(rows, k)
