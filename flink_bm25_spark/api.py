@@ -501,3 +501,84 @@ class WinnowScreen:
         if os.path.exists(fps_path):
             ws.fps = spark.read.parquet(fps_path)
         return ws
+
+
+class QuantileTracker:
+    """Incremental distribution monitor — the streaming/batch-loop twin of
+    the KMV quantile sketch (:mod:`flink_bm25_spark.operators.sketches`):
+    state is one bottom-k row sample per group, merged batch-by-batch
+    under the sketch's exact merge law, so after ANY batch sequence the
+    store equals a full rebuild over everything ingested (pinned by
+    test).  The per-source quality-drift monitor a continuous curation
+    loop watches.
+
+        qt = QuantileTracker(k=256)
+        qt.update_batch(day1, "lang", "keep_score", "doc_id")
+        qt.update_batch(day2, "lang", "keep_score", "doc_id")
+        qt.quantiles([0.5, 0.9]).show()          # (lang, q, est)
+        qt.save("/state"); QuantileTracker.load(spark, "/state", k=256)
+
+    State is O(groups × k) rows forever — merging never grows it — and
+    ``orderBy + limit`` (illegal on a streaming DataFrame) only ever
+    runs on bounded relations, which is what makes this loop the
+    correct Structured-Streaming form (drive it from ``foreachBatch``,
+    same as :class:`CorpusCurator`).
+    """
+
+    def __init__(self, sketch: DataFrame | None = None, k: int = 256):
+        self.sketch = sketch
+        self.k = k
+
+    def update_batch(
+        self,
+        batch: DataFrame,
+        group_col: str,
+        value_col: str,
+        key_col: str,
+        seed: str = "kmv:0",
+    ) -> None:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        from flink_bm25_spark.operators.sketches import kmv_sketch_by  # noqa: PLC0415
+
+        new = kmv_sketch_by(
+            batch, group_col, value_col, key_col, k=self.k, seed=seed
+        ).withColumnRenamed(group_col, "grp")
+        merged = new if self.sketch is None else self.sketch.unionByName(new)
+        # dropDuplicates BEFORE the k-cut: an at-least-once redelivery
+        # re-unions rows already in the store, and a duplicated (key)
+        # would displace a legitimate sample row — dedup makes re-ingest
+        # a no-op (redelivery-safe, same contract as the curator).
+        w = Window.partitionBy("grp").orderBy(F.asc("hk"), F.asc("key"))
+        self.sketch = (
+            merged.dropDuplicates(["grp", "key"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        from flink_bm25_spark.operators.sketches import kmv_quantiles_by  # noqa: PLC0415
+
+        if self.sketch is None:
+            raise ValueError("no batches ingested yet")
+        return kmv_quantiles_by(self.sketch, "grp", qs)
+
+    def checkpoint_state(self, path: str) -> None:
+        """Eager lineage truncation + persist — the union-chain plan
+        depth grows per batch (same rationale as the other trackers)."""
+        if self.sketch is not None:
+            self.sketch = self.sketch.localCheckpoint(eager=True)
+        self.save(path)
+
+    def save(self, path: str) -> None:
+        if self.sketch is not None:
+            self.sketch = _write_safe(self.sketch, os.path.join(path, "kmv"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, k: int = 256) -> "QuantileTracker":
+        qt = cls(k=k)
+        sub = os.path.join(path, "kmv")
+        if os.path.exists(sub):
+            qt.sketch = spark.read.parquet(sub)
+        return qt

@@ -298,3 +298,48 @@ def test_engine_save_after_load_same_path_then_search(spark, tmp_path):
     eng.save(p)  # overwrite the very files the cached idf plan reads
     again = eng.search("spark stream join", k=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+
+def test_quantile_tracker_batches_equal_rebuild(spark, tmp_path):
+    """QuantileTracker: any batch sequence == one full rebuild (the KMV
+    merge law, applied through the incremental loop), state survives
+    save/load, and state size stays at groups x k."""
+    from flink_bm25_spark.api import QuantileTracker
+    from flink_bm25_spark.operators.sketches import (
+        kmv_quantiles_by,
+        kmv_sketch_by,
+    )
+
+    rows = [(i, "g%d" % (i % 2), float((i * 37) % 1000)) for i in range(600)]
+    df = spark.createDataFrame(rows, "rid long, grp string, val double")
+    k = 16
+
+    qt = QuantileTracker(k=k)
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        qt.update_batch(
+            df.where((F.col("rid") >= lo) & (F.col("rid") < hi)),
+            "grp", "val", "rid",
+        )
+    inc = sorted(map(tuple, qt.sketch.collect()))
+    full = sorted(
+        map(tuple, kmv_sketch_by(df, "grp", "val", "rid", k=k).collect())
+    )
+    assert inc == full
+    assert len(inc) == 2 * k  # state bounded at groups x k
+
+    got = {(r.grp, r.q): r.est for r in qt.quantiles([0.5]).collect()}
+    want = {
+        (r.grp, r.q): r.est
+        for r in kmv_quantiles_by(
+            kmv_sketch_by(df, "grp", "val", "rid", k=k), "grp", [0.5]
+        ).collect()
+    }
+    assert got == want
+
+    path = str(tmp_path / "qt_state")
+    qt.checkpoint_state(path)
+    back = QuantileTracker.load(spark, path, k=k)
+    assert sorted(map(tuple, back.sketch.collect())) == inc
+    # the reloaded store keeps absorbing batches
+    back.update_batch(df.limit(50), "grp", "val", "rid")
+    assert sorted(map(tuple, back.sketch.collect())) == inc  # re-ingest = no-op
