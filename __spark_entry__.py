@@ -376,6 +376,17 @@ def _q_bm25_rank(spark, sf_dir):
     return bm25_rank(s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS, k=10)
 
 
+def _q_bm25_and(spark, sf_dir):
+    # Boolean-AND retrieval: only documents containing EVERY query term
+    # rank — the conjunctive HAVING rides the OR form's aggregation.
+    from flink_bm25_spark.operators.bm25 import bm25_rank_conjunctive
+
+    s = _stats(spark, sf_dir)
+    return bm25_rank_conjunctive(
+        s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS, k=10
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -2791,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idf": _q_idf,
         "q_tfidf": _q_tfidf,
         "q_bm25_rank": _q_bm25_rank,
+        "q_bm25_and": _q_bm25_and,
         "q_hybrid_rrf": _q_hybrid_rrf,
         "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
@@ -3491,6 +3503,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN dlen d ON t.doc_id = d.doc_id
               WHERE t.word IN ({_QT})
               GROUP BY t.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+        """,
+        "q_bm25_and": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+              HAVING count(DISTINCT t.word) = {len(set(DEFAULT_QUERY_TERMS))}
             ),
             ranked AS (
               SELECT doc_id, score,

@@ -144,3 +144,52 @@ def more_like_this(tfidf_rel: DataFrame, source_doc_id: int, k: int = 10) -> Dat
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bm25_rank_conjunctive(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """AND-semantics top-k — ``(doc_id, score, rk)`` for documents
+    containing EVERY query term (the conjunctive half of the boolean
+    retrieval surface; :func:`bm25_rank` is the disjunctive OR form).
+
+    The conjunction costs nothing beyond the aggregation the OR form
+    already runs: a ``count(distinct word)`` column in the same
+    ``groupBy(doc_id)``, filtered to the distinct-term count — no second
+    pass, no self-join per term (the naive AND plan).  Postings are
+    pruned to query terms at the scan exactly as in the OR form, so
+    shuffle volume is O(docs matching ANY term) before the HAVING cut.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_terms = len(set(query_terms))
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    matches = tf.where(F.col("word").isin(*query_terms))
+    scored = (
+        matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            "doc_id",
+            "word",
+            bm25_score_expr(
+                F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"), k1, b
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count_distinct("word").alias("_nt"),
+        )
+        .where(F.col("_nt") == F.lit(n_terms))
+        .select("doc_id", "score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -343,3 +343,36 @@ def test_quantile_tracker_batches_equal_rebuild(spark, tmp_path):
     # the reloaded store keeps absorbing batches
     back.update_batch(df.limit(50), "grp", "val", "rid")
     assert sorted(map(tuple, back.sketch.collect())) == inc  # re-ingest = no-op
+
+
+def test_bm25_conjunctive_subset_of_or(spark):
+    """AND-ranked docs contain every query term; AND is a sub-universe of
+    OR; the global top-k stays a distributed heap."""
+    from flink_bm25_spark.operators.bm25 import bm25_rank, bm25_rank_conjunctive
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from tests.conftest import SF_DIR
+
+    s = corpus_stats_for(spark, SF_DIR)
+    terms = ("spark", "stream", "join")
+    both = bm25_rank_conjunctive(s.tf, s.idf_stats, s.dlen, terms, k=1000)
+    rows = both.collect()
+    assert rows, "no conjunctive match in fixture"
+    and_ids = {r.doc_id for r in rows}
+    # every AND doc carries all terms in the TF relation
+    per_doc = {
+        r.doc_id: r.nt
+        for r in s.tf.where(F.col("word").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("nt"))
+        .collect()
+    }
+    assert all(per_doc[d] == len(terms) for d in and_ids)
+    # AND universe subset of OR universe; AND scores match OR's for those docs
+    or_rows = {
+        r.doc_id: r.score
+        for r in bm25_rank(s.tf, s.idf_stats, s.dlen, terms, k=10**6).collect()
+    }
+    assert and_ids <= set(or_rows)
+    assert all(abs(or_rows[r.doc_id] - r.score) < 1e-9 for r in rows)
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
