@@ -387,6 +387,18 @@ def _q_bm25_and(spark, sf_dir):
     )
 
 
+def _q_bm25_not(spark, sf_dir):
+    # Boolean-NOT retrieval: the OR ranking restricted to documents
+    # containing none of the excluded terms (one anti-join on the
+    # excluded postings) — completes OR/AND/NOT.
+    from flink_bm25_spark.operators.bm25 import bm25_rank_excluding
+
+    s = _stats(spark, sf_dir)
+    return bm25_rank_excluding(
+        s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS, ("slow",), k=10
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -2803,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": _q_tfidf,
         "q_bm25_rank": _q_bm25_rank,
         "q_bm25_and": _q_bm25_and,
+        "q_bm25_not": _q_bm25_not,
         "q_hybrid_rrf": _q_hybrid_rrf,
         "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
@@ -3529,6 +3542,34 @@ def oracle_sql() -> dict[str, str]:
               WHERE t.word IN ({_QT})
               GROUP BY t.doc_id
               HAVING count(DISTINCT t.word) = {len(set(DEFAULT_QUERY_TERMS))}
+            ),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+        """,
+        "q_bm25_not": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            banned AS (SELECT DISTINCT doc_id FROM tf
+                       WHERE word IN ('slow')),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+                AND t.doc_id NOT IN (SELECT doc_id FROM banned)
+              GROUP BY t.doc_id
             ),
             ranked AS (
               SELECT doc_id, score,

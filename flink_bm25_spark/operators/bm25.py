@@ -193,3 +193,53 @@ def bm25_rank_conjunctive(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bm25_rank_excluding(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    query_terms: tuple[str, ...],
+    exclude_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Boolean-NOT retrieval — :func:`bm25_rank` restricted to documents
+    containing NONE of ``exclude_terms`` (completing the boolean surface:
+    OR = ``bm25_rank``, AND = :func:`bm25_rank_conjunctive`, NOT = this).
+
+    The exclusion is ONE left-anti join against the excluded terms'
+    postings — doc-id-sized on the probe side, postings pruned to the
+    excluded terms at the scan (never a corpus scan per excluded term,
+    never a NOT-IN subquery per doc).  Ranking then proceeds exactly as
+    the OR form over the surviving candidates, so scores equal
+    ``bm25_rank``'s for every surviving document.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    banned = (
+        tf.where(F.col("word").isin(*exclude_terms))
+        .select("doc_id")
+        .distinct()
+    )
+    matches = tf.where(F.col("word").isin(*query_terms)).join(
+        banned, "doc_id", "left_anti"
+    )
+    scored = (
+        matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"), k1, b
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -376,3 +376,26 @@ def test_bm25_conjunctive_subset_of_or(spark):
     assert all(abs(or_rows[r.doc_id] - r.score) < 1e-9 for r in rows)
     plan = both._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_not_excludes_and_preserves_scores(spark):
+    from flink_bm25_spark.operators.bm25 import bm25_rank, bm25_rank_excluding
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from tests.conftest import SF_DIR
+
+    s = corpus_stats_for(spark, SF_DIR)
+    terms, banned = ("spark", "stream"), ("slow",)
+    out = bm25_rank_excluding(s.tf, s.idf_stats, s.dlen, terms, banned, k=10**6)
+    rows = out.collect()
+    assert rows
+    bad = {
+        r.doc_id
+        for r in s.tf.where(F.col("word").isin(*banned)).select("doc_id").collect()
+    }
+    assert not ({r.doc_id for r in rows} & bad)
+    # survivors score exactly as in the OR form
+    or_scores = {
+        r.doc_id: r.score
+        for r in bm25_rank(s.tf, s.idf_stats, s.dlen, terms, k=10**6).collect()
+    }
+    assert all(abs(or_scores[r.doc_id] - r.score) < 1e-9 for r in rows)
