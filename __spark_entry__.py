@@ -2814,8 +2814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idf": _q_idf,
         "q_tfidf": _q_tfidf,
         "q_bm25_rank": _q_bm25_rank,
-        "q_bm25_and": _q_bm25_and,
-        "q_bm25_not": _q_bm25_not,
         "q_hybrid_rrf": _q_hybrid_rrf,
         "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
@@ -2872,6 +2870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_by_lang": _q_kmv_by_lang,  # grouped bottom-k quantiles
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
+        "q_bm25_and": _q_bm25_and,
+        "q_bm25_not": _q_bm25_not,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
         "q_dedup_stats": _q_dedup_stats,
