@@ -51,3 +51,28 @@ def test_oracle_emits_no_widened_types(name, duck):
         if any(k in str(t).upper() for k in ("HUGEINT", "INT128", "DECIMAL"))
     ]
     assert not sus, f"{name} emits widened types: {sus}"
+
+
+def test_gate_window_holds_flagships():
+    """The external gate value-checks only the FIRST 50 queries() entries;
+    the flagship pipeline queries (and the two whose r02 hash mismatch
+    was fixed by the tok_offset rename) must stay inside that window."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("_entry_win", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries().keys())
+    window = set(names[:50])
+    for must in (
+        "q_tf", "q_df", "q_idf", "q_bm25_rank", "q_dedup_minhash",
+        "q_dedup_simhash", "q_semantic_dedup", "q_kmeans",
+        "q_curation_pipeline", "q_pack_sequences", "q_decontaminate",
+        "q_pos_filter", "q_tpch_q1",
+    ):
+        assert must in window, f"{must} fell out of the 50-query gate window"
