@@ -804,13 +804,18 @@ def _reassemble_without(
     covered by a flagged gram occurrence ``(doc_id, pos)`` and reassemble
     each document from the survivors in order.
 
-    Relational shape (all corpus-sized steps are joins/aggs, nothing
-    quadratic): flagged occurrences explode into covered offsets → the
-    token relation anti-joins the covered set → per-doc ordered
-    reassembly via ``array_sort(collect_list(struct(off, tok)))``
-    (deterministic regardless of partitioning).  The reassembly shuffle
-    is keyed by doc_id — the same key as the TF aggregation, so at scale
-    the two stages co-partition.
+    Relational shape: flagged occurrences explode into covered offsets,
+    ONE groupBy gathers each document's covered-offset set, and the
+    reassembly is then a MAP-SIDE array filter over the split text (keep
+    token i iff i is absent from the doc's offset map) — the token
+    relation itself never shuffles, token order needs no sort (the array
+    is already in document order), and the only corpus-sized exchanges
+    are the covered-set gather plus its doc-keyed join back.  (The
+    previous shape posexploded every token through an anti-join and a
+    ``collect_list`` re-sort — two shuffles of the full token relation
+    for what the array already encodes.)  Membership is an O(1) map
+    lookup per token, not ``array_contains`` (which would be
+    O(covered) per token — quadratic on heavily-duplicated docs).
     """
     covered = flagged.select(
         "doc_id",
@@ -818,36 +823,45 @@ def _reassemble_without(
             "off"
         ),
     ).distinct()
-    # Token relation over the RAW split array (same 0-based positions the
-    # positional shingles index), empties dropped only AFTER the
-    # coverage anti-join so offsets stay aligned.
-    toks = documents.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
-            "off", "tok"
-        ),
-    ).select("doc_id", F.col("off").cast("long").alias("off"), "tok")
-    kept = toks.join(covered, ["doc_id", "off"], "left_anti").where(
-        F.col("tok") != ""
+    cov_sets = covered.groupBy("doc_id").agg(
+        F.collect_list(F.col("off").cast("long")).alias("_covs")
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("off", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    ws = F.split(F.lower(F.col("text")), r"\s+")
+    # The map is bound as its OWN projection column before the filter
+    # lambda reads it (the let-binding rule: an expression captured by a
+    # HOF lambda is re-evaluated per element).
+    cov_map = F.map_from_arrays(
+        F.col("_covs"), F.transform(F.col("_covs"), lambda _: F.lit(True))
+    )
+    # try_element_at, not element_at: ANSI mode (Spark 4 default) makes a
+    # missing map key an error, and "absent" IS the common case here.
+    kept_arr = F.filter(
+        ws,
+        lambda tok, i: F.try_element_at(F.col("_cm"), i.cast("long")).isNull()
+        & (tok != F.lit("")),
     )
     from flink_bm25_spark.operators.text_analysis import token_stats  # noqa: PLC0415
 
     lens = token_stats(documents).select("doc_id", "n_tokens")
-    return lens.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    return (
+        documents.join(cov_sets, "doc_id", "left")
+        .withColumn(
+            "_cm",
+            F.when(F.col("_covs").isNotNull(), cov_map).otherwise(
+                F.map_from_arrays(
+                    F.array().cast("array<long>"),
+                    F.array().cast("array<boolean>"),
+                )
+            ),
+        )
+        .withColumn("_kept", kept_arr)
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("_kept").cast("long").alias("n_kept"),
+            F.array_join(F.col("_kept"), " ").alias("cleaned_text"),
+        )
     )
 
 
