@@ -273,7 +273,12 @@ def _q_pos_filter(spark, sf_dir):
 
 
 def _stats(spark, sf_dir):
-    return corpus_stats_for(spark, sf_dir)
+    # cache_tf: a dozen gate queries derive from the TF relation; Spark's
+    # cache manager keys the entry by plan, so every (session, sf_dir)
+    # tokenizes the corpus once and every later consumer reads
+    # InMemoryTableScan — the same materialized-statistics posture as the
+    # reference's tf5 store.
+    return corpus_stats_for(spark, sf_dir, cache_tf=True)
 
 
 def _q_tf(spark, sf_dir):
@@ -1244,15 +1249,13 @@ def _q_dedup_simhash(spark, sf_dir):
     # Banded simhash pairs, hamming <= 3.  4 bands x 15 bits: <=3 differing
     # bits leaves one band untouched (pigeonhole) => banding has exactly
     # 100% recall and the result equals the brute-force oracle.  Signatures
-    # come straight from the token relation (one shuffle, bit-identical to
-    # the TF-weighted build).
-    from flink_bm25_spark.operators.dedup import simhash_signatures_from_tokens
-    from flink_bm25_spark.operators.pipeline import _parallelize_scan
+    # come from the session's cached TF relation (the documented choice
+    # when TF is already materialized — bit-identical to the from-tokens
+    # build, pinned by test: each occurrence's ±1 sums to exactly ±tf;
+    # md5 runs once per (doc, word), not once per occurrence).
+    from flink_bm25_spark.operators.dedup import simhash_signatures
 
-    tokens = filter_stopwords(
-        tokenize(_parallelize_scan(load_table(spark, "documents", sf_dir)))
-    )
-    return simhash_pairs(simhash_signatures_from_tokens(tokens))
+    return simhash_pairs(simhash_signatures(_stats(spark, sf_dir).tf))
 
 
 def _q_embed_near_dup(spark, sf_dir):

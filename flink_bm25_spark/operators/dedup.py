@@ -632,6 +632,12 @@ def simhash_pairs(
     pure pruning step, not an approximation.
     """
     spark = sigs.sparkSession
+    # Both self-join legs derive from `sigs`; without a stage checkpoint
+    # the signature aggregation (60 conditional sums over the token/TF
+    # relation) is computed once per leg — ReusedExchange does not fire
+    # across the differing leg projections.  The relation is thin
+    # (doc_id + one int64), the standard cacheable shape.
+    sigs = sigs.cache()
     band_ids = F.broadcast(
         spark.range(bands).select(F.col("id").cast("int").alias("band"))
     )
