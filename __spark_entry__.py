@@ -404,6 +404,27 @@ def _q_bm25_not(spark, sf_dir):
     )
 
 
+_BATCH_QUERIES = (
+    (1, ("spark", "stream", "join")),
+    (2, ("fast", "hash", "merge")),
+    (3, ("slow", "scan", "table")),
+)
+
+
+def _q_bm25_batch(spark, sf_dir):
+    # Batch retrieval: top-5 per query for a RELATION of queries in one
+    # plan — the eval-set / hard-negative-mining primitive (vs the
+    # reference's job-per-request loop).
+    from flink_bm25_spark.operators.bm25 import bm25_batch_rank
+
+    s = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BATCH_QUERIES],
+        "query_id int, terms array<string>",
+    )
+    return bm25_batch_rank(s.tf, s.idf_stats, s.dlen, qdf, k=5)
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -2875,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
+        "q_bm25_batch": _q_bm25_batch,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
         "q_dedup_stats": _q_dedup_stats,
@@ -3553,6 +3575,36 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+        """,
+        "q_bm25_batch": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            qt AS (SELECT * FROM (VALUES {", ".join(
+                f"({qid}, '{w}')"
+                for qid, terms in _BATCH_QUERIES for w in terms
+            )}) v(query_id, word)),
+            scored AS (
+              SELECT q.query_id, t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN qt q ON t.word = q.word
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              GROUP BY q.query_id, t.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 5
         """,
         "q_bm25_not": f"""
             WITH {_PIPE},

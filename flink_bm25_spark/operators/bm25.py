@@ -243,3 +243,58 @@ def bm25_rank_excluding(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bm25_batch_rank(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """``(query_id, doc_id, score, rk)`` — top-k per query for a whole
+    RELATION of bag-of-words queries in ONE plan: the batch-retrieval
+    primitive behind eval-set scoring and BM25 hard-negative mining,
+    where thousands of queries rank against the corpus at once and a
+    per-query driver loop (the reference's job-per-request shape) would
+    take thousands of jobs.
+
+    Plan: the exploded (query, term) relation is tiny and broadcasts
+    into the postings join, so the corpus-side TF relation is pruned to
+    terms ANY query uses and scanned once regardless of query count; one
+    ``groupBy(query, doc)`` sums the contributions; the per-query k-cut
+    is ``row_number <= k`` over the query partition — WindowGroupLimit
+    prunes to k rows per query below the sort, never a global sort.
+    Scores are identical to :func:`bm25_rank` of each query alone
+    (pinned by test).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    q_terms = queries.select(
+        F.col(id_col), F.explode(F.col(terms_col)).alias("word")
+    ).distinct()
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        tf.join(F.broadcast(q_terms), "word")
+        .join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            id_col,
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"), k1, b
+            ).alias("contrib"),
+        )
+        .groupBy(id_col, "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= F.lit(k))
+    )

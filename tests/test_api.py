@@ -399,3 +399,30 @@ def test_bm25_not_excludes_and_preserves_scores(spark):
         for r in bm25_rank(s.tf, s.idf_stats, s.dlen, terms, k=10**6).collect()
     }
     assert all(abs(or_scores[r.doc_id] - r.score) < 1e-9 for r in rows)
+
+
+def test_bm25_batch_equals_per_query(spark):
+    """Each query's batch scores == its solo bm25_rank scores; the
+    per-query k-cut runs below the window sort."""
+    from flink_bm25_spark.operators.bm25 import bm25_batch_rank, bm25_rank
+    from flink_bm25_spark.operators.pipeline import corpus_stats_for
+    from tests.conftest import SF_DIR
+
+    s = corpus_stats_for(spark, SF_DIR)
+    qs = {1: ("spark", "stream"), 2: ("fast", "merge")}
+    qdf = spark.createDataFrame(
+        [(qid, list(t)) for qid, t in qs.items()],
+        "query_id int, terms array<string>",
+    )
+    batch = bm25_batch_rank(s.tf, s.idf_stats, s.dlen, qdf, k=7)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rk, r.doc_id, r.score))
+    for qid, terms in qs.items():
+        solo = [
+            (r.rk, r.doc_id, r.score)
+            for r in bm25_rank(s.tf, s.idf_stats, s.dlen, terms, k=7).collect()
+        ]
+        assert sorted(got[qid]) == sorted(solo), qid
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
