@@ -2445,6 +2445,19 @@ def _q_pool_embeddings(spark, sf_dir):
     return pool_embeddings(chunks, by="mv_doc", mode="mean")
 
 
+def _q_ann_batch_topk(spark, sf_dir):
+    # Batch dense retrieval: three corpus vectors as the query set, top-5
+    # each in ONE plan (broadcast query fanout, WindowGroupLimit k-cut) —
+    # the dense twin of q_bm25_batch.
+    from flink_bm25_spark.operators.similarity import cosine_batch_topk
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_batch_topk(emb, queries, k=5, exclude_same_id=True)
+
+
 def _q_mutual_knn_clusters(spark, sf_dir):
     # Density clustering from the MUTUAL kNN graph (hub-pruned edges,
     # components by pointer jumping, singletons kept) — the centroid-free
@@ -2897,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
+        "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
         "q_dedup_stats": _q_dedup_stats,
@@ -4604,6 +4618,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY coalesce(comp.component, e.vec_id))
                      AS BIGINT) AS cluster_size
             FROM e LEFT JOIN comp ON e.vec_id = comp.node
+        """,
+        "q_ann_batch_topk": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+                  WHERE vec_id < 3),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_sum(list_transform(q.qe, (x, i) ->
+                         CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / ({_NORM.format(e='q.qe')}
+                          * {_NORM.format(e='e.embedding')}),
+                     6) AS cos
+              FROM e JOIN q ON e.vec_id <> q.query_id),
+            r AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
+              FROM p)
+            SELECT query_id, vec_id, cos, rk FROM r WHERE rk <= 5
         """,
         "q_knn_graph": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

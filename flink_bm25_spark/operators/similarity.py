@@ -1203,3 +1203,64 @@ def ivf_topk_from_disk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cosine_batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """``(query_id, vec_id, cos, rk)`` — top-k by cosine for a whole
+    RELATION of query vectors in one plan: the dense twin of
+    ``bm25.bm25_batch_rank`` (eval-set retrieval, embedding-space
+    hard-negative mining).
+
+    Plan: the query relation broadcasts and fans the corpus scan Q ways
+    map-side (one scan regardless of query count — a per-query driver
+    loop is Q scans); per-vector norms bind before the fanout so each
+    (query, vector) pair costs one O(d) dot; the per-query k-cut is
+    ``row_number <= k`` under WindowGroupLimit.  For query sets too big
+    to broadcast, generate candidates with the LSH/IVF tiers and rank
+    only those (``knn_graph(candidates=...)`` pattern) — Q×corpus exact
+    scoring is the small-Q / verification tier.
+
+    ``exclude_same_id=True`` drops pairs where ``query_id == vec_id``
+    (self-matches when queries are drawn from the corpus itself).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_from_parts,
+        l2_norm,
+    )
+
+    with_n = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_e")
+    ).withColumn("_nrm", l2_norm(F.col("_e")))
+    qn = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("_q")
+    ).withColumn("_qnrm", l2_norm(F.col("_q")))
+    pairs = with_n.crossJoin(F.broadcast(qn))
+    if exclude_same_id:
+        pairs = pairs.where(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_from_parts(
+                F.col("_q"), F.col("_e"), F.col("_qnrm"), F.col("_nrm")
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    ).where(F.col("rk") <= F.lit(k))

@@ -895,3 +895,37 @@ def test_blocked_pairs_handle_negative_ids(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r.d1, r.d2) for r in embedding_near_dup_pairs(df, 0.9).collect()}
     assert got == {(-5, -3), (-5, 7), (-3, 7)}
+
+
+def test_cosine_batch_topk_equals_per_query(spark):
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.similarity import (
+        cosine_batch_topk,
+        cosine_topk,
+    )
+    from flink_bm25_spark.sources.tables import load_embeddings
+    from tests.conftest import SF_DIR
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    qrows = emb.where(F.col("vec_id") < 2).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, list(r.embedding)) for r in qrows],
+        "query_id long, qvec array<float>",
+    )
+    batch = cosine_batch_topk(emb, queries, k=4, exclude_same_id=True)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rk, r.vec_id, r.cos))
+    for r in qrows:
+        solo = [
+            (i + 1, s.vec_id, s.cos)
+            for i, s in enumerate(
+                cosine_topk(
+                    emb, list(r.embedding), k=4, exclude_id=r.vec_id
+                ).collect()
+            )
+        ]
+        assert sorted(got[r.vec_id]) == sorted(solo), r.vec_id
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
