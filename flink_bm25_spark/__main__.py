@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--weights", default="")
     cur.add_argument("--budget", type=int, default=512)
 
+    exp = sub.add_parser(
+        "explain",
+        help="print the physical plan of a gate query (plan-first debugging)",
+    )
+    exp.add_argument("query_name", help="a queries() entry, e.g. q_bm25_rank")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument("--mode", default="formatted",
+                     choices=("simple", "extended", "formatted", "cost"))
+
     args = ap.parse_args(argv)
 
     from flink_bm25_spark.session import get_spark  # noqa: PLC0415
@@ -143,6 +152,31 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"{r['rk']}\t{r['doc_id']}\t{r['rrf']}\t{r['n_systems']}"
                 )
+        elif args.cmd == "explain":
+            import importlib.util  # noqa: PLC0415
+            import os  # noqa: PLC0415
+
+            entry_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "__spark_entry__.py",
+            )
+            spec = importlib.util.spec_from_file_location(
+                "_entry_explain", entry_path
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            qs = mod.queries()
+            if args.query_name not in qs:
+                print(f"unknown query {args.query_name!r}; pick one of:",
+                      file=sys.stderr)
+                print(" ".join(sorted(qs)), file=sys.stderr)
+                return 2
+            df = qs[args.query_name](spark, args.sf_dir)
+            print(
+                df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), args.mode
+                )
+            )
         elif args.cmd == "curate":
             from flink_bm25_spark.operators.cleaning import (  # noqa: PLC0415
                 curation_pipeline,
