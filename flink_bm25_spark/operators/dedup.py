@@ -762,9 +762,12 @@ def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
     Docs with zero duplicated spans are reported at 0.0.
     """
     pos_sh = positional_shingles(documents, n)
+    # Gram doc-frequency needs only DISTINCT (doc, gram): derive it from
+    # the map-side array_distinct shingle relation instead of
+    # re-deriving the positional explode a second time (pos_sh would
+    # otherwise be computed once per reference).
     cross_doc = (
-        pos_sh.select("doc_id", "gram")
-        .distinct()
+        shingles(documents, n)
         .groupBy("gram")
         .agg(F.count("*").alias("gdf"))
         .where(F.col("gdf") >= 2)
@@ -887,9 +890,10 @@ def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
     offsets anti-join the token relation (see :func:`_reassemble_without`).
     """
     pos_sh = positional_shingles(documents, n)
+    # df side from the map-side distinct shingle relation (see
+    # duplicated_span_fraction) — pos_sh is derived exactly once.
     cross_doc = (
-        pos_sh.select("doc_id", "gram")
-        .distinct()
+        shingles(documents, n)
         .groupBy("gram")
         .agg(F.count("*").alias("gdf"))
         .where(F.col("gdf") >= 2)
