@@ -1045,7 +1045,11 @@ def pool_embeddings(
     """
     if mode not in ("mean", "max"):
         raise ValueError(f"mode must be mean|max, got {mode!r}")
-    first = chunks.select(vec_col).first()
+    # NULL-vector rows can't inform d (and would crash len()) — probe the
+    # first non-null vector only.
+    first = (
+        chunks.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
     if first is None:
         return chunks.sparkSession.createDataFrame(
             [], f"{by} long, embedding array<double>, n_chunks long"
