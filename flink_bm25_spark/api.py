@@ -528,6 +528,7 @@ class QuantileTracker:
     def __init__(self, sketch: DataFrame | None = None, k: int = 256):
         self.sketch = sketch
         self.k = k
+        self._cfg: tuple | None = None
 
     def update_batch(
         self,
@@ -541,6 +542,14 @@ class QuantileTracker:
 
         from flink_bm25_spark.operators.sketches import kmv_sketch_by  # noqa: PLC0415
 
+        cfg = (group_col, value_col, key_col, seed)
+        if self._cfg is None:
+            self._cfg = cfg
+        elif self._cfg != cfg:
+            raise ValueError(
+                f"QuantileTracker was built with {self._cfg}; mixing in "
+                f"batches keyed {cfg} would merge incomparable samples"
+            )
         new = kmv_sketch_by(
             batch, group_col, value_col, key_col, k=self.k, seed=seed
         ).withColumnRenamed(group_col, "grp")

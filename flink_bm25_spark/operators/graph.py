@@ -55,6 +55,10 @@ def connected_components(
             str(pairs.schema),
             src,
             dst,
+            # part of the result contract: a truncated run (small
+            # max_iterations) must never be served a fully-converged memo
+            # entry, nor vice versa
+            max_iterations,
         )
     except Exception:  # noqa: BLE001 — memo is best-effort
         memo_key = None
