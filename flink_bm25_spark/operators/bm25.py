@@ -218,6 +218,8 @@ def bm25_rank_excluding(
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
+    if not exclude_terms:  # nothing to exclude — the OR form verbatim
+        return bm25_rank(tf, idf_stats, dlen, query_terms, k, k1, b)
     avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
     banned = (
         tf.where(F.col("word").isin(*exclude_terms))
