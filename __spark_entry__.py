@@ -648,6 +648,39 @@ def _q_kmv_by_lang(spark, sf_dir):
     return kmv_quantiles_by(sk, "lang", [0.25, 0.5, 0.75])
 
 
+def _q_winsorize(spark, sf_dir):
+    # Sketch-driven outlier clipping: the KMV 5%/95% price quantiles come
+    # back as one broadcast 2-value row, the clip is map-side, and the
+    # check aggregates the winsorized column per returnflag.
+    from flink_bm25_spark.operators.profiling import winsorize
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.concat_ws(
+            ":",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+        ).alias("rk"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+    return (
+        winsorize(li, "l_extendedprice", "rk", lo=0.05, hi=0.95, k=256)
+        .groupBy("l_returnflag")
+        .agg(
+            # every winsorized value is an exact 2-dp price (raw value or
+            # a clip bound that is itself a sampled price): sum in
+            # DECIMAL so the aggregate is order-independent
+            F.round(
+                F.sum(F.col("l_extendedprice_w").cast("decimal(14,2)"))
+                .cast("double"),
+                6,
+            ).alias("w_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _q_bloom_filter(spark, sf_dir):
     # Portable Bloom filter over the corpus vocabulary: the 16-slot filter
     # VALUE matches the oracle bit-for-bit (md5 positions + bit_or).
@@ -2905,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": _q_cms_sketch,  # portable Count-Min: value-hash checkable
         "q_kmv_quantiles": _q_kmv_quantiles,  # mergeable bottom-k quantiles
         "q_kmv_by_lang": _q_kmv_by_lang,  # grouped bottom-k quantiles
+        "q_winsorize": _q_winsorize,  # sketch-driven outlier clipping
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         "q_bm25_and": _q_bm25_and,
@@ -4346,6 +4380,32 @@ def oracle_sql() -> dict[str, str]:
                      AS est
             FROM kmvagg, (VALUES (0.25),(0.5),(0.75)) t(q)
             WHERE n > 0
+        """,
+        "q_winsorize": f"""
+            WITH s AS (
+              SELECT {_h60(
+                  "'kmv:0:' || (l_orderkey || ':' || l_linenumber || ':' "
+                  "|| CAST(l_extendedprice AS DECIMAL(12,2)))"
+              )} AS hk,
+                     (l_orderkey || ':' || l_linenumber || ':'
+                      || CAST(l_extendedprice AS DECIMAL(12,2))) AS key,
+                     CAST(l_extendedprice AS DOUBLE) AS v
+              FROM lineitem
+              ORDER BY hk, key LIMIT 256),
+            wagg AS (SELECT list(v ORDER BY v) AS vs, count(*) AS n FROM s),
+            b AS (
+              SELECT vs[CAST(floor(0.05 * (n - 1)) AS INT) + 1] AS qlo,
+                     vs[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS qhi
+              FROM wagg)
+            SELECT l_returnflag,
+                   round(CAST(sum(CAST(
+                     CASE WHEN CAST(l_extendedprice AS DOUBLE) < qlo THEN qlo
+                          WHEN CAST(l_extendedprice AS DOUBLE) > qhi THEN qhi
+                          ELSE CAST(l_extendedprice AS DOUBLE) END
+                     AS DECIMAL(14,2))) AS DOUBLE), 6) AS w_sum,
+                   count(*) AS n
+            FROM lineitem, b
+            GROUP BY l_returnflag
         """,
         "q_kmv_quantiles": f"""
             WITH s AS (

@@ -164,3 +164,49 @@ def psi_drift(
             "psi",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    k: int = 256,
+    clip: bool = True,
+) -> DataFrame:
+    """Robust outlier treatment from the KMV quantile sketch: estimate
+    the ``lo``/``hi`` quantiles on the deterministic bottom-``k`` sample
+    (:mod:`flink_bm25_spark.operators.sketches`) and either CLIP values
+    into ``[q_lo, q_hi]`` (``clip=True``, winsorization — adds
+    ``<value_col>_w``) or DROP rows outside it (trimming).
+
+    Scale shape: the sketch is one TakeOrderedAndProject over the corpus;
+    the two quantile scalars come back as a 2-value broadcast row (never
+    a driver round-trip inside the plan), and the clip/trim itself is a
+    map-side expression — one scan + one k-row heap, no global sort, no
+    percentile window.  Same key contract as ``kmv_sketch``.
+    """
+    from flink_bm25_spark.operators.sketches import (  # noqa: PLC0415
+        kmv_quantiles,
+        kmv_sketch,
+    )
+
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    qs = kmv_quantiles(kmv_sketch(df, value_col, key_col, k=k), [lo, hi])
+    bounds = qs.groupBy().pivot("q", [lo, hi]).agg(F.first("est")).select(
+        F.col(f"`{lo}`").alias("_qlo"), F.col(f"`{hi}`").alias("_qhi")
+    )
+    joined = df.crossJoin(F.broadcast(bounds))
+    v = F.col(value_col).cast("double")
+    if clip:
+        return joined.withColumn(
+            f"{value_col}_w",
+            F.when(v < F.col("_qlo"), F.col("_qlo"))
+            .when(v > F.col("_qhi"), F.col("_qhi"))
+            .otherwise(v),
+        ).drop("_qlo", "_qhi")
+    return joined.where(
+        (v >= F.col("_qlo")) & (v <= F.col("_qhi"))
+    ).drop("_qlo", "_qhi")

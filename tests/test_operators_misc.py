@@ -617,3 +617,25 @@ def test_kmv_sketch_by_groupwise_law_and_plan(spark):
     # plan: the k-cut must run below the window sort (WindowGroupLimit)
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_winsorize_clip_and_trim(spark):
+    from flink_bm25_spark.operators.profiling import winsorize
+
+    rows = [(i, float(i)) for i in range(100)] + [(1000, 1e9), (1001, -1e9)]
+    df = spark.createDataFrame(rows, "rid long, val double")
+    clipped = winsorize(df, "val", "rid", lo=0.1, hi=0.9, k=64)
+    vals = [r.val_w for r in clipped.collect()]
+    assert len(vals) == 102
+    lo, hi = min(vals), max(vals)
+    assert -1e9 < lo and hi < 1e9  # the planted outliers were clipped
+    assert all(lo <= v <= hi for v in vals)
+    trimmed = winsorize(df, "val", "rid", lo=0.1, hi=0.9, k=64, clip=False)
+    tv = [r.val for r in trimmed.collect()]
+    assert 1e9 not in tv and -1e9 not in tv
+    assert len(tv) < 102
+    # bad bounds rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "val", "rid", lo=0.9, hi=0.1)
