@@ -639,3 +639,29 @@ def test_ccnet_buckets_approx_agrees_off_boundary(spark):
     # the approx plan never sorts globally: no Window in it
     plan = ccnet_buckets_approx(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_fit_and_component_memos_hit_on_repeat(spark):
+    """The kmeans-fit and connected-components memos must serve repeat
+    calls over the same input plan without re-running their driver-eager
+    loops (object identity = memo hit)."""
+    from flink_bm25_spark.operators.graph import connected_components
+    from flink_bm25_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = kmeans_fit(emb, k=3, iterations=2)
+    c2 = kmeans_fit(emb, k=3, iterations=2)
+    assert c1 is c2
+    # a different parameterization is a different fit
+    assert kmeans_fit(emb, k=2, iterations=2) is not c1
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    l1 = connected_components(pairs)
+    l2 = connected_components(pairs)
+    assert l1 is l2
+    assert connected_components(pairs, max_iterations=1) is not l1
