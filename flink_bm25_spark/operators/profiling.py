@@ -210,3 +210,53 @@ def winsorize(
     return joined.where(
         (v >= F.col("_qlo")) & (v <= F.col("_qhi"))
     ).drop("_qlo", "_qhi")
+
+
+def winsorize_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    k: int = 256,
+    clip: bool = True,
+) -> DataFrame:
+    """Per-group :func:`winsorize` — each group's clip bounds come from
+    its OWN bottom-k sample (``kmv_sketch_by``: one WindowGroupLimit
+    pass, O(groups × k) state), joined back on the group key.  The
+    per-source robust-cleaning form: a price outlier in one store must
+    not widen another store's bounds.
+    """
+    from flink_bm25_spark.operators.sketches import (  # noqa: PLC0415
+        kmv_quantiles_by,
+        kmv_sketch_by,
+    )
+
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    sk = kmv_sketch_by(df, group_col, value_col, key_col, k=k)
+    qs = kmv_quantiles_by(sk, group_col, [lo, hi])
+    bounds = (
+        qs.groupBy(group_col)
+        .pivot("q", [lo, hi])
+        .agg(F.first("est"))
+        .select(
+            group_col,
+            F.col(f"`{lo}`").alias("_qlo"),
+            F.col(f"`{hi}`").alias("_qhi"),
+        )
+    )
+    # group-count-sized relation; AQE broadcasts it while it fits
+    joined = df.join(bounds, group_col)
+    v = F.col(value_col).cast("double")
+    if clip:
+        return joined.withColumn(
+            f"{value_col}_w",
+            F.when(v < F.col("_qlo"), F.col("_qlo"))
+            .when(v > F.col("_qhi"), F.col("_qhi"))
+            .otherwise(v),
+        ).drop("_qlo", "_qhi")
+    return joined.where(
+        (v >= F.col("_qlo")) & (v <= F.col("_qhi"))
+    ).drop("_qlo", "_qhi")

@@ -639,3 +639,31 @@ def test_winsorize_clip_and_trim(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "val", "rid", lo=0.9, hi=0.1)
+
+
+def test_winsorize_by_per_group_bounds(spark):
+    from flink_bm25_spark.operators.profiling import winsorize, winsorize_by
+
+    rows = (
+        [(i, "a", float(i)) for i in range(100)]
+        + [(500, "a", 1e9)]
+        + [(1000 + i, "b", float(10 * i)) for i in range(100)]
+        + [(2000, "b", -1e9)]
+    )
+    df = spark.createDataFrame(rows, "rid long, grp string, val double")
+    out = winsorize_by(df, "grp", "val", "rid", lo=0.1, hi=0.9, k=64)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.grp, []).append(r.val_w)
+    assert len(by["a"]) == 101 and len(by["b"]) == 101
+    # each group's outlier clipped to ITS OWN bounds
+    assert max(by["a"]) < 1e9 and min(by["b"]) > -1e9
+    # group-wise equality with the ungrouped operator on that slice
+    solo = sorted(
+        r.val_w
+        for r in winsorize(
+            df.where(F.col("grp") == "a").drop("grp"),
+            "val", "rid", lo=0.1, hi=0.9, k=64,
+        ).collect()
+    )
+    assert sorted(by["a"]) == solo
