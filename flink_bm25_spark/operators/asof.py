@@ -37,6 +37,7 @@ def asof_join(
     tiebreak: str | None = None,
     how: str = "inner",
     prefix: str = "asof_",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row of the same ``on``
     key with ``right_ts <= left_ts`` (backward as-of).
@@ -47,6 +48,12 @@ def asof_join(
     (deterministic); otherwise the survivor is unspecified.
     ``how`` = ``inner`` drops left rows with no prior right row,
     ``left`` keeps them with nulls.
+
+    ``tolerance`` (same units as the ts columns; seconds when they are
+    timestamps) bounds the match age: a right row older than
+    ``left_ts - tolerance`` is treated as NO match — pandas
+    ``merge_asof(tolerance=...)`` semantics — still within the single
+    sort-merge pass (the matched ts rides the same running-last fill).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -96,16 +103,37 @@ def asof_join(
         .orderBy("__t", "__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the matched right ts rides along so a tolerance bound can be
+    # applied AFTER the fill without a second pass
+    mt = F.when(F.col("__s") == 0, F.col("__t"))
     filled = l_tagged.unionByName(r_tagged).select(
         F.col(on),
+        "__t",
         "__s",
         "__l",
+        F.last(mt, ignorenulls=True).over(w).alias("__mt"),
         *[
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
             for c in value_cols
         ],
     )
     out = filled.where(F.col("__s") == 1)
+    if tolerance is not None:
+        stale = F.col("__mt").isNull() | (
+            F.col("__t").cast("double") - F.col("__mt").cast("double")
+            > F.lit(float(tolerance))
+        )
+        out = out.select(
+            F.col(on),
+            "__t",
+            "__s",
+            "__l",
+            "__mt",
+            *[
+                F.when(~stale, F.col(f"__v_{c}")).alias(f"__v_{c}")
+                for c in value_cols
+            ],
+        )
     if how == "inner":
         out = out.where(F.col(f"__v_{value_cols[0]}").isNotNull())
     return out.select(

@@ -82,3 +82,37 @@ def test_approx_distinct_accuracy(spark):
     exact_p50 = orders.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
     assert abs(row["approx_customers"] - exact_n) <= 0.05 * exact_n
     assert abs(row["approx_p50"] - exact_p50) <= 0.02 * exact_p50
+
+
+def test_asof_tolerance_bounds_match_age(spark):
+    """merge_asof(tolerance=...) semantics: a prior right row older than
+    the bound is NO match — dropped under inner, nulled under left."""
+    from flink_bm25_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 9.5), (1, 120, 12.0), (2, 10, 1.0)],
+        "k long, ts long, value double",
+    )
+    # unbounded: every left row matches its latest prior right row
+    base = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k").collect()
+    }
+    assert base == {(1, 100): 9.5, (1, 200): 12.0, (2, 50): 1.0}
+    # tolerance 30: (1,100) matches at age 5; (1,200)'s latest match is
+    # 80 old and (2,50)'s is 40 old -> both dropped under inner
+    tight = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k", tolerance=30).collect()
+    }
+    assert tight == {(1, 100): 9.5}
+    # left keeps the stale rows with null values instead
+    kept = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k", how="left", tolerance=30).collect()
+    }
+    assert kept[(2, 50)] is None and kept[(1, 200)] is None
+    assert kept[(1, 100)] == 9.5
