@@ -38,6 +38,7 @@ def asof_join(
     how: str = "inner",
     prefix: str = "asof_",
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row of the same ``on``
     key with ``right_ts <= left_ts`` (backward as-of).
@@ -54,9 +55,18 @@ def asof_join(
     ``left_ts - tolerance`` is treated as NO match — pandas
     ``merge_asof(tolerance=...)`` semantics — still within the single
     sort-merge pass (the matched ts rides the same running-last fill).
+
+    ``direction='forward'`` attaches the EARLIEST right row with
+    ``right_ts >= left_ts`` instead (the other merge_asof direction):
+    identical machinery with the window ordered descending — ties still
+    match, tolerance bounds ``matched_ts - left_ts``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward|forward, got {direction!r}"
+        )
 
     r_cols = list(value_cols)
     if tiebreak is not None and tiebreak not in r_cols:
@@ -97,10 +107,12 @@ def asof_join(
     )
 
     # right rows sort before left rows at equal ts (__s 0 < 1), so a left
-    # row at exactly t sees a right row at t — the <= semantics.
+    # row at exactly t sees a right row at t — the <=/>= tie semantics in
+    # either direction.  forward = the same scan over descending ts.
+    ts_order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__s")
+        .orderBy(ts_order, F.asc("__s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # the matched right ts rides along so a tolerance bound can be
@@ -119,10 +131,12 @@ def asof_join(
     )
     out = filled.where(F.col("__s") == 1)
     if tolerance is not None:
-        stale = F.col("__mt").isNull() | (
+        age = (
             F.col("__t").cast("double") - F.col("__mt").cast("double")
-            > F.lit(float(tolerance))
+            if direction == "backward"
+            else F.col("__mt").cast("double") - F.col("__t").cast("double")
         )
+        stale = F.col("__mt").isNull() | (age > F.lit(float(tolerance)))
         out = out.select(
             F.col(on),
             "__t",

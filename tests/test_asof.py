@@ -116,3 +116,35 @@ def test_asof_tolerance_bounds_match_age(spark):
     }
     assert kept[(2, 50)] is None and kept[(1, 200)] is None
     assert kept[(1, 100)] == 9.5
+
+
+def test_asof_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after the left ts;
+    ties match; tolerance bounds the forward gap."""
+    from flink_bm25_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 300)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 1.5), (1, 260, 2.6), (2, 10, 0.1)],
+        "k long, ts long, value double",
+    )
+    fwd = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k", direction="forward").collect()
+    }
+    # (1,100) ties with right@100; (1,200)'s next is 260; (2,300) has
+    # no future right row -> absent under inner
+    assert fwd == {(1, 100): 1.0, (1, 200): 2.6}
+    bounded = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(
+            left, right, "k", direction="forward", tolerance=50
+        ).collect()
+    }
+    assert bounded == {(1, 100): 1.0}  # 260-200=60 > 50
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", direction="nearest")
