@@ -86,6 +86,9 @@ AUDITED = [
     ("q_kmv_quantiles", "bottom-k heap (TakeOrderedAndProject); 1-row finalizer"),
     ("q_kmv_by_lang", "WindowGroupLimit k-cut per group; one agg for all groups"),
     ("q_split_join_revenue", "hot keys salted, cold plain; hot set broadcast <= n/threshold"),
+    ("q_winsorize", "KMV bounds as one broadcast 2-value row; clip map-side"),
+    ("q_bm25_batch", "query terms broadcast into postings; per-query WindowGroupLimit"),
+    ("q_ann_batch_topk", "broadcast query fanout over one scan; WindowGroupLimit k-cut"),
     ("q_bloom_filter", "16-slot bit_or agg; filter broadcasts as 128-byte literal"),
     ("q_cms_sketch", "4x256 exact counters; weighted build, no row re-expansion"),
     ("q_phrase_search", "postings pre-filtered to phrase terms before the position join"),
