@@ -60,12 +60,16 @@ def asof_join(
     ``right_ts >= left_ts`` instead (the other merge_asof direction):
     identical machinery with the window ordered descending — ties still
     match, tolerance bounds ``matched_ts - left_ts``.
+    ``direction='nearest'`` runs BOTH fills over the same key exchange
+    (two window sorts, one shuffle) and keeps the closer match per left
+    row — backward wins exact-distance ties (deterministic); tolerance
+    bounds whichever gap was chosen.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be backward|forward, got {direction!r}"
+            f"direction must be backward|forward|nearest, got {direction!r}"
         )
 
     r_cols = list(value_cols)
@@ -108,43 +112,95 @@ def asof_join(
 
     # right rows sort before left rows at equal ts (__s 0 < 1), so a left
     # row at exactly t sees a right row at t — the <=/>= tie semantics in
-    # either direction.  forward = the same scan over descending ts.
-    ts_order = F.asc("__t") if direction == "backward" else F.desc("__t")
-    w = (
+    # either direction.  forward = the same scan over descending ts;
+    # nearest = BOTH fills over the one exchange (two window sorts share
+    # the hash partitioning on the key), closer match wins, backward on
+    # ties (deterministic).
+    w_back = (
         Window.partitionBy(on)
-        .orderBy(ts_order, F.asc("__s"))
+        .orderBy(F.asc("__t"), F.asc("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.desc("__t"), F.asc("__s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # the matched right ts rides along so a tolerance bound can be
     # applied AFTER the fill without a second pass
     mt = F.when(F.col("__s") == 0, F.col("__t"))
-    filled = l_tagged.unionByName(r_tagged).select(
-        F.col(on),
-        "__t",
-        "__s",
-        "__l",
-        F.last(mt, ignorenulls=True).over(w).alias("__mt"),
-        *[
+    union = l_tagged.unionByName(r_tagged)
+
+    def _fill(w):
+        return [F.last(mt, ignorenulls=True).over(w).alias("__mt")] + [
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
             for c in value_cols
-        ],
-    )
-    out = filled.where(F.col("__s") == 1)
-    if tolerance is not None:
-        age = (
-            F.col("__t").cast("double") - F.col("__mt").cast("double")
-            if direction == "backward"
-            else F.col("__mt").cast("double") - F.col("__t").cast("double")
-        )
-        stale = F.col("__mt").isNull() | (age > F.lit(float(tolerance)))
-        out = out.select(
+        ]
+
+    if direction != "nearest":
+        w = w_back if direction == "backward" else w_fwd
+        filled = union.select(F.col(on), "__t", "__s", "__l", *_fill(w))
+        out = filled.where(F.col("__s") == 1)
+        if tolerance is not None:
+            age = (
+                F.col("__t").cast("double") - F.col("__mt").cast("double")
+                if direction == "backward"
+                else F.col("__mt").cast("double") - F.col("__t").cast("double")
+            )
+            stale = F.col("__mt").isNull() | (age > F.lit(float(tolerance)))
+            out = out.select(
+                F.col(on),
+                "__t",
+                "__s",
+                "__l",
+                "__mt",
+                *[
+                    F.when(~stale, F.col(f"__v_{c}")).alias(f"__v_{c}")
+                    for c in value_cols
+                ],
+            )
+    else:
+        both = union.select(
             F.col(on),
             "__t",
             "__s",
             "__l",
-            "__mt",
+            F.last(mt, ignorenulls=True).over(w_back).alias("__mtb"),
             *[
-                F.when(~stale, F.col(f"__v_{c}")).alias(f"__v_{c}")
+                F.last(f"__v_{c}", ignorenulls=True)
+                .over(w_back)
+                .alias(f"__vb_{c}")
+                for c in value_cols
+            ],
+            F.last(mt, ignorenulls=True).over(w_fwd).alias("__mtf"),
+            *[
+                F.last(f"__v_{c}", ignorenulls=True)
+                .over(w_fwd)
+                .alias(f"__vf_{c}")
+                for c in value_cols
+            ],
+        )
+        t = F.col("__t").cast("double")
+        age_b = t - F.col("__mtb").cast("double")
+        age_f = F.col("__mtf").cast("double") - t
+        if tolerance is not None:
+            tol = F.lit(float(tolerance))
+            b_ok = F.col("__mtb").isNotNull() & (age_b <= tol)
+            f_ok = F.col("__mtf").isNotNull() & (age_f <= tol)
+        else:
+            b_ok = F.col("__mtb").isNotNull()
+            f_ok = F.col("__mtf").isNotNull()
+        use_back = b_ok & (~f_ok | (age_b <= age_f))
+        use_fwd = f_ok & ~use_back
+        out = both.where(F.col("__s") == 1).select(
+            F.col(on),
+            "__t",
+            "__s",
+            "__l",
+            *[
+                F.when(use_back, F.col(f"__vb_{c}"))
+                .when(use_fwd, F.col(f"__vf_{c}"))
+                .alias(f"__v_{c}")
                 for c in value_cols
             ],
         )

@@ -147,4 +147,46 @@ def test_asof_forward_direction(spark):
     import pytest
 
     with pytest.raises(ValueError):
-        asof_join(left, right, "k", direction="nearest")
+        asof_join(left, right, "k", direction="sideways")
+
+
+def test_asof_nearest_direction(spark):
+    """direction='nearest': closer of the backward/forward matches wins,
+    backward on ties; tolerance bounds the chosen gap; one exchange."""
+    from flink_bm25_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 207), (1, 300), (2, 40)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 0.9), (1, 110, 1.1), (1, 210, 2.1), (2, 400, 4.0)],
+        "k long, ts long, value double",
+    )
+    near = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k", direction="nearest").collect()
+    }
+    # (1,100): back@90 age 10 == fwd@110 age 10 -> tie, backward wins
+    # (1,207): back@110 age 97 vs fwd@210 age 3 -> forward
+    # (1,300): only backward exists (210)
+    # (2,40): only forward exists (400)
+    assert near == {
+        (1, 100): 0.9,
+        (1, 207): 2.1,
+        (1, 300): 2.1,
+        (2, 40): 4.0,
+    }
+    bounded = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(
+            left, right, "k", direction="nearest", tolerance=50
+        ).collect()
+    }
+    # (1,300)'s only match is 90 old; (2,40)'s is 360 ahead -> dropped
+    assert bounded == {(1, 100): 0.9, (1, 207): 2.1}
+    # plan: still a single hash exchange on the key (both window sorts
+    # share it), never a join node
+    df = asof_join(left, right, "k", direction="nearest")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
