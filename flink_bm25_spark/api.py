@@ -583,6 +583,15 @@ class QuantileTracker:
     def save(self, path: str) -> None:
         if self.sketch is not None:
             self.sketch = _write_safe(self.sketch, os.path.join(path, "kmv"))
+        # The (group, value, key, seed) tuple is part of the state: without
+        # it, a restarted process could merge a batch sketched under a
+        # different configuration into the restored sample with no error.
+        if self._cfg is not None:
+            import json  # noqa: PLC0415
+
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "cfg.json"), "w") as f:
+                json.dump(list(self._cfg), f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, k: int = 256) -> "QuantileTracker":
@@ -590,4 +599,10 @@ class QuantileTracker:
         sub = os.path.join(path, "kmv")
         if os.path.exists(sub):
             qt.sketch = spark.read.parquet(sub)
+        cfg_path = os.path.join(path, "cfg.json")
+        if os.path.exists(cfg_path):
+            import json  # noqa: PLC0415
+
+            with open(cfg_path) as f:
+                qt._cfg = tuple(json.load(f))
         return qt

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 # localCheckpoint RDDs).  The result is deterministic in the input, so a
 # semantic-hash memo is sound; entries are label relations (tiny), FIFO
 # capped.
-_CC_MEMO: dict[tuple[int, int, str, str], DataFrame] = {}
+# Key: (applicationId, semanticHash, schema str, src, dst, max_iterations).
+_CC_MEMO: dict[tuple, DataFrame] = {}
 _CC_MEMO_CAP = 32
 
 

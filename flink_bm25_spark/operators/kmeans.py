@@ -67,8 +67,25 @@ def _with_cluster(
 # the same clustering (assignment, SemDeDup pairing, silhouette, IVF
 # probes).  The fit is deterministic in its input; entries are k×d Python
 # floats, FIFO-capped.
+#
+# ASSUMES IMMUTABLE INPUTS within a session: the semantic hash identifies
+# the PLAN, not the data — if the files behind the same path are
+# overwritten or appended mid-session, a memo hit would silently serve
+# centroids fit on the old bytes.  Callers that rewrite their inputs must
+# call :func:`clear_memo` after the write (the curation facades' _write_safe
+# paths always write to fresh directories, so they never need to).
 _KM_MEMO: dict[tuple, list[list[float]]] = {}
 _KM_MEMO_CAP = 32
+
+
+def clear_memo() -> None:
+    """Drop all memoized k-means fits (and the connected-components memo,
+    which shares the same plan-not-data keying caveat).  Call after
+    overwriting files that back a previously-fit DataFrame."""
+    _KM_MEMO.clear()
+    from flink_bm25_spark.operators import graph  # noqa: PLC0415
+
+    graph._CC_MEMO.clear()
 
 
 def kmeans_fit(

@@ -1051,9 +1051,26 @@ def pool_embeddings(
         chunks.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     )
     if first is None:
-        return chunks.sparkSession.createDataFrame(
-            [], f"{by} long, embedding array<double>, n_chunks long"
+        # Inherit the group column's real type: hardcoding long would give
+        # the empty frame a dtype that disagrees with the non-empty path
+        # whenever `by` is e.g. a string doc key, breaking downstream
+        # unions/joins on the empty edge case.
+        from pyspark.sql.types import (  # noqa: PLC0415
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        schema = StructType(
+            [
+                StructField(by, chunks.schema[by].dataType),
+                StructField("embedding", ArrayType(DoubleType())),
+                StructField("n_chunks", LongType()),
+            ]
+        )
+        return chunks.sparkSession.createDataFrame([], schema)
     d = len(first[0])
     agg_fn = F.avg if mode == "mean" else F.max
     pooled = chunks.groupBy(by).agg(

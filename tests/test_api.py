@@ -426,3 +426,28 @@ def test_bm25_batch_equals_per_query(spark):
         assert sorted(got[qid]) == sorted(solo), qid
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_quantile_tracker_cfg_survives_restart(spark, tmp_path):
+    """The (group, value, key, seed) configuration is part of the saved
+    state: a restarted process must reject a batch sketched under a
+    different configuration instead of silently merging incomparable
+    samples (r3 advice)."""
+    import pytest
+
+    from flink_bm25_spark.api import QuantileTracker
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(20)], "rid long, grp string, val double"
+    )
+    qt = QuantileTracker(k=8)
+    qt.update_batch(df, "grp", "val", "rid")
+    path = str(tmp_path / "qt_cfg")
+    qt.save(path)
+
+    back = QuantileTracker.load(spark, path, k=8)
+    assert back._cfg == ("grp", "val", "rid", "kmv:0")
+    with pytest.raises(ValueError, match="incomparable"):
+        back.update_batch(df, "grp", "rid", "val")  # swapped columns
+    # the matching configuration still ingests
+    back.update_batch(df.limit(5), "grp", "val", "rid")

@@ -130,3 +130,21 @@ def test_logreg_and_classifier_on_empty_input(spark):
     assert logreg_fit(empty, ["a"], "y", iterations=2) == [0.0, 0.0]
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert quality_classifier_scores(empty_docs).count() == 0
+
+
+def test_kmeans_clear_memo(spark):
+    """clear_memo drops both the centroid and connected-components memos
+    (r3 advice: plan-keyed memos assume immutable inputs; the hook is the
+    documented invalidation path after an in-place overwrite)."""
+    from flink_bm25_spark.operators import graph, kmeans
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    kmeans.clear_memo()
+    c1 = kmeans.kmeans_fit(df, k=2, iterations=1)
+    assert kmeans._KM_MEMO  # fit memoized
+    kmeans.clear_memo()
+    assert not kmeans._KM_MEMO and not graph._CC_MEMO
+    assert kmeans.kmeans_fit(df, k=2, iterations=1) == c1  # refit identical

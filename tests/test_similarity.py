@@ -929,3 +929,25 @@ def test_cosine_batch_topk_equals_per_query(spark):
         assert sorted(got[r.vec_id]) == sorted(solo), r.vec_id
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pool_embeddings_empty_inherits_key_type(spark):
+    """Empty-input pool_embeddings derives the group column's dtype from
+    the input schema (r3 advice: hardcoded long broke unions when the
+    doc key is a string)."""
+    from flink_bm25_spark.operators.similarity import pool_embeddings
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, embedding array<double>"
+    )
+    out = pool_embeddings(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    # a string-keyed non-empty frame unions cleanly with the empty path
+    nonempty = pool_embeddings(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("a", [0.0, 1.0])],
+            "doc_id string, embedding array<double>",
+        )
+    )
+    assert out.unionByName(nonempty).count() == 1
