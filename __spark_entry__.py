@@ -2292,8 +2292,9 @@ def _q_bpe_pair_counts(spark, sf_dir):
 
 
 def _q_quality_gate(spark, sf_dir):
-    # Top-quartile quality gate via percent_rank over the per-doc score
-    # relation (exact, engine-portable percentile semantics).
+    # Top-quartile quality gate: exact percent_rank semantics computed by
+    # the two-phase block-cumsum rank (operators/rank.py) — no
+    # unpartitioned window over the score relation; engine-portable.
     from flink_bm25_spark.operators.text_analysis import quality_percentile_gate
 
     return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
@@ -2632,8 +2633,9 @@ def _q_ngram_diversity(spark, sf_dir):
 
 def _q_ccnet_buckets(spark, sf_dir):
     # CCNet perplexity terciles (head/middle/tail) over the LM scores —
-    # the perplexity-stratified sampling recipe; exact-rank form for the
-    # gate, sketch-threshold twin for 100 TB.
+    # the perplexity-stratified sampling recipe; exact rank via the
+    # two-phase block cumsum (no unpartitioned window), sketch-threshold
+    # twin (ccnet_buckets_approx) when rank values aren't needed.
     from flink_bm25_spark.operators.text_analysis import ccnet_buckets
 
     return ccnet_buckets(load_table(spark, "documents", sf_dir), alpha=0.1)

@@ -49,15 +49,22 @@ def ngram_diversity(
     Map-side gram explode + ONE two-level aggregation (distinct via a
     pre-group on (group, gram) — count_distinct over the raw stream
     would hold per-group hash sets); ratio rounded to 6 decimals.
+
+    The tokenizer output is let-bound as its own projection column before
+    the per-slot ``element_at`` lambda references it — inlining the
+    tokenize expression inside ``transform`` re-evaluates it once per
+    gram slot, the O(len²) trap ``shingles()`` documents as ~30× slower.
     """
     ws = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
-    grams = documents.select(
-        F.col(by_col).alias("grp"),
+    base = documents.select(F.col(by_col).alias("grp"), ws.alias("_ws"))
+    wsc = F.col("_ws")
+    grams = base.select(
+        "grp",
         F.explode(
             F.transform(
-                F.slice(ws, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+                F.slice(wsc, 1, F.greatest(F.size(wsc) - (n - 1), F.lit(0))),
                 lambda _, i: F.concat_ws(
-                    " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+                    " ", *[F.element_at(wsc, i + j + 1) for j in range(n)]
                 ),
             )
         ).alias("gram"),
@@ -205,27 +212,44 @@ def bpe_pair_counts(documents: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
-def quality_percentile_gate(documents: DataFrame, cutoff: float = 0.75) -> DataFrame:
+def quality_percentile_gate(
+    documents: DataFrame, cutoff: float = 0.75, blocks: int = 64
+) -> DataFrame:
     """Docs whose composite quality score ranks at or above the
     ``cutoff`` percentile of the corpus: ``(doc_id, keep_score, pr)``.
 
-    Percentile via ``percent_rank`` over ``(keep_score, doc_id)`` — the
-    unique tiebreak makes the rank (and therefore the kept set) exactly
-    reproducible across engines, unlike interpolated ``percentile``/
-    ``quantile_cont`` thresholds whose float math differs.
+    Exact percentile semantics of ``percent_rank`` over
+    ``(keep_score, doc_id)`` — the unique tiebreak makes the rank (and
+    therefore the kept set) exactly reproducible across engines, unlike
+    interpolated ``percentile``/``quantile_cont`` thresholds whose float
+    math differs.
 
-    Scale: the window runs over the one-row-per-doc *score relation*,
-    never the corpus text; an unpartitioned window is a single-reducer
-    sort, which is fine for a per-doc scalar relation up to ~1e9 rows —
-    beyond that, swap in an approximate threshold from
-    ``approx_percentile`` and keep the same filter shape.
+    Scale: computed WITHOUT an unpartitioned window over the score
+    relation — ``keep_score`` is in ``[0, 1]`` by construction, so rows
+    hash-free block on fixed-width value buckets and rank via the
+    two-phase block-cumsum of :mod:`flink_bm25_spark.operators.rank`
+    (per-block counts → tiny offsets window → block-partitioned
+    row_number).  ``pr = (rank-1)/(n-1)`` is the identical double the
+    single-window form produces.  Known hot spot: the score atoms 0.0
+    (too-short docs) and 0.2 (stopword-heavy docs) are irreducible tie
+    blocks; the continuum spreads over ``blocks`` tasks.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
+    from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
+        block_ranked,
+        value_block,
+    )
 
     scored = quality_scores(documents).select("doc_id", "keep_score")
-    w = Window.orderBy(F.col("keep_score").asc(), F.col("doc_id").asc())
+    base = scored.withColumn(
+        "_blk", value_block(F.col("keep_score"), 0.0, 1.0, blocks)
+    ).localCheckpoint(eager=True)
+    ranked = block_ranked(base, ["keep_score", "doc_id"], dense_ties=False)
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
     return (
-        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        ranked.withColumn("pr", F.round(pr, 6))
         .where(F.col("pr") >= F.lit(cutoff))
         .select("doc_id", "keep_score", "pr")
     )
@@ -433,6 +457,7 @@ def ccnet_buckets(
     documents: DataFrame,
     alpha: float = 0.1,
     cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    blocks: int = 64,
 ) -> DataFrame:
     """``(doc_id, n_bigrams, nll, pr, bucket)`` — CCNet's perplexity
     bucketing (Wenzek et al. 2020, arXiv:1911.00359): rank every document
@@ -443,23 +468,38 @@ def ccnet_buckets(
 
     Ranking uses the 6-dp-rounded ``nll`` (ties share a percent_rank —
     rank arithmetic is exact integer-ratio math, so the bucketing
-    replays identically in any engine).  The exact percent_rank is a
-    single-partition window sort over the (doc_id, nll) relation — fine
-    for the scored-relation sizes the gate runs, but at 100 TB use
-    :func:`ccnet_buckets_approx`, which cuts on sketch quantiles with
-    no global sort (same pattern as ``quality_percentile_gate_approx``).
-    """
-    from pyspark.sql import Window  # noqa: PLC0415
+    replays identically in any engine).
 
-    scored = lm_perplexity_scores(documents, alpha)
-    w = Window.orderBy(F.col("nll").asc())
-    pr = F.percent_rank().over(w)
+    Scale: exact ``percent_rank`` semantics WITHOUT an unpartitioned
+    window over the score relation — the nll range is measured with one
+    min/max tree aggregation over the checkpointed scores, rows block on
+    fixed-width value buckets (ties share a block by construction), and
+    the global min-rank comes from the two-phase block-cumsum of
+    :mod:`flink_bm25_spark.operators.rank` with an in-block ``rank()``
+    window PARTITIONED by block.  ``pr = (rank-1)/(n-1)`` is the
+    identical double the single-window form (and the oracle) produces;
+    buckets cut on the unrounded ratio exactly as before.  For sketch-
+    threshold cutting with no rank at all, see
+    :func:`ccnet_buckets_approx`.
+    """
+    from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
+        block_ranked,
+        with_measured_blocks,
+    )
+
+    scored = lm_perplexity_scores(documents, alpha).localCheckpoint(eager=True)
+    base = with_measured_blocks(scored, "nll", blocks)
+    ranked = block_ranked(base, ["nll"], dense_ties=True)
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
     bucket = (
         F.when(pr < F.lit(cuts[0]), "head")
         .when(pr < F.lit(cuts[1]), "middle")
         .otherwise("tail")
     )
-    return scored.select(
+    return ranked.select(
         "doc_id",
         "n_bigrams",
         "nll",
