@@ -244,22 +244,49 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def edit_distance_pairs(
-    df: DataFrame, col: str, max_dist: int = 3
-) -> DataFrame:
-    """``(v1, v2, dist)`` — pairs of *distinct* values of ``col`` within
-    Levenshtein distance ``max_dist`` (entity-resolution after exact dedup:
-    near-identical names/titles that hashing can never catch).
+def _char_grams(c: Column, q: int) -> Column:
+    """Ordered positional character ``q``-grams of string column ``c``
+    (empty array when the string is shorter than ``q``)."""
+    return F.when(
+        F.length(c) >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (q - 1)),
+            lambda i: F.substr(c, i, F.lit(q)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-    Scale shape: the pairwise work runs over the **distinct-value
-    relation** (orders of magnitude smaller than the corpus), blocked by
-    a LOSSLESS length-band equi-join: ``lev(a,b) ≤ d ⟹ |len(a)−len(b)|
-    ≤ d``, so the shorter side is exploded over its ``d+1`` admissible
-    partner lengths and met by a plain hash equi-join on length — never a
-    nested-loop/cartesian over all value pairs, and only same-length-band
-    values ever reach the O(len²) ``levenshtein`` kernel (a JVM built-in —
-    no Python in the loop).  Equal-length pairs meet in both
-    orientations, so pairs are canonicalized and deduped.
+
+def edit_candidate_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+    q: int = 2,
+    qgram_prefilter: bool = True,
+) -> DataFrame:
+    """``(v1, v2)`` — canonicalized candidate pairs of *distinct* values
+    of ``col`` that survive the LOSSLESS blocking for Levenshtein
+    distance ``max_dist``; every pair with ``lev ≤ max_dist`` is
+    guaranteed present.  Two stacked filters, both exact implications of
+    the distance bound:
+
+    1. **Length band** (equi-join): ``lev(a,b) ≤ d ⟹ |len(a)−len(b)| ≤
+       d``, so the shorter side is exploded over its ``d+1`` admissible
+       partner lengths and met by a plain hash equi-join on length —
+       never a nested-loop/cartesian over all value pairs.
+    2. **Positional q-gram count bound** (map-side expression on the
+       surviving pair, Gravano et al. 2001): an edit operation destroys
+       at most ``q`` grams, so ``lev(a,b) ≤ d`` implies at least
+       ``max(len)−q+1−q·d`` of ``a``'s positional grams have an equal
+       gram in ``b`` within position distance ``d``.  The check scans a
+       ``2d+1`` position window per gram (``O(d·len)`` string compares —
+       cheaper constants than the DP kernel) and counts a gram on ANY
+       admissible partner, which upper-bounds the true matching, so the
+       ``count ≥ bound`` filter never drops a true pair.  Vacuous (pass)
+       when the bound is ≤ 0 (short strings).
+
+    Without the prefilter every same-band pair reaches the Levenshtein
+    kernel — quadratic in per-band vocabulary; with it, only pairs that
+    actually share most of their grams do.
     """
     names = (
         df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
@@ -280,6 +307,43 @@ def edit_distance_pairs(
         )
         .distinct()
     )
+    if not qgram_prefilter:
+        return cand
+    d = max_dist
+    ga, gb = _char_grams(F.col("v1"), q), _char_grams(F.col("v2"), q)
+    bound = (
+        F.greatest(F.length("v1"), F.length("v2")) - (q - 1) - q * d
+    )
+    matched = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(ga), F.lit(1))),
+            lambda i: F.array_contains(
+                F.slice(gb, F.greatest(F.lit(1), i - d), 2 * d + 1),
+                F.element_at(ga, i),
+            ),
+        )
+    )
+    return cand.where(
+        (bound <= 0) | ((F.size(ga) > 0) & (matched >= bound))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str, max_dist: int = 3, q: int = 2
+) -> DataFrame:
+    """``(v1, v2, dist)`` — pairs of *distinct* values of ``col`` within
+    Levenshtein distance ``max_dist`` (entity-resolution after exact dedup:
+    near-identical names/titles that hashing can never catch).
+
+    Scale shape: the pairwise work runs over the **distinct-value
+    relation** (orders of magnitude smaller than the corpus), blocked by
+    the lossless length band + positional q-gram count bound of
+    :func:`edit_candidate_pairs`; only pairs sharing most of their grams
+    reach the O(d·len) thresholded ``levenshtein`` kernel (a JVM
+    built-in — no Python in the loop).  Equal-length pairs meet in both
+    orientations, so pairs are canonicalized and deduped.
+    """
+    cand = edit_candidate_pairs(df, col, max_dist, q)
     # Thresholded levenshtein bounds the DP band to O(d·len) and returns
     # -1 above the threshold — strictly cheaper than the full O(len²)
     # kernel for the pairs the filter would drop anyway.

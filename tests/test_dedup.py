@@ -380,6 +380,60 @@ def test_edit_distance_length_blocking_lossless_and_pruning(spark):
     assert n_cand < n * (n - 1) // 2 / 2
 
 
+def test_edit_distance_qgram_prefilter_lossless_and_tighter(spark):
+    """The positional q-gram count bound (r3 verdict item 2) must (a)
+    keep every true lev<=d pair — it is an exact implication of the
+    distance bound — and (b) send strictly fewer pairs to the
+    Levenshtein kernel than pure length-band blocking on a skewed-length
+    vocabulary (many same-length values that share no grams)."""
+    from flink_bm25_spark.operators.dedup import (
+        edit_candidate_pairs,
+        edit_distance_pairs,
+    )
+
+    # skewed lengths: a hot 10-char band of mutually-distant values,
+    # plus genuine near-duplicate cliques inside the same band
+    vals = (
+        [f"{c}bcdefghi{c}" for c in "abcdefghijklmnopqrst"]  # same band
+        + ["catalogues", "katalogues", "catalogue5", "cataloguez"]
+        + ["warehouse1", "warehouse2", "warehouse3"]
+        + ["zyxwvutsrq"]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+
+    import itertools
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return m[-1]
+
+    want = {
+        (min(a, b), max(a, b)): lev(min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(set(vals)), 2)
+        if lev(a, b) <= 3
+    }
+    got = {
+        (r.v1, r.v2): r.dist
+        for r in edit_distance_pairs(df, "name", 3).collect()
+    }
+    assert got == want  # lossless through both filters
+
+    n_band = edit_candidate_pairs(
+        df, "name", 3, qgram_prefilter=False
+    ).count()
+    n_prefiltered = edit_candidate_pairs(df, "name", 3).count()
+    assert set(want) <= {
+        (r.v1, r.v2)
+        for r in edit_candidate_pairs(df, "name", 3).collect()
+    }
+    assert n_prefiltered < n_band, (n_prefiltered, n_band)
+
+
 def test_remove_duplicated_spans_cuts_cross_doc_boilerplate(spark):
     # The action half of Lee et al. exact-substring dedup: a 10-token
     # span shared across documents is cut from EVERY document carrying
