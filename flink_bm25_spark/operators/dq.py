@@ -116,14 +116,14 @@ def expression_violations(df: DataFrame, predicate: Column) -> DataFrame:
 
 
 def dq_summary(checks: Sequence[tuple[str, DataFrame]]) -> DataFrame:
-    """``(check, violations)`` — one row per named check, the union of
+    """``(dq_check, violations)`` — one row per named check, the union of
     each check's 1-row count aggregate.  Every union leg reduces to a
     scalar before the union (no violation payload moves), but each leg
     plans its OWN scan — for many row-level checks on one table, use
     :func:`dq_summary_fused`, which folds them into a single pass."""
     legs = [
         df.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
-            F.lit(name).alias("check"), "violations"
+            F.lit(name).alias("dq_check"), "violations"
         )
         for name, df in checks
     ]
@@ -136,7 +136,7 @@ def dq_summary(checks: Sequence[tuple[str, DataFrame]]) -> DataFrame:
 def dq_summary_fused(
     df: DataFrame, predicates: Sequence[tuple[str, Column]]
 ) -> DataFrame:
-    """``(check, violations)`` for several ROW-LEVEL invariants of one
+    """``(dq_check, violations)`` for several ROW-LEVEL invariants of one
     table in a SINGLE aggregate pass: each named predicate (the
     condition that should HOLD; NULL counts as a violation) becomes a
     conditional counter in one map-side partial agg — the table is
@@ -158,13 +158,13 @@ def dq_summary_fused(
     packed = F.array(
         *[
             F.struct(
-                F.lit(name).alias("check"), F.col(f"__v{i}").alias("violations")
+                F.lit(name).alias("dq_check"), F.col(f"__v{i}").alias("violations")
             )
             for i, (name, _) in enumerate(predicates)
         ]
     )
     return agg.select(F.explode(packed).alias("_p")).select(
-        "_p.check", "_p.violations"
+        "_p.dq_check", "_p.violations"
     )
 
 

@@ -792,7 +792,7 @@ def word_cooccurrence_edges(documents: DataFrame) -> DataFrame:
 def textrank_keywords(
     documents: DataFrame, damping: float = 0.85, iterations: int = 3
 ) -> DataFrame:
-    """``(word, rank)`` — TextRank (Mihalcea & Tarau 2004) keyword
+    """``(word, tr_rank)`` — TextRank (Mihalcea & Tarau 2004) keyword
     salience: weighted PageRank over the word co-occurrence graph.  The
     graph-analytics twin of the frequency-based IDF ranking the
     reference materializes — rank reflects a word's centrality in the
@@ -804,7 +804,9 @@ def textrank_keywords(
     ranks = pagerank(
         edges, damping=damping, iterations=iterations
     )
-    return ranks.select(F.col("node").alias("word"), "rank")
+    return ranks.select(
+        F.col("node").alias("word"), F.col("rank").alias("tr_rank")
+    )
 
 
 def compression_ratio_scores(

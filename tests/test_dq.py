@@ -74,7 +74,7 @@ def test_dq_summary_one_row_per_check(spark):
             ("v_range", range_violations(df, "v", 0.0, 20.0)),
         ]
     )
-    got = {r.check: r.violations for r in out.collect()}
+    got = {r.dq_check: r.violations for r in out.collect()}
     assert got == {"unique_id": 1, "fk_id": 1, "tag_domain": 2, "v_range": 3}
 
 
@@ -96,14 +96,14 @@ def test_dq_summary_fused_single_scan_equals_composed(spark):
             ("v_positive", F.col("v") > 0.0),
         ],
     )
-    got = {r.check: r.violations for r in fused.collect()}
+    got = {r.dq_check: r.violations for r in fused.collect()}
     composed = dq_summary(
         [
             ("tag_domain", accepted_values_violations(df, "tag", ["a", "b"])),
             ("v_positive", expression_violations(df, F.col("v") > 0.0)),
         ]
     )
-    want = {r.check: r.violations for r in composed.collect()}
+    want = {r.dq_check: r.violations for r in composed.collect()}
     assert got == want == {"tag_domain": 2, "v_positive": 2}
     # both checks ride ONE aggregation (logical plan has a single
     # Aggregate node), not one scan/agg pair per check

@@ -108,7 +108,7 @@ def test_new_ops_on_degenerate_corpora(spark):
     assert winnowing_fingerprints(degenerate).count() == 0
     assert winnowing_dedup_pairs(degenerate).count() == 0
     # single bigram "a b" -> one symmetric edge, two ranked words
-    tr = {r.word: r.rank for r in textrank_keywords(degenerate).collect()}
+    tr = {r.word: r.tr_rank for r in textrank_keywords(degenerate).collect()}
     assert set(tr) == {"a", "b"} and tr["a"] == tr["b"]
     # every doc gets a split; budget sampling keeps the short docs
     assert leakage_safe_split(degenerate).count() == 4

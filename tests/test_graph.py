@@ -144,7 +144,7 @@ def test_textrank_ranks_hub_word_highest(spark):
         ],
         "doc_id bigint, text string",
     )
-    ranks = {r.word: r.rank for r in textrank_keywords(docs).collect()}
+    ranks = {r.word: r.tr_rank for r in textrank_keywords(docs).collect()}
     assert max(ranks, key=ranks.get) == "hub"
     # peripheral words that only touch the hub sit below it
     assert ranks["delta"] < ranks["hub"]
