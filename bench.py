@@ -22,6 +22,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship BM25 pipeline plus one representative of each
 # operator family (agg, window/top-k, join, sort, event windows, dedup, ANN).
+#
+# FROZEN at the round-3 set (31 queries): round-over-round headline totals
+# are only comparable at the identical set (r3 verdict item 4 / the r1->r3
+# lesson), so this list must NOT grow.  New queries worth benching go in
+# ADDITIONS below — they are timed and reported under "queries_extra" but
+# never enter the headline "value".
 HEADLINE = [
     "q_tf",
     "q_pos_filter",
@@ -56,6 +62,15 @@ HEADLINE = [
     "q_pca_top_component",
 ]
 
+# Non-frozen additions (reported separately as "queries_extra"): queries
+# whose plans changed this round or newly promoted flagships.
+ADDITIONS = [
+    "q_quality_gate",
+    "q_ccnet_buckets",
+    "q_edit_distance",
+    "q_asof_join",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -70,13 +85,16 @@ def main() -> None:
     # Two timed iterations, report the min: the first run pays JVM JIT +
     # whole-stage-codegen compilation, which would otherwise be billed to
     # whichever query happens to run first.
+    extra_names = [n for n in ADDITIONS if n in qs]
     timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
     for _ in range(2):
-        for name in names:
+        for name in names + extra_names:
+            sink = timings if name in HEADLINE else extra
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            sink[name] = min(sink.get(name, dt), dt)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -86,6 +104,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extra,
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
