@@ -652,12 +652,27 @@ def contrastive_triplets(
     )
 
 
+def _auto_k(
+    embeddings: DataFrame, k_min: int, target_cluster_size: int
+) -> int:
+    """SemDeDup's k ∝ n recipe: enough clusters that the EXPECTED
+    cluster size stays ``target_cluster_size`` as the corpus grows —
+    with fixed k, cluster size grows ∝ n and the within-cluster pair
+    sweep is quadratic by construction (THROUGHPUT r2).  One cheap
+    count() resolves it; clamped to [1, n] so degenerate inputs still
+    fit."""
+    n = embeddings.count()
+    return max(1, min(max(k_min, -(-n // target_cluster_size)), n))
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
-    k: int = 4,
+    k: int | None = None,
     iterations: int = 2,
     num_blocks: int = 4,
+    k_min: int = 4,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """``(cluster, d1, d2, cos)`` — SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then find
@@ -678,9 +693,12 @@ def semantic_dedup_pairs(
     6-dp rounded distances/means/cosines, so the DuckDB oracle replays
     the identical pair set.
 
-    At 100 TB: raise ``k`` so clusters stay ~10³–10⁴ vectors; cluster
-    sizes are observable via ``kmeans.cluster_sizes`` and a skewed
-    cluster can be split by recursing on it (standard SemDeDup practice).
+    ``k=None`` (the default) resolves k ∝ n via :func:`_auto_k`:
+    ``max(k_min, ceil(n / target_cluster_size))`` from one cheap count,
+    so the default plan stays linear-ish as the corpus grows instead of
+    silently going quadratic at a fixed k.  Cluster sizes are observable
+    via ``kmeans.cluster_sizes`` and a skewed cluster can be split by
+    recursing on it (standard SemDeDup practice).
     """
     from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
         cosine_from_parts,
@@ -688,6 +706,8 @@ def semantic_dedup_pairs(
     )
     from flink_bm25_spark.operators.kmeans import kmeans_assign  # noqa: PLC0415
 
+    if k is None:
+        k = _auto_k(embeddings, k_min, target_cluster_size)
     # keep_vector: assignment is map-side codegen, so carrying the vector
     # through costs nothing — re-joining it back on vec_id would shuffle
     # the embedding relation once per side for data never dropped.
@@ -736,12 +756,13 @@ def semantic_dedup_pairs(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.45,
-    k: int = 4,
+    k: int | None = None,
     iterations: int = 2,
 ) -> DataFrame:
     """Survivors of SemDeDup: drop the higher-id member of every
     within-cluster near-dup pair (deterministic keep-lowest policy, same
-    as the MinHash/SimHash dedup family)."""
+    as the MinHash/SimHash dedup family).  ``k=None`` resolves k ∝ n —
+    see :func:`semantic_dedup_pairs`."""
     losers = (
         semantic_dedup_pairs(embeddings, threshold, k, iterations)
         .select(F.col("d2").alias("vec_id"))

@@ -951,3 +951,31 @@ def test_pool_embeddings_empty_inherits_key_type(spark):
         )
     )
     assert out.unionByName(nonempty).count() == 1
+
+
+def test_semantic_dedup_auto_k_resolves_k_prop_n(spark):
+    """k=None defaults to the SemDeDup k ∝ n recipe (r3 verdict item 5):
+    max(k_min, ceil(n / target_cluster_size)), clamped to [1, n] — with a
+    fixed k the within-cluster pair sweep is quadratic by construction."""
+    from flink_bm25_spark.operators.similarity import (
+        _auto_k,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    assert _auto_k(emb, k_min=4, target_cluster_size=10) == 10  # ceil(100/10)
+    assert _auto_k(emb, k_min=4, target_cluster_size=1024) == 4  # floor at k_min
+    tiny = emb.limit(2)
+    assert _auto_k(tiny, k_min=4, target_cluster_size=1024) == 2  # clamp to n
+
+    # the default path equals the explicit-k path it resolves to
+    auto = semantic_dedup_pairs(
+        emb, threshold=0.9, iterations=1, target_cluster_size=10
+    )
+    explicit = semantic_dedup_pairs(emb, threshold=0.9, k=10, iterations=1)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
