@@ -94,6 +94,50 @@ def main() -> None:
             f"({dt * 1000:.0f} ms/query over {n} vectors; "
             f"scan fraction {frac.get(name, '?')})"
         )
+
+    # Incremental maintenance drift: archive doubles through 10 ivf_add
+    # batches with NO retrain; compare probe recall vs a fresh rebuild
+    # on the full set (pinned as a drift bound by
+    # test_ivf_add_ten_batches_recall_drift_bound).
+    import tempfile
+
+    from flink_bm25_spark.operators.similarity import (
+        ivf_add,
+        ivf_save,
+        ivf_topk_from_disk,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivf_drift_")
+    inc_path, fresh_path = os.path.join(tmp, "inc"), os.path.join(tmp, "fresh")
+    base = emb.where("vec_id < 250")
+    m0, a0 = ivf_build(base, n_cells=8)
+    ivf_save(m0, a0, inc_path)
+    for b in range(10):
+        lo = 250 + 25 * b
+        ivf_add(spark, inc_path, emb.where(f"vec_id >= {lo} and vec_id < {lo + 25}"))
+    mf, af = ivf_build(emb, n_cells=8)
+    ivf_save(mf, af, fresh_path)
+    qrows = emb.where("vec_id >= 250 and vec_id % 50 = 0").collect()
+
+    def disk_recall(path: str) -> float:
+        hits = tot = 0
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            want = {x["vec_id"] for x in cosine_topk(emb, qv, k=10).collect()}
+            got = {
+                x["vec_id"]
+                for x in ivf_topk_from_disk(spark, path, qv, k=10, nprobe=4).collect()
+            }
+            hits += len(got & want)
+            tot += 10
+        return hits / tot
+
+    r_inc, r_fresh = disk_recall(inc_path), disk_recall(fresh_path)
+    print(
+        f"ivf_add maintenance  recall@10 after 10 no-retrain batches "
+        f"(archive 250->500, 8 cells, nprobe4): incremental {r_inc:.2f} "
+        f"vs fresh rebuild {r_fresh:.2f} (drift {r_fresh - r_inc:+.2f})"
+    )
     spark.stop()
 
 
