@@ -43,19 +43,17 @@ STATE_SCHEMA = StructType(
 )
 
 
-def running_stats_per_type_tws(events: DataFrame) -> DataFrame:
-    """``transformWithStateInPandas`` twin of
-    :func:`flink_bm25_spark.streaming.stateful.running_stats_per_type` —
-    one updated ``(event_type, n, max_value)`` row per key per micro-batch.
+def make_running_stats_processor(state_schema: StructType = STATE_SCHEMA):
+    """Build the ``RunningStats`` StatefulProcessor CLASS (not instance).
 
-    Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) — the HDFS-backed
-    default does not implement the typed-handle column families TWS uses.
-    The processor class is defined inside this function so cloudpickle
-    serializes it by value and the TWS driver worker never needs this
-    package on its PYTHONPATH.
+    Factory shape for two reasons: the class is created inside a function
+    so cloudpickle serializes it by value (the TWS driver worker never
+    needs this package on its PYTHONPATH), and the processor LOGIC can be
+    unit-tested by driving ``init``/``handleInputRows`` with stub state
+    handles — which keeps this operator's behavior pinned even where the
+    protobuf state server is absent (see
+    ``test_tws_processor_logic_without_state_server``).
     """
-    state_schema = STATE_SCHEMA
 
     class RunningStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -80,8 +78,23 @@ def running_stats_per_type_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningStats
+
+
+def running_stats_per_type_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`flink_bm25_spark.streaming.stateful.running_stats_per_type` —
+    one updated ``(event_type, n, max_value)`` row per key per micro-batch.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the HDFS-backed
+    default does not implement the typed-handle column families TWS uses —
+    and a ``google.protobuf`` runtime for the state-server protocol
+    (``TWS_AVAILABLE`` probes it; the processor logic itself is tested
+    without it through :func:`make_running_stats_processor`).
+    """
     return events.groupBy("event_type").transformWithStateInPandas(
-        statefulProcessor=RunningStats(),
+        statefulProcessor=make_running_stats_processor()(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
