@@ -2933,15 +2933,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline": _q_curation_pipeline,
         "q_curation_report": _q_curation_report,
         "q_decontaminate": _q_decontaminate,
-        "q_corpus_clean": _q_corpus_clean,
+        "q_idf": _q_idf,
         "q_pack_sequences": _q_pack_sequences,
         # ---- beyond the 50-query window (driver rows-only in overflow;
         # verified by scripts/driver_sweep.py + pytest) ----
         # r4 rotated out (operators covered by in-window composites:
-        # idf/mlt by tfidf+bm25_rank, distinct/sort/union by df+top30,
+        # corpus_clean by curation_pipeline+keep_best, mlt by
+        # tfidf+bm25_rank, distinct/sort/union by df+top30,
         # quality_scores by quality_gate+curation, lm_perplexity by
         # ccnet_buckets, embed_quantize by the ANN tier queries)
-        "q_idf": _q_idf,
+        "q_corpus_clean": _q_corpus_clean,
         "q_more_like_this": _q_more_like_this,
         "q_distinct_words": _q_distinct_words,
         "q_sort_desc": _q_sort_desc,

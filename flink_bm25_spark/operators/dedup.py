@@ -266,50 +266,124 @@ def edit_candidate_pairs(
     """``(v1, v2)`` — canonicalized candidate pairs of *distinct* values
     of ``col`` that survive the LOSSLESS blocking for Levenshtein
     distance ``max_dist``; every pair with ``lev ≤ max_dist`` is
-    guaranteed present.  Two stacked filters, both exact implications of
-    the distance bound:
+    guaranteed present.  Generation splits on where the positional
+    q-gram count bound (Gravano et al. 2001) has teeth — ``lev(a,b) ≤ d``
+    implies at least ``bound = max(len)−q+1−q·d`` of ``a``'s positional
+    grams have an equal gram in ``b`` within position distance ``d``:
 
-    1. **Length band** (equi-join): ``lev(a,b) ≤ d ⟹ |len(a)−len(b)| ≤
-       d``, so the shorter side is exploded over its ``d+1`` admissible
-       partner lengths and met by a plain hash equi-join on length —
-       never a nested-loop/cartesian over all value pairs.
-    2. **Positional q-gram count bound** (map-side expression on the
-       surviving pair, Gravano et al. 2001): an edit operation destroys
-       at most ``q`` grams, so ``lev(a,b) ≤ d`` implies at least
-       ``max(len)−q+1−q·d`` of ``a``'s positional grams have an equal
-       gram in ``b`` within position distance ``d``.  The check scans a
-       ``2d+1`` position window per gram (``O(d·len)`` string compares —
-       cheaper constants than the DP kernel) and counts a gram on ANY
-       admissible partner, which upper-bounds the true matching, so the
-       ``count ≥ bound`` filter never drops a true pair.  Vacuous (pass)
-       when the bound is ≤ 0 (short strings).
+    1. **Short class** (``max(len) ≤ q·d+q−1`` ⟹ bound ≤ 0, vacuous):
+       only reachable for pairs whose members BOTH have len ≤ that cap
+       (lengths differ by ≤ d), so the short values alone meet in the
+       lossless length-band equi-join (``lev ≤ d ⟹ |Δlen| ≤ d``; the
+       shorter side explodes over its ``d+1`` admissible partner
+       lengths) — a bounded vocabulary class, never the long tail.
+    2. **Long class** (bound ≥ 1): candidates are GENERATED by a
+       positional-gram equi-join on ``(gram, position band)`` — band
+       width ``2d+1`` with the probe side replicated to the 3 adjacent
+       bands covers every ``|Δpos| ≤ d`` match — so join volume tracks
+       shared-gram mass, not per-length-band vocabulary² (the r3 scale
+       grade).  Length band and ``|Δpos| ≤ d`` apply as join filters.
+    3. **Count-bound prefilter** (map-side expression on every surviving
+       pair): scans a ``2d+1`` position window per gram (``O(d·len)``
+       string compares — cheaper constants than the DP kernel), counting
+       a gram on ANY admissible partner, which upper-bounds the true
+       matching, so ``count ≥ bound`` never drops a true pair (vacuous
+       when bound ≤ 0).  Only pairs sharing most of their grams reach
+       the Levenshtein kernel.
 
-    Without the prefilter every same-band pair reaches the Levenshtein
-    kernel — quadratic in per-band vocabulary; with it, only pairs that
-    actually share most of their grams do.
+    ``qgram_prefilter=False`` falls back to the pure band join over the
+    whole vocabulary (the comparison baseline pinned by tests).
     """
     names = (
         df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
     )
-    a = names.select(
-        F.col("v").alias("va"),
-        F.explode(
-            F.sequence(F.length("v"), F.length("v") + F.lit(max_dist))
-        ).alias("blen"),
+
+    def _band_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        a = left.select(
+            F.col("v").alias("va"),
+            F.explode(
+                F.sequence(F.length("v"), F.length("v") + F.lit(max_dist))
+            ).alias("blen"),
+        )
+        b = right.select(F.col("v").alias("vb"), F.length("v").alias("blen"))
+        return (
+            a.join(b, "blen")
+            .where(F.col("va") != F.col("vb"))
+            .select(
+                F.least("va", "vb").alias("v1"),
+                F.greatest("va", "vb").alias("v2"),
+            )
+            .distinct()
+        )
+
+    if not qgram_prefilter:
+        return _band_join(names, names)
+    d = max_dist
+    # Pairs whose count bound is vacuous (max(len) ≤ q·d+q−1 ⟹ bound ≤ 0)
+    # can only be generated by the band join; since |len diff| ≤ d, both
+    # members of such a pair have len ≤ short_max, so banding the SHORT
+    # value class alone covers them — a bounded vocabulary, never the
+    # long tail.  Every other true pair shares ≥ bound ≥ 1 positional
+    # q-grams, so candidates with a long member are GENERATED by a
+    # positional-gram equi-join (Gravano et al. 2001's DBMS realization)
+    # instead of materializing the per-band cross product: grams join on
+    # (gram, position band) with the a-side replicated to the 3 adjacent
+    # bands (band width 2d+1 ⟹ |Δpos| ≤ d spans ≤ 2 bands), so shared-
+    # gram volume, not band-vocabulary², bounds the join output.
+    short_max = q * d + q - 1
+    cand_short = _band_join(
+        names.where(F.length("v") <= short_max),
+        names.where(F.length("v") <= short_max),
     )
-    b = names.select(F.col("v").alias("vb"), F.length("v").alias("blen"))
-    cand = (
-        a.join(b, "blen")
-        .where(F.col("va") != F.col("vb"))
+    p_band = 2 * d + 1
+    g = names.select(
+        "v",
+        F.length("v").alias("lv"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("v") - (q - 1), F.lit(1))),
+                lambda i: F.struct(
+                    F.substr(F.col("v"), i, F.lit(q)).alias("gram"),
+                    i.alias("p"),
+                ),
+            )
+        ).alias("gp"),
+    ).where(F.length("v") >= q)
+    gja = g.select(
+        F.col("v").alias("va"),
+        F.col("lv").alias("la"),
+        F.col("gp.gram").alias("gram"),
+        F.col("gp.p").alias("pa"),
+        F.explode(
+            F.array(
+                (F.col("gp.p") / p_band).cast("int") - 1,
+                (F.col("gp.p") / p_band).cast("int"),
+                (F.col("gp.p") / p_band).cast("int") + 1,
+            )
+        ).alias("pband"),
+    )
+    gjb = g.select(
+        F.col("v").alias("vb"),
+        F.col("lv").alias("lb"),
+        F.col("gp.gram").alias("gram"),
+        F.col("gp.p").alias("pb"),
+        (F.col("gp.p") / p_band).cast("int").alias("pband"),
+    )
+    cand_long = (
+        gja.join(gjb, ["gram", "pband"])
+        .where(
+            (F.abs(F.col("pa") - F.col("pb")) <= d)
+            & (F.abs(F.col("la") - F.col("lb")) <= d)
+            & (F.greatest("la", "lb") > short_max)
+            & (F.col("va") != F.col("vb"))
+        )
         .select(
             F.least("va", "vb").alias("v1"),
             F.greatest("va", "vb").alias("v2"),
         )
         .distinct()
     )
-    if not qgram_prefilter:
-        return cand
-    d = max_dist
+    cand = cand_short.unionByName(cand_long).distinct()
     ga, gb = _char_grams(F.col("v1"), q), _char_grams(F.col("v2"), q)
     bound = (
         F.greatest(F.length("v1"), F.length("v2")) - (q - 1) - q * d

@@ -45,6 +45,9 @@ def main() -> None:
         winnowing_fingerprints,
     )
     from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
+    from flink_bm25_spark.operators.text_analysis import (
+        quality_percentile_gate,
+    )
     from flink_bm25_spark.operators.tokenize import filter_stopwords, tokenize
     from flink_bm25_spark.session import get_spark
     from flink_bm25_spark.sources.tables import load_documents, load_embeddings
@@ -101,6 +104,9 @@ def main() -> None:
         # and cross-replica pairs are structurally impossible
         "winnowing_fps": lambda d: winnowing_fingerprints(d).count(),
         "winnowing_pairs": lambda d: winnowing_dedup_pairs(d).count(),
+        # exact percentile gate, two-phase block rank (r4): the rank
+        # stage partitions by value block, so this must scale ~linear
+        "quality_gate_exact": lambda d: quality_percentile_gate(d).count(),
         # the engine's one Python hot path (Arrow FMM segmentation) —
         # map-side, so the exponent must be ~1 and the partition spread
         # must actually engage (a 1-core stage would show here as a
