@@ -24,7 +24,7 @@ not just statistically similar.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_bm25_spark.config import (
@@ -283,6 +283,17 @@ def edit_candidate_pairs(
        bands covers every ``|Δpos| ≤ d`` match — so join volume tracks
        shared-gram mass, not per-length-band vocabulary² (the r3 scale
        grade).  Length band and ``|Δpos| ≤ d`` apply as join filters.
+       The probe side carries only each string's ``q·d+1``
+       globally-RAREST grams (location-based prefix filtering, Ed-Join —
+       Xiao et al., VLDB 2008): a true pair leaves at most ``q·d`` of
+       the probe's grams without a position-tolerant match in the
+       partner, so ANY ``q·d+1`` of them contain a matching one, and
+       picking the rarest (by a global gram-frequency ranking over the
+       vocabulary) keeps hot grams — shared by a constant fraction of
+       the vocabulary, the quadratic bucket at scale — out of the probe
+       entirely: a hot gram's join bucket is (few probes) × (many
+       partners), never many × many.  The index side keeps ALL grams, so
+       the filter is asymmetric and needs no both-prefixes lemma.
     3. **Count-bound prefilter** (map-side expression on every surviving
        pair): scans a ``2d+1`` position window per gram (``O(d·len)``
        string compares — cheaper constants than the DP kernel), counting
@@ -349,16 +360,36 @@ def edit_candidate_pairs(
             )
         ).alias("gp"),
     ).where(F.length("v") >= q)
-    gja = g.select(
+    # Ed-Join location-based prefix: rank each string's grams by GLOBAL
+    # gram frequency over the vocabulary (ties broken by gram text then
+    # position, so the prefix is deterministic) and probe with only the
+    # q·d+1 rarest.  Lossless: ``matched ≥ |G(a)| − q·d`` (the Gravano
+    # bound restated per-side) means at most q·d probe grams lack a
+    # position-tolerant partner, so any q·d+1 of them contain a match.
+    # The ranking window partitions BY STRING — vocabulary-keyed, never
+    # a global sort.  Long-class strings always have > q·d grams
+    # (len > q·d+q−1 ⟹ len−q+1 > q·d), so the prefix is never the
+    # whole gram set degenerately short.
+    gram_freq = g.groupBy(F.col("gp.gram").alias("gram")).agg(
+        F.count(F.lit(1)).alias("_gdf")
+    )
+    prefix_w = Window.partitionBy("v").orderBy("_gdf", "gram", "p")
+    g_prefix = (
+        g.select("v", "lv", F.col("gp.gram").alias("gram"), F.col("gp.p").alias("p"))
+        .join(gram_freq, "gram")
+        .withColumn("_gr", F.row_number().over(prefix_w))
+        .where(F.col("_gr") <= q * d + 1)
+    )
+    gja = g_prefix.select(
         F.col("v").alias("va"),
         F.col("lv").alias("la"),
-        F.col("gp.gram").alias("gram"),
-        F.col("gp.p").alias("pa"),
+        "gram",
+        F.col("p").alias("pa"),
         F.explode(
             F.array(
-                (F.col("gp.p") / p_band).cast("int") - 1,
-                (F.col("gp.p") / p_band).cast("int"),
-                (F.col("gp.p") / p_band).cast("int") + 1,
+                (F.col("p") / p_band).cast("int") - 1,
+                (F.col("p") / p_band).cast("int"),
+                (F.col("p") / p_band).cast("int") + 1,
             )
         ).alias("pband"),
     )

@@ -44,6 +44,7 @@ def main() -> None:
         winnowing_dedup_pairs,
         winnowing_fingerprints,
     )
+    from flink_bm25_spark.operators.dedup import edit_distance_pairs
     from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
     from flink_bm25_spark.operators.text_analysis import (
         quality_percentile_gate,
@@ -72,6 +73,9 @@ def main() -> None:
     spark = get_spark(app_name="scale_exponents")
     base = load_documents(spark, sf_dir)
     emb_base = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    from flink_bm25_spark.sources.tables import load_table
+
+    part_base = load_table(spark, "part", sf_dir).select("p_name")
     # target_cluster_size chosen so the DEFAULT k=None (k ∝ n) resolves
     # to k=4 at 1× and grows with the replicas — the exponent now
     # measures the out-of-the-box configuration, not a hand-tuned k.
@@ -169,6 +173,34 @@ def main() -> None:
                 ).alias("embedding"),
             )
         )
+        # Edit-distance ER scales over the part-name vocabulary.  Salt:
+        # FOUR copies of the replica digit appended to every word, so a
+        # cross-replica pair differs in ≥ 4 chars per word (> max_dist=3
+        # even for 1-word names) — within-replica pair structure is
+        # preserved and the true pair set grows exactly M×.  Base-word
+        # grams ARE shared across replicas at identical positions, so
+        # this is the hot-gram adversarial case the Ed-Join prefix
+        # filter exists for.
+        part_rep = part_base.crossJoin(reps).select(
+            F.expr(
+                "regexp_replace(p_name, '(\\\\S+)',"
+                " concat('$1', repeat(cast(rep as string), 4)))"
+            ).alias("p_name")
+        )
+        dp = f"{tmp}_part_x{mult}"
+        part_rep.write.mode("overwrite").parquet(f"{dp}/part.parquet")
+        pmat = spark.read.parquet(f"{dp}/part.parquet")
+        np_ = pmat.count()
+        t0 = time.perf_counter()
+        out = edit_distance_pairs(pmat, "p_name", 3).count()
+        dt = time.perf_counter() - t0
+        rows.setdefault("edit_distance_pairs", {})[mult] = (dt, out)
+        print(
+            f"x{mult} ({np_} part rows) edit_distance_pairs: {out} rows"
+            f" in {dt:.1f}s",
+            flush=True,
+        )
+
         de = f"{tmp}_emb_x{mult}"
         emb_rep.write.mode("overwrite").parquet(f"{de}/embeddings.parquet")
         emat = spark.read.parquet(f"{de}/embeddings.parquet")

@@ -683,3 +683,52 @@ def test_first_arrival_losers_ignores_old_old_pairs(spark):
     losers = {r.doc_id for r in first_arrival_losers(pairs, new).collect()}
     # (1,2) is old-old -> ignored; (2,10): new 10 loses; (10,11): greater 11 loses
     assert losers == {10, 11}
+
+def test_edit_distance_hot_gram_prefix_lossless(spark):
+    """Ed-Join location-based prefix filtering (probe side carries only
+    the q*d+1 globally-rarest grams) must stay lossless on the
+    hot-gram vocabulary it exists for: every string shares the same
+    hot leading grams, so a naive all-grams join would pay a
+    vocabulary-squared bucket on them while the prefix probe must keep
+    them out of the join AND still find every true pair through the
+    rare tail grams."""
+    import itertools
+    import random
+
+    from flink_bm25_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(41)
+    # hot head: every value starts with the same 8 chars ("aaaaaaaa"),
+    # so grams aa@1..aa@7 each occur in ALL values; the informative
+    # grams live in the random 8-char tail.  Seed genuine near-dup
+    # cliques by mutating a few tails in 1-3 positions.
+    tails = ["".join(rng.choice("stuvwxyz") for _ in range(8)) for _ in range(40)]
+    vals = {"aaaaaaaa" + t for t in tails}
+    for t in tails[:10]:
+        mut = list(t)
+        for k in range(rng.randint(1, 3)):
+            mut[rng.randrange(8)] = rng.choice("stuvwxyz")
+        vals.add("aaaaaaaa" + "".join(mut))
+    vals = sorted(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return m[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(vals, 2)
+        if lev(a, b) <= 3
+    }
+    assert want  # the construction must actually seed true pairs
+    got = {
+        (r.v1, r.v2): r.dist
+        for r in edit_distance_pairs(df, "name", 3).collect()
+    }
+    assert got == want
