@@ -244,18 +244,6 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def _char_grams(c: Column, q: int) -> Column:
-    """Ordered positional character ``q``-grams of string column ``c``
-    (empty array when the string is shorter than ``q``)."""
-    return F.when(
-        F.length(c) >= q,
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - (q - 1)),
-            lambda i: F.substr(c, i, F.lit(q)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def edit_candidate_pairs(
     df: DataFrame,
     col: str,
@@ -294,13 +282,15 @@ def edit_candidate_pairs(
        entirely: a hot gram's join bucket is (few probes) × (many
        partners), never many × many.  The index side keeps ALL grams, so
        the filter is asymmetric and needs no both-prefixes lemma.
-    3. **Count-bound prefilter** (map-side expression on every surviving
-       pair): scans a ``2d+1`` position window per gram (``O(d·len)``
-       string compares — cheaper constants than the DP kernel), counting
-       a gram on ANY admissible partner, which upper-bounds the true
-       matching, so ``count ≥ bound`` never drops a true pair (vacuous
-       when bound ≤ 0).  Only pairs sharing most of their grams reach
-       the Levenshtein kernel.
+    Surviving candidates go STRAIGHT to the thresholded Levenshtein
+    kernel — no per-pair gram-counting prefilter.  The count bound
+    (matched grams ≥ max(len)−q+1−q·d) justifies the prefix join's
+    losslessness but is deliberately NOT evaluated as a filter: the
+    kernel is a codegen'd JVM builtin banded to ``O(d·len)``, while the
+    equivalent higher-order-function scan is interpreted per element
+    and measured ~6× SLOWER than the kernel it would guard (16.2s vs
+    2.6s over the same 126k pairs) — a prefilter must be cheaper than
+    what it prunes.
 
     ``qgram_prefilter=False`` falls back to the pure band join over the
     whole vocabulary (the comparison baseline pinned by tests).
@@ -414,23 +404,7 @@ def edit_candidate_pairs(
         )
         .distinct()
     )
-    cand = cand_short.unionByName(cand_long).distinct()
-    ga, gb = _char_grams(F.col("v1"), q), _char_grams(F.col("v2"), q)
-    bound = (
-        F.greatest(F.length("v1"), F.length("v2")) - (q - 1) - q * d
-    )
-    matched = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(ga), F.lit(1))),
-            lambda i: F.array_contains(
-                F.slice(gb, F.greatest(F.lit(1), i - d), 2 * d + 1),
-                F.element_at(ga, i),
-            ),
-        )
-    )
-    return cand.where(
-        (bound <= 0) | ((F.size(ga) > 0) & (matched >= bound))
-    )
+    return cand_short.unionByName(cand_long).distinct()
 
 
 def edit_distance_pairs(
@@ -441,10 +415,10 @@ def edit_distance_pairs(
     near-identical names/titles that hashing can never catch).
 
     Scale shape: the pairwise work runs over the **distinct-value
-    relation** (orders of magnitude smaller than the corpus), blocked by
-    the lossless length band + positional q-gram count bound of
-    :func:`edit_candidate_pairs`; only pairs sharing most of their grams
-    reach the O(d·len) thresholded ``levenshtein`` kernel (a JVM
+    relation** (orders of magnitude smaller than the corpus), generated
+    by the lossless length-band + Ed-Join prefix gram join of
+    :func:`edit_candidate_pairs`; only pairs sharing a rare positional
+    gram reach the O(d·len) thresholded ``levenshtein`` kernel (a JVM
     built-in — no Python in the loop).  Equal-length pairs meet in both
     orientations, so pairs are canonicalized and deduped.
     """

@@ -43,7 +43,15 @@ AUDITED = [
     ),
     (
         "q_ccnet_buckets",
-        "LM relations + tiny rank window; approx twin is Window-free",
+        "two-phase block rank: per-block counts, tiny offsets window, block-keyed row_number",
+    ),
+    (
+        "q_quality_gate",
+        "exact percent_rank WITHOUT a global window — value-blocked two-phase cumsum rank",
+    ),
+    (
+        "q_edit_distance",
+        "Ed-Join prefix probe (q·d+1 rarest grams) into the full positional-gram index",
     ),
     (
         "q_knn_graph",
