@@ -156,3 +156,78 @@ def test_fmm_replays_reference_golden_tf_values(spark):
     for r in term_frequencies(toks).collect():
         got.setdefault(r.doc_id, {})[r.word] = r.tf
     assert got == want  # ansj's values, bit-exact, per document
+
+
+def test_reference_vocab_loads_and_is_pure_cjk():
+    from flink_bm25_spark.functions.text import _is_cjk, load_reference_vocab
+
+    v = load_reference_vocab()
+    assert len(v) >= 3000
+    assert all(1 <= len(w) <= 8 for w in v)
+    assert all(all(_is_cjk(ch) for ch in w) for w in v)
+    # the reference corpus's highest-count legal terms must be present
+    for w in ("被告人", "毒品", "人民币", "证据", "机关", "罚金"):
+        assert w in v, w
+
+
+def test_reference_segmenter_longest_match_on_legal_terms():
+    from flink_bm25_spark.functions.text import reference_fmm_segmenter
+
+    seg = reference_fmm_segmenter()
+    # 被告人 (3 chars) must win over 被告 (2) — ansj's own boundary,
+    # since the goldens count 被告人 as one word
+    toks = seg("被告人贩卖毒品")
+    assert "被告人" in toks and "毒品" in toks
+    assert "被告" not in toks
+
+
+def test_packaged_vocab_replays_all_51_goldens_exactly(spark):
+    """End-to-end replay of EVERY reference golden TF file through the
+    production path (tokenize_with_udf -> term_frequencies) under the
+    PACKAGED vocabulary: a corpus laying down each golden file's CJK
+    (word, count) multiset as a space-separated stream must come back
+    value-identical for all 51 documents.  Separators isolate each word
+    so recovery is exact for any vocab word regardless of prefix
+    overlaps — this pins the packaged dictionary's coverage of the
+    goldens (every golden CJK word IS in the vocab) plus the Arrow
+    shipping + TF aggregation of 51 real documents' values."""
+    import os
+    import re
+
+    from flink_bm25_spark.functions.text import (
+        _is_cjk,
+        load_reference_vocab,
+        make_fmm_segmenter,
+    )
+    from flink_bm25_spark.operators.tf import term_frequencies
+    from flink_bm25_spark.operators.tokenize import tokenize_with_udf
+
+    golden_dir = "/root/reference/output"
+    line_re = re.compile(r"^\((?P<w>.+),(?P<c>\d+)\)$")
+    files = sorted(os.listdir(golden_dir))
+    assert len(files) == 51
+
+    vocab = load_reference_vocab()
+    rows, want = [], {}
+    for doc_id, name in enumerate(files):
+        counts = {}
+        with open(os.path.join(golden_dir, name), encoding="utf-8") as f:
+            for ln in f:
+                m = line_re.match(ln.rstrip("\n"))
+                if not m:
+                    continue
+                w, c = m.group("w"), int(m.group("c"))
+                if 1 <= len(w) <= 8 and all(_is_cjk(ch) for ch in w):
+                    counts[w] = counts.get(w, 0) + c
+        assert set(counts) <= vocab, (name, set(counts) - vocab)
+        rows.append(
+            (doc_id, " ".join(w for w, c in counts.items() for _ in range(c)))
+        )
+        want[doc_id] = counts
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokenize_with_udf(docs, segment=make_fmm_segmenter(vocab))
+    got: dict[int, dict[str, int]] = {}
+    for r in term_frequencies(toks).collect():
+        got.setdefault(r.doc_id, {})[r.word] = r.tf
+    assert got == want
