@@ -583,26 +583,53 @@ class QuantileTracker:
     def save(self, path: str) -> None:
         if self.sketch is not None:
             self.sketch = _write_safe(self.sketch, os.path.join(path, "kmv"))
-        # The (group, value, key, seed) tuple is part of the state: without
-        # it, a restarted process could merge a batch sketched under a
-        # different configuration into the restored sample with no error.
-        if self._cfg is not None:
-            import json  # noqa: PLC0415
+        # The (group, value, key, seed) tuple AND k are part of the
+        # state: without them, a restarted process could merge a batch
+        # sketched under a different configuration — or re-cut the
+        # restored sample at a different k, which is no longer the
+        # bottom-k of everything ingested — with no error.
+        import json  # noqa: PLC0415
 
-            os.makedirs(path, exist_ok=True)
-            with open(os.path.join(path, "cfg.json"), "w") as f:
-                json.dump(list(self._cfg), f)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "cfg.json"), "w") as f:
+            json.dump(
+                {
+                    "cfg": list(self._cfg) if self._cfg is not None else None,
+                    "k": self.k,
+                },
+                f,
+            )
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, k: int = 256) -> "QuantileTracker":
-        qt = cls(k=k)
+    def load(
+        cls, spark: SparkSession, path: str, k: int | None = None
+    ) -> "QuantileTracker":
+        """Restore a saved tracker.  ``k`` is taken from the saved state;
+        passing a conflicting explicit ``k`` raises (a restored bottom-k
+        sample is only the bottom-k of history at ITS OWN k — re-cutting
+        at a larger k would silently bias every later quantile)."""
+        import json  # noqa: PLC0415
+
+        saved_k = None
+        saved_cfg = None
+        cfg_path = os.path.join(path, "cfg.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                state = json.load(f)
+            if isinstance(state, dict):
+                saved_k = state.get("k")
+                saved_cfg = state.get("cfg")
+            else:  # pre-k state file: a bare [group, value, key, seed] list
+                saved_cfg = state
+        if k is not None and saved_k is not None and k != saved_k:
+            raise ValueError(
+                f"QuantileTracker state at {path} was built with k={saved_k}; "
+                f"loading it at k={k} would re-cut an incomparable sample"
+            )
+        qt = cls(k=k if k is not None else (saved_k or 256))
         sub = os.path.join(path, "kmv")
         if os.path.exists(sub):
             qt.sketch = spark.read.parquet(sub)
-        cfg_path = os.path.join(path, "cfg.json")
-        if os.path.exists(cfg_path):
-            import json  # noqa: PLC0415
-
-            with open(cfg_path) as f:
-                qt._cfg = tuple(json.load(f))
+        if saved_cfg is not None:
+            qt._cfg = tuple(saved_cfg)
         return qt

@@ -363,9 +363,14 @@ def edit_candidate_pairs(
     gram_freq = g.groupBy(F.col("gp.gram").alias("gram")).agg(
         F.count(F.lit(1)).alias("_gdf")
     )
+    # Probe with LONG-class strings only: every short/short pair comes
+    # from cand_short, and every short/long pair is generated with the
+    # long member as probe (the unmatched-grams bound holds for either
+    # orientation), so short probes are pure redundant join volume.
     prefix_w = Window.partitionBy("v").orderBy("_gdf", "gram", "p")
     g_prefix = (
-        g.select("v", "lv", F.col("gp.gram").alias("gram"), F.col("gp.p").alias("p"))
+        g.where(F.col("lv") > short_max)
+        .select("v", "lv", F.col("gp.gram").alias("gram"), F.col("gp.p").alias("p"))
         .join(gram_freq, "gram")
         .withColumn("_gr", F.row_number().over(prefix_w))
         .where(F.col("_gr") <= q * d + 1)

@@ -35,6 +35,13 @@ _CC_MEMO: dict[tuple, DataFrame] = {}
 _CC_MEMO_CAP = 32
 
 
+def clear_memo() -> None:
+    """Drop the memoized component labelings.  Call after overwriting
+    files that back a previously-labeled pair relation (the memo keys on
+    the plan, not the data)."""
+    _CC_MEMO.clear()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",

@@ -79,13 +79,15 @@ _KM_MEMO_CAP = 32
 
 
 def clear_memo() -> None:
-    """Drop all memoized k-means fits (and the connected-components memo,
-    which shares the same plan-not-data keying caveat).  Call after
-    overwriting files that back a previously-fit DataFrame."""
+    """Drop all memoized k-means fits (and, as a convenience facade, the
+    connected-components memo via :func:`graph.clear_memo` — each module
+    owns its own cache; call ``graph.clear_memo()`` directly to
+    invalidate only that one).  Call after overwriting files that back a
+    previously-fit DataFrame."""
     _KM_MEMO.clear()
     from flink_bm25_spark.operators import graph  # noqa: PLC0415
 
-    graph._CC_MEMO.clear()
+    graph.clear_memo()
 
 
 def kmeans_fit(

@@ -80,7 +80,7 @@ def main() -> None:
     # to k=4 at 1× and grows with the replicas — the exponent now
     # measures the out-of-the-box configuration, not a hand-tuned k.
     n_emb_base = emb_base.count()
-    tcs = max(1, n_emb_base // 4)
+    tcs = max(1, -(-n_emb_base // 4))  # ceil: k=auto is ceil(n/tcs)=4 at 1×
 
     tmp = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -451,3 +451,27 @@ def test_quantile_tracker_cfg_survives_restart(spark, tmp_path):
         back.update_batch(df, "grp", "rid", "val")  # swapped columns
     # the matching configuration still ingests
     back.update_batch(df.limit(5), "grp", "val", "rid")
+
+
+def test_quantile_tracker_load_rejects_conflicting_k(spark, tmp_path):
+    """A restored bottom-k sample is only the bottom-k of history at its
+    own k — re-cutting at a larger k silently biases every later
+    quantile (reproduced: median 1095 vs true 1009).  k is state."""
+    from flink_bm25_spark.api import QuantileTracker
+
+    df = spark.createDataFrame(
+        [("a", float(i), i) for i in range(200)], "grp string, val double, rid long"
+    )
+    qt = QuantileTracker(k=8)
+    qt.update_batch(df, "grp", "val", "rid")
+    path = str(tmp_path / "qt_k")
+    qt.save(path)
+
+    # omitted k restores the saved k
+    back = QuantileTracker.load(spark, path)
+    assert back.k == 8
+    # conflicting explicit k raises instead of silently re-cutting
+    with pytest.raises(ValueError, match="k=8"):
+        QuantileTracker.load(spark, path, k=256)
+    # matching explicit k still loads
+    assert QuantileTracker.load(spark, path, k=8).k == 8

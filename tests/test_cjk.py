@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import pytest
+
 from flink_bm25_spark.functions.text import cjk_segment
 from flink_bm25_spark.operators.bm25 import bm25_rank
 from flink_bm25_spark.operators.pipeline import build_corpus_stats
@@ -115,7 +117,11 @@ def test_fmm_replays_reference_golden_tf_values(spark):
     from flink_bm25_spark.operators.tf import term_frequencies
     from flink_bm25_spark.operators.tokenize import tokenize_with_udf
 
-    golden_dir = "/root/reference/output"
+    golden_dir = os.environ.get(
+        "SPARK_GRAFT_REFERENCE_GOLDEN_DIR", "/root/reference/output"
+    )
+    if not os.path.isdir(golden_dir):
+        pytest.skip(f"reference goldens not present at {golden_dir}")
     line_re = re.compile(r"^\((?P<w>.+),(?P<c>\d+)\)$")
     files = sorted(os.listdir(golden_dir))[:3]
     assert files, "reference goldens missing"
@@ -202,7 +208,11 @@ def test_packaged_vocab_replays_all_51_goldens_exactly(spark):
     from flink_bm25_spark.operators.tf import term_frequencies
     from flink_bm25_spark.operators.tokenize import tokenize_with_udf
 
-    golden_dir = "/root/reference/output"
+    golden_dir = os.environ.get(
+        "SPARK_GRAFT_REFERENCE_GOLDEN_DIR", "/root/reference/output"
+    )
+    if not os.path.isdir(golden_dir):
+        pytest.skip(f"reference goldens not present at {golden_dir}")
     line_re = re.compile(r"^\((?P<w>.+),(?P<c>\d+)\)$")
     files = sorted(os.listdir(golden_dir))
     assert len(files) == 51
