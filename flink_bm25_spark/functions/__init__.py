@@ -7,7 +7,13 @@ from flink_bm25_spark.functions.hashing import (
     minhash_seed_b,
     rolling_fingerprint,
 )
-from flink_bm25_spark.functions.text import quality_columns, tokenize_expr
+from flink_bm25_spark.functions.text import (
+    load_reference_vocab,
+    make_fmm_segmenter,
+    quality_columns,
+    reference_fmm_segmenter,
+    tokenize_expr,
+)
 from flink_bm25_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
@@ -16,7 +22,10 @@ __all__ = [
     "minhash_seed_a",
     "minhash_seed_b",
     "rolling_fingerprint",
+    "load_reference_vocab",
+    "make_fmm_segmenter",
     "quality_columns",
+    "reference_fmm_segmenter",
     "tokenize_expr",
     "cosine_similarity",
     "dot",
