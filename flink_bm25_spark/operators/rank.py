@@ -116,3 +116,178 @@ def with_measured_blocks(
             F.col(value_col), F.col("_lo"), F.col("_hi"), blocks
         ).alias("_blk"),
     )
+
+
+def _value_before(
+    base: DataFrame, value_col: str, blocks: int, vlo: float, vhi: float
+) -> DataFrame:
+    """``(value_col, _vc, _before, _n)`` — per DISTINCT value: its tie
+    count, the number of rows with a strictly smaller value, and the
+    total row count.  Two-phase cumsum over the distinct-value counts
+    relation: a value atom is ONE row here, so no task ever sorts an
+    atom's rows to learn its offset."""
+    vals = base.groupBy(value_col).agg(F.count(F.lit(1)).alias("_vc"))
+    vals = vals.withColumn(
+        "_blk", value_block(F.col(value_col), vlo, vhi, blocks)
+    )
+    # per-block ROW counts (sum of tie counts) -> block offsets; the
+    # cumsum window touches <= blocks aggregate rows
+    blk_counts = vals.groupBy("_blk").agg(F.sum("_vc").alias("_c"))
+    cum = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    blk_offs = blk_counts.select(
+        "_blk",
+        F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias("_blk_before"),
+        F.sum("_c").over(tot).alias("_n"),
+    )
+    in_vw = Window.partitionBy("_blk").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        vals.join(F.broadcast(blk_offs), "_blk")
+        .withColumn(
+            "_before",
+            F.col("_blk_before")
+            + F.coalesce(F.sum("_vc").over(in_vw), F.lit(0)),
+        )
+        .select(value_col, "_vc", "_before", "_n")
+    )
+
+
+def min_ranked_by_value(
+    base: DataFrame,
+    value_col: str,
+    *,
+    blocks: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """``base`` plus ``_rank`` (1-based min-rank on ties — SQL
+    ``rank()``/``percent_rank()`` semantics) and ``_n`` — computed with
+    NO window over the row relation at all: min-rank of a value is just
+    ``|rows with a strictly smaller value| + 1``, one keyed join against
+    the two-phase :func:`_value_before` relation.  Atom-immune by
+    construction (an atom is one row on the counts side) and strictly
+    cheaper than :func:`block_ranked` with ``dense_ties=True``."""
+    if lo is None or hi is None:
+        rng = base.agg(
+            F.min(value_col).alias("_vlo"), F.max(value_col).alias("_vhi")
+        ).collect()[0]
+        # empty input: ranges are None — any constants do (no rows rank)
+        vlo = float(rng["_vlo"]) if rng["_vlo"] is not None else 0.0
+        vhi = float(rng["_vhi"]) if rng["_vhi"] is not None else 1.0
+    else:
+        vlo, vhi = float(lo), float(hi)
+    vb = _value_before(base, value_col, blocks, vlo, vhi)
+    return base.join(vb, value_col).withColumn(
+        "_rank", F.col("_before") + F.lit(1)
+    ).drop("_vc", "_before")
+
+
+def block_ranked_spread(
+    base: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    blocks: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+    hot_threshold: int = 100_000,
+    sub_blocks: int = 64,
+) -> DataFrame:
+    """``base`` plus ``_rank`` (1-based unique global row_number over
+    ``(value_col, tiebreak_col)``) and ``_n`` — the two-phase rank with
+    the tie-atom hot block REMOVED.
+
+    :func:`block_ranked` leaves one irreducible skew case: a value atom
+    (a score constant assigned to a whole document class) must share a
+    block, so its rows sort on one task.  This variant decomposes the
+    row_number instead::
+
+        rank(v, t) = |rows with value < v| + |ties of v with tiebreak <= t|
+
+    - the strictly-before count comes from a two-phase cumsum over the
+      DISTINCT-VALUE counts relation — an atom is ONE row there, so the
+      offsets side is atom-immune by construction;
+    - the tie rank runs per value group: groups up to ``hot_threshold``
+      rows rank in a window partitioned by value; HOTTER groups (the
+      atoms) are subdivided into ``sub_blocks`` tiebreak ranges, with
+      their own tiny per-(value, sub) offsets cumsum, so no task ever
+      sorts more than ~|atom|/sub_blocks rows.
+
+    Exactness: both terms are integer row counts under the identical
+    total order ``(value, tiebreak)``, so the result is bit-identical to
+    the naive unpartitioned-window row_number (differential-pinned).
+
+    Contract: ``tiebreak_col`` must be numeric and UNIQUE within ties
+    (callers use the document key); ``base`` should be localCheckpointed
+    — the plan consumes it in four places.  ``lo``/``hi`` bound the
+    value range when statically known; otherwise one min/max pass
+    measures it.  The distinct-value relation is assumed
+    aggregate-sized per block (standard for scores; atoms are the case
+    this exists for).
+    """
+    t = F.col(tiebreak_col)
+    if lo is None or hi is None:
+        rng = base.agg(
+            F.min(value_col).alias("_vlo"),
+            F.max(value_col).alias("_vhi"),
+            F.min(tiebreak_col).alias("_tlo"),
+            F.max(tiebreak_col).alias("_thi"),
+        ).collect()[0]
+        # empty input: ranges are None — any constants do (no rows rank)
+        vlo = float(rng["_vlo"]) if rng["_vlo"] is not None else 0.0
+        vhi = float(rng["_vhi"]) if rng["_vhi"] is not None else 1.0
+        tlo = float(rng["_tlo"]) if rng["_tlo"] is not None else 0.0
+        thi = float(rng["_thi"]) if rng["_thi"] is not None else 1.0
+    else:
+        vlo, vhi = float(lo), float(hi)
+        trng = base.agg(
+            F.min(tiebreak_col).alias("_tlo"), F.max(tiebreak_col).alias("_thi")
+        ).collect()[0]
+        tlo = float(trng["_tlo"]) if trng["_tlo"] is not None else 0.0
+        thi = float(trng["_thi"]) if trng["_thi"] is not None else 1.0
+
+    val_before = _value_before(base, value_col, blocks, vlo, vhi)
+
+    # tie rank: cold groups in one value-partitioned window; hot groups
+    # (atoms) sub-blocked on the tiebreak range with their own tiny
+    # offsets cumsum.  The value join is left to AQE: the distinct-value
+    # relation is tiny for score distributions with atoms but can be
+    # corpus-sized for a pure continuum — never force a broadcast on a
+    # data-dependent relation (the r2 curation lesson).
+    enriched = base.join(val_before, value_col)
+    cold = enriched.where(F.col("_vc") <= hot_threshold)
+    hot = enriched.where(F.col("_vc") > hot_threshold)
+
+    cw = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    cold_ranked = cold.withColumn(
+        "_rank", F.col("_before") + F.row_number().over(cw)
+    )
+
+    hot = hot.withColumn("_tsub", value_block(t, tlo, thi + 1.0, sub_blocks))
+    sub_counts = hot.groupBy(value_col, "_tsub").agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
+    scw = Window.partitionBy(value_col).orderBy("_tsub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sub_offs = sub_counts.withColumn(
+        "_sub_before", F.coalesce(F.sum("_sc").over(scw), F.lit(0))
+    ).select(value_col, "_tsub", "_sub_before")
+    hw = Window.partitionBy(value_col, "_tsub").orderBy(tiebreak_col)
+    hot_ranked = (
+        hot.join(F.broadcast(sub_offs), [value_col, "_tsub"])
+        .withColumn(
+            "_rank",
+            F.col("_before") + F.col("_sub_before") + F.row_number().over(hw),
+        )
+        .drop("_tsub", "_sub_before")
+    )
+
+    out_cols = [*base.columns, "_rank", "_n"]
+    return cold_ranked.select(*out_cols).unionByName(
+        hot_ranked.select(*out_cols)
+    )

@@ -225,25 +225,26 @@ def quality_percentile_gate(
     math differs.
 
     Scale: computed WITHOUT an unpartitioned window over the score
-    relation — ``keep_score`` is in ``[0, 1]`` by construction, so rows
-    hash-free block on fixed-width value buckets and rank via the
-    two-phase block-cumsum of :mod:`flink_bm25_spark.operators.rank`
-    (per-block counts → tiny offsets window → block-partitioned
-    row_number).  ``pr = (rank-1)/(n-1)`` is the identical double the
-    single-window form produces.  Known hot spot: the score atoms 0.0
-    (too-short docs) and 0.2 (stopword-heavy docs) are irreducible tie
-    blocks; the continuum spreads over ``blocks`` tasks.
+    relation — ``keep_score`` is in ``[0, 1]`` by construction, and the
+    unique row_number decomposes as ``|rows with a strictly smaller
+    score| + |score ties with a smaller-or-equal doc_id|``
+    (:func:`flink_bm25_spark.operators.rank.block_ranked_spread`): the
+    strictly-before term is a two-phase cumsum over the DISTINCT-score
+    counts relation (a score atom like 0.0/0.2 — too-short or
+    stopword-heavy document classes — is ONE row there), and the tie
+    term sub-blocks any hot atom on the doc_id range, so no task ever
+    sorts a whole atom.  ``pr = (rank-1)/(n-1)`` is the identical
+    double the single-window form produces.
     """
     from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
-        block_ranked,
-        value_block,
+        block_ranked_spread,
     )
 
     scored = quality_scores(documents).select("doc_id", "keep_score")
-    base = scored.withColumn(
-        "_blk", value_block(F.col("keep_score"), 0.0, 1.0, blocks)
-    ).localCheckpoint(eager=True)
-    ranked = block_ranked(base, ["keep_score", "doc_id"], dense_ties=False)
+    base = scored.localCheckpoint(eager=True)
+    ranked = block_ranked_spread(
+        base, "keep_score", "doc_id", blocks=blocks, lo=0.0, hi=1.0
+    )
     pr = F.when(
         F.col("_n") > 1,
         (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),
@@ -470,26 +471,25 @@ def ccnet_buckets(
     rank arithmetic is exact integer-ratio math, so the bucketing
     replays identically in any engine).
 
-    Scale: exact ``percent_rank`` semantics WITHOUT an unpartitioned
-    window over the score relation — the nll range is measured with one
-    min/max tree aggregation over the checkpointed scores, rows block on
-    fixed-width value buckets (ties share a block by construction), and
-    the global min-rank comes from the two-phase block-cumsum of
-    :mod:`flink_bm25_spark.operators.rank` with an in-block ``rank()``
-    window PARTITIONED by block.  ``pr = (rank-1)/(n-1)`` is the
-    identical double the single-window form (and the oracle) produces;
-    buckets cut on the unrounded ratio exactly as before.  For sketch-
-    threshold cutting with no rank at all, see
+    Scale: exact ``percent_rank`` semantics WITH NO WINDOW over the row
+    relation at all — min-rank of a value is ``|rows with strictly
+    smaller nll| + 1``, one keyed join against the two-phase
+    distinct-value cumsum of
+    :func:`flink_bm25_spark.operators.rank.min_ranked_by_value` (the nll
+    range is measured with one min/max tree aggregation over the
+    checkpointed scores; a tied score atom is ONE row on the counts
+    side, so no task ever sorts an atom).  ``pr = (rank-1)/(n-1)`` is
+    the identical double the single-window form (and the oracle)
+    produces; buckets cut on the unrounded ratio exactly as before.
+    For sketch-threshold cutting with no rank at all, see
     :func:`ccnet_buckets_approx`.
     """
     from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
-        block_ranked,
-        with_measured_blocks,
+        min_ranked_by_value,
     )
 
     scored = lm_perplexity_scores(documents, alpha).localCheckpoint(eager=True)
-    base = with_measured_blocks(scored, "nll", blocks)
-    ranked = block_ranked(base, ["nll"], dense_ties=True)
+    ranked = min_ranked_by_value(scored, "nll", blocks=blocks)
     pr = F.when(
         F.col("_n") > 1,
         (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),

@@ -436,13 +436,19 @@ def test_ann_filtered_pushes_label_to_scan(spark):
 
 
 def test_percentile_gates_no_corpus_window(spark):
-    """The exact percentile gates rank via the two-phase block cumsum
-    (r3 verdict item 1): no percent_rank anywhere, the corpus-sized
-    rank/row_number window is PARTITIONED by the value block, and any
-    unpartitioned window in the plan only cumsums the per-block counts
-    relation (<= `blocks` aggregate rows), never corpus columns."""
+    """The exact percentile gates rank via the distinct-value two-phase
+    decomposition (r3 verdict item 1 + the r4 atom spread): no
+    percent_rank anywhere; every window in the plan is either
+    PARTITIONED (a windowspecdefinition whose first argument is a
+    partition column, i.e. carries no ASC/DESC marker — the value- or
+    sub-block-partitioned tie windows, bounded by hot_threshold /
+    sub_blocks) or an unpartitioned cumsum over the per-block COUNTS
+    relation (sum(_c...), <= `blocks` aggregate rows).  ccnet's
+    min-rank needs no row-relation window at all — its rank is a keyed
+    join — so its plan must contain no row_number."""
     import re
 
+    spec_re = re.compile(r"windowspecdefinition\(([^,]+),")
     for qname in ("q_quality_gate", "q_ccnet_buckets"):
         df = QUERIES[qname](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -451,11 +457,19 @@ def test_percentile_gates_no_corpus_window(spark):
         for line in plan.splitlines():
             if "windowspecdefinition" not in line:
                 continue
-            if re.search(r"windowspecdefinition\(_blk#\d+,", line):
-                saw_partitioned_rank = True  # block-partitioned spec
+            m = spec_re.search(line)
+            first_arg = m.group(1) if m else ""
+            if " ASC" not in first_arg and " DESC" not in first_arg:
+                # partitioned window (first spec argument is a
+                # partition column, not an ordering expression)
+                if "row_number()" in line:
+                    saw_partitioned_rank = True
                 continue
             assert "sum(_c#" in line, f"{qname}: corpus-sized window: {line}"
-        assert saw_partitioned_rank, qname
+        if qname == "q_quality_gate":
+            assert saw_partitioned_rank, qname  # the tie window
+        else:
+            assert "row_number()" not in plan, qname  # rank is a join
 
 
 def test_ngram_diversity_tokenizer_bound_once(spark):

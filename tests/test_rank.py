@@ -103,3 +103,100 @@ def test_value_block_monotone_and_clamped(spark):
     blocks = [r.b for r in out]
     assert blocks == sorted(blocks)  # monotone in the value
     assert blocks[0] == 0 and blocks[-1] == 3  # v=1.0 clamped into [0, 4)
+
+
+def _naive_rn(df, value_col, tiebreak_col):
+    w = Window.orderBy(value_col, tiebreak_col)
+    return {
+        r[tiebreak_col]: r.r
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+
+
+@pytest.mark.parametrize("hot_threshold,sub_blocks", [(100, 8), (10_000, 4)])
+def test_block_ranked_spread_matches_naive_on_atoms(
+    spark, hot_threshold, sub_blocks
+):
+    """The atom-spread decomposition (rank = strictly-before count +
+    in-tie rank) must be bit-identical to the naive unpartitioned
+    row_number on an atom-dominated distribution — both when the atoms
+    cross hot_threshold (sub-blocked tie path) and when they stay cold
+    (value-partitioned window path)."""
+    import random
+
+    from flink_bm25_spark.operators.rank import block_ranked_spread
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        u = rng.random()
+        s = 0.0 if u < 0.6 else (0.2 if u < 0.8 else round(rng.random(), 6))
+        rows.append((i, s))
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).localCheckpoint(eager=True)
+    got_df = block_ranked_spread(
+        df,
+        "score",
+        "doc_id",
+        lo=0.0,
+        hi=1.0,
+        hot_threshold=hot_threshold,
+        sub_blocks=sub_blocks,
+    )
+    got = {r.doc_id: r._rank for r in got_df.collect()}
+    assert got == _naive_rn(df, "score", "doc_id")
+    assert {r._n for r in got_df.collect()} == {4000}
+
+
+def test_block_ranked_spread_single_atom_and_measured_range(spark):
+    # one giant atom (every row ties) with the range MEASURED, the
+    # whole relation through the sub-blocked hot path
+    from flink_bm25_spark.operators.rank import block_ranked_spread
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(3000)], "doc_id long, score double"
+    ).localCheckpoint(eager=True)
+    got = {
+        r.doc_id: r._rank
+        for r in block_ranked_spread(
+            df, "score", "doc_id", hot_threshold=100, sub_blocks=16
+        ).collect()
+    }
+    assert got == _naive_rn(df, "score", "doc_id")
+
+
+def test_block_ranked_spread_empty(spark):
+    from flink_bm25_spark.operators.rank import block_ranked_spread
+
+    df = spark.createDataFrame([], "doc_id long, score double")
+    assert block_ranked_spread(df, "score", "doc_id").count() == 0
+
+
+def test_min_ranked_by_value_matches_naive_rank(spark):
+    """min_ranked_by_value == SQL rank() (min-rank ties) with no window
+    over the row relation: rank is |strictly smaller| + 1 via the
+    distinct-value join."""
+    import random
+
+    from flink_bm25_spark.operators.rank import min_ranked_by_value
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice([1.5, 2.5, 2.5, 2.5, round(rng.random() * 10, 3)]))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, nll double"
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("nll")
+    want = {
+        r.doc_id: r.r
+        for r in df.withColumn("r", F.rank().over(w)).collect()
+    }
+    ranked = min_ranked_by_value(df, "nll")
+    got = {r.doc_id: r._rank for r in ranked.collect()}
+    assert got == want
+    # and truly window-free over the row relation
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "row_number()" not in plan
