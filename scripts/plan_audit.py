@@ -43,11 +43,11 @@ AUDITED = [
     ),
     (
         "q_ccnet_buckets",
-        "two-phase block rank: per-block counts, tiny offsets window, block-keyed row_number",
+        "min-rank = strictly-before + 1: keyed join on the distinct-value cumsum, NO row window",
     ),
     (
         "q_quality_gate",
-        "exact percent_rank WITHOUT a global window — value-blocked two-phase cumsum rank",
+        "atom-spread rank: distinct-value cumsum + sub-blocked tie windows, no whole-atom sort",
     ),
     (
         "q_edit_distance",
