@@ -2300,6 +2300,20 @@ def _q_quality_gate(spark, sf_dir):
     return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
 
 
+def _q_quality_gate_by_lang(spark, sf_dir):
+    # Per-language top-quartile quality gate: the grouped atom-spread
+    # rank (rank.block_ranked_spread(group_cols=["lang"])) — every
+    # cumsum window partitioned by language, per-group percent_rank
+    # semantics, nothing globally sorted.
+    from flink_bm25_spark.operators.text_analysis import (
+        quality_percentile_gate_by,
+    )
+
+    return quality_percentile_gate_by(
+        load_table(spark, "documents", sf_dir), by_col="lang", cutoff=0.75
+    )
+
+
 def _q_kmeans(spark, sf_dir):
     # Deterministic Lloyd k-means over the embedding column: k=4, two
     # rounds, fixed lowest-id init, rounded distances/means — the DuckDB
@@ -3082,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outliers": _q_outliers,
         "q_chunk_documents": _q_chunk_documents,
         "q_collocations": _q_collocations,
+        "q_quality_gate_by_lang": _q_quality_gate_by_lang,
     }
 
 
@@ -5695,6 +5710,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY keep_score ASC, doc_id ASC), 6) AS pr
               FROM qual)
             SELECT doc_id, keep_score, pr FROM g WHERE pr >= 0.75
+        """,
+        "q_quality_gate_by_lang": f"""
+            WITH {_QUALITY},
+            g AS (
+              SELECT q.doc_id, d.lang, q.keep_score,
+                     round(percent_rank() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY q.keep_score ASC, q.doc_id ASC), 6) AS pr
+              FROM qual q JOIN documents d ON q.doc_id = d.doc_id)
+            SELECT doc_id, lang, keep_score, pr FROM g WHERE pr >= 0.75
         """,
         # Deterministic Lloyd k-means, two rounds unrolled.  Identical
         # arithmetic to operators/kmeans.py: double math, distances and

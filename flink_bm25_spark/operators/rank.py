@@ -119,40 +119,58 @@ def with_measured_blocks(
 
 
 def _value_before(
-    base: DataFrame, value_col: str, blocks: int, vlo: float, vhi: float
+    base: DataFrame,
+    value_col: str,
+    blocks: int,
+    vlo: float,
+    vhi: float,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``(value_col, _vc, _before, _n)`` — per DISTINCT value: its tie
+    """``(*group_cols, value_col, _vc, _before, _n)`` — per DISTINCT
+    value (within each group when ``group_cols`` is given): its tie
     count, the number of rows with a strictly smaller value, and the
     total row count.  Two-phase cumsum over the distinct-value counts
     relation: a value atom is ONE row here, so no task ever sorts an
-    atom's rows to learn its offset."""
-    vals = base.groupBy(value_col).agg(F.count(F.lit(1)).alias("_vc"))
+    atom's rows to learn its offset.  With groups, every cumsum window
+    is additionally PARTITIONED by the group, so the per-group offsets
+    relation stays ≤ ``blocks`` rows per group and no window is ever
+    global."""
+    g = list(group_cols or [])
+    vals = base.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("_vc"))
     vals = vals.withColumn(
         "_blk", value_block(F.col(value_col), vlo, vhi, blocks)
     )
     # per-block ROW counts (sum of tie counts) -> block offsets; the
-    # cumsum window touches <= blocks aggregate rows
-    blk_counts = vals.groupBy("_blk").agg(F.sum("_vc").alias("_c"))
-    cum = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-    tot = Window.rowsBetween(
+    # cumsum window touches <= blocks aggregate rows (per group)
+    blk_counts = vals.groupBy(*g, "_blk").agg(F.sum("_vc").alias("_c"))
+    cum = (
+        Window.partitionBy(*g).orderBy("_blk")
+        if g
+        else Window.orderBy("_blk")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    tot = (Window.partitionBy(*g) if g else Window.partitionBy()).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     blk_offs = blk_counts.select(
+        *g,
         "_blk",
         F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias("_blk_before"),
         F.sum("_c").over(tot).alias("_n"),
     )
-    in_vw = Window.partitionBy("_blk").orderBy(value_col).rowsBetween(
+    in_vw = Window.partitionBy(*g, "_blk").orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # ungrouped: the offsets relation is <= blocks rows — broadcast; with
+    # groups it is groups x blocks — let AQE decide
+    offs = F.broadcast(blk_offs) if not g else blk_offs
     return (
-        vals.join(F.broadcast(blk_offs), "_blk")
+        vals.join(offs, [*g, "_blk"])
         .withColumn(
             "_before",
             F.col("_blk_before")
             + F.coalesce(F.sum("_vc").over(in_vw), F.lit(0)),
         )
-        .select(value_col, "_vc", "_before", "_n")
+        .select(*g, value_col, "_vc", "_before", "_n")
     )
 
 
@@ -163,14 +181,17 @@ def min_ranked_by_value(
     blocks: int = 64,
     lo: float | None = None,
     hi: float | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """``base`` plus ``_rank`` (1-based min-rank on ties — SQL
-    ``rank()``/``percent_rank()`` semantics) and ``_n`` — computed with
-    NO window over the row relation at all: min-rank of a value is just
-    ``|rows with a strictly smaller value| + 1``, one keyed join against
-    the two-phase :func:`_value_before` relation.  Atom-immune by
-    construction (an atom is one row on the counts side) and strictly
+    ``rank()``/``percent_rank()`` semantics, per group when
+    ``group_cols`` is given) and ``_n`` (per-group row count) — computed
+    with NO window over the row relation at all: min-rank of a value is
+    just ``|rows with a strictly smaller value| + 1``, one keyed join
+    against the two-phase :func:`_value_before` relation.  Atom-immune
+    by construction (an atom is one row on the counts side) and strictly
     cheaper than :func:`block_ranked` with ``dense_ties=True``."""
+    g = list(group_cols or [])
     if lo is None or hi is None:
         rng = base.agg(
             F.min(value_col).alias("_vlo"), F.max(value_col).alias("_vhi")
@@ -180,8 +201,8 @@ def min_ranked_by_value(
         vhi = float(rng["_vhi"]) if rng["_vhi"] is not None else 1.0
     else:
         vlo, vhi = float(lo), float(hi)
-    vb = _value_before(base, value_col, blocks, vlo, vhi)
-    return base.join(vb, value_col).withColumn(
+    vb = _value_before(base, value_col, blocks, vlo, vhi, group_cols=g)
+    return base.join(vb, [*g, value_col]).withColumn(
         "_rank", F.col("_before") + F.lit(1)
     ).drop("_vc", "_before")
 
@@ -196,10 +217,12 @@ def block_ranked_spread(
     hi: float | None = None,
     hot_threshold: int = 100_000,
     sub_blocks: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``base`` plus ``_rank`` (1-based unique global row_number over
-    ``(value_col, tiebreak_col)``) and ``_n`` — the two-phase rank with
-    the tie-atom hot block REMOVED.
+    """``base`` plus ``_rank`` (1-based unique row_number over
+    ``(value_col, tiebreak_col)``, global — or per group when
+    ``group_cols`` is given, with ``_n`` the per-group count) — the
+    two-phase rank with the tie-atom hot block REMOVED.
 
     :func:`block_ranked` leaves one irreducible skew case: a value atom
     (a score constant assigned to a whole document class) must share a
@@ -229,6 +252,7 @@ def block_ranked_spread(
     aggregate-sized per block (standard for scores; atoms are the case
     this exists for).
     """
+    g = list(group_cols or [])
     t = F.col(tiebreak_col)
     if lo is None or hi is None:
         rng = base.agg(
@@ -250,7 +274,9 @@ def block_ranked_spread(
         tlo = float(trng["_tlo"]) if trng["_tlo"] is not None else 0.0
         thi = float(trng["_thi"]) if trng["_thi"] is not None else 1.0
 
-    val_before = _value_before(base, value_col, blocks, vlo, vhi)
+    val_before = _value_before(
+        base, value_col, blocks, vlo, vhi, group_cols=g
+    )
 
     # tie rank: cold groups in one value-partitioned window; hot groups
     # (atoms) sub-blocked on the tiebreak range with their own tiny
@@ -258,28 +284,28 @@ def block_ranked_spread(
     # relation is tiny for score distributions with atoms but can be
     # corpus-sized for a pure continuum — never force a broadcast on a
     # data-dependent relation (the r2 curation lesson).
-    enriched = base.join(val_before, value_col)
+    enriched = base.join(val_before, [*g, value_col])
     cold = enriched.where(F.col("_vc") <= hot_threshold)
     hot = enriched.where(F.col("_vc") > hot_threshold)
 
-    cw = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    cw = Window.partitionBy(*g, value_col).orderBy(tiebreak_col)
     cold_ranked = cold.withColumn(
         "_rank", F.col("_before") + F.row_number().over(cw)
     )
 
     hot = hot.withColumn("_tsub", value_block(t, tlo, thi + 1.0, sub_blocks))
-    sub_counts = hot.groupBy(value_col, "_tsub").agg(
+    sub_counts = hot.groupBy(*g, value_col, "_tsub").agg(
         F.count(F.lit(1)).alias("_sc")
     )
-    scw = Window.partitionBy(value_col).orderBy("_tsub").rowsBetween(
+    scw = Window.partitionBy(*g, value_col).orderBy("_tsub").rowsBetween(
         Window.unboundedPreceding, -1
     )
     sub_offs = sub_counts.withColumn(
         "_sub_before", F.coalesce(F.sum("_sc").over(scw), F.lit(0))
-    ).select(value_col, "_tsub", "_sub_before")
-    hw = Window.partitionBy(value_col, "_tsub").orderBy(tiebreak_col)
+    ).select(*g, value_col, "_tsub", "_sub_before")
+    hw = Window.partitionBy(*g, value_col, "_tsub").orderBy(tiebreak_col)
     hot_ranked = (
-        hot.join(F.broadcast(sub_offs), [value_col, "_tsub"])
+        hot.join(F.broadcast(sub_offs), [*g, value_col, "_tsub"])
         .withColumn(
             "_rank",
             F.col("_before") + F.col("_sub_before") + F.row_number().over(hw),

@@ -256,6 +256,55 @@ def quality_percentile_gate(
     )
 
 
+def quality_percentile_gate_by(
+    documents: DataFrame,
+    by_col: str = "lang",
+    cutoff: float = 0.75,
+    blocks: int = 64,
+) -> DataFrame:
+    """Docs at or above the ``cutoff`` percentile of their OWN group's
+    quality distribution: ``(doc_id, by_col, keep_score, pr)``.  The
+    per-group form of :func:`quality_percentile_gate` — the standard
+    curation cut when sources/languages have incomparable score
+    distributions (a global gate would keep almost none of a
+    low-scoring language; CCNet buckets per language for exactly this
+    reason).
+
+    Scale: the same atom-spread decomposition, with every cumsum window
+    additionally PARTITIONED by the group
+    (``rank.block_ranked_spread(group_cols=[by_col])``) — per-group
+    offsets stay ≤ ``blocks`` rows per group, hot tie atoms sub-block on
+    the document key, and nothing is ever globally sorted.  ``pr`` is
+    per-group ``(rank-1)/(n_g-1)``, the exact double any engine's
+    ``percent_rank() OVER (PARTITION BY group ...)`` produces.
+    """
+    from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
+        block_ranked_spread,
+    )
+
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    keyed = documents.select("doc_id", by_col)
+    base = scored.join(keyed, "doc_id").localCheckpoint(eager=True)
+    ranked = block_ranked_spread(
+        base,
+        "keep_score",
+        "doc_id",
+        blocks=blocks,
+        lo=0.0,
+        hi=1.0,
+        group_cols=[by_col],
+    )
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.withColumn("pr", F.round(pr, 6))
+        .where(F.col("pr") >= F.lit(cutoff))
+        .select("doc_id", by_col, "keep_score", "pr")
+    )
+
+
 def quality_percentile_gate_approx(
     documents: DataFrame, cutoff: float = 0.75, accuracy: int = 10_000
 ) -> DataFrame:

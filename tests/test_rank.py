@@ -200,3 +200,69 @@ def test_min_ranked_by_value_matches_naive_rank(spark):
     # and truly window-free over the row relation
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "row_number()" not in plan
+
+
+def test_block_ranked_spread_grouped_matches_naive(spark):
+    """group_cols: per-group row_number identical to the naive
+    PARTITION BY group window, with atoms inside each group and groups
+    of very different sizes (the real per-language shape)."""
+    import random
+
+    from flink_bm25_spark.operators.rank import block_ranked_spread
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(3000):
+        grp = rng.choices(["en", "de", "fr"], weights=[8, 3, 1])[0]
+        u = rng.random()
+        s = 0.0 if u < 0.5 else round(rng.random(), 6)
+        rows.append((i, grp, s))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double"
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    want = {
+        r.doc_id: (r.r, r.n)
+        for r in df.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .collect()
+    }
+    got = {
+        r.doc_id: (r._rank, r._n)
+        for r in block_ranked_spread(
+            df,
+            "score",
+            "doc_id",
+            lo=0.0,
+            hi=1.0,
+            hot_threshold=100,
+            sub_blocks=8,
+            group_cols=["lang"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_min_ranked_by_value_grouped_matches_naive(spark):
+    import random
+
+    from flink_bm25_spark.operators.rank import min_ranked_by_value
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.choice([1.0, 2.0, 3.0]))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, v double"
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("grp").orderBy("v")
+    want = {
+        r.doc_id: r.r
+        for r in df.withColumn("r", F.rank().over(w)).collect()
+    }
+    got = {
+        r.doc_id: r._rank
+        for r in min_ranked_by_value(df, "v", group_cols=["grp"]).collect()
+    }
+    assert got == want
