@@ -2300,6 +2300,15 @@ def _q_quality_gate(spark, sf_dir):
     return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
 
 
+def _q_ccnet_by_lang(spark, sf_dir):
+    # CCNet's published per-language design: one bigram LM per language,
+    # head/middle/tail terciles within each language's own nll
+    # distribution.  Grouped no-row-window min-rank.
+    from flink_bm25_spark.operators.text_analysis import ccnet_buckets_by
+
+    return ccnet_buckets_by(load_table(spark, "documents", sf_dir), by_col="lang")
+
+
 def _q_quality_gate_by_lang(spark, sf_dir):
     # Per-language top-quartile quality gate: the grouped atom-spread
     # rank (rank.block_ranked_spread(group_cols=["lang"])) — every
@@ -3097,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q_chunk_documents,
         "q_collocations": _q_collocations,
         "q_quality_gate_by_lang": _q_quality_gate_by_lang,
+        "q_ccnet_by_lang": _q_ccnet_by_lang,
     }
 
 
@@ -5710,6 +5720,41 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY keep_score ASC, doc_id ASC), 6) AS pr
               FROM qual)
             SELECT doc_id, keep_score, pr FROM g WHERE pr >= 0.75
+        """,
+        "q_ccnet_by_lang": """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, lang, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM base) WHERE p IS NOT NULL),
+        pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+        uc AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+        v AS (SELECT lang, count(DISTINCT w) AS v
+              FROM (SELECT lang, unnest(ws) AS w FROM base) GROUP BY lang),
+        sc AS (
+          SELECT doc_id, bg.lang, -ln((c12 + 0.1) / (c1 + 0.1 * v)) AS nl
+          FROM bg JOIN pc USING (lang, w1, w2) JOIN uc USING (lang, w1)
+                  JOIN v USING (lang))
+        , per AS (
+          SELECT doc_id, lang, count(*) AS n_bigrams,
+                 round(avg(nl), 6) AS nll
+          FROM sc GROUP BY doc_id, lang),
+        rk AS (
+          SELECT doc_id, lang, n_bigrams, nll,
+                 percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY nll ASC) AS pr0
+          FROM per)
+        SELECT doc_id, lang, n_bigrams, nll, round(pr0, 6) AS pr,
+               CASE WHEN pr0 < 1.0 / 3 THEN 'head'
+                    WHEN pr0 < 2.0 / 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rk
         """,
         "q_quality_gate_by_lang": f"""
             WITH {_QUALITY},

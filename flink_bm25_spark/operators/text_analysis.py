@@ -557,6 +557,97 @@ def ccnet_buckets(
     )
 
 
+def lm_perplexity_scores_by(
+    documents: DataFrame, by_col: str = "lang", alpha: float = 0.1
+) -> DataFrame:
+    """``(doc_id, by_col, n_bigrams, nll)`` — the per-group form of
+    :func:`lm_perplexity_scores`: a SEPARATE add-α bigram model per
+    group (CCNet fits one LM per language — scoring German against an
+    English model measures language, not quality).  Same relational
+    shape with ``by_col`` prefixed onto every count/join key: pair and
+    unigram counts per (group, w1[, w2]), vocabulary per group, scoring
+    joined on (group, w1, w2) — co-keyed end to end, nothing broadcast,
+    one extra thin (doc_id → group) join to tag the bigram relation.
+    """
+    keyed = documents.select("doc_id", by_col)
+    bigrams = _bigram_relation(documents).join(keyed, "doc_id")
+    pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    uni_counts = bigrams.groupBy(by_col, "w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        documents.select(
+            F.col(by_col),
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+                )
+            ).alias("w"),
+        )
+        .groupBy(by_col)
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    model = (
+        pair_counts.join(uni_counts, [by_col, "w1"])
+        .join(vocab, by_col)
+        .select(by_col, "w1", "w2", (-logp).alias("nl"))
+    )
+    scored = bigrams.join(model, [by_col, "w1", "w2"]).select(
+        "doc_id", by_col, "nl"
+    )
+    return scored.groupBy("doc_id", by_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nl"), 6).alias("nll"),
+    )
+
+
+def ccnet_buckets_by(
+    documents: DataFrame,
+    by_col: str = "lang",
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    blocks: int = 64,
+) -> DataFrame:
+    """``(doc_id, by_col, n_bigrams, nll, pr, bucket)`` — CCNet's actual
+    published design (Wenzek et al. 2020): a perplexity model PER
+    LANGUAGE and head/middle/tail terciles cut within each language's
+    own nll distribution, so low-resource languages are never bucketed
+    against the dominant one.  Ranking is the grouped no-row-window
+    min-rank (:func:`rank.min_ranked_by_value` with ``group_cols``);
+    ``pr`` is per-group ``(rank-1)/(n_g-1)``.
+    """
+    from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
+        min_ranked_by_value,
+    )
+
+    scored = lm_perplexity_scores_by(
+        documents, by_col, alpha
+    ).localCheckpoint(eager=True)
+    ranked = min_ranked_by_value(
+        scored, "nll", blocks=blocks, group_cols=[by_col]
+    )
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
+    bucket = (
+        F.when(pr < F.lit(cuts[0]), "head")
+        .when(pr < F.lit(cuts[1]), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id",
+        by_col,
+        "n_bigrams",
+        "nll",
+        F.round(pr, 6).alias("pr"),
+        bucket.alias("bucket"),
+    )
+
+
 def ccnet_buckets_approx(
     documents: DataFrame,
     alpha: float = 0.1,

@@ -665,3 +665,39 @@ def test_fit_and_component_memos_hit_on_repeat(spark):
     l2 = connected_components(pairs)
     assert l1 is l2
     assert connected_components(pairs, max_iterations=1) is not l1
+
+
+def test_ccnet_buckets_by_lang_per_group_terciles(spark):
+    """Per-language CCNet: each language gets its OWN model and its own
+    tercile cut — within every language the buckets are ordered and
+    ~1/3 each, and a document's nll comes from its language's model
+    (pinned by differing from the pooled-model nll on a corpus where
+    languages have distinct bigram statistics)."""
+    from flink_bm25_spark.operators.text_analysis import (
+        ccnet_buckets,
+        ccnet_buckets_by,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    out = ccnet_buckets_by(docs, by_col="lang").collect()
+    per_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        per_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.nll)
+    assert len(per_lang) > 1
+    for lang, by in per_lang.items():
+        n = sum(len(v) for v in by.values())
+        if n < 9:
+            continue  # tiny languages: terciles degenerate legitimately
+        assert set(by) <= {"head", "middle", "tail"}, lang
+        lo = max(by.get("head", [float("-inf")]))
+        mid = by.get("middle", [])
+        hi = min(by.get("tail", [float("inf")]))
+        if mid:
+            assert lo <= min(mid) and max(mid) <= hi, lang
+    # per-language models score differently from the pooled model
+    pooled = {r.doc_id: r.nll for r in ccnet_buckets(docs).collect()}
+    grouped = {r.doc_id: r.nll for r in out}
+    assert grouped.keys() == pooled.keys()
+    assert any(abs(grouped[d] - pooled[d]) > 1e-9 for d in grouped)
