@@ -472,6 +472,28 @@ def test_percentile_gates_no_corpus_window(spark):
             assert "row_number()" not in plan, qname  # rank is a join
 
 
+def test_grouped_gates_every_window_partitioned(spark):
+    """The per-language gates (grouped atom-spread / grouped min-rank)
+    must have NO unpartitioned window at all — every
+    windowspecdefinition's first argument is a partition column (the
+    group), including the offsets cumsums, which are per-group."""
+    import re
+
+    spec_re = re.compile(r"windowspecdefinition\(([^,]+),")
+    for qname in ("q_quality_gate_by_lang", "q_ccnet_by_lang"):
+        df = QUERIES[qname](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "percent_rank" not in plan, qname
+        for line in plan.splitlines():
+            if "windowspecdefinition" not in line:
+                continue
+            m = spec_re.search(line)
+            first_arg = m.group(1) if m else ""
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                f"{qname}: unpartitioned window: {line}"
+            )
+
+
 def test_ngram_diversity_tokenizer_bound_once(spark):
     """ngram_diversity let-binds the token array before the per-slot
     element_at lambda (r3 advice): the optimized plan tokenizes (split)
