@@ -2300,6 +2300,31 @@ def _q_quality_gate(spark, sf_dir):
     return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
 
 
+def _q_strip_markup(spark, sf_dir):
+    # HTML/markup removal (C4's first cleaning step): markup is
+    # synthesized IN-PLAN over the documents table (tags around every
+    # word, a script+style payload, a comment, entities), then stripped
+    # by functions.text.strip_markup — pure JVM regexp chains whose
+    # DuckDB twin runs the identical RE2-safe patterns.
+    from flink_bm25_spark.functions.text import strip_markup
+
+    docs = load_table(spark, "documents", sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>.x{color:red}</style></head><body><p>"),
+            F.regexp_replace(F.col("text"), r"(\S+)", "<b>$1</b>"),
+            F.lit(
+                "</p><script>var x = 1 < 2;</script>"
+                "<!-- hidden --> tail &amp; &lt;end&gt;</body></html>"
+            ),
+        ).alias("t"),
+    )
+    return wrapped.select(
+        "doc_id", strip_markup(F.col("t")).alias("clean_text")
+    )
+
+
 def _q_ccnet_by_lang(spark, sf_dir):
     # CCNet's published per-language design: one bigram LM per language,
     # head/middle/tail terciles within each language's own nll
@@ -3107,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": _q_collocations,
         "q_quality_gate_by_lang": _q_quality_gate_by_lang,
         "q_ccnet_by_lang": _q_ccnet_by_lang,
+        "q_strip_markup": _q_strip_markup,
     }
 
 
@@ -5720,6 +5746,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY keep_score ASC, doc_id ASC), 6) AS pr
               FROM qual)
             SELECT doc_id, keep_score, pr FROM g WHERE pr >= 0.75
+        """,
+        "q_strip_markup": """
+        WITH w AS (
+          SELECT doc_id,
+                 concat('<html><head><style>.x{color:red}</style></head><body><p>',
+                        regexp_replace(text, '(\\S+)', '<b>\\1</b>', 'g'),
+                        '</p><script>var x = 1 < 2;</script>',
+                        '<!-- hidden --> tail &amp; &lt;end&gt;</body></html>')
+                   AS t
+          FROM documents),
+        s1 AS (SELECT doc_id,
+                      regexp_replace(t, '(?is)<script[^>]*>.*?</script\\s*>',
+                                     ' ', 'g') AS t FROM w),
+        s2 AS (SELECT doc_id,
+                      regexp_replace(t, '(?is)<style[^>]*>.*?</style\\s*>',
+                                     ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id,
+                      regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+               FROM s2),
+        s4 AS (SELECT doc_id,
+                      regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        s5 AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(t,
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+               FROM s4)
+        SELECT doc_id,
+               trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+        FROM s5
         """,
         "q_ccnet_by_lang": """
         WITH base AS (

@@ -12,6 +12,7 @@ from flink_bm25_spark.functions.text import (
     make_fmm_segmenter,
     quality_columns,
     reference_fmm_segmenter,
+    strip_markup,
     tokenize_expr,
 )
 from flink_bm25_spark.functions.vectors import cosine_similarity, dot, l2_norm
@@ -26,6 +27,7 @@ __all__ = [
     "make_fmm_segmenter",
     "quality_columns",
     "reference_fmm_segmenter",
+    "strip_markup",
     "tokenize_expr",
     "cosine_similarity",
     "dot",

@@ -52,6 +52,44 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
+def strip_markup(text: Column) -> Column:
+    """Deterministic HTML/markup removal — the step C4 runs before any
+    quality filtering (web corpora arrive as markup, and every
+    downstream signal — token counts, stopword ratios, n-grams — is
+    garbage if tags leak into the token stream).  Entirely JVM-side
+    regexp chains with an exact DuckDB twin:
+
+    1. drop ``<script>``/``<style>`` blocks WITH their payload (code is
+       not prose; ``(?is)`` so tags match case-insensitively across
+       lines);
+    2. drop ``<!-- comments -->`` (dotall);
+    3. replace every remaining tag ``<...>`` with a space (a space, not
+       empty: ``a<br>b`` are separate words);
+    4. decode the six entities that dominate real web text
+       (``&amp; &lt; &gt; &quot; &#39; &nbsp;``) — ``&amp;`` LAST so
+       ``&amp;lt;`` decodes to the literal ``&lt;`` the author wrote,
+       not twice;
+    5. collapse whitespace and trim (same tail as
+       :func:`normalize_text`).
+    """
+    # two passes instead of an alternation-with-backreference so the
+    # DuckDB oracle (RE2: no backrefs) runs the IDENTICAL pattern
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 _CJK_RANGES = (
     (0x4E00, 0x9FFF),    # CJK Unified Ideographs
     (0x3400, 0x4DBF),    # Extension A

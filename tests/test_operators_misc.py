@@ -667,3 +667,35 @@ def test_winsorize_by_per_group_bounds(spark):
         ).collect()
     )
     assert sorted(by["a"]) == solo
+
+
+def test_strip_markup_tags_entities_payloads(spark):
+    """strip_markup: tags become word boundaries, script/style payloads
+    vanish entirely, comments vanish, the six dominant entities decode
+    exactly once (&amp;lt; -> the literal &lt; the author wrote)."""
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.functions.text import strip_markup
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        (
+            '<SCRIPT type="x">var a=1;\n</script >visible<style>.x{}</style>',
+            "visible",
+        ),
+        (
+            "a<br>b &amp;lt; c &quot;q&quot; &nbsp; d &#39;e&#39; &lt;tag&gt;",
+            "a b &lt; c \"q\" d 'e' <tag>",
+        ),
+        ("<!-- hidden\nstuff -->shown", "shown"),
+        ("plain text", "plain text"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", strip_markup(F.col("t")).alias("s")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
