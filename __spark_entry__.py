@@ -2300,6 +2300,22 @@ def _q_quality_gate(spark, sf_dir):
     return quality_percentile_gate(load_table(spark, "documents", sf_dir), cutoff=0.75)
 
 
+def _q_line_dedup(spark, sf_dir):
+    # CCNet step 1: corpus-wide line-level exact dedup (keep only each
+    # line's FIRST (doc_id, pos) occurrence, reassemble docs).  The flat
+    # fixture text is given line structure IN-PLAN (newline after every
+    # 8th word) so the dedup has real cross-document collisions.
+    from flink_bm25_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return line_dedup(docs)
+
+
 def _q_strip_markup(spark, sf_dir):
     # HTML/markup removal (C4's first cleaning step): markup is
     # synthesized IN-PLAN over the documents table (tags around every
@@ -3133,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_gate_by_lang": _q_quality_gate_by_lang,
         "q_ccnet_by_lang": _q_ccnet_by_lang,
         "q_strip_markup": _q_strip_markup,
+        "q_line_dedup": _q_line_dedup,
     }
 
 
@@ -5746,6 +5763,44 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY keep_score ASC, doc_id ASC), 6) AS pr
               FROM qual)
             SELECT doc_id, keep_score, pr FROM g WHERE pr >= 0.75
+        """,
+        "q_line_dedup": """
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((?:\\S+ ){7}\\S+) ',
+                                '\\1' || chr(10), 'g') AS text
+          FROM documents),
+        l AS (
+          SELECT doc_id, p['pos'] AS pos, p['line'] AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (x, i) -> {'pos': i, 'line': x})) AS p
+            FROM w)),
+        c AS (SELECT * FROM l WHERE trim(line) <> ''),
+        k AS (SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM c),
+        surv AS (
+          SELECT doc_id, pos, line FROM k WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, pos, line FROM l WHERE trim(line) = ''),
+        re AS (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+               FROM surv GROUP BY doc_id),
+        cnt AS (SELECT doc_id,
+                       count(*) FILTER (WHERE trim(line) <> '') AS n_lines
+                FROM l GROUP BY doc_id),
+        kc AS (SELECT doc_id, count(*) AS n_kept
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(re.cleaned_text, '') AS cleaned_text,
+               coalesce(cnt.n_lines, 0) AS n_lines,
+               coalesce(kc.n_kept, 0) AS n_kept
+        FROM documents d
+        LEFT JOIN re USING (doc_id)
+        LEFT JOIN cnt USING (doc_id)
+        LEFT JOIN kc USING (doc_id)
         """,
         "q_strip_markup": """
         WITH w AS (

@@ -64,6 +64,75 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_dedup(
+    documents: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """``(doc_id, cleaned_text, n_lines, n_kept)`` — corpus-wide
+    line-level exact dedup, CCNet's step 1 (Wenzek et al. 2020: hash
+    every line across the whole corpus, keep only the FIRST occurrence,
+    then run the LM filters on what survives — boilerplate headers,
+    navigation, cookie banners repeat verbatim across millions of pages
+    and would otherwise dominate every downstream statistic).
+
+    First occurrence = minimum ``(doc_id, pos)`` over the line's exact
+    text; whitespace-only lines are layout, not content — they survive
+    unconditionally and don't count.  ``cleaned_text`` reassembles the
+    surviving lines in document order; ``n_lines``/``n_kept`` count
+    content lines before/after.
+
+    Scale shape: one posexplode (map-side), ONE shuffle keyed on the
+    line text with a map-side-combinable min-struct aggregation, a
+    co-keyed join back, and a doc_id-keyed reassembly aggregation —
+    the same posture as :func:`remove_duplicated_spans`, with line text
+    as the key instead of gram hashes (exact semantics, and the oracle
+    replays it byte-for-byte).
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "pos", "line"
+        ),
+    )
+    content = lines.where(F.trim("line") != "")
+    winners = content.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    kept_content = content.join(winners, "line").where(
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("pos") == F.col("_first.pos"))
+    )
+    survivors = kept_content.select("doc_id", "pos", "line").unionByName(
+        lines.where(F.trim("line") == "").select("doc_id", "pos", "line")
+    )
+    reassembled = survivors.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("cleaned_text")
+    )
+    counts = lines.groupBy("doc_id").agg(
+        F.sum((F.trim("line") != "").cast("long")).alias("n_lines")
+    )
+    kept_counts = kept_content.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        documents.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .join(counts, "doc_id", "left")
+        .join(kept_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def token_set_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup on the *sorted distinct token set* — catches documents
     that are word-order permutations / repetition variants of each other."""

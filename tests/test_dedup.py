@@ -732,3 +732,33 @@ def test_edit_distance_hot_gram_prefix_lossless(spark):
         for r in edit_distance_pairs(df, "name", 3).collect()
     }
     assert got == want
+
+
+def test_line_dedup_first_arrival_and_layout(spark):
+    """CCNet step-1 semantics: a repeated line survives only at its
+    first (doc_id, pos) occurrence corpus-wide; whitespace-only lines
+    are layout and survive unconditionally; fully-duplicated docs come
+    back empty with their counts."""
+    from flink_bm25_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\n\ndelta"),
+            (3, "shared line"),
+            (4, ""),
+            (5, "beta\nalpha"),  # dup lines from doc 1, later arrival
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_kept)
+        for r in line_dedup(docs).collect()
+    }
+    assert got == {
+        1: ("alpha\nshared line\nbeta", 3, 3),
+        2: ("gamma\n\ndelta", 3, 2),
+        3: ("", 1, 0),
+        4: ("", 0, 0),
+        5: ("", 2, 0),
+    }
