@@ -69,6 +69,10 @@ ADDITIONS = [
     "q_ccnet_buckets",
     "q_edit_distance",
     "q_asof_join",
+    "q_quality_gate_by_lang",
+    "q_ccnet_by_lang",
+    "q_strip_markup",
+    "q_line_dedup",
 ]
 
 
