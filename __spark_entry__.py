@@ -5812,16 +5812,19 @@ def oracle_sql() -> dict[str, str]:
                    AS t
           FROM documents),
         s1 AS (SELECT doc_id,
-                      regexp_replace(t, '(?is)<script[^>]*>.*?</script\\s*>',
-                                     ' ', 'g') AS t FROM w),
+                      regexp_replace(t,
+                        '(?is)<script(\\s[^>]*)?>.*?</script\\s*>',
+                        ' ', 'g') AS t FROM w),
         s2 AS (SELECT doc_id,
-                      regexp_replace(t, '(?is)<style[^>]*>.*?</style\\s*>',
-                                     ' ', 'g') AS t FROM s1),
+                      regexp_replace(t,
+                        '(?is)<style(\\s[^>]*)?>.*?</style\\s*>',
+                        ' ', 'g') AS t FROM s1),
         s3 AS (SELECT doc_id,
                       regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
                FROM s2),
         s4 AS (SELECT doc_id,
-                      regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+                      regexp_replace(t, '<[/!]?[A-Za-z][^>]*>', ' ', 'g')
+                        AS t FROM s3),
         s5 AS (SELECT doc_id,
                       replace(replace(replace(replace(replace(replace(t,
                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

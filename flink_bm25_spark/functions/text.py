@@ -73,11 +73,19 @@ def strip_markup(text: Column) -> Column:
        :func:`normalize_text`).
     """
     # two passes instead of an alternation-with-backreference so the
-    # DuckDB oracle (RE2: no backrefs) runs the IDENTICAL pattern
-    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script\s*>", " ")
-    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    # DuckDB oracle (RE2: no backrefs) runs the IDENTICAL pattern; the
+    # open tag is anchored as <script> or <script + whitespace so a
+    # custom element like <script-loader> never triggers payload
+    # deletion up to someone else's closing tag
+    t = F.regexp_replace(
+        text, r"(?is)<script(\s[^>]*)?>.*?</script\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?is)<style(\s[^>]*)?>.*?</style\s*>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    # tags must open with a letter (optionally / or ! first): a bare
+    # '<' in prose ("profit was < 3% and growth > 1%") is NOT a tag and
+    # the words between it and the next '>' must survive
+    t = F.regexp_replace(t, r"<[/!]?[A-Za-z][^>]*>", " ")
     for ent, rep in (
         ("&lt;", "<"),
         ("&gt;", ">"),

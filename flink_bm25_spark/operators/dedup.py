@@ -87,21 +87,28 @@ def line_dedup(
     as the key instead of gram hashes (exact semantics, and the oracle
     replays it byte-for-byte).
     """
+    import re as _re  # noqa: PLC0415
+
+    # plain-string regex pattern (Column patterns need pyspark >= 4);
+    # sep is a literal separator, so regex metachars are escaped
     lines = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "pos", "line"
         ),
     )
     content = lines.where(F.trim("line") != "")
-    winners = content.groupBy("line").agg(
+    # min(struct) IS the surviving row — project it straight out of the
+    # aggregation; joining winners back against the corpus-sized line
+    # relation would pay a second line-keyed shuffle for zero gain
+    kept_content = content.groupBy("line").agg(
         F.min(F.struct("doc_id", "pos")).alias("_first")
+    ).select(
+        F.col("_first.doc_id").alias("doc_id"),
+        F.col("_first.pos").alias("pos"),
+        "line",
     )
-    kept_content = content.join(winners, "line").where(
-        (F.col("doc_id") == F.col("_first.doc_id"))
-        & (F.col("pos") == F.col("_first.pos"))
-    )
-    survivors = kept_content.select("doc_id", "pos", "line").unionByName(
+    survivors = kept_content.unionByName(
         lines.where(F.trim("line") == "").select("doc_id", "pos", "line")
     )
     reassembled = survivors.groupBy("doc_id").agg(

@@ -118,12 +118,30 @@ def with_measured_blocks(
     )
 
 
+def nullsafe_key_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-SAFE equality (``<=>``): a NULL
+    key matches a NULL key, so rows whose group column is null are
+    ranked in their own group instead of silently dropped (plain
+    equi-join semantics lose them — and SQL ``PARTITION BY`` keeps a
+    NULL partition, so the oracle would diverge).  ``EqualNullSafe`` is
+    a hashable join key; the plan is the same hash join as the
+    name-list form."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, "_rk_" + k)
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r["_rk_" + k])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond).drop(*["_rk_" + k for k in keys])
+
+
 def _value_before(
     base: DataFrame,
     value_col: str,
     blocks: int,
-    vlo: float,
-    vhi: float,
+    lo: float | None = None,
+    hi: float | None = None,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """``(*group_cols, value_col, _vc, _before, _n)`` — per DISTINCT
@@ -134,12 +152,35 @@ def _value_before(
     atom's rows to learn its offset.  With groups, every cumsum window
     is additionally PARTITIONED by the group, so the per-group offsets
     relation stays ≤ ``blocks`` rows per group and no window is ever
-    global."""
+    global.
+
+    When ``lo``/``hi`` are not statically known the value range joins
+    in LAZILY as a broadcast 1-row aggregate (the
+    ``with_measured_blocks`` pattern) — building the plan never runs a
+    driver-side job.  ``value_col`` must be non-null (scores are
+    computed columns); group columns MAY be null (null-safe joins
+    throughout).
+    """
     g = list(group_cols or [])
     vals = base.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("_vc"))
-    vals = vals.withColumn(
-        "_blk", value_block(F.col(value_col), vlo, vhi, blocks)
-    )
+    if lo is None or hi is None:
+        rng = base.agg(
+            F.min(value_col).alias("_vlo"), F.max(value_col).alias("_vhi")
+        )
+        vals = (
+            vals.join(F.broadcast(rng))
+            .withColumn(
+                "_blk",
+                value_block(
+                    F.col(value_col), F.col("_vlo"), F.col("_vhi"), blocks
+                ),
+            )
+            .drop("_vlo", "_vhi")
+        )
+    else:
+        vals = vals.withColumn(
+            "_blk", value_block(F.col(value_col), float(lo), float(hi), blocks)
+        )
     # per-block ROW counts (sum of tie counts) -> block offsets; the
     # cumsum window touches <= blocks aggregate rows (per group)
     blk_counts = vals.groupBy(*g, "_blk").agg(F.sum("_vc").alias("_c"))
@@ -164,7 +205,7 @@ def _value_before(
     # groups it is groups x blocks — let AQE decide
     offs = F.broadcast(blk_offs) if not g else blk_offs
     return (
-        vals.join(offs, [*g, "_blk"])
+        nullsafe_key_join(vals, offs, [*g, "_blk"])
         .withColumn(
             "_before",
             F.col("_blk_before")
@@ -190,19 +231,12 @@ def min_ranked_by_value(
     just ``|rows with a strictly smaller value| + 1``, one keyed join
     against the two-phase :func:`_value_before` relation.  Atom-immune
     by construction (an atom is one row on the counts side) and strictly
-    cheaper than :func:`block_ranked` with ``dense_ties=True``."""
+    cheaper than :func:`block_ranked` with ``dense_ties=True``.
+    Null group keys form their own group (null-safe joins), matching
+    SQL's NULL partition; plan construction is fully lazy."""
     g = list(group_cols or [])
-    if lo is None or hi is None:
-        rng = base.agg(
-            F.min(value_col).alias("_vlo"), F.max(value_col).alias("_vhi")
-        ).collect()[0]
-        # empty input: ranges are None — any constants do (no rows rank)
-        vlo = float(rng["_vlo"]) if rng["_vlo"] is not None else 0.0
-        vhi = float(rng["_vhi"]) if rng["_vhi"] is not None else 1.0
-    else:
-        vlo, vhi = float(lo), float(hi)
-    vb = _value_before(base, value_col, blocks, vlo, vhi, group_cols=g)
-    return base.join(vb, [*g, value_col]).withColumn(
+    vb = _value_before(base, value_col, blocks, lo, hi, group_cols=g)
+    return nullsafe_key_join(base, vb, [*g, value_col]).withColumn(
         "_rank", F.col("_before") + F.lit(1)
     ).drop("_vc", "_before")
 
@@ -243,39 +277,22 @@ def block_ranked_spread(
     Exactness: both terms are integer row counts under the identical
     total order ``(value, tiebreak)``, so the result is bit-identical to
     the naive unpartitioned-window row_number (differential-pinned).
+    Null group keys form their own group (null-safe joins), matching
+    SQL's NULL partition.
 
-    Contract: ``tiebreak_col`` must be numeric and UNIQUE within ties
-    (callers use the document key); ``base`` should be localCheckpointed
-    — the plan consumes it in four places.  ``lo``/``hi`` bound the
-    value range when statically known; otherwise one min/max pass
-    measures it.  The distinct-value relation is assumed
-    aggregate-sized per block (standard for scores; atoms are the case
-    this exists for).
+    Contract: ``value_col`` and ``tiebreak_col`` must be non-null, and
+    the tiebreak numeric and UNIQUE within ties (callers use the
+    document key); ``base`` should be localCheckpointed — the plan
+    consumes it in several places.  ``lo``/``hi`` bound the value range
+    when statically known; otherwise (and for the tiebreak range,
+    always) a broadcast 1-row min/max aggregate joins in lazily — plan
+    construction never runs a driver job.  The distinct-value relation
+    is assumed aggregate-sized per block (standard for scores; atoms
+    are the case this exists for).
     """
     g = list(group_cols or [])
-    t = F.col(tiebreak_col)
-    if lo is None or hi is None:
-        rng = base.agg(
-            F.min(value_col).alias("_vlo"),
-            F.max(value_col).alias("_vhi"),
-            F.min(tiebreak_col).alias("_tlo"),
-            F.max(tiebreak_col).alias("_thi"),
-        ).collect()[0]
-        # empty input: ranges are None — any constants do (no rows rank)
-        vlo = float(rng["_vlo"]) if rng["_vlo"] is not None else 0.0
-        vhi = float(rng["_vhi"]) if rng["_vhi"] is not None else 1.0
-        tlo = float(rng["_tlo"]) if rng["_tlo"] is not None else 0.0
-        thi = float(rng["_thi"]) if rng["_thi"] is not None else 1.0
-    else:
-        vlo, vhi = float(lo), float(hi)
-        trng = base.agg(
-            F.min(tiebreak_col).alias("_tlo"), F.max(tiebreak_col).alias("_thi")
-        ).collect()[0]
-        tlo = float(trng["_tlo"]) if trng["_tlo"] is not None else 0.0
-        thi = float(trng["_thi"]) if trng["_thi"] is not None else 1.0
-
     val_before = _value_before(
-        base, value_col, blocks, vlo, vhi, group_cols=g
+        base, value_col, blocks, lo, hi, group_cols=g
     )
 
     # tie rank: cold groups in one value-partitioned window; hot groups
@@ -284,7 +301,7 @@ def block_ranked_spread(
     # relation is tiny for score distributions with atoms but can be
     # corpus-sized for a pure continuum — never force a broadcast on a
     # data-dependent relation (the r2 curation lesson).
-    enriched = base.join(val_before, [*g, value_col])
+    enriched = nullsafe_key_join(base, val_before, [*g, value_col])
     cold = enriched.where(F.col("_vc") <= hot_threshold)
     hot = enriched.where(F.col("_vc") > hot_threshold)
 
@@ -293,7 +310,22 @@ def block_ranked_spread(
         "_rank", F.col("_before") + F.row_number().over(cw)
     )
 
-    hot = hot.withColumn("_tsub", value_block(t, tlo, thi + 1.0, sub_blocks))
+    trng = base.agg(
+        F.min(tiebreak_col).alias("_tlo"), F.max(tiebreak_col).alias("_thi")
+    )
+    hot = (
+        hot.join(F.broadcast(trng))
+        .withColumn(
+            "_tsub",
+            value_block(
+                F.col(tiebreak_col),
+                F.col("_tlo"),
+                F.col("_thi") + F.lit(1.0),
+                sub_blocks,
+            ),
+        )
+        .drop("_tlo", "_thi")
+    )
     sub_counts = hot.groupBy(*g, value_col, "_tsub").agg(
         F.count(F.lit(1)).alias("_sc")
     )
@@ -305,7 +337,7 @@ def block_ranked_spread(
     ).select(*g, value_col, "_tsub", "_sub_before")
     hw = Window.partitionBy(*g, value_col, "_tsub").orderBy(tiebreak_col)
     hot_ranked = (
-        hot.join(F.broadcast(sub_offs), [*g, value_col, "_tsub"])
+        nullsafe_key_join(hot, F.broadcast(sub_offs), [*g, value_col, "_tsub"])
         .withColumn(
             "_rank",
             F.col("_before") + F.col("_sub_before") + F.row_number().over(hw),
@@ -317,3 +349,4 @@ def block_ranked_spread(
     return cold_ranked.select(*out_cols).unionByName(
         hot_ranked.select(*out_cols)
     )
+

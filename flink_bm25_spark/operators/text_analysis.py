@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flink_bm25_spark.functions.hashing import rolling_fingerprint
 from flink_bm25_spark.functions.text import quality_columns, tokenize_expr
+from flink_bm25_spark.operators.rank import nullsafe_key_join
 
 # Marker stopwords per language for the n-gram/marker LID heuristic.
 # On real corpora these would be the top function words per language;
@@ -563,12 +564,13 @@ def lm_perplexity_scores_by(
     """``(doc_id, by_col, n_bigrams, nll)`` — the per-group form of
     :func:`lm_perplexity_scores`: a SEPARATE add-α bigram model per
     group (CCNet fits one LM per language — scoring German against an
-    English model measures language, not quality).  Same relational
-    shape with ``by_col`` prefixed onto every count/join key: pair and
-    unigram counts per (group, w1[, w2]), vocabulary per group, scoring
-    joined on (group, w1, w2) — co-keyed end to end, nothing broadcast,
-    one extra thin (doc_id → group) join to tag the bigram relation.
-    """
+    English model measures language, not quality).  One formula, one
+    code path: the shared :func:`lm_model`/:func:`lm_score` helpers
+    with ``group_cols=[by_col]`` — pair and unigram counts per
+    (group, w1[, w2]), vocabulary per group, scoring joined on
+    (group, w1, w2), co-keyed end to end, nothing broadcast except the
+    thin (doc_id → group) relation.  Null group keys train and score
+    their own model (null-safe joins)."""
     keyed = documents.select("doc_id", by_col)
     bigrams = _bigram_relation(documents).join(keyed, "doc_id")
     pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
@@ -587,21 +589,8 @@ def lm_perplexity_scores_by(
         .groupBy(by_col)
         .agg(F.countDistinct("w").alias("v"))
     )
-    logp = F.log(
-        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
-    )
-    model = (
-        pair_counts.join(uni_counts, [by_col, "w1"])
-        .join(vocab, by_col)
-        .select(by_col, "w1", "w2", (-logp).alias("nl"))
-    )
-    scored = bigrams.join(model, [by_col, "w1", "w2"]).select(
-        "doc_id", by_col, "nl"
-    )
-    return scored.groupBy("doc_id", by_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("nl"), 6).alias("nll"),
-    )
+    model = lm_model(pair_counts, uni_counts, vocab, alpha, group_cols=[by_col])
+    return lm_score(documents, model, group_cols=[by_col])
 
 
 def ccnet_buckets_by(
@@ -678,33 +667,58 @@ def ccnet_buckets_approx(
 
 
 def lm_model(
-    pair_counts: DataFrame, uni_counts: DataFrame, vocab: DataFrame, alpha: float
+    pair_counts: DataFrame,
+    uni_counts: DataFrame,
+    vocab: DataFrame,
+    alpha: float,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The fitted model as a relation: ``(w1, w2, nl)`` with
-    ``nl = -ln P(w2|w1)`` precomputed — a static lookup table that scores
-    any future corpus (or stream) without touching the training data."""
+    """The fitted model as a relation: ``(*group_cols, w1, w2, nl)``
+    with ``nl = -ln P(w2|w1)`` precomputed — a static lookup table that
+    scores any future corpus (or stream) without touching the training
+    data.  With ``group_cols`` (e.g. per-language models), every join is
+    keyed on the group too: the ungrouped vocabulary is a broadcast
+    1-row scalar; a grouped vocabulary is a groups-sized keyed relation
+    (null group keys form their own model — null-safe join)."""
+    g = list(group_cols or [])
     logp = F.log(
         (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
     )
-    return (
-        pair_counts.join(uni_counts, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select("w1", "w2", (-logp).alias("nl"))
-    )
+    fitted = nullsafe_key_join(pair_counts, uni_counts, [*g, "w1"]) if g else pair_counts.join(uni_counts, "w1")
+    if g:
+        fitted = nullsafe_key_join(fitted, vocab, g)
+    else:
+        fitted = fitted.crossJoin(F.broadcast(vocab))
+    return fitted.select(*g, "w1", "w2", (-logp).alias("nl"))
 
 
-def lm_score(documents: DataFrame, model: DataFrame) -> DataFrame:
+def lm_score(
+    documents: DataFrame,
+    model: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Score documents against a fitted :func:`lm_model` relation:
-    ``(doc_id, n_bigrams, nll)``.  Map-side bigram extraction + one join
-    on (w1, w2) + ONE aggregation — streaming-legal, so a persisted model
-    scores a live ingest feed unchanged (train once, score forever;
-    pinned by ``test_streaming_lm_scoring_equals_batch``).  Unseen
-    bigrams (absent from the model) are skipped by the inner join — the
-    train-corpus scoring path never meets one, and a stream scorer that
-    needs them should left-join against a backoff column instead."""
+    ``(doc_id, *group_cols, n_bigrams, nll)``.  Map-side bigram
+    extraction + one join on (*group, w1, w2) + ONE aggregation —
+    streaming-legal, so a persisted model scores a live ingest feed
+    unchanged (train once, score forever; pinned by
+    ``test_streaming_lm_scoring_equals_batch``).  Unseen bigrams (absent
+    from the model) are skipped by the inner join — the train-corpus
+    scoring path never meets one, and a stream scorer that needs them
+    should left-join against a backoff column instead.  With
+    ``group_cols``, documents must carry those columns (the group is
+    read per doc_id and joined onto the bigrams)."""
+    g = list(group_cols or [])
     bigrams = _bigram_relation(documents)
-    scored = bigrams.join(model, ["w1", "w2"]).select("doc_id", "nl")
-    return scored.groupBy("doc_id").agg(
+    if g:
+        keyed = documents.select("doc_id", *g)
+        bigrams = bigrams.join(keyed, "doc_id")
+        scored = nullsafe_key_join(bigrams, model, [*g, "w1", "w2"]).select(
+            "doc_id", *g, "nl"
+        )
+    else:
+        scored = bigrams.join(model, ["w1", "w2"]).select("doc_id", "nl")
+    return scored.groupBy("doc_id", *g).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("nl"), 6).alias("nll"),
     )

@@ -690,6 +690,15 @@ def test_strip_markup_tags_entities_payloads(spark):
         ("<!-- hidden\nstuff -->shown", "shown"),
         ("plain text", "plain text"),
         ("", ""),
+        # custom elements sharing the script/style prefix are ordinary
+        # tags, not payload blocks
+        (
+            "<styled-note>keep this text</styled-note><style>.a{}</style>tail",
+            "keep this text tail",
+        ),
+        # a bare '<' in prose is not a tag: the words survive
+        ("profit was < 3% and growth > 1%", "profit was < 3% and growth > 1%"),
+        ("<!DOCTYPE html><p>x</p>", "x"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"

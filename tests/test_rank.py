@@ -266,3 +266,56 @@ def test_min_ranked_by_value_grouped_matches_naive(spark):
         for r in min_ranked_by_value(df, "v", group_cols=["grp"]).collect()
     }
     assert got == want
+
+
+def test_grouped_rank_keeps_null_group_keys(spark):
+    """A NULL group key is a group, not a discard: SQL's PARTITION BY
+    keeps a NULL partition, so the grouped ranks must too (plain
+    equi-joins on the group column silently dropped these rows)."""
+    from flink_bm25_spark.operators.rank import (
+        block_ranked_spread,
+        min_ranked_by_value,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "a", 2.0),
+            (3, None, 5.0),
+            (4, None, 3.0),
+            (5, None, 3.0),
+        ],
+        "doc_id long, grp string, v double",
+    ).localCheckpoint(eager=True)
+    got = {
+        r.doc_id: (r._rank, r._n)
+        for r in min_ranked_by_value(df, "v", group_cols=["grp"]).collect()
+    }
+    assert got == {1: (1, 2), 2: (2, 2), 3: (3, 3), 4: (1, 3), 5: (1, 3)}
+    got2 = {
+        r.doc_id: (r._rank, r._n)
+        for r in block_ranked_spread(
+            df, "v", "doc_id", group_cols=["grp"], hot_threshold=1, sub_blocks=4
+        ).collect()
+    }
+    assert got2 == {1: (1, 2), 2: (2, 2), 3: (3, 3), 4: (1, 3), 5: (2, 3)}
+
+
+def test_rank_plan_construction_is_lazy(spark):
+    """Building the ranked plan must not run driver-side jobs: ranges
+    join in as broadcast 1-row aggregates, never .collect() at
+    construction time."""
+    from flink_bm25_spark.operators.rank import (
+        block_ranked_spread,
+        min_ranked_by_value,
+    )
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "doc_id long, v double"
+    ).localCheckpoint(eager=True)
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    _ = min_ranked_by_value(df, "v")
+    _ = block_ranked_spread(df, "v", "doc_id")
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert before == after  # no jobs ran while building the plans
