@@ -50,6 +50,22 @@ AUDITED = [
         "atom-spread rank: distinct-value cumsum + sub-blocked tie windows, no whole-atom sort",
     ),
     (
+        "q_quality_gate_by_lang",
+        "grouped atom-spread: EVERY window carries lang as partition prefix",
+    ),
+    (
+        "q_ccnet_by_lang",
+        "per-language LM co-keyed on (lang, w1, w2); grouped min-rank join",
+    ),
+    (
+        "q_line_dedup",
+        "ONE line-keyed shuffle (min-struct agg IS the survivor); doc-keyed reassembly",
+    ),
+    (
+        "q_strip_markup",
+        "pure map-side regexp chain — zero shuffles, whole-stage codegen",
+    ),
+    (
         "q_edit_distance",
         "Ed-Join prefix probe (q·d+1 rarest grams) into the full positional-gram index",
     ),

@@ -44,7 +44,7 @@ def main() -> None:
         winnowing_dedup_pairs,
         winnowing_fingerprints,
     )
-    from flink_bm25_spark.operators.dedup import edit_distance_pairs
+    from flink_bm25_spark.operators.dedup import edit_distance_pairs, line_dedup
     from flink_bm25_spark.operators.similarity import semantic_dedup_pairs
     from flink_bm25_spark.operators.text_analysis import (
         quality_percentile_gate,
@@ -111,6 +111,20 @@ def main() -> None:
         # exact percentile gate, two-phase block rank (r4): the rank
         # stage partitions by value block, so this must scale ~linear
         "quality_gate_exact": lambda d: quality_percentile_gate(d).count(),
+        # CCNet step-1 line dedup: line structure synthesized in-plan
+        # (newline per 8 words); the word salt makes cross-replica lines
+        # distinct, so survivors grow exactly M× and the line-keyed
+        # shuffle is the only corpus-sized stage
+        "line_dedup": lambda d: line_dedup(
+            d.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+                ).alias("text"),
+            )
+        )
+        .where(F.length("cleaned_text") >= 0)
+        .count(),
         # the engine's one Python hot path (Arrow FMM segmentation) —
         # map-side, so the exponent must be ~1 and the partition spread
         # must actually engage (a 1-core stage would show here as a
