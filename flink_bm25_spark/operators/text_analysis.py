@@ -666,6 +666,57 @@ def ccnet_buckets_approx(
     )
 
 
+def ccnet_buckets_by_approx(
+    documents: DataFrame,
+    by_col: str = "lang",
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """100 TB form of :func:`ccnet_buckets_by`: per-group cut values
+    from ONE grouped ``approx_percentile`` aggregation (mergeable
+    sketch per group, groups-sized result, null-safe keyed join back) —
+    no rank relation at all.  Documents within the sketch's rank-error
+    band of their group's cut may land in the adjacent bucket.
+    Returns ``(doc_id, by_col, n_bigrams, nll, bucket)``."""
+    scored = lm_perplexity_scores_by(documents, by_col, alpha)
+    thr = scored.groupBy(by_col).agg(
+        F.percentile_approx("nll", cuts[0], accuracy).alias("__t1"),
+        F.percentile_approx("nll", cuts[1], accuracy).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("nll") < F.col("__t1"), "head")
+        .when(F.col("nll") < F.col("__t2"), "middle")
+        .otherwise("tail")
+    )
+    return nullsafe_key_join(scored, thr, [by_col]).select(
+        "doc_id", by_col, "n_bigrams", "nll", bucket.alias("bucket")
+    )
+
+
+def quality_percentile_gate_by_approx(
+    documents: DataFrame,
+    by_col: str = "lang",
+    cutoff: float = 0.75,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """100 TB form of :func:`quality_percentile_gate_by`: each group's
+    threshold from ONE grouped ``approx_percentile`` aggregation,
+    applied with a null-safe keyed join — no rank, no row-relation
+    window.  Returns ``(doc_id, by_col, keep_score)``."""
+    scored = quality_scores(documents).select("doc_id", "keep_score")
+    keyed = documents.select("doc_id", by_col)
+    base = scored.join(keyed, "doc_id")
+    thr = base.groupBy(by_col).agg(
+        F.percentile_approx("keep_score", cutoff, accuracy).alias("__thr")
+    )
+    return (
+        nullsafe_key_join(base, thr, [by_col])
+        .where(F.col("keep_score") >= F.col("__thr"))
+        .select("doc_id", by_col, "keep_score")
+    )
+
+
 def lm_model(
     pair_counts: DataFrame,
     uni_counts: DataFrame,

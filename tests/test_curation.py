@@ -701,3 +701,44 @@ def test_ccnet_buckets_by_lang_per_group_terciles(spark):
     grouped = {r.doc_id: r.nll for r in out}
     assert grouped.keys() == pooled.keys()
     assert any(abs(grouped[d] - pooled[d]) > 1e-9 for d in grouped)
+
+
+def test_grouped_approx_twins_agree_off_boundary(spark):
+    """The grouped approx twins must agree with the exact grouped forms
+    away from each group's cut boundary (within the sketch's rank-error
+    band disagreement is allowed; off it, none is)."""
+    from flink_bm25_spark.operators.text_analysis import (
+        ccnet_buckets_by,
+        ccnet_buckets_by_approx,
+        quality_percentile_gate_by,
+        quality_percentile_gate_by_approx,
+    )
+    from flink_bm25_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+
+    exact = {
+        (r.doc_id): (r.lang, r.bucket, r.pr)
+        for r in ccnet_buckets_by(docs).collect()
+    }
+    approx = {
+        r.doc_id: r.bucket for r in ccnet_buckets_by_approx(docs).collect()
+    }
+    assert exact.keys() == approx.keys()
+    band = 2e-2  # generous rank-error margin on the tiny fixture
+    for d, (lang, bucket, pr) in exact.items():
+        if min(abs(pr - 1 / 3), abs(pr - 2 / 3)) > band:
+            assert approx[d] == bucket, (d, lang, pr, bucket, approx[d])
+
+    g_exact = {
+        r.doc_id for r in quality_percentile_gate_by(docs, cutoff=0.5).collect()
+    }
+    g_approx = {
+        r.doc_id
+        for r in quality_percentile_gate_by_approx(docs, cutoff=0.5).collect()
+    }
+    # approx kept-set differs from exact only near the per-group cut:
+    # symmetric difference is a small fraction of the corpus
+    n = docs.count()
+    assert len(g_exact ^ g_approx) <= max(4, n * 0.1)
