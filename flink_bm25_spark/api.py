@@ -633,3 +633,71 @@ class QuantileTracker:
         if saved_cfg is not None:
             qt._cfg = tuple(saved_cfg)
         return qt
+
+
+class LineScreen:
+    """Incremental CCNet step-1 line dedup — the line-level analog of
+    :class:`WinnowScreen`: state is the persisted relation of every
+    content line ever ingested, so each batch is cleaned against the
+    whole archive in O(batch + one anti-join) and archived text is
+    never re-read (``dedup.line_dedup_incremental``).
+
+        ls = LineScreen()
+        clean1 = ls.screen_batch(day1_docs)   # within-batch + archive dedup
+        clean2 = ls.screen_batch(day2_docs)   # day1's lines now boilerplate
+        ls.save("/state"); LineScreen.load(spark, "/state")
+
+    First-arrival wins (the curator contract): a redelivered batch
+    comes back with ``n_kept = 0`` everywhere — its lines are already
+    archived.  Equals a full :func:`~flink_bm25_spark.operators.dedup.
+    line_dedup` rebuild whenever batch order agrees with doc_id order.
+    """
+
+    def __init__(
+        self,
+        lines: DataFrame | None = None,
+        text_col: str = "text",
+        sep: str = "\n",
+    ):
+        self.lines = lines
+        self.text_col = text_col
+        self.sep = sep
+
+    def screen_batch(self, new_documents: DataFrame) -> DataFrame:
+        from flink_bm25_spark.operators.dedup import (  # noqa: PLC0415
+            line_dedup_incremental,
+        )
+
+        store = self.lines
+        if store is None:
+            store = new_documents.sparkSession.createDataFrame(
+                [], "line string"
+            )
+        cleaned, new_store = line_dedup_incremental(
+            store, new_documents, self.text_col, self.sep
+        )
+        self.lines = (
+            new_store
+            if self.lines is None
+            else self.lines.unionByName(new_store).distinct()
+        )
+        return cleaned
+
+    def save(self, path: str) -> None:
+        if self.lines is not None:
+            self.lines = _write_safe(self.lines, os.path.join(path, "lines"))
+
+    def checkpoint_state(self, path: str) -> None:
+        """Eager lineage truncation + persist (union-chain depth grows
+        per batch; the overwrite must not race the old plan)."""
+        if self.lines is not None:
+            self.lines = self.lines.localCheckpoint(eager=True)
+        self.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, **kw) -> "LineScreen":
+        ls = cls(**kw)
+        sub = os.path.join(path, "lines")
+        if os.path.exists(sub):
+            ls.lines = spark.read.parquet(sub)
+        return ls

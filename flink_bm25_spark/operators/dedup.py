@@ -87,27 +87,53 @@ def line_dedup(
     as the key instead of gram hashes (exact semantics, and the oracle
     replays it byte-for-byte).
     """
+    lines = _line_relation(documents, text_col, sep)
+    kept_content = _first_arrival_lines(lines)
+    return _reassemble_lines(documents, lines, kept_content, sep)
+
+
+def _line_relation(
+    documents: DataFrame, text_col: str, sep: str
+) -> DataFrame:
+    """``(doc_id, pos, line)`` — map-side line explode.  Plain-string
+    regex pattern (Column patterns need pyspark >= 4); ``sep`` is a
+    literal separator, so regex metachars are escaped."""
     import re as _re  # noqa: PLC0415
 
-    # plain-string regex pattern (Column patterns need pyspark >= 4);
-    # sep is a literal separator, so regex metachars are escaped
-    lines = documents.select(
+    return documents.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "pos", "line"
         ),
     )
-    content = lines.where(F.trim("line") != "")
-    # min(struct) IS the surviving row — project it straight out of the
-    # aggregation; joining winners back against the corpus-sized line
-    # relation would pay a second line-keyed shuffle for zero gain
-    kept_content = content.groupBy("line").agg(
-        F.min(F.struct("doc_id", "pos")).alias("_first")
-    ).select(
-        F.col("_first.doc_id").alias("doc_id"),
-        F.col("_first.pos").alias("pos"),
-        "line",
+
+
+def _first_arrival_lines(lines: DataFrame) -> DataFrame:
+    """``(doc_id, pos, line)`` — each content line's first occurrence.
+    min(struct) IS the surviving row — projected straight out of the
+    aggregation; joining winners back against the corpus-sized line
+    relation would pay a second line-keyed shuffle for zero gain."""
+    return (
+        lines.where(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.pos").alias("pos"),
+            "line",
+        )
     )
+
+
+def _reassemble_lines(
+    documents: DataFrame,
+    lines: DataFrame,
+    kept_content: DataFrame,
+    sep: str,
+) -> DataFrame:
+    """Rebuild ``(doc_id, cleaned_text, n_lines, n_kept)`` from the
+    surviving content lines plus the unconditionally-kept
+    whitespace-only layout lines."""
     survivors = kept_content.unionByName(
         lines.where(F.trim("line") == "").select("doc_id", "pos", "line")
     )
@@ -138,6 +164,39 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def line_dedup_incremental(
+    store_lines: DataFrame,
+    new_documents: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time form of :func:`line_dedup`: screen a batch against
+    the ARCHIVE of every line already ingested, without re-reading any
+    archived text.  Returns ``(cleaned_batch, new_store_lines)`` —
+    apply :func:`line_dedup`-shaped cleaning to the batch (first
+    arrival within the batch AND not previously seen), and the distinct
+    content lines the store must absorb.
+
+    Equals a full rebuild over the concatenated batches whenever batch
+    order agrees with doc_id order (the curator's contract); a
+    REDELIVERED batch comes back with ``n_kept = 0`` everywhere — its
+    lines are already archived, which is exactly first-arrival-wins
+    (test-pinned).
+
+    Scale shape: the batch pays its own line-keyed shuffle plus ONE
+    left-anti join against the store keyed on line text; the store is
+    only ever appended to, never re-keyed.
+    """
+    lines = _line_relation(new_documents, text_col, sep)
+    batch_first = _first_arrival_lines(lines)
+    unseen = batch_first.join(
+        store_lines.select("line"), "line", "left_anti"
+    )
+    cleaned = _reassemble_lines(new_documents, lines, unseen, sep)
+    new_store = batch_first.select("line")
+    return cleaned, new_store
 
 
 def token_set_duplicates(documents: DataFrame) -> DataFrame:

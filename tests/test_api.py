@@ -475,3 +475,43 @@ def test_quantile_tracker_load_rejects_conflicting_k(spark, tmp_path):
         QuantileTracker.load(spark, path, k=256)
     # matching explicit k still loads
     assert QuantileTracker.load(spark, path, k=8).k == 8
+
+
+def test_line_screen_equals_full_rebuild_and_redelivery(spark, tmp_path):
+    """LineScreen batches == one line_dedup rebuild (batch order
+    agreeing with doc_id order); a redelivered batch keeps nothing; the
+    store round-trips through save/load."""
+    from flink_bm25_spark.api import LineScreen
+    from flink_bm25_spark.operators.dedup import line_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha\nshared line\nbeta"), (2, "shared line\ngamma")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta\ndelta"), (4, "delta\nepsilon")],
+        "doc_id long, text string",
+    )
+    ls = LineScreen()
+    got1 = {r.doc_id: (r.cleaned_text, r.n_kept) for r in ls.screen_batch(b1).collect()}
+    got2 = {r.doc_id: (r.cleaned_text, r.n_kept) for r in ls.screen_batch(b2).collect()}
+
+    full = {
+        r.doc_id: (r.cleaned_text, r.n_kept)
+        for r in line_dedup(b1.unionByName(b2)).collect()
+    }
+    assert {**got1, **got2} == full
+
+    # redelivery: every line already archived
+    redeliver = {r.doc_id: r.n_kept for r in ls.screen_batch(b2).collect()}
+    assert redeliver == {3: 0, 4: 0}
+
+    # persistence round-trip continues screening where it left off
+    path = str(tmp_path / "ls_state")
+    ls.checkpoint_state(path)
+    back = LineScreen.load(spark, path)
+    b3 = spark.createDataFrame(
+        [(5, "epsilon\nzeta")], "doc_id long, text string"
+    )
+    got3 = {r.doc_id: r.cleaned_text for r in back.screen_batch(b3).collect()}
+    assert got3 == {5: "zeta"}
