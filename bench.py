@@ -90,16 +90,22 @@ def main() -> None:
     # whole-stage-codegen compilation, which would otherwise be billed to
     # whichever query happens to run first.
     extra_names = [n for n in ADDITIONS if n in qs]
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    loadavg_start = os.getloadavg()
+    runs: dict[str, list[float]] = {}
     for _ in range(2):
         for name in names + extra_names:
-            sink = timings if name in HEADLINE else extra
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            sink[name] = min(sink.get(name, dt), dt)
-
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+    timings = {n: min(v) for n, v in runs.items() if n in HEADLINE}
+    extra = {n: min(v) for n, v in runs.items() if n not in HEADLINE}
+    # Contention sentinel (r4 verdict item 3): a contended artifact is
+    # self-identifying — loadavg far above SPARK_GRAFT_CPUS, or large
+    # per-query iteration spread (max-min across the two runs), means
+    # the recorded numbers reflect the machine, not the plans.
+    spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -111,6 +117,10 @@ def main() -> None:
                 "queries_extra": extra,
                 "extra_total": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "iter_spread_max": max(spread.values()) if spread else 0.0,
+                "iter_spread": spread,
             }
         )
     )

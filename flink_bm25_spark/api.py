@@ -676,10 +676,13 @@ class LineScreen:
         cleaned, new_store = line_dedup_incremental(
             store, new_documents, self.text_col, self.sep
         )
+        # new_store is the UNSEEN delta — dupe-free against the archive
+        # by construction — so store maintenance is a true append: the
+        # archive is never re-keyed or re-distinct'd.
         self.lines = (
             new_store
             if self.lines is None
-            else self.lines.unionByName(new_store).distinct()
+            else self.lines.unionByName(new_store)
         )
         return cleaned
 

@@ -80,16 +80,24 @@ def line_dedup(
     surviving lines in document order; ``n_lines``/``n_kept`` count
     content lines before/after.
 
-    Scale shape: one posexplode (map-side), ONE shuffle keyed on the
-    line text with a map-side-combinable min-struct aggregation, a
-    co-keyed join back, and a doc_id-keyed reassembly aggregation —
-    the same posture as :func:`remove_duplicated_spans`, with line text
-    as the key instead of gram hashes (exact semantics, and the oracle
-    replays it byte-for-byte).
+    Scale shape: one posexplode (map-side), ONE corpus-sized shuffle
+    keyed on ``xxhash64(line)`` (8-byte key; the line text rides only in
+    the map-side-combinable min-struct payload, roughly halving shuffle
+    bytes vs keying on the raw text), then ONE doc_id-keyed reassembly
+    aggregation that also produces ``n_kept`` (count of content entries
+    in the collected struct list — no second pass over ``kept_content``).
+    ``n_lines`` never shuffles at all: it is computed map-side from the
+    document text.  Plan-pinned: exactly one line-keyed Exchange
+    (``test_plan_shape``).
+
+    Keying on a 64-bit hash is CCNet's own semantics (the paper dedups
+    on truncated line digests); a collision would silently merge two
+    distinct lines, with probability ~n²/2⁶⁵ — negligible below ~10⁹
+    distinct lines per corpus.
     """
     lines = _line_relation(documents, text_col, sep)
     kept_content = _first_arrival_lines(lines)
-    return _reassemble_lines(documents, lines, kept_content, sep)
+    return _reassemble_lines(documents, lines, kept_content, text_col, sep)
 
 
 def _line_relation(
@@ -112,15 +120,20 @@ def _first_arrival_lines(lines: DataFrame) -> DataFrame:
     """``(doc_id, pos, line)`` — each content line's first occurrence.
     min(struct) IS the surviving row — projected straight out of the
     aggregation; joining winners back against the corpus-sized line
-    relation would pay a second line-keyed shuffle for zero gain."""
+    relation would pay a second line-keyed shuffle for zero gain.
+
+    The group key is ``xxhash64(line)``, not the text: the shuffle row
+    is (8-byte key, min-struct) with the line text appearing once, in
+    the payload.  (doc_id, pos) is unique per row, so the trailing
+    ``line`` field never participates in the struct comparison."""
     return (
         lines.where(F.trim("line") != "")
-        .groupBy("line")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+        .groupBy(F.xxhash64("line").alias("_lh"))
+        .agg(F.min(F.struct("doc_id", "pos", "line")).alias("_first"))
         .select(
             F.col("_first.doc_id").alias("doc_id"),
             F.col("_first.pos").alias("pos"),
-            "line",
+            F.col("_first.line").alias("line"),
         )
     )
 
@@ -129,13 +142,26 @@ def _reassemble_lines(
     documents: DataFrame,
     lines: DataFrame,
     kept_content: DataFrame,
+    text_col: str,
     sep: str,
 ) -> DataFrame:
     """Rebuild ``(doc_id, cleaned_text, n_lines, n_kept)`` from the
     surviving content lines plus the unconditionally-kept
-    whitespace-only layout lines."""
-    survivors = kept_content.unionByName(
-        lines.where(F.trim("line") == "").select("doc_id", "pos", "line")
+    whitespace-only layout lines.
+
+    Single-pass: ``n_kept`` is the count of content entries in the SAME
+    doc_id-keyed aggregation that reassembles the text (``kept_content``
+    is consumed exactly once, so its upstream line-keyed shuffle is paid
+    exactly once), and ``n_lines`` is computed map-side from the raw
+    document text — no shuffle at all on that branch."""
+    import re as _re  # noqa: PLC0415
+
+    survivors = kept_content.select(
+        "doc_id", "pos", "line", F.lit(1).alias("_content")
+    ).unionByName(
+        lines.where(F.trim("line") == "").select(
+            "doc_id", "pos", "line", F.lit(0).alias("_content")
+        )
     )
     reassembled = survivors.groupBy("doc_id").agg(
         F.array_join(
@@ -144,25 +170,23 @@ def _reassemble_lines(
                 lambda x: x["line"],
             ),
             sep,
-        ).alias("cleaned_text")
+        ).alias("cleaned_text"),
+        F.sum("_content").alias("n_kept"),
     )
-    counts = lines.groupBy("doc_id").agg(
-        F.sum((F.trim("line") != "").cast("long")).alias("n_lines")
+    docs = documents.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), _re.escape(sep)),
+                lambda x: F.trim(x) != "",
+            )
+        ).cast("long").alias("n_lines"),
     )
-    kept_counts = kept_content.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    )
-    return (
-        documents.select("doc_id")
-        .join(reassembled, "doc_id", "left")
-        .join(counts, "doc_id", "left")
-        .join(kept_counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+    return docs.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -176,16 +200,18 @@ def line_dedup_incremental(
     the ARCHIVE of every line already ingested, without re-reading any
     archived text.  Returns ``(cleaned_batch, new_store_lines)`` —
     apply :func:`line_dedup`-shaped cleaning to the batch (first
-    arrival within the batch AND not previously seen), and the distinct
-    content lines the store must absorb.
+    arrival within the batch AND not previously seen), and the UNSEEN
+    delta: lines dupe-free against the store *by construction*, so the
+    store absorbs them with a plain append — no re-distinct, no
+    re-keying of the archive, ever.
 
     Equals a full rebuild over the concatenated batches whenever batch
     order agrees with doc_id order (the curator's contract); a
     REDELIVERED batch comes back with ``n_kept = 0`` everywhere — its
     lines are already archived, which is exactly first-arrival-wins
-    (test-pinned).
+    (test-pinned) — and an EMPTY store delta.
 
-    Scale shape: the batch pays its own line-keyed shuffle plus ONE
+    Scale shape: the batch pays its own hash-keyed line shuffle plus ONE
     left-anti join against the store keyed on line text; the store is
     only ever appended to, never re-keyed.
     """
@@ -194,8 +220,8 @@ def line_dedup_incremental(
     unseen = batch_first.join(
         store_lines.select("line"), "line", "left_anti"
     )
-    cleaned = _reassemble_lines(new_documents, lines, unseen, sep)
-    new_store = batch_first.select("line")
+    cleaned = _reassemble_lines(new_documents, lines, unseen, text_col, sep)
+    new_store = unseen.select("line")
     return cleaned, new_store
 
 

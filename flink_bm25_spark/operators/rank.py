@@ -336,8 +336,13 @@ def block_ranked_spread(
         "_sub_before", F.coalesce(F.sum("_sc").over(scw), F.lit(0))
     ).select(*g, value_col, "_tsub", "_sub_before")
     hw = Window.partitionBy(*g, value_col, "_tsub").orderBy(tiebreak_col)
+    # sub_offs is |hot atom values| x sub_blocks rows — data-dependent
+    # (a distribution with thousands of distinct above-threshold values
+    # makes it arbitrarily large), so NO forced broadcast: AQE sees the
+    # true size at runtime and picks broadcast vs shuffle itself — the
+    # same rule the value join above follows (r4 verdict item 2).
     hot_ranked = (
-        nullsafe_key_join(hot, F.broadcast(sub_offs), [*g, value_col, "_tsub"])
+        nullsafe_key_join(hot, sub_offs, [*g, value_col, "_tsub"])
         .withColumn(
             "_rank",
             F.col("_before") + F.col("_sub_before") + F.row_number().over(hw),

@@ -699,6 +699,13 @@ def semantic_dedup_pairs(
     silently going quadratic at a fixed k.  Cluster sizes are observable
     via ``kmeans.cluster_sizes`` and a skewed cluster can be split by
     recursing on it (standard SemDeDup practice).
+
+    .. note:: the ``k=None`` default is EAGER at plan-construction
+       time: resolving k runs one ``count()`` Spark job, which
+       re-executes any expensive upstream lineage of ``embeddings``.
+       Callers building plans lazily, or whose embeddings come from a
+       costly pipeline, should pass a cached/checkpointed frame — or an
+       explicit ``k`` — to keep construction job-free.
     """
     from flink_bm25_spark.functions.vectors import (  # noqa: PLC0415
         cosine_from_parts,
@@ -762,7 +769,8 @@ def semantic_dedup(
     """Survivors of SemDeDup: drop the higher-id member of every
     within-cluster near-dup pair (deterministic keep-lowest policy, same
     as the MinHash/SimHash dedup family).  ``k=None`` resolves k ∝ n —
-    see :func:`semantic_dedup_pairs`."""
+    see :func:`semantic_dedup_pairs`, including its note on the k=None
+    path running an eager count() at plan-construction time."""
     losers = (
         semantic_dedup_pairs(embeddings, threshold, k, iterations)
         .select(F.col("d2").alias("vec_id"))

@@ -236,6 +236,14 @@ def quality_percentile_gate(
     term sub-blocks any hot atom on the doc_id range, so no task ever
     sorts a whole atom.  ``pr = (rank-1)/(n-1)`` is the identical
     double the single-window form produces.
+
+    Contract: ``doc_id`` must be NUMERIC — the hot-tie sub-blocking
+    does range arithmetic on the tiebreak, which under Spark 4's
+    default ANSI mode raises a cast error for string keys.  Callers
+    with string document keys should pre-map to a numeric surrogate
+    (e.g. ``xxhash64(doc_id)`` as a new column) — note that changes
+    which exact-tie rows land on either side of the cutoff, so do it
+    at ingest, not per query.
     """
     from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
         block_ranked_spread,
@@ -278,6 +286,9 @@ def quality_percentile_gate_by(
     the document key, and nothing is ever globally sorted.  ``pr`` is
     per-group ``(rank-1)/(n_g-1)``, the exact double any engine's
     ``percent_rank() OVER (PARTITION BY group ...)`` produces.
+
+    Contract: ``doc_id`` must be NUMERIC (the sub-blocking arithmetic
+    — see :func:`quality_percentile_gate` for the string-key recipe).
     """
     from flink_bm25_spark.operators.rank import (  # noqa: PLC0415
         block_ranked_spread,

@@ -319,3 +319,38 @@ def test_rank_plan_construction_is_lazy(spark):
     _ = block_ranked_spread(df, "v", "doc_id")
     after = sc.statusTracker().getJobIdsForGroup(None)
     assert before == after  # no jobs ran while building the plans
+
+
+def test_block_ranked_spread_many_distinct_hot_atoms(spark):
+    """Pathological distribution for the sub-offsets relation: hundreds
+    of DISTINCT values all above hot_threshold, so sub_offs grows to
+    |hot values| x sub_blocks rows — the data-dependent case that must
+    not be force-broadcast (r4 verdict item 2: AQE decides).  Ranks stay
+    bit-identical to the naive window."""
+    from flink_bm25_spark.operators.rank import block_ranked_spread
+
+    # 400 distinct values, each an atom of 6 rows (hot_threshold=2)
+    rows = [
+        (v * 10 + j, float(v) / 400.0)
+        for v in range(400)
+        for j in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).localCheckpoint(eager=True)
+    ranked = block_ranked_spread(
+        df, "score", "doc_id", lo=0.0, hi=1.0, hot_threshold=2, sub_blocks=4
+    )
+    got = {r.doc_id: r._rank for r in ranked.collect()}
+    assert got == _naive_rn(df, "score", "doc_id")
+    # the only forced-broadcast joins are the 1-row range aggregates
+    # (condition-free cross joins) and the <=blocks-row block-offsets
+    # relation (keyed on _blk).  The sub_offs join — the one keyed on
+    # _tsub, whose size is data-dependent — must carry NO hint: AQE
+    # decides it at runtime.
+    opt = ranked._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [
+        ln for ln in opt.splitlines() if "strategy=broadcast" in ln
+    ]
+    assert hinted, "expected the bounded hints to survive"
+    assert not any("_tsub" in ln for ln in hinted), hinted
