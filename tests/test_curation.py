@@ -742,3 +742,36 @@ def test_grouped_approx_twins_agree_off_boundary(spark):
     # symmetric difference is a small fraction of the corpus
     n = docs.count()
     assert len(g_exact ^ g_approx) <= max(4, n * 0.1)
+
+
+def test_web_intake_pipeline_end_to_end(spark):
+    """The composed intake chain (strip -> line dedup -> per-lang LM ->
+    per-lang gate): corpus-wide boilerplate lines survive only in their
+    FIRST document, markup never reaches the statistics, and the output
+    carries both stages' scores for every gate-kept doc."""
+    from flink_bm25_spark.operators.cleaning import web_intake_pipeline
+
+    boiler = "cookie notice and consent"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", f"<p>{boiler}</p>\n<b>alpha</b> beta gamma delta one"),
+            (2, "en", f"<p>{boiler}</p>\ndelta epsilon zeta eta two"),
+            (3, "en", f"<p>{boiler}</p>\ntheta iota kappa lambda three"),
+            (4, "de", f"<p>{boiler}</p>\nein zwei drei vier fuenf"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = web_intake_pipeline(docs, cutoff=0.0)  # keep everything gated
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # boilerplate kept only at its first arrival (doc 1)
+    assert boiler in rows[1].cleaned_text
+    for d in (2, 3, 4):
+        assert boiler not in rows[d].cleaned_text
+        assert rows[d].n_kept == rows[d].n_lines - 1
+    # markup never leaks into the cleaned text
+    assert all("<" not in r.cleaned_text for r in rows.values())
+    # per-language gate: every doc carries its group's scores
+    assert all(r.bucket in ("head", "middle", "tail") for r in rows.values())
+    assert all(0.0 <= r.quality_pr <= 1.0 for r in rows.values())
+    assert all(r.nll is not None for r in rows.values())

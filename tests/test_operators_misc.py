@@ -708,3 +708,33 @@ def test_strip_markup_tags_entities_payloads(spark):
         for r in df.select("i", strip_markup(F.col("t")).alias("s")).collect()
     }
     assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_strip_markup_keep_line_breaks(spark):
+    """keep_line_breaks=True preserves the document's line structure
+    through the strip (only horizontal whitespace collapses, each line
+    is trimmed, leading/trailing blank lines are dropped) so the output
+    feeds straight into line dedup."""
+    from flink_bm25_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><body>\ncookie  notice\n<p>alpha\t beta</p>\n"
+                "<script>var\nx=1;</script>gamma</body></html>",
+            ),
+            (2, "plain\n\n  spaced   line  \nlast"),
+        ],
+        "i long, t string",
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", strip_markup(F.col("t"), keep_line_breaks=True).alias("s")
+        ).collect()
+    }
+    # doc 1: tags/payload -> spaces, lines survive, blank edges trimmed
+    assert got[1] == "cookie notice\nalpha beta\ngamma"
+    # doc 2: interior blank line survives (layout), per-line trim applied
+    assert got[2] == "plain\n\nspaced line\nlast"

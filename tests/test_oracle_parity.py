@@ -69,10 +69,15 @@ def test_gate_window_holds_flagships():
     spec.loader.exec_module(mod)
     names = list(mod.queries().keys())
     window = set(names[:50])
+    # r5 rotation (r4 verdict item 3): q_idf left the window — its math is
+    # value-checked through the in-window q_tfidf/q_bm25_rank composites —
+    # to make room for the web-intake flagships.
     for must in (
-        "q_tf", "q_df", "q_idf", "q_bm25_rank", "q_dedup_minhash",
+        "q_tf", "q_df", "q_tfidf", "q_bm25_rank", "q_dedup_minhash",
         "q_dedup_simhash", "q_semantic_dedup", "q_kmeans",
         "q_curation_pipeline", "q_pack_sequences", "q_decontaminate",
         "q_pos_filter", "q_tpch_q1",
+        "q_line_dedup", "q_web_intake", "q_ccnet_by_lang",
+        "q_quality_gate_by_lang",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"

@@ -547,3 +547,26 @@ def test_line_dedup_incremental_inherits_plan_shape(spark):
     line_keyed = [ln for ln in nodes if "_groupingexpression" in ln]
     assert len(line_keyed) == 1, f"line-keyed exchanges != 1:\n{nodes}"
     assert sorted(r.line for r in delta.collect()) == ["delta", "gamma"]
+
+
+def test_web_intake_every_window_partitioned(spark):
+    """The composed intake flagship inherits the gates' scale posture:
+    no percent_rank, and every window in the executed plan is
+    PARTITIONED (per-language LM ranks + grouped gate — nothing is ever
+    globally sorted).  The line-dedup stage's one-hash-keyed-Exchange
+    shape is pinned separately (it materializes at the pipeline's stage
+    checkpoint, before this plan)."""
+    import re
+
+    df = QUERIES["q_web_intake"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan
+    spec_re = re.compile(r"windowspecdefinition\(([^,]+),")
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        m = spec_re.search(line)
+        first_arg = m.group(1) if m else ""
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"unpartitioned window: {line}"
+        )
