@@ -154,7 +154,8 @@ class BM25Engine:
 class CorpusCurator:
     """Incremental corpus curation — the operational loop around the
     curation operators: state is a MinHash signature store plus the
-    benchmark gram set, both plain parquet relations.
+    benchmark gram set (and, with ``line_screen=True``, the archive of
+    every content line ever ingested), all plain parquet relations.
 
         curator = CorpusCurator.fit(benchmark)        # empty store
         good1 = curator.curate_batch(day1_docs)       # survivors, state grows
@@ -179,12 +180,23 @@ class CorpusCurator:
         jaccard_threshold: float = 0.8,
         min_overlap: int = 3,
         decontam_n: int = SHINGLE_SIZE,
+        line_screen: bool = False,
     ):
         self.eval_grams = eval_grams
         self.sigs_wide = sigs_wide
         self.min_keep_score = min_keep_score
         self.jaccard_threshold = jaccard_threshold
         self.min_overlap = min_overlap
+        # Opt-in CCNet step-1 stage (DEPLOY.md intake order: line dedup
+        # runs BEFORE any quality statistic, or boilerplate dominates
+        # every ratio).  When enabled, every batch is line-screened
+        # against the archive of all lines ever ingested FIRST; quality,
+        # decontamination, and the MinHash signatures all see the
+        # line-deduped text, and survivors carry the drop-ledger columns
+        # ``n_lines``/``n_kept`` (lines removed = n_lines - n_kept).
+        self.line_screen: LineScreen | None = (
+            LineScreen() if line_screen else None
+        )
         # Shingle width shared by BOTH decontamination sides: ``fit``
         # builds eval_grams at this n, ``curate_batch`` probes at the
         # same n — widths must agree or overlap is identically zero.
@@ -211,7 +223,15 @@ class CorpusCurator:
         against everything already ingested; returns the surviving rows
         of ``new_documents`` and extends the signature store (with ALL
         batch signatures — a dropped document's future duplicates must
-        still match it)."""
+        still match it).
+
+        With ``line_screen=True``, the batch's text is first line-deduped
+        against the archive of every line ever ingested (first-arrival
+        wins, across batches); every downstream statistic — quality,
+        decontamination overlap, MinHash signatures — then sees the
+        line-deduped text, and the surviving rows carry
+        ``n_lines``/``n_kept`` so the drop ledger can account for
+        removed lines per document."""
         from flink_bm25_spark.operators.decontam import overlap_counts  # noqa: PLC0415
         from flink_bm25_spark.operators.dedup import (  # noqa: PLC0415
             minhash_dedup_pairs_incremental,
@@ -220,6 +240,13 @@ class CorpusCurator:
         )
         from flink_bm25_spark.operators.text_analysis import quality_scores  # noqa: PLC0415
 
+        if self.line_screen is not None:
+            cleaned = self.line_screen.screen_batch(
+                new_documents.select("doc_id", "text")
+            )
+            new_documents = new_documents.drop("text").join(
+                cleaned.withColumnRenamed("cleaned_text", "text"), "doc_id"
+            )
         if self.sigs_wide is None:
             empty = new_documents.where(F.lit(False))
             pairs = minhash_dedup_pairs_incremental(
@@ -292,6 +319,11 @@ class CorpusCurator:
                 setattr(self, attr, _write_safe(state, sub))
             elif os.path.exists(sub):
                 shutil.rmtree(sub)
+        lines_sub = os.path.join(path, "lines")
+        if self.line_screen is not None and self.line_screen.lines is not None:
+            self.line_screen.save(path)  # writes ``path/lines``
+        elif os.path.exists(lines_sub):
+            shutil.rmtree(lines_sub)
 
     def checkpoint_state(self, path: str) -> None:
         """Truncate state lineage, then persist: after many batches the
@@ -311,6 +343,10 @@ class CorpusCurator:
             self.sigs_wide = self.sigs_wide.localCheckpoint(eager=True)
         if self._docs is not None:
             self._docs = self._docs.localCheckpoint(eager=True)
+        if self.line_screen is not None and self.line_screen.lines is not None:
+            self.line_screen.lines = self.line_screen.lines.localCheckpoint(
+                eager=True
+            )
         self.save(path)
 
     @classmethod
@@ -322,6 +358,11 @@ class CorpusCurator:
         docs_path = os.path.join(path, "docs")
         if os.path.exists(docs_path):
             cur._docs = spark.read.parquet(docs_path)
+        lines_path = os.path.join(path, "lines")
+        if os.path.exists(lines_path):
+            # a persisted line store implies the stage was enabled —
+            # reconstruct it regardless of the ``line_screen`` kwarg
+            cur.line_screen = LineScreen(spark.read.parquet(lines_path))
         return cur
 
 

@@ -515,3 +515,63 @@ def test_line_screen_equals_full_rebuild_and_redelivery(spark, tmp_path):
     )
     got3 = {r.doc_id: r.cleaned_text for r in back.screen_batch(b3).collect()}
     assert got3 == {5: "zeta"}
+
+
+def test_curator_line_screen_stage(spark, tmp_path):
+    """Opt-in LineScreen stage inside CorpusCurator (DEPLOY.md intake
+    order): cross-batch boilerplate lines are removed BEFORE quality /
+    signatures, survivors carry the n_lines/n_kept drop ledger, state
+    round-trips, and a redelivered batch yields empty text everywhere."""
+    import os
+
+    from flink_bm25_spark.api import CorpusCurator
+
+    boiler = "subscribe to our newsletter today friends"
+    body = {
+        1: "alpha beta gamma delta epsilon zeta eta theta one",
+        2: "iota kappa lambda mu nu xi omicron pi two",
+        3: "rho sigma tau upsilon phi chi psi omega three",
+    }
+    b1 = spark.createDataFrame(
+        [(1, f"{boiler}\n{body[1]}")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{boiler}\n{body[2]}"), (3, f"{boiler}\n{body[3]}")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "totally unrelated benchmark words here")],
+        "doc_id long, text string",
+    )
+
+    cur = CorpusCurator.fit(bench, line_screen=True, min_keep_score=0.0)
+    out1 = {r.doc_id: r for r in cur.curate_batch(b1).collect()}
+    out2 = {r.doc_id: r for r in cur.curate_batch(b2).collect()}
+    # batch 1: first arrival keeps the boilerplate line
+    assert out1[1].text == f"{boiler}\n{body[1]}"
+    assert (out1[1].n_lines, out1[1].n_kept) == (2, 2)
+    # batch 2: boilerplate archived by batch 1 -> removed from BOTH docs
+    # (within doc 2 it's also not first — doc 1 owns it)
+    for d in (2, 3):
+        assert boiler not in out2[d].text and body[d] in out2[d].text
+        assert (out2[d].n_lines, out2[d].n_kept) == (2, 1)
+
+    # state round-trip: the line archive persists and keeps screening
+    path = str(tmp_path / "state")
+    cur.checkpoint_state(path)
+    assert os.path.exists(os.path.join(path, "lines"))
+    re = CorpusCurator.load(spark, path, min_keep_score=0.0)
+    assert re.line_screen is not None
+
+    # redelivery of batch 2 through the RELOADED curator: every line is
+    # already archived -> n_kept = 0, empty text, and the minhash stage
+    # drops the (now duplicate-of-archive) docs entirely or keeps empty
+    # shells -- either way no original text survives
+    redelivered = re.curate_batch(b2).collect()
+    for r in redelivered:
+        assert r.n_kept == 0 and r.text == ""
+
+    # stale-subdir contract: disabling the stage then saving removes lines/
+    re.line_screen = None
+    re.save(path)
+    assert not os.path.exists(os.path.join(path, "lines"))
