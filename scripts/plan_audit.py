@@ -66,6 +66,10 @@ AUDITED = [
         "pure map-side regexp chain — zero shuffles, whole-stage codegen",
     ),
     (
+        "q_web_intake",
+        "composed intake: line dedup checkpointed ONCE; every window partitioned",
+    ),
+    (
         "q_edit_distance",
         "Ed-Join prefix probe (q·d+1 rarest grams) into the full positional-gram index",
     ),

@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from flink_bm25_spark.operators.cleaning import curation_pipeline
+    from flink_bm25_spark.operators.cleaning import (
+        curation_pipeline,
+        web_intake_pipeline,
+    )
     from flink_bm25_spark.operators.dedup import (
         jaccard_pairs,
         minhash_dedup_pairs,
@@ -122,6 +125,22 @@ def main() -> None:
                     F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
                 ).alias("text"),
             )
+        )
+        .where(F.length("cleaned_text") >= 0)
+        .count(),
+        # the composed web-intake flagship (strip -> line dedup ->
+        # per-lang LM buckets -> per-lang gate): salted replicas keep
+        # each language's score/nll distribution intact, so survivors
+        # grow exactly M× and every stage's shuffle is corpus-linear
+        "web_intake": lambda d: web_intake_pipeline(
+            d.select(
+                "doc_id",
+                "lang",
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+                ).alias("text"),
+            ),
+            by_col="lang",
         )
         .where(F.length("cleaned_text") >= 0)
         .count(),

@@ -762,3 +762,59 @@ def test_line_dedup_first_arrival_and_layout(spark):
         4: ("", 0, 0),
         5: ("", 2, 0),
     }
+
+
+def test_line_dedup_differential_random_corpus(spark):
+    """Seeded-random multi-line corpus vs a pure-Python first-arrival
+    reference: cleaned_text / n_lines / n_kept agree exactly on 120
+    docs with heavy cross-document line repetition, blank layout lines,
+    empty docs, and duplicate lines WITHIN one document."""
+    import random
+
+    from flink_bm25_spark.operators.dedup import line_dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    # small pool of repeating lines -> guaranteed cross-doc collisions
+    pool = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    docs = []
+    for d in range(120):
+        n = rng.randint(0, 8)
+        ls = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.15:
+                ls.append("")  # blank layout line
+            elif r < 0.25:
+                ls.append(" " * rng.randint(1, 3))  # whitespace-only
+            else:
+                ls.append(rng.choice(pool))
+        docs.append((d, "\n".join(ls)))
+
+    # pure-Python reference: first (doc_id, pos) wins corpus-wide;
+    # whitespace-only lines are layout (always kept, never counted)
+    seen: set[str] = set()
+    expect = {}
+    for d, text in docs:
+        lines = text.split("\n")
+        kept, n_lines, n_kept = [], 0, 0
+        for line in lines:
+            if line.strip(" ") == "":
+                kept.append(line)
+                continue
+            n_lines += 1
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+                n_kept += 1
+        expect[d] = ("\n".join(kept), n_lines, n_kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_kept)
+        for r in line_dedup(df).collect()
+    }
+    assert got == expect
