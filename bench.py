@@ -93,13 +93,21 @@ def main() -> None:
     extra_names = [n for n in ADDITIONS if n in qs]
     loadavg_start = os.getloadavg()
     runs: dict[str, list[float]] = {}
-    for _ in range(2):
-        for name in names + extra_names:
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.setdefault(name, []).append(
-                round(time.perf_counter() - t0, 3)
-            )
+    # BOTH headline iterations run before any ADDITIONS query: the frozen
+    # headline total must stay comparable round-over-round even as the
+    # extras list grows (a heavy extra at the end of iteration 1 leaves
+    # GC/codegen pressure that would otherwise inflate iteration 2's
+    # headline numbers — observed +11% with the r5 extras interleaved).
+    for group in (names, extra_names):
+        for _ in range(2):
+            for name in group:
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
     timings = {n: min(v) for n, v in runs.items() if n in HEADLINE}
     extra = {n: min(v) for n, v in runs.items() if n not in HEADLINE}
     # Contention sentinel (r4 verdict item 3): a contended artifact is

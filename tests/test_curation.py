@@ -775,3 +775,30 @@ def test_web_intake_pipeline_end_to_end(spark):
     assert all(r.bucket in ("head", "middle", "tail") for r in rows.values())
     assert all(0.0 <= r.quality_pr <= 1.0 for r in rows.values())
     assert all(r.nll is not None for r in rows.values())
+
+
+def test_web_intake_pipeline_empty_and_single(spark):
+    """Degenerate inputs keep the contract: an EMPTY corpus returns an
+    empty frame with the full output schema (no empty-frame inference
+    crash anywhere in the chain), and a single document passes a 0.0
+    gate with pr = 0.0 (the n=1 guard) and its own text intact."""
+    from flink_bm25_spark.operators.cleaning import web_intake_pipeline
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    out = web_intake_pipeline(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "lang", "cleaned_text", "n_lines", "n_kept",
+        "nll", "bucket", "keep_score", "quality_pr",
+    ]
+
+    one = spark.createDataFrame(
+        [(1, "en", "hello world one two three")],
+        "doc_id long, lang string, text string",
+    )
+    rows = web_intake_pipeline(one, cutoff=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cleaned_text == "hello world one two three"
+    assert (r.n_lines, r.n_kept, r.quality_pr) == (1, 1, 0.0)
+    assert r.bucket in ("head", "middle", "tail")
