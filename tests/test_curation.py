@@ -802,3 +802,68 @@ def test_web_intake_pipeline_empty_and_single(spark):
     assert r.cleaned_text == "hello world one two three"
     assert (r.n_lines, r.n_kept, r.quality_pr) == (1, 1, 0.0)
     assert r.bucket in ("head", "middle", "tail")
+
+
+def test_web_intake_equals_manual_composition(spark):
+    """web_intake_pipeline == the four stages composed by hand
+    (strip_markup(keep_line_breaks) -> line_dedup -> ccnet_buckets_by ->
+    quality_percentile_gate_by, inner-joined on doc_id) — guards the
+    facade against drift from its own stages under refactors."""
+    import random
+
+    from flink_bm25_spark.functions.text import strip_markup
+    from flink_bm25_spark.operators.cleaning import web_intake_pipeline
+    from flink_bm25_spark.operators.dedup import line_dedup
+    from flink_bm25_spark.operators.text_analysis import (
+        ccnet_buckets_by,
+        quality_percentile_gate_by,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(40)]
+    pool = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9)))
+        for _ in range(25)
+    ]
+    docs = spark.createDataFrame(
+        [
+            (
+                d,
+                rng.choice(["en", "de"]),
+                "<p>header</p>\n" + "\n".join(
+                    rng.choice(pool) for _ in range(rng.randint(1, 5))
+                ),
+            )
+            for d in range(60)
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    got = {
+        (r.doc_id, r.lang, r.cleaned_text, r.n_lines, r.n_kept,
+         r.nll, r.bucket, r.keep_score, r.quality_pr)
+        for r in web_intake_pipeline(docs, cutoff=0.5).collect()
+    }
+
+    stripped = docs.select(
+        "doc_id", "lang",
+        strip_markup(F.col("text"), keep_line_breaks=True).alias("text"),
+    )
+    cleaned = line_dedup(stripped).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", F.col("cleaned_text").alias("text"),
+             "n_lines", "n_kept")
+    buckets = ccnet_buckets_by(cleaned, "lang")
+    gate = quality_percentile_gate_by(cleaned, "lang", cutoff=0.5)
+    want = {
+        (r.doc_id, r.lang, r.cleaned_text, r.n_lines, r.n_kept,
+         r.nll, r.bucket, r.keep_score, r.quality_pr)
+        for r in gate.select("doc_id", "keep_score",
+                             F.col("pr").alias("quality_pr"))
+        .join(buckets.select("doc_id", "lang", "nll", "bucket"), "doc_id")
+        .join(cleaned.select("doc_id",
+                             F.col("text").alias("cleaned_text"),
+                             "n_lines", "n_kept"), "doc_id")
+        .collect()
+    }
+    assert got == want and got  # non-vacuous
