@@ -745,3 +745,209 @@ class LineScreen:
         if os.path.exists(sub):
             ls.lines = spark.read.parquet(sub)
         return ls
+
+
+class WebIntakeScreen:
+    """CCNet's PRODUCTION shape of the web-intake chain (Wenzek et al.
+    2020 run it this way over every CommonCrawl snapshot): the per-group
+    LM and the bucket/gate operating points are fitted ONCE on a
+    reference corpus and then FROZEN — every ingest batch is scored
+    against the same static model, so results are reproducible across
+    batches and the thresholds never drift with the feed.  Contrast
+    :func:`~flink_bm25_spark.operators.cleaning.web_intake_pipeline`,
+    which is the corpus-relative batch form (train and cut on the corpus
+    being cleaned).
+
+        screen = WebIntakeScreen.fit(reference_docs)     # train + cuts
+        good1 = screen.screen_batch(day1_docs)           # fixed model
+        good2 = screen.screen_batch(day2_docs)           # day1 lines now boilerplate
+        screen.save("/state"); WebIntakeScreen.load(spark, "/state")
+
+    Per batch: strip_markup (map-side) → incremental line dedup against
+    the cross-batch archive (the ONLY mutable state) → lm_score against
+    the frozen model (co-keyed (group, w1, w2) join, streaming-legal) →
+    head/middle/tail by the frozen per-group nll terciles → quality gate
+    at the frozen per-group keep_score cut.  Output, one row per
+    SURVIVOR: ``(doc_id, by_col, cleaned_text, n_lines, n_kept, nll,
+    bucket, keep_score)``.
+
+    Degradation contract: a document with NO bigram known to the model
+    (out-of-domain text) has ``nll`` null and lands in ``tail`` — high
+    perplexity is the correct reading of "the reference LM has never
+    seen this".  A GROUP absent from the reference has no operating
+    points; its docs bucket ``tail`` and gate against the global
+    fallback cut.
+    """
+
+    def __init__(
+        self,
+        model: DataFrame,
+        nll_cuts: DataFrame,
+        score_cuts: DataFrame,
+        global_score_cut: float,
+        by_col: str = "lang",
+        text_col: str = "text",
+        sep: str = "\n",
+    ):
+        self.model = model              # (by, w1, w2, nl) — frozen
+        self.nll_cuts = nll_cuts        # (by, nll_c1, nll_c2) — frozen
+        self.score_cuts = score_cuts    # (by, score_cut) — frozen
+        self.global_score_cut = global_score_cut
+        self.by_col = by_col
+        self.text_col = text_col
+        self.sep = sep
+        self._lines = LineScreen(text_col=text_col, sep=sep)
+
+    @classmethod
+    def fit(
+        cls,
+        reference: DataFrame,
+        by_col: str = "lang",
+        alpha: float = 0.1,
+        cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+        quality_cutoff: float = 0.75,
+        text_col: str = "text",
+        sep: str = "\n",
+    ) -> "WebIntakeScreen":
+        """Train the per-group LM on ``reference`` and freeze the
+        operating points: per-group nll tercile boundaries (exact
+        interpolated percentiles — these are thresholds, not ranks) and
+        the per-group quality cut at ``quality_cutoff``, plus a global
+        fallback cut for groups the reference has never seen."""
+        from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
+            lm_fit_by,
+            lm_score,
+            quality_scores,
+        )
+
+        model = lm_fit_by(reference, by_col, alpha)
+        scored = lm_score(reference, model, group_cols=[by_col])
+        nll_cuts = scored.groupBy(by_col).agg(
+            F.round(F.percentile("nll", F.lit(cuts[0])), 6).alias("nll_c1"),
+            F.round(F.percentile("nll", F.lit(cuts[1])), 6).alias("nll_c2"),
+        )
+        qual = quality_scores(reference).select("doc_id", "keep_score").join(
+            reference.select("doc_id", by_col), "doc_id"
+        )
+        score_cuts = qual.groupBy(by_col).agg(
+            F.round(
+                F.percentile("keep_score", F.lit(quality_cutoff)), 6
+            ).alias("score_cut")
+        )
+        row = qual.agg(
+            F.round(
+                F.percentile("keep_score", F.lit(quality_cutoff)), 6
+            ).alias("g")
+        ).first()
+        return cls(
+            model,
+            nll_cuts,
+            score_cuts,
+            float(row["g"]) if row["g"] is not None else 0.0,
+            by_col=by_col,
+            text_col=text_col,
+            sep=sep,
+        )
+
+    def screen_batch(self, new_documents: DataFrame) -> DataFrame:
+        from flink_bm25_spark.functions.text import strip_markup  # noqa: PLC0415
+        from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
+            lm_score,
+            quality_scores,
+        )
+
+        by, tc = self.by_col, self.text_col
+        stripped = new_documents.select(
+            "doc_id",
+            strip_markup(F.col(tc), keep_line_breaks=True).alias(tc),
+        )
+        cleaned = self._lines.screen_batch(stripped)
+        docs = new_documents.select("doc_id", by).join(
+            cleaned.withColumnRenamed("cleaned_text", tc), "doc_id"
+        )
+        # left joins everywhere below: a doc with no model-known bigram
+        # (nll null) or an unseen group (cut nulls) must surface, not
+        # silently vanish — the degradation contract routes it to 'tail'
+        # and the global fallback cut.
+        scored = lm_score(docs, self.model, group_cols=[by]).select(
+            "doc_id", "nll"
+        )
+        qual = quality_scores(docs).select("doc_id", "keep_score")
+        base = (
+            docs.join(scored, "doc_id", "left")
+            .join(qual, "doc_id")
+            .join(
+                F.broadcast(self.nll_cuts.withColumnRenamed(by, "_b1")),
+                F.col(by).eqNullSafe(F.col("_b1")),
+                "left",
+            )
+            .join(
+                F.broadcast(self.score_cuts.withColumnRenamed(by, "_b2")),
+                F.col(by).eqNullSafe(F.col("_b2")),
+                "left",
+            )
+        )
+        bucket = (
+            F.when(F.col("nll") <= F.col("nll_c1"), "head")
+            .when(F.col("nll") <= F.col("nll_c2"), "middle")
+            .otherwise("tail")
+        )
+        cut = F.coalesce(F.col("score_cut"), F.lit(self.global_score_cut))
+        return (
+            base.where(F.col("keep_score") >= cut)
+            .select(
+                "doc_id",
+                by,
+                F.col(tc).alias("cleaned_text"),
+                "n_lines",
+                "n_kept",
+                "nll",
+                bucket.alias("bucket"),
+                "keep_score",
+            )
+        )
+
+    def save(self, path: str) -> None:
+        self.model = _write_safe(self.model, os.path.join(path, "model"))
+        self.nll_cuts = _write_safe(
+            self.nll_cuts, os.path.join(path, "nll_cuts")
+        )
+        self.score_cuts = _write_safe(
+            self.score_cuts, os.path.join(path, "score_cuts")
+        )
+        self._lines.save(path)
+        with open(os.path.join(path, "config.json"), "w") as fh:
+            json.dump(
+                {
+                    "by_col": self.by_col,
+                    "text_col": self.text_col,
+                    "sep": self.sep,
+                    "global_score_cut": self.global_score_cut,
+                },
+                fh,
+            )
+
+    def checkpoint_state(self, path: str) -> None:
+        """Truncate the line archive's union-chain lineage, then persist
+        (model and cuts are frozen — their lineage never grows)."""
+        if self._lines.lines is not None:
+            self._lines.lines = self._lines.lines.localCheckpoint(eager=True)
+        self.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "WebIntakeScreen":
+        with open(os.path.join(path, "config.json")) as fh:
+            cfg = json.load(fh)
+        screen = cls(
+            spark.read.parquet(os.path.join(path, "model")),
+            spark.read.parquet(os.path.join(path, "nll_cuts")),
+            spark.read.parquet(os.path.join(path, "score_cuts")),
+            cfg["global_score_cut"],
+            by_col=cfg["by_col"],
+            text_col=cfg["text_col"],
+            sep=cfg["sep"],
+        )
+        screen._lines = LineScreen.load(
+            spark, path, text_col=cfg["text_col"], sep=cfg["sep"]
+        )
+        return screen

@@ -582,6 +582,18 @@ def lm_perplexity_scores_by(
     (group, w1, w2), co-keyed end to end, nothing broadcast except the
     thin (doc_id → group) relation.  Null group keys train and score
     their own model (null-safe joins)."""
+    model = lm_fit_by(documents, by_col, alpha)
+    return lm_score(documents, model, group_cols=[by_col])
+
+
+def lm_fit_by(
+    documents: DataFrame, by_col: str = "lang", alpha: float = 0.1
+) -> DataFrame:
+    """Fit one add-α bigram model PER GROUP and return the static model
+    relation ``(by_col, w1, w2, nl)`` (see :func:`lm_model`) — the
+    train-once half of CCNet's production loop: persist this relation
+    and :func:`lm_score` every future batch or stream against it
+    without ever touching the training corpus again."""
     keyed = documents.select("doc_id", by_col)
     bigrams = _bigram_relation(documents).join(keyed, "doc_id")
     pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
@@ -600,8 +612,7 @@ def lm_perplexity_scores_by(
         .groupBy(by_col)
         .agg(F.countDistinct("w").alias("v"))
     )
-    model = lm_model(pair_counts, uni_counts, vocab, alpha, group_cols=[by_col])
-    return lm_score(documents, model, group_cols=[by_col])
+    return lm_model(pair_counts, uni_counts, vocab, alpha, group_cols=[by_col])
 
 
 def ccnet_buckets_by(

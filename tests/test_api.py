@@ -575,3 +575,82 @@ def test_curator_line_screen_stage(spark, tmp_path):
     re.line_screen = None
     re.save(path)
     assert not os.path.exists(os.path.join(path, "lines"))
+
+
+def test_web_intake_screen_frozen_model_loop(spark, tmp_path):
+    """WebIntakeScreen = CCNet's production loop: model + operating
+    points fitted once on a reference corpus and FROZEN; batches are
+    line-deduped against the cross-batch archive, bucketed by the frozen
+    nll terciles, gated at the frozen per-group quality cut.  Pins the
+    degradation contract (no known bigram -> nll null + 'tail'; unseen
+    group -> global fallback cut), state round-trip, and redelivery."""
+    import random
+
+    from flink_bm25_spark.api import WebIntakeScreen
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(25)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    ref = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", doc(rng.randint(20, 80)))
+         for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    screen = WebIntakeScreen.fit(ref, quality_cutoff=0.25)
+    # frozen state snapshots
+    model_before = screen.model.count()
+    cuts_before = {r.lang: (r.nll_c1, r.nll_c2)
+                   for r in screen.nll_cuts.collect()}
+
+    boiler = "subscribe to our newsletter right now"
+    b1 = spark.createDataFrame(
+        [(100, "en", f"<p>{boiler}</p>\n{doc(60)}")],
+        "doc_id long, lang string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (200, "en", f"<p>{boiler}</p>\n{doc(60)}"),
+            # out-of-domain: no bigram the reference LM knows (long
+            # enough that the quality gate is not the reason it moves)
+            (201, "en", " ".join(
+                rng.choice(["zz", "qq", "xx", "vv", "kk", "pp"])
+                for _ in range(60)
+            )),
+            # unseen group: gates against the global fallback cut
+            (202, "fr", doc(60)),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out1 = {r.doc_id: r for r in screen.screen_batch(b1).collect()}
+    out2 = {r.doc_id: r for r in screen.screen_batch(b2).collect()}
+    assert boiler in out1[100].cleaned_text
+    assert 200 in out2 and boiler not in out2[200].cleaned_text
+    assert out2[200].n_kept == out2[200].n_lines - 1
+    # degradation: unknown bigrams -> null nll, tail bucket; survives the
+    # quality gate (it IS long enough text)
+    assert out2[201].nll is None and out2[201].bucket == "tail"
+    # unseen group: screened (not crashed), tail bucket, global cut used
+    assert out2[202].bucket == "tail" and out2[202].nll is None
+    # the model and cuts did NOT drift with the batches
+    assert screen.model.count() == model_before
+    assert {r.lang: (r.nll_c1, r.nll_c2)
+            for r in screen.nll_cuts.collect()} == cuts_before
+    # in-domain docs get real buckets from the frozen terciles
+    assert out1[100].bucket in ("head", "middle", "tail")
+    assert out1[100].nll is not None
+
+    # round-trip: the reloaded screen remembers the line archive AND the
+    # frozen cuts; a redelivered b2 comes back fully boilerplate
+    path = str(tmp_path / "wis")
+    screen.checkpoint_state(path)
+    re = WebIntakeScreen.load(spark, path)
+    redelivered = {r.doc_id: r for r in re.screen_batch(b2).collect()}
+    # every content line of b2 is archived -> n_kept = 0 and empty text
+    # -> keep_score 0 -> the gate drops them (cut > 0 for both langs)
+    assert all(r.keep_score == 0.0 or r.n_kept == 0
+               for r in redelivered.values())
+    for r in redelivered.values():
+        assert r.n_kept == 0 and r.cleaned_text == ""
