@@ -2712,6 +2712,23 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_lm_score_frozen(spark, sf_dir):
+    # The train-once/score-forever half of CCNet's production loop
+    # (api.WebIntakeScreen): fit one bigram LM PER LANGUAGE on the
+    # even-doc_id half of the corpus, then score the odd half against
+    # that FROZEN model relation — the model never sees the scored docs.
+    # Bigrams absent from the model are skipped by the co-keyed
+    # (lang, w1, w2) inner join (the documented stream-scorer contract);
+    # a doc with no known bigram produces no row.
+    from flink_bm25_spark.operators.text_analysis import lm_fit_by, lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    model = lm_fit_by(train, "lang", alpha=0.1)
+    return lm_score(score, model, group_cols=["lang"])
+
+
 def _q_ngram_diversity(spark, sf_dir):
     # distinct-n diversity per source — the mode-collapse monitor for
     # synthetic/generated feeds (decaying ratio = same constructions on
@@ -3047,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_quantize": _q_embed_quantize,
         "q_quality_scores": _q_quality_scores,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_lm_score_frozen": _q_lm_score_frozen,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6422,6 +6440,43 @@ def oracle_sql() -> dict[str, str]:
           FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
+    """
+    # frozen-model scoring: per-language LM fitted on the EVEN doc_ids
+    # only, odd docs scored against it; unseen bigrams skipped by the
+    # inner join, exactly as the engine's lm_score contract says
+    out["q_lm_score_frozen"] = r"""
+        WITH trainb AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id % 2 = 0),
+        scoreb AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id % 2 = 1),
+        tbg AS (
+          SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, lang, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM trainb) WHERE p IS NOT NULL),
+        sbg AS (
+          SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, lang, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM scoreb) WHERE p IS NOT NULL),
+        pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1,2,3),
+        uc AS (SELECT lang, w1, count(*) AS c1 FROM tbg GROUP BY 1, 2),
+        vv AS (SELECT lang, count(DISTINCT w) AS v
+               FROM (SELECT lang, unnest(ws) AS w FROM trainb) GROUP BY lang),
+        sc AS (
+          SELECT s.doc_id, s.lang, -ln((c12 + 0.1) / (c1 + 0.1 * v)) AS nl
+          FROM sbg s JOIN pc USING (lang, w1, w2) JOIN uc USING (lang, w1)
+                     JOIN vv USING (lang))
+        SELECT doc_id, lang, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
+        FROM sc GROUP BY doc_id, lang
     """
     out["q_ngram_diversity"] = r"""
         WITH base AS (
