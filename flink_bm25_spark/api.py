@@ -876,13 +876,18 @@ class WebIntakeScreen:
         base = (
             docs.join(scored, "doc_id", "left")
             .join(qual, "doc_id")
+            # cuts relations are groups-sized (languages) but DATA-
+            # dependent in principle (a caller may group by a high-
+            # cardinality column) — no forced broadcast; AQE picks
+            # broadcast whenever the runtime size allows (the sub_offs
+            # lesson, operators/rank.py:300)
             .join(
-                F.broadcast(self.nll_cuts.withColumnRenamed(by, "_b1")),
+                self.nll_cuts.withColumnRenamed(by, "_b1"),
                 F.col(by).eqNullSafe(F.col("_b1")),
                 "left",
             )
             .join(
-                F.broadcast(self.score_cuts.withColumnRenamed(by, "_b2")),
+                self.score_cuts.withColumnRenamed(by, "_b2"),
                 F.col(by).eqNullSafe(F.col("_b2")),
                 "left",
             )
