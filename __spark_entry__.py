@@ -2712,6 +2712,31 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_gopher_flags(spark, sf_dir):
+    # The MassiveText/Gopher quality rule set (Rae et al. 2021, App. A)
+    # at the published thresholds — zero-shuffle map-side flags.  Bullet
+    # and ellipsis material is synthesized in-plan so rules 4/5 actually
+    # fire on the fixture.
+    from flink_bm25_spark.operators.text_analysis import gopher_quality_flags
+
+    docs = load_table(spark, "documents", sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("- bullet item\n* another\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("\nread more...\nsnipped…")),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit("## "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_quality_flags(dirty)
+
+
 def _q_lm_score_frozen(spark, sf_dir):
     # The train-once/score-forever half of CCNet's production loop
     # (api.WebIntakeScreen): fit one bigram LM PER LANGUAGE on the
@@ -3065,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": _q_quality_scores,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_lm_score_frozen": _q_lm_score_frozen,
+        "q_gopher_flags": _q_gopher_flags,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6440,6 +6466,69 @@ def oracle_sql() -> dict[str, str]:
           FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
+    """
+    # Gopher/MassiveText quality rules at the published thresholds; the
+    # same in-plan dirt synthesis, every signal a per-row expression
+    out["q_gopher_flags"] = r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                        THEN '- bullet item' || chr(10) || '* another'
+                             || chr(10) || text
+                      WHEN doc_id % 11 = 0
+                        THEN text || chr(10) || 'read more...'
+                             || chr(10) || 'snipped' || chr(8230)
+                      WHEN doc_id % 13 = 0 THEN '## ' || text
+                      ELSE text END AS t
+          FROM documents),
+        base AS (
+          SELECT doc_id, t,
+                 list_filter(string_split_regex(t, '\s+'),
+                             w -> w <> '') AS ws,
+                 string_split(t, chr(10)) AS ls
+          FROM dirty),
+        m AS (
+          SELECT doc_id,
+                 len(ws) AS n_words,
+                 CASE WHEN len(ws) > 0 THEN round(
+                   list_sum(list_transform(ws,
+                     w -> CAST(len(w) AS DOUBLE))) / len(ws), 6) END
+                   AS mean_word_len,
+                 CASE WHEN len(ws) > 0 THEN round((
+                   (len(t) - len(replace(t, '#', '')))
+                   + (len(t) - len(replace(t, '...', ''))) / 3.0
+                   + (len(t) - len(replace(t, chr(8230), '')))
+                 ) / len(ws), 6) END AS symbol_word_ratio,
+                 round(CAST(len(list_filter(ls, x ->
+                   regexp_matches(ltrim(x),
+                     '^[-*' || chr(8226) || chr(8227) || chr(9642)
+                     || ']( |$)'))) AS DOUBLE) / len(ls), 6)
+                   AS bullet_line_frac,
+                 round(CAST(len(list_filter(ls, x ->
+                   regexp_matches(rtrim(x),
+                     '(\.\.\.|' || chr(8230) || ')$'))) AS DOUBLE)
+                   / len(ls), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(ws) > 0 THEN round(
+                   CAST(len(list_filter(ws,
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(ws), 6) END AS alpha_word_frac,
+                 len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   s -> len(list_filter(ws, w -> lower(w) = s)) > 0))
+                   AS n_required_stops
+          FROM base)
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_required_stops,
+               coalesce(
+                 n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_word_ratio <= 0.1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3
+                 AND alpha_word_frac >= 0.8
+                 AND n_required_stops >= 2, false) AS keep
+        FROM m
     """
     # frozen-model scoring: per-language LM fitted on the EVEN doc_ids
     # only, odd docs scored against it; unseen bigrams skipped by the

@@ -360,6 +360,124 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     return scored.withColumn("keep_score", keep)
 
 
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """The MassiveText/Gopher quality rules (Rae et al. 2021, Appendix
+    A) as one map-side projection: ``(doc_id, n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_required_stops, keep)`` — ``keep`` is true iff
+    EVERY rule passes, with the paper's published defaults:
+
+    1. 50 ≤ word count ≤ 100,000;
+    2. 3 ≤ mean word length ≤ 10;
+    3. (# + ellipsis) to word ratio ≤ 0.1;
+    4. ≤ 90% of lines start with a bullet;
+    5. ≤ 30% of lines end with an ellipsis;
+    6. ≥ 80% of words contain an alphabetic character;
+    7. ≥ 2 of the eight required stop words {the, be, to, of, and,
+       that, have, with} occur as tokens.
+
+    Scale shape: zero shuffles — every signal is a column expression
+    over the whitespace word array and the newline line array (both
+    let-bound so HOF lambdas see a materialized array, the
+    ``dedup.shingles`` rebinding discipline).  Ellipsis/hash counts use
+    non-overlapping left-to-right ``replace`` deltas, identical
+    semantics in any SQL engine, so the DuckDB oracle replays values
+    exactly.  Ratios are 6-dp rounded.  A document with no words fails
+    rule 1 (and reports nulls for the word-derived ratios); a document
+    with no lines cannot exist (``split`` always yields one line).
+    """
+    base = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+        ).alias("_ws"),
+        F.split(F.col("text"), "\n").alias("_ls"),
+        F.col("text").alias("_t"),
+    )
+    ws, ls, t = F.col("_ws"), F.col("_ls"), F.col("_t")
+    n_words = F.size(ws)
+    n_lines = F.size(ls)
+    mean_len = F.when(
+        n_words > 0,
+        F.round(
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / n_words,
+            6,
+        ),
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ell) / n_words, 6)
+    )
+    bullet = F.filter(
+        ls,
+        lambda x: F.ltrim(x).rlike(r"^[-*•‣▪]( |$)"),
+    )
+    ell_end = F.filter(
+        ls, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")
+    )
+    bullet_frac = F.round(F.size(bullet) / n_lines, 6)
+    ell_frac = F.round(F.size(ell_end) / n_lines, 6)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+        ),
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stops = F.size(
+        F.filter(
+            stops,
+            lambda s: F.exists(ws, lambda w: F.lower(w) == s),
+        )
+    )
+    flagged = base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stops.cast("long").alias("n_required_stops"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_required_stops") >= min_required_stops)
+    )
+    return flagged.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+# Rae et al. 2021 Appendix A: the eight "required" English stop words —
+# a document mentioning fewer than 2 of them is unlikely to be prose.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: count marker hits per language,
     pick argmax (ties by language code), 'und' when nothing matches."""

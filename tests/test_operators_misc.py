@@ -738,3 +738,39 @@ def test_strip_markup_keep_line_breaks(spark):
     assert got[1] == "cookie notice\nalpha beta\ngamma"
     # doc 2: interior blank line survives (layout), per-line trim applied
     assert got[2] == "plain\n\nspaced line\nlast"
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each MassiveText rule (Rae et al. 2021 App. A) fires on its own
+    hand case and the composite keep requires ALL of them."""
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    prose = ("the results be known to all of them and we note that "
+             "they have agreed with every claim so far ")
+    cases = [
+        (1, prose * 3),                       # everything passes
+        (2, "the be to of and that have with"),  # rule 1: too short
+        (3, "aa " * 60),                      # rule 2: mean len < 3 (+stops)
+        (4, prose * 3 + "#" * 30),            # rule 3: symbol ratio
+        (5, "\n".join(["- item"] * 10)),      # rule 4: all bullets
+        (6, "\n".join(["so...…"] * 10)), # rule 5: ellipsis ends
+        (7, ("42 17 99 " * 30) + "the be"),   # rule 6: alpha frac
+        (8, "word " * 80),                    # rule 7: no required stops
+        (9, ""),                              # empty: fails, null ratios
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].keep
+    assert all(not got[i].keep for i in range(2, 10))
+    assert got[2].n_words == 8
+    assert got[3].mean_word_len == 2.0
+    assert got[4].symbol_word_ratio > 0.1
+    assert got[5].bullet_line_frac == 1.0
+    assert got[6].ellipsis_line_frac == 1.0
+    assert got[7].alpha_word_frac < 0.8
+    assert got[8].n_required_stops == 0
+    assert got[9].mean_word_len is None and not got[9].keep
+    # keep is never null
+    assert all(r.keep in (True, False) for r in got.values())

@@ -570,3 +570,12 @@ def test_web_intake_every_window_partitioned(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             f"unpartitioned window: {line}"
         )
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    """The Gopher rule set is one map-side projection: NO Exchange
+    anywhere in the executed plan — every signal is a column expression
+    over let-bound word/line arrays."""
+    df = QUERIES["q_gopher_flags"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
