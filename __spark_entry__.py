@@ -2712,6 +2712,34 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_c4_line_filter(spark, sf_dir):
+    # C4's published line/page rules (Raffel et al. 2020 §2.2) over
+    # in-plan synthesized web dirt: short nav lines, a javascript
+    # notice, non-terminal trailing fragments, lorem-ipsum and
+    # curly-brace pages.
+    from flink_bm25_spark.operators.cleaning import c4_line_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1.\n")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("click here\n"),
+            F.lit("please enable javascript to view this content now.\n"),
+            lined,
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("\nlorem ipsum dolor sit amet consectetur elit."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.lit("\nfunction f() { return 1; }"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_filter(dirty)
+
+
 def _q_gopher_flags(spark, sf_dir):
     # The MassiveText/Gopher quality rule set (Rae et al. 2021, App. A)
     # at the published thresholds — zero-shuffle map-side flags.  Bullet
@@ -3091,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": _q_lm_perplexity,
         "q_lm_score_frozen": _q_lm_score_frozen,
         "q_gopher_flags": _q_gopher_flags,
+        "q_c4_line_filter": _q_c4_line_filter,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6466,6 +6495,46 @@ def oracle_sql() -> dict[str, str]:
           FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
+    """
+    # C4 line/page rules over the same in-plan dirt construction the
+    # Spark side synthesizes; translate() deletes terminal-punct chars
+    # identically in both engines for the sentence count
+    out["q_c4_line_filter"] = r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 'click here' || chr(10)
+                 || 'please enable javascript to view this content now.'
+                 || chr(10)
+                 || regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                   '\1.' || chr(10), 'g')
+                 || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                      'lorem ipsum dolor sit amet consectetur elit.'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+                      'function f() { return 1; }'
+                    ELSE '' END AS t
+          FROM documents),
+        base AS (
+          SELECT doc_id, lower(t) AS lt, string_split(t, chr(10)) AS ls
+          FROM dirty),
+        kept AS (
+          SELECT doc_id, lt, len(ls) AS n_lines,
+                 list_filter(ls, x ->
+                   regexp_matches(rtrim(x), '[.!?"]$')
+                   AND len(list_filter(string_split_regex(x, '\s+'),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS k
+          FROM base),
+        page AS (
+          SELECT doc_id, array_to_string(k, chr(10)) AS ct,
+                 n_lines, len(k) AS n_kept, lt
+          FROM kept)
+        SELECT doc_id, coalesce(ct, '') AS cleaned_text, n_lines, n_kept
+        FROM page
+        WHERE NOT contains(lt, 'lorem ipsum')
+          AND NOT contains(lt, '{')
+          AND len(coalesce(ct, ''))
+              - len(translate(coalesce(ct, ''), '.!?', '')) >= 3
     """
     # Gopher/MassiveText quality rules at the published thresholds; the
     # same in-plan dirt synthesis, every signal a per-row expression

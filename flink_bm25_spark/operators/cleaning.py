@@ -268,6 +268,83 @@ def curation_report(
     return out.select("doc_id", "keep_score", status.alias("status"))
 
 
+def c4_line_filter(
+    documents: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 line/page filters (Raffel et al. 2020 §2.2) as one
+    map-side projection — our deterministic rendering of the published
+    rules, one row per SURVIVING page: ``(doc_id, cleaned_text,
+    n_lines, n_kept)``.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in terminal punctuation (``. ! ? "`` after right-trim);
+    - has at least ``min_words_per_line`` whitespace words;
+    - does not contain the word "javascript" (case-insensitive).
+
+    Page rules (the page is dropped iff ANY holds):
+    - raw text contains "lorem ipsum" (case-insensitive) or ``{``
+      (code, templating);
+    - the RETAINED text has fewer than ``min_sentences`` sentences,
+      counted as terminal-punctuation characters in the kept lines.
+
+    Scale shape: zero shuffles — the line array is let-bound once, both
+    rule sets are column expressions over it, and the page verdict is a
+    filter.  Runs BEFORE :func:`web_intake_pipeline`'s line dedup in a
+    C4-style chain (markup strip → C4 line filter → corpus dedup).
+    The bad-words lexicon step of the paper is site policy, not
+    engine semantics — compose it as one more ``F.filter`` predicate.
+    """
+    import re as _re  # noqa: PLC0415
+
+    t = F.col(text_col)
+    base = documents.select(
+        "doc_id",
+        F.split(t, _re.escape(sep)).alias("_ls"),
+        F.lower(t).alias("_lt"),
+    )
+    ls = F.col("_ls")
+
+    def line_ok(x):
+        return (
+            F.rtrim(x).rlike('[.!?"]$')
+            & (
+                F.size(
+                    F.filter(F.split(x, r"\s+"), lambda w: w != F.lit(""))
+                )
+                >= F.lit(min_words_per_line)
+            )
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = base.select(
+        "doc_id",
+        "_lt",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.filter(ls, line_ok).alias("_kept"),
+    )
+    cleaned = F.array_join(F.col("_kept"), sep)
+    sentences = F.length(cleaned) - F.length(
+        F.translate(cleaned, ".!?", "")
+    )
+    return (
+        kept.where(
+            ~F.col("_lt").contains("lorem ipsum")
+            & ~F.col("_lt").contains("{")
+            & (sentences >= F.lit(min_sentences))
+        )
+        .select(
+            "doc_id",
+            cleaned.alias("cleaned_text"),
+            "n_lines",
+            F.size("_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
 def web_intake_pipeline(
     documents: DataFrame,
     by_col: str = "lang",

@@ -867,3 +867,35 @@ def test_web_intake_equals_manual_composition(spark):
         .collect()
     }
     assert got == want and got  # non-vacuous
+
+
+def test_c4_line_filter_rules(spark):
+    """Each published C4 rule on its own hand case: terminal punct,
+    min words per line, javascript lines, lorem-ipsum pages, curly-brace
+    pages, and the min-sentence page floor."""
+    from flink_bm25_spark.operators.cleaning import c4_line_filter
+
+    good = ("this is a perfectly normal sentence one.\n"
+            "here is another normal sentence number two!\n"
+            'and a third one ends with a quote."')
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nno terminal punctuation on this line here"),
+            (3, good + "\ntoo short."),
+            (4, good + "\nplease enable javascript to see this content."),
+            (5, good + "\nlorem ipsum dolor sit amet."),
+            (6, good + "\nvar x = { a: 1 }."),
+            (7, "just one single sentence lives on this page."),
+            (8, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    # pages 5 (lorem ipsum), 6 ({), 7 (<3 sentences), 8 (empty) dropped
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].cleaned_text == good and got[1].n_kept == 3
+    # the offending LINE is cut, the page survives
+    for d in (2, 3, 4):
+        assert got[d].cleaned_text == good
+        assert got[d].n_lines == 4 and got[d].n_kept == 3

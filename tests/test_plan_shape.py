@@ -579,3 +579,11 @@ def test_gopher_flags_zero_shuffle(spark):
     df = QUERIES["q_gopher_flags"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_c4_line_filter_zero_shuffle(spark):
+    """C4's line/page rules are one map-side projection + filter: no
+    Exchange anywhere in the executed plan."""
+    df = QUERIES["q_c4_line_filter"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
