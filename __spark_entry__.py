@@ -2712,6 +2712,33 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    # Gopher's duplicate line/paragraph fractions (count + character
+    # forms) — duplicate structure synthesized in-plan: every 5th doc is
+    # its own text twice (a duplicated paragraph AND every line
+    # duplicated), every 3rd doc repeats its first line once.
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_repetition_scores,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(lined, F.lit("\n\n"), lined),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(lined, F.lit("\n"), F.split_part(lined, F.lit("\n"), F.lit(1))),
+        )
+        .otherwise(lined)
+        .alias("text"),
+    )
+    return gopher_repetition_scores(dirty)
+
+
 def _q_c4_line_filter(spark, sf_dir):
     # C4's published line/page rules (Raffel et al. 2020 §2.2) over
     # in-plan synthesized web dirt: short nav lines, a javascript
@@ -3120,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score_frozen": _q_lm_score_frozen,
         "q_gopher_flags": _q_gopher_flags,
         "q_c4_line_filter": _q_c4_line_filter,
+        "q_gopher_repetition": _q_gopher_repetition,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6495,6 +6523,53 @@ def oracle_sql() -> dict[str, str]:
           FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
+    """
+    # Gopher duplicate line/paragraph fractions over in-plan duplicate
+    # structure; units keyed (doc, unit) then rolled up per doc
+    out["q_gopher_repetition"] = r"""
+        WITH lined AS (
+          SELECT doc_id,
+                 regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                '\1' || chr(10), 'g') AS l
+          FROM documents),
+        dirty AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                        THEN l || chr(10) || chr(10) || l
+                      WHEN doc_id % 3 = 0
+                        THEN l || chr(10) || split_part(l, chr(10), 1)
+                      ELSE l END AS t
+          FROM lined),
+        lu AS (
+          SELECT doc_id, u, count(*) AS c, len(u) AS ln FROM (
+            SELECT doc_id, unnest(string_split_regex(t, '\n')) AS u
+            FROM dirty) WHERE trim(u) <> '' GROUP BY doc_id, u),
+        pu AS (
+          SELECT doc_id, u, count(*) AS c, len(u) AS ln FROM (
+            SELECT doc_id, unnest(string_split_regex(t, '\n\n+')) AS u
+            FROM dirty) WHERE trim(u) <> '' GROUP BY doc_id, u),
+        la AS (
+          SELECT doc_id,
+                 round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+                   AS dup_line_frac,
+                 round(sum((c - 1) * ln) / CAST(sum(c * ln) AS DOUBLE), 6)
+                   AS dup_line_char_frac
+          FROM lu GROUP BY doc_id),
+        pa AS (
+          SELECT doc_id,
+                 round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+                   AS dup_para_frac,
+                 round(sum((c - 1) * ln) / CAST(sum(c * ln) AS DOUBLE), 6)
+                   AS dup_para_char_frac
+          FROM pu GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(dup_para_frac, 0.0) AS dup_para_frac,
+               coalesce(dup_para_char_frac, 0.0) AS dup_para_char_frac
+        FROM documents d
+        LEFT JOIN la USING (doc_id)
+        LEFT JOIN pa USING (doc_id)
     """
     # C4 line/page rules over the same in-plan dirt construction the
     # Spark side synthesizes; translate() deletes terminal-punct chars

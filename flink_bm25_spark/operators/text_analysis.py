@@ -158,6 +158,73 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
 BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
+def gopher_repetition_scores(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The within-document duplicate line/paragraph signals of Gopher's
+    repetition filter family (Rae et al. 2021, App. A — the unit-level
+    complement of :func:`repetition_scores`' word/bigram signals):
+    ``(doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac)``.
+
+    Definitions (deterministic; the ones common reimplementations use):
+    a unit (line = ``\\n`` split, paragraph = ``\\n\\n`` split) is a
+    duplicate on every occurrence AFTER its first within the document;
+    ``dup_*_frac`` = duplicate occurrences / total occurrences, and
+    ``dup_*_char_frac`` = characters in duplicate occurrences / total
+    unit characters (separators excluded).  Whitespace-only units are
+    layout, not content — excluded from both counts.  Documents with no
+    content units score 0.0.  The paper cuts at dup_line_frac > 0.30,
+    dup_para_frac > 0.30, dup_line_char_frac > 0.20,
+    dup_para_char_frac > 0.20.
+
+    Scale shape: relational, never per-row quadratic — each unit type
+    pays one (doc, unit)-keyed aggregation and one doc-keyed rollup
+    (both corpus-linear with map-side partial combine), exactly the
+    ``top_word_frac`` design.  An adversarial 100k-duplicate-line
+    document costs O(lines), not O(lines²).
+    """
+
+    def unit_fracs(sep_regex: str, prefix: str) -> DataFrame:
+        units = documents.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), sep_regex)).alias("u"),
+        ).where(F.trim("u") != "")
+        per = units.groupBy("doc_id", "u").agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.round(
+                (F.sum("c") - F.count("*"))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias(f"dup_{prefix}_frac"),
+            F.round(
+                F.sum((F.col("c") - 1) * F.length("u"))
+                / F.sum(F.col("c") * F.length("u")).cast("double"),
+                6,
+            ).alias(f"dup_{prefix}_char_frac"),
+        )
+
+    lines = unit_fracs(r"\n", "line")
+    paras = unit_fracs(r"\n\n+", "para")
+    return (
+        documents.select("doc_id")
+        .join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(c)
+                for c in (
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "dup_para_frac",
+                    "dup_para_char_frac",
+                )
+            ],
+        )
+    )
+
+
 def bpe_token_counts(documents: DataFrame) -> DataFrame:
     """``(doc_id, n_ws_tokens, n_bpe_tokens)`` — whitespace vs BPE-ish
     regex token counting (LLM-pipeline cost estimation).  Pure regexp

@@ -774,3 +774,30 @@ def test_gopher_quality_flags_rules(spark):
     assert got[9].mean_word_len is None and not got[9].keep
     # keep is never null
     assert all(r.keep in (True, False) for r in got.values())
+
+
+def test_gopher_repetition_scores_hand_cases(spark):
+    """Duplicate line/paragraph fractions: dup occurrences are every
+    occurrence AFTER the first; whitespace-only units are layout; char
+    fractions weight by unit length; empty docs score 0.0."""
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa\nbbbb\naa\ncc"),               # aa dup: 1/4 lines, 2/10 chars
+            (2, "para one\n\npara one\n\npara two"),
+            (3, ""),
+            (4, "x\n \nx"),                         # layout line excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition_scores(docs).collect()}
+    assert got[1].dup_line_frac == 0.25
+    assert got[1].dup_line_char_frac == round(2 / 10, 6)
+    assert got[1].dup_para_frac == 0.0
+    assert got[2].dup_para_frac == round(1 / 3, 6)
+    assert got[2].dup_para_char_frac == round(8 / 24, 6)
+    assert all(v == 0.0 for v in got[3][1:])
+    assert got[4].dup_line_frac == 0.5 and got[4].dup_para_frac == 0.0
