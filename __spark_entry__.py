@@ -2712,6 +2712,36 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_gopher_ngram_fracs(spark, sf_dir):
+    # The n-gram half of Gopher's repetition table: top-{2,3,4}-gram and
+    # duplicated-{5..10}-gram character fractions.  Every 4th doc gets
+    # its own first 12 words appended (long duplicated grams), so the
+    # dup columns fire on the fixture.
+    from flink_bm25_spark.operators.text_analysis import gopher_ngram_fracs
+
+    docs = load_table(spark, "documents", sf_dir)
+    first12 = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+            ),
+            1,
+            12,
+        ),
+        " ",
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), first12),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_ngram_fracs(dirty)
+
+
 def _q_gopher_repetition(spark, sf_dir):
     # Gopher's duplicate line/paragraph fractions (count + character
     # forms) — duplicate structure synthesized in-plan: every 5th doc is
@@ -3148,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_flags": _q_gopher_flags,
         "q_c4_line_filter": _q_c4_line_filter,
         "q_gopher_repetition": _q_gopher_repetition,
+        "q_gopher_ngram_fracs": _q_gopher_ngram_fracs,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6524,6 +6555,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id
     """
+    # Gopher n-gram character fractions: per-width gram relations
+    # generated as UNION ALL branches, counted (doc, n, gram), rolled up
+    # with conditional aggregates — the same shape the engine executes
+    _g_tops, _g_dups = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+
+    def _g_branch(n: int) -> str:
+        concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        return (
+            f"SELECT doc_id, {n} AS n, unnest(list_filter("
+            f"list_transform(ws, (x, i) -> CASE WHEN i + {n - 1} <= len(ws)"
+            f" THEN {concat} END), v -> v IS NOT NULL)) AS gram FROM base"
+        )
+
+    _g_aggs = ", ".join(
+        f"round(least(1.0, max(CASE WHEN n = {n} THEN c * len(gram) END)"
+        f" / chars), 6) AS top_{n}gram_char_frac"
+        for n in _g_tops
+    ) + ", " + ", ".join(
+        f"round(least(1.0, sum(CASE WHEN n = {n} AND c >= 2"
+        f" THEN c * len(gram) ELSE 0 END) / chars), 6)"
+        f" AS dup_{n}gram_char_frac"
+        for n in _g_dups
+    )
+    _g_cols = ", ".join(
+        f"coalesce(top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac"
+        for n in _g_tops
+    ) + ", " + ", ".join(
+        f"coalesce(dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac"
+        for n in _g_dups
+    )
+    out["q_gopher_ngram_fracs"] = (
+        r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
+                   array_to_string(list_filter(string_split_regex(text,
+                     '\s+'), w -> w <> '')[1:12], ' ')
+                 ELSE text END AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM dirty),
+        ch AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                      + greatest(len(ws) - 1, 0) AS DOUBLE) AS chars
+          FROM base),
+        g AS ("""
+        + " UNION ALL ".join(_g_branch(n) for n in [*_g_tops, *_g_dups])
+        + r"""),
+        cnt AS (
+          SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        roll AS (
+          SELECT doc_id, """
+        + _g_aggs
+        + r"""
+          FROM cnt JOIN ch USING (doc_id) GROUP BY doc_id, chars)
+        SELECT d.doc_id, """
+        + _g_cols
+        + r"""
+        FROM documents d LEFT JOIN roll USING (doc_id)
+    """
+    )
     # Gopher duplicate line/paragraph fractions over in-plan duplicate
     # structure; units keyed (doc, unit) then rolled up per doc
     out["q_gopher_repetition"] = r"""

@@ -225,6 +225,118 @@ def gopher_repetition_scores(
     )
 
 
+def gopher_ngram_fracs(
+    documents: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition table (Rae et al. 2021,
+    App. A): per document, the character fraction of the MOST COMMON
+    n-gram for n ∈ ``top_ns`` and the character fraction of ALL
+    occurrences of DUPLICATED n-grams for n ∈ ``dup_ns`` —
+    ``(doc_id, top_2gram_char_frac, …, dup_5gram_char_frac, …)``.
+    The paper cuts at 0.20/0.18/0.16 for top-2/3/4 and
+    0.15/0.14/0.13/0.12/0.11/0.10 for dup-5…10.
+
+    Definitions (deterministic): gram character length = its word
+    lengths + single joining spaces; total characters = the same
+    measure over the whole token sequence; the dup form counts EVERY
+    occurrence of a gram appearing ≥ 2 times, overlaps uncounted
+    positionally (so it can exceed 1 on adversarial repeats — capped at
+    1.0; :func:`~flink_bm25_spark.operators.dedup.
+    duplicated_span_fraction` is the exact positional-coverage
+    alternative).  Documents with no tokens score 0.0 everywhere.
+
+    Scale shape: ONE pass — all 9 gram widths are generated map-side
+    from the let-bound token array into a single (n, gram) explode, then
+    one (doc, n, gram)-keyed count and one doc rollup with conditional
+    aggregates.  Shuffle volume is Σ_n grams_n ≈ 9× tokens with
+    map-side partial combine — the shingle relation's posture, never
+    per-row quadratic.
+    """
+    all_ns = [*top_ns, *dup_ns]
+    words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
+    base = documents.select("doc_id", words.alias("_ws"))
+    ws = F.col("_ws")
+
+    def grams_of(n: int):
+        def make(x, i):
+            parts = None
+            for j in range(n):
+                piece = F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+                parts = piece if parts is None else F.concat(
+                    parts, F.lit(" "), piece
+                )
+            return F.when(
+                i + n <= F.size(ws), F.struct(F.lit(n).alias("n"),
+                                              parts.alias("gram"))
+            )
+
+        return F.transform(ws, make)
+
+    tagged = base.select(
+        "doc_id",
+        (
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            + F.greatest(F.size(ws) - 1, F.lit(0))
+        ).cast("double").alias("_chars"),
+        F.explode(
+            F.filter(
+                F.flatten(F.array(*[grams_of(n) for n in all_ns])),
+                lambda g: g.isNotNull(),
+            )
+        ).alias("_g"),
+    )
+    counted = tagged.groupBy(
+        "doc_id", "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
+    ).agg(F.count("*").alias("_c"))
+    glen = F.length("_gram")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.max(F.when(F.col("_n") == n, F.col("_c") * glen))
+                    / F.col("_chars"),
+                ),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sum(
+                        F.when(
+                            (F.col("_n") == n) & (F.col("_c") >= 2),
+                            F.col("_c") * glen,
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.col("_chars"),
+                ),
+                6,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    rolled = counted.groupBy("doc_id", "_chars").agg(*aggs)
+    out_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    return (
+        documents.select("doc_id")
+        .join(rolled.drop("_chars"), "doc_id", "left")
+        .select(
+            "doc_id",
+            *[F.coalesce(c, F.lit(0.0)).alias(c) for c in out_cols],
+        )
+    )
+
+
 def bpe_token_counts(documents: DataFrame) -> DataFrame:
     """``(doc_id, n_ws_tokens, n_bpe_tokens)`` — whitespace vs BPE-ish
     regex token counting (LLM-pipeline cost estimation).  Pure regexp

@@ -801,3 +801,26 @@ def test_gopher_repetition_scores_hand_cases(spark):
     assert got[2].dup_para_char_frac == round(8 / 24, 6)
     assert all(v == 0.0 for v in got[3][1:])
     assert got[4].dup_line_frac == 0.5 and got[4].dup_para_frac == 0.0
+
+
+def test_gopher_ngram_fracs_hand_cases(spark):
+    """Top-n-gram and duplicated-n-gram character fractions: hand
+    arithmetic on a crafted doc, 1.0 cap on adversarial repeats, zeros
+    for empty docs."""
+    from flink_bm25_spark.operators.text_analysis import gopher_ngram_fracs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # chars=11; top-2 'a b' 3x len3 -> 9/11
+            (2, "w " * 40),      # one word repeated: everything capped
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_ngram_fracs(docs).collect()}
+    assert got[1]["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert got[1]["top_3gram_char_frac"] == round(10 / 11, 6)
+    assert got[1]["top_4gram_char_frac"] == 1.0  # 14/11 capped
+    assert got[1]["dup_5gram_char_frac"] == 0.0  # no 5-gram repeats
+    assert all(v == 1.0 for k, v in got[2].items() if k != "doc_id")
+    assert all(v == 0.0 for k, v in got[3].items() if k != "doc_id")
