@@ -2712,6 +2712,49 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity_scores(load_table(spark, "documents", sf_dir), alpha=0.1)
 
 
+def _q_gopher_filter(spark, sf_dir):
+    # The complete composed Gopher filter (rules ∧ repetition
+    # thresholds) as the drop ledger: every 5th doc duplicated as a
+    # second paragraph (unit repetition), every 4th doc's first 12
+    # words appended (long-gram repetition), the rest raw (rule
+    # variety: short docs fail the word-count rule).
+    from flink_bm25_spark.operators.text_analysis import gopher_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    first12 = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+            ),
+            1,
+            12,
+        ),
+        " ",
+    )
+    # the fixture vocabulary is synthetic (no English stop words), so
+    # rule 7 fails on raw text — half the docs get a prose sentence so
+    # the ledger has genuine keep=true/false variety
+    prose = F.lit(
+        " the results of that work have stayed with us and it is going"
+        " to be repeated."
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), first12),
+        )
+        .when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), prose))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_filter(dirty)
+
+
 def _q_gopher_ngram_fracs(spark, sf_dir):
     # The n-gram half of Gopher's repetition table: top-{2,3,4}-gram and
     # duplicated-{5..10}-gram character fractions.  Every 4th doc gets
@@ -3179,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_line_filter": _q_c4_line_filter,
         "q_gopher_repetition": _q_gopher_repetition,
         "q_gopher_ngram_fracs": _q_gopher_ngram_fracs,
+        "q_gopher_filter": _q_gopher_filter,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -6618,6 +6662,148 @@ def oracle_sql() -> dict[str, str]:
         + _g_cols
         + r"""
         FROM documents d LEFT JOIN roll USING (doc_id)
+    """
+    )
+    # The composed Gopher filter: rules ∧ every repetition threshold,
+    # same building blocks CTE'd over one shared dirty relation
+    out["q_gopher_filter"] = (
+        r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                        THEN text || chr(10) || chr(10) || text
+                      WHEN doc_id % 4 = 0 THEN text || ' ' ||
+                        array_to_string(list_filter(string_split_regex(
+                          text, '\s+'), w -> w <> '')[1:12], ' ')
+                      WHEN doc_id % 2 = 0 THEN text ||
+                        ' the results of that work have stayed with us'
+                        || ' and it is going to be repeated.'
+                      ELSE text END AS t
+          FROM documents),
+        fb AS (
+          SELECT doc_id, t,
+                 list_filter(string_split_regex(t, '\s+'),
+                             w -> w <> '') AS ws,
+                 string_split(t, chr(10)) AS ls
+          FROM dirty),
+        fm AS (
+          SELECT doc_id,
+                 len(ws) AS n_words,
+                 CASE WHEN len(ws) > 0 THEN round(
+                   list_sum(list_transform(ws,
+                     w -> CAST(len(w) AS DOUBLE))) / len(ws), 6) END
+                   AS mean_word_len,
+                 CASE WHEN len(ws) > 0 THEN round((
+                   (len(t) - len(replace(t, '#', '')))
+                   + (len(t) - len(replace(t, '...', ''))) / 3.0
+                   + (len(t) - len(replace(t, chr(8230), '')))
+                 ) / len(ws), 6) END AS symbol_word_ratio,
+                 round(CAST(len(list_filter(ls, x ->
+                   regexp_matches(ltrim(x),
+                     '^[-*' || chr(8226) || chr(8227) || chr(9642)
+                     || ']( |$)'))) AS DOUBLE) / len(ls), 6)
+                   AS bullet_line_frac,
+                 round(CAST(len(list_filter(ls, x ->
+                   regexp_matches(rtrim(x),
+                     '(\.\.\.|' || chr(8230) || ')$'))) AS DOUBLE)
+                   / len(ls), 6) AS ellipsis_line_frac,
+                 CASE WHEN len(ws) > 0 THEN round(
+                   CAST(len(list_filter(ws,
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(ws), 6) END AS alpha_word_frac,
+                 len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   s -> len(list_filter(ws, w -> lower(w) = s)) > 0))
+                   AS n_required_stops
+          FROM fb),
+        fk AS (
+          SELECT doc_id,
+                 coalesce(
+                   n_words BETWEEN 50 AND 100000
+                   AND mean_word_len BETWEEN 3.0 AND 10.0
+                   AND symbol_word_ratio <= 0.1
+                   AND bullet_line_frac <= 0.9
+                   AND ellipsis_line_frac <= 0.3
+                   AND alpha_word_frac >= 0.8
+                   AND n_required_stops >= 2, false) AS rule_keep
+          FROM fm),
+        lu AS (
+          SELECT doc_id, u, count(*) AS c, len(u) AS ln FROM (
+            SELECT doc_id, unnest(string_split_regex(t, '\n')) AS u
+            FROM dirty) WHERE trim(u) <> '' GROUP BY doc_id, u),
+        pu AS (
+          SELECT doc_id, u, count(*) AS c, len(u) AS ln FROM (
+            SELECT doc_id, unnest(string_split_regex(t, '\n\n+')) AS u
+            FROM dirty) WHERE trim(u) <> '' GROUP BY doc_id, u),
+        la AS (
+          SELECT doc_id,
+                 round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+                   AS dup_line_frac,
+                 round(sum((c - 1) * ln) / CAST(sum(c * ln) AS DOUBLE), 6)
+                   AS dup_line_char_frac
+          FROM lu GROUP BY doc_id),
+        pa AS (
+          SELECT doc_id,
+                 round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+                   AS dup_para_frac,
+                 round(sum((c - 1) * ln) / CAST(sum(c * ln) AS DOUBLE), 6)
+                   AS dup_para_char_frac
+          FROM pu GROUP BY doc_id),
+        base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(t), '\s+'),
+                             w -> w <> '') AS ws
+          FROM dirty),
+        ch AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                      + greatest(len(ws) - 1, 0) AS DOUBLE) AS chars
+          FROM base),
+        g AS ("""
+        + " UNION ALL ".join(_g_branch(n) for n in [*_g_tops, *_g_dups])
+        + r"""),
+        cnt AS (
+          SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        roll AS (
+          SELECT doc_id, """
+        + _g_aggs
+        + r"""
+          FROM cnt JOIN ch USING (doc_id) GROUP BY doc_id, chars)
+        SELECT d.doc_id, fk.rule_keep,
+               coalesce(dup_line_frac, 0.0) <= 0.30
+               AND coalesce(dup_para_frac, 0.0) <= 0.30
+               AND coalesce(dup_line_char_frac, 0.0) <= 0.20
+               AND coalesce(dup_para_char_frac, 0.0) <= 0.20
+               AND coalesce(top_2gram_char_frac, 0.0) <= 0.20
+               AND coalesce(top_3gram_char_frac, 0.0) <= 0.18
+               AND coalesce(top_4gram_char_frac, 0.0) <= 0.16
+               AND coalesce(dup_5gram_char_frac, 0.0) <= 0.15
+               AND coalesce(dup_6gram_char_frac, 0.0) <= 0.14
+               AND coalesce(dup_7gram_char_frac, 0.0) <= 0.13
+               AND coalesce(dup_8gram_char_frac, 0.0) <= 0.12
+               AND coalesce(dup_9gram_char_frac, 0.0) <= 0.11
+               AND coalesce(dup_10gram_char_frac, 0.0) <= 0.10
+                 AS repetition_keep,
+               fk.rule_keep AND (
+               coalesce(dup_line_frac, 0.0) <= 0.30
+               AND coalesce(dup_para_frac, 0.0) <= 0.30
+               AND coalesce(dup_line_char_frac, 0.0) <= 0.20
+               AND coalesce(dup_para_char_frac, 0.0) <= 0.20
+               AND coalesce(top_2gram_char_frac, 0.0) <= 0.20
+               AND coalesce(top_3gram_char_frac, 0.0) <= 0.18
+               AND coalesce(top_4gram_char_frac, 0.0) <= 0.16
+               AND coalesce(dup_5gram_char_frac, 0.0) <= 0.15
+               AND coalesce(dup_6gram_char_frac, 0.0) <= 0.14
+               AND coalesce(dup_7gram_char_frac, 0.0) <= 0.13
+               AND coalesce(dup_8gram_char_frac, 0.0) <= 0.12
+               AND coalesce(dup_9gram_char_frac, 0.0) <= 0.11
+               AND coalesce(dup_10gram_char_frac, 0.0) <= 0.10
+               ) AS keep
+        FROM documents d
+        JOIN fk USING (doc_id)
+        LEFT JOIN la USING (doc_id)
+        LEFT JOIN pa USING (doc_id)
+        LEFT JOIN roll USING (doc_id)
     """
     )
     # Gopher duplicate line/paragraph fractions over in-plan duplicate

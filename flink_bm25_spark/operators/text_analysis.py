@@ -337,6 +337,60 @@ def gopher_ngram_fracs(
     )
 
 
+def gopher_filter(
+    documents: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: tuple[float, ...] = (0.20, 0.18, 0.16),
+    max_dup_ngram_char_frac: tuple[float, ...] = (
+        0.15, 0.14, 0.13, 0.12, 0.11, 0.10,
+    ),
+) -> DataFrame:
+    """The COMPLETE Gopher/MassiveText document filter (Rae et al.
+    2021, App. A) as one ledger relation: ``(doc_id, rule_keep,
+    repetition_keep, keep)`` for EVERY input document — ``rule_keep``
+    is :func:`gopher_quality_flags`' all-rules verdict, ``repetition_
+    keep`` ands every published repetition threshold (duplicate
+    line/paragraph count+char fractions, top-{2,3,4}-gram and
+    dup-{5..10}-gram char fractions), ``keep`` is their conjunction.
+    Survivors are ``where(keep)``; the two reason columns are the
+    monitoring ledger (a jump in ``~repetition_keep`` means a looping
+    feed, same signal as ``curation_report``'s 'duplicate' arm).
+
+    Scale shape: the flags branch is zero-shuffle map-side; the unit
+    branch pays one (doc,unit) agg per unit type; the n-gram branch one
+    (doc,n,gram) count + rollup — all corpus-linear, sharing one scan
+    under Catalyst, joined back on doc_id.
+    """
+    flags = gopher_quality_flags(documents).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    rep = gopher_repetition_scores(documents)
+    ng = gopher_ngram_fracs(documents)
+    rep_ok = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac)
+    )
+    for n, cut in zip((2, 3, 4), max_top_ngram_char_frac):
+        rep_ok = rep_ok & (F.col(f"top_{n}gram_char_frac") <= cut)
+    for n, cut in zip((5, 6, 7, 8, 9, 10), max_dup_ngram_char_frac):
+        rep_ok = rep_ok & (F.col(f"dup_{n}gram_char_frac") <= cut)
+    return (
+        flags.join(rep, "doc_id")
+        .join(ng, "doc_id")
+        .select(
+            "doc_id",
+            "rule_keep",
+            rep_ok.alias("repetition_keep"),
+            (F.col("rule_keep") & rep_ok).alias("keep"),
+        )
+    )
+
+
 def bpe_token_counts(documents: DataFrame) -> DataFrame:
     """``(doc_id, n_ws_tokens, n_bpe_tokens)`` — whitespace vs BPE-ish
     regex token counting (LLM-pipeline cost estimation).  Pure regexp

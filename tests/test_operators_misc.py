@@ -824,3 +824,29 @@ def test_gopher_ngram_fracs_hand_cases(spark):
     assert got[1]["dup_5gram_char_frac"] == 0.0  # no 5-gram repeats
     assert all(v == 1.0 for k, v in got[2].items() if k != "doc_id")
     assert all(v == 0.0 for k, v in got[3].items() if k != "doc_id")
+
+
+def test_gopher_filter_ledger(spark):
+    """The composed filter: keep = rule_keep AND repetition_keep, one
+    ledger row per input doc; a rules-clean but repetitive doc fails on
+    repetition alone and vice versa."""
+    from flink_bm25_spark.operators.text_analysis import gopher_filter
+
+    # 60 distinct words + two required stops: passes every rule and has
+    # no repeated n-gram at all
+    clean = "the results " + " ".join(f"word{i}" for i in range(58)) + " be"
+    line = "the results that have been with us again and again so far."
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                   # clean prose: keep
+            (2, clean + ("\n" + line) * 9),
+            # ^ rules pass but 9 duplicated long lines: repetition fails
+            (3, "word " * 80),            # repetition-clean, rules fail
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].rule_keep and got[1].repetition_keep and got[1].keep
+    assert got[2].rule_keep and not got[2].repetition_keep and not got[2].keep
+    assert not got[3].rule_keep and not got[3].keep
