@@ -74,6 +74,8 @@ ADDITIONS = [
     "q_strip_markup",
     "q_line_dedup",
     "q_web_intake",
+    "q_gopher_filter",
+    "q_c4_line_filter",
 ]
 
 

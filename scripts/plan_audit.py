@@ -70,6 +70,14 @@ AUDITED = [
         "composed intake: line dedup checkpointed ONCE; every window partitioned",
     ),
     (
+        "q_c4_line_filter",
+        "C4 line/page rules: one map-side projection + filter, zero Exchange",
+    ),
+    (
+        "q_gopher_filter",
+        "flags map-side; unit + (n,gram) counts corpus-linear; doc_id joins",
+    ),
+    (
         "q_edit_distance",
         "Ed-Join prefix probe (q·d+1 rarest grams) into the full positional-gram index",
     ),
