@@ -247,54 +247,70 @@ def gopher_ngram_fracs(
     duplicated_span_fraction` is the exact positional-coverage
     alternative).  Documents with no tokens score 0.0 everywhere.
 
-    Scale shape: ONE pass — all 9 gram widths are generated map-side
-    from the let-bound token array into a single (n, gram) explode, then
-    one (doc, n, gram)-keyed count and one doc rollup with conditional
-    aggregates.  Shuffle volume is Σ_n grams_n ≈ 9× tokens with
-    map-side partial combine — the shingle relation's posture, never
-    per-row quadratic.
+    Scale shape: the gram TEXT is never materialized — the count only
+    needs gram identity and character length, so each slot emits
+    ``(n, xxhash64(w_i..w_{i+n-1}), Σlen + n−1)``: no string
+    concatenation, and the (doc, n, hash, len)-keyed shuffle carries
+    ~20 bytes per gram instead of the gram itself.  One map-side
+    explode branch per width, unioned (see the in-code note for why
+    this beats a single flatten-of-9 expression ~4×), then one keyed
+    count and one doc rollup with conditional aggregates — map-side
+    partial combine, never per-row quadratic.  Hashing the identity is
+    the line_dedup/CCNet semantics: a collision within one (doc, width)
+    merges two gram counts with probability ~grams²/2⁶⁴ — negligible
+    below ~10⁹ grams per document.
     """
     all_ns = [*top_ns, *dup_ns]
     words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
-    base = documents.select("doc_id", words.alias("_ws"))
-    ws = F.col("_ws")
 
-    def grams_of(n: int):
+    # One branch per width, UNIONed — each branch is the proven
+    # single-transform shingles shape (explode + relational null
+    # filter).  Folding all widths into one flatten(array(9 × transform))
+    # expression is 3-4× slower: HOF lambdas evaluate interpreted, and
+    # the giant per-row expression (9 arrays built, flattened, filtered
+    # in array-land) dominates — measured 15.6s vs 4.2s at sf0.1.  The
+    # union re-reads the pruned text column once per width; pass a
+    # cached/checkpointed frame when the upstream lineage is expensive.
+    # "_chars" = word lengths + joining spaces via the native
+    # length(array_join(..)), not an interpreted aggregate HOF.
+    def branch(n: int) -> DataFrame:
+        base = documents.select("doc_id", words.alias("_ws"))
+        ws = F.col("_ws")
+
         def make(x, i):
-            parts = None
-            for j in range(n):
-                piece = F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
-                parts = piece if parts is None else F.concat(
-                    parts, F.lit(" "), piece
-                )
+            pieces = [
+                F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+                for j in range(n)
+            ]
+            glen = F.length(pieces[0])
+            for p in pieces[1:]:
+                glen = glen + F.length(p)
             return F.when(
-                i + n <= F.size(ws), F.struct(F.lit(n).alias("n"),
-                                              parts.alias("gram"))
+                i + n <= F.size(ws),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(*pieces).alias("h"),
+                    (glen + F.lit(n - 1)).alias("l"),
+                ),
             )
 
-        return F.transform(ws, make)
+        return base.select(
+            "doc_id",
+            F.length(F.array_join(ws, " ")).cast("double").alias("_chars"),
+            F.explode(F.transform(ws, make)).alias("_g"),
+        ).where(F.col("_g").isNotNull())
 
-    tagged = base.select(
-        "doc_id",
-        (
-            F.aggregate(
-                F.transform(ws, lambda w: F.length(w)),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            )
-            + F.greatest(F.size(ws) - 1, F.lit(0))
-        ).cast("double").alias("_chars"),
-        F.explode(
-            F.filter(
-                F.flatten(F.array(*[grams_of(n) for n in all_ns])),
-                lambda g: g.isNotNull(),
-            )
-        ).alias("_g"),
-    )
+    tagged = branch(all_ns[0])
+    for n in all_ns[1:]:
+        tagged = tagged.unionByName(branch(n))
     counted = tagged.groupBy(
-        "doc_id", "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
+        "doc_id",
+        "_chars",
+        F.col("_g.n").alias("_n"),
+        F.col("_g.h").alias("_h"),
+        F.col("_g.l").alias("_l"),
     ).agg(F.count("*").alias("_c"))
-    glen = F.length("_gram")
+    glen = F.col("_l")
     aggs = []
     for n in top_ns:
         aggs.append(

@@ -34,9 +34,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from flink_bm25_spark.operators.cleaning import (
+        c4_line_filter,
         curation_pipeline,
         web_intake_pipeline,
     )
+    from flink_bm25_spark.operators.text_analysis import gopher_filter
     from flink_bm25_spark.operators.dedup import (
         jaccard_pairs,
         minhash_dedup_pairs,
@@ -144,6 +146,20 @@ def main() -> None:
         )
         .where(F.length("cleaned_text") >= 0)
         .count(),
+        # the composed Gopher filter: flags map-side, unit + 9-width
+        # (n, gram) counts corpus-linear — the salted replicas keep
+        # per-doc repetition structure identical, so verdicts replicate
+        # exactly M× and only engine cost varies
+        "gopher_filter": lambda d: gopher_filter(d).count(),
+        # C4 line/page rules: pure map-side projection + filter
+        "c4_line_filter": lambda d: c4_line_filter(
+            d.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+ ){7}\S+) ", "$1.\n"
+                ).alias("text"),
+            )
+        ).count(),
         # the engine's one Python hot path (Arrow FMM segmentation) —
         # map-side, so the exponent must be ~1 and the partition spread
         # must actually engage (a 1-core stage would show here as a
