@@ -261,6 +261,8 @@ def gopher_ngram_fracs(
     below ~10⁹ grams per document.
     """
     all_ns = [*top_ns, *dup_ns]
+    if not all_ns:
+        return documents.select("doc_id")
     words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
 
     # One branch per width, UNIONed — each branch is the proven
