@@ -7,7 +7,7 @@ each has an exact ANSI-SQL twin for the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_bm25_spark.functions.hashing import rolling_fingerprint
@@ -869,7 +869,6 @@ def lm_perplexity_scores(
     """
     bigrams = _bigram_relation(documents)
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
         documents.select(
             F.explode(
@@ -880,7 +879,9 @@ def lm_perplexity_scores(
         )
         .agg(F.countDistinct("w").alias("v"))
     )
-    model = lm_model(pair_counts, uni_counts, vocab, alpha)
+    # uni_counts=None: C(w1) derived as the pair-marginal window sum —
+    # one pass over pair TYPES, not a second corpus bigram aggregation
+    model = lm_model(pair_counts, None, vocab, alpha)
     return lm_score(documents, model)
 
 
@@ -968,7 +969,7 @@ def lm_fit_by(
     pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
         F.count("*").alias("c12")
     )
-    uni_counts = bigrams.groupBy(by_col, "w1").agg(F.count("*").alias("c1"))
+
     vocab = (
         documents.select(
             F.col(by_col),
@@ -981,7 +982,8 @@ def lm_fit_by(
         .groupBy(by_col)
         .agg(F.countDistinct("w").alias("v"))
     )
-    return lm_model(pair_counts, uni_counts, vocab, alpha, group_cols=[by_col])
+    # uni_counts=None: per-group pair-marginal window sum (see lm_model)
+    return lm_model(pair_counts, None, vocab, alpha, group_cols=[by_col])
 
 
 def ccnet_buckets_by(
@@ -1110,7 +1112,7 @@ def quality_percentile_gate_by_approx(
 
 def lm_model(
     pair_counts: DataFrame,
-    uni_counts: DataFrame,
+    uni_counts: DataFrame | None,
     vocab: DataFrame,
     alpha: float,
     group_cols: list[str] | None = None,
@@ -1121,12 +1123,30 @@ def lm_model(
     data.  With ``group_cols`` (e.g. per-language models), every join is
     keyed on the group too: the ungrouped vocabulary is a broadcast
     1-row scalar; a grouped vocabulary is a groups-sized keyed relation
-    (null group keys form their own model — null-safe join)."""
+    (null group keys form their own model — null-safe join).
+
+    ``uni_counts=None`` derives the context counts INSIDE the pair
+    relation — ``C(w1) = Σ_w2 C(w1,w2)`` exactly, as a sum over a
+    window partitioned by (*group, w1) — so fitting costs one pass over
+    the pair-type relation instead of a second corpus-sized bigram
+    extraction + aggregation (Spark does not reuse the shared bigram
+    subplan across the two branches; at 100 TB pair TYPES ≪ tokens, so
+    the window form is the scale shape).  Window partitions are
+    per-(group, w1) — bounded by the w2 fan-out of one context word,
+    never the corpus.  Pass an explicit ``uni_counts`` only when the
+    context counts genuinely differ from the pair marginals (e.g. a
+    truncated pair relation)."""
     g = list(group_cols or [])
     logp = F.log(
         (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
     )
-    fitted = nullsafe_key_join(pair_counts, uni_counts, [*g, "w1"]) if g else pair_counts.join(uni_counts, "w1")
+    if uni_counts is None:
+        w = Window.partitionBy(*g, "w1")
+        fitted = pair_counts.withColumn("c1", F.sum("c12").over(w))
+    elif g:
+        fitted = nullsafe_key_join(pair_counts, uni_counts, [*g, "w1"])
+    else:
+        fitted = pair_counts.join(uni_counts, "w1")
     if g:
         fitted = nullsafe_key_join(fitted, vocab, g)
     else:

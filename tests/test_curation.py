@@ -636,9 +636,21 @@ def test_ccnet_buckets_approx_agrees_off_boundary(spark):
     disagree = sum(1 for k in exact if exact[k] != approx[k])
     # sketch error only near the two cuts
     assert disagree <= len(exact) * 0.05
-    # the approx plan never sorts globally: no Window in it
+    # the approx plan never sorts globally: every window PARTITIONED
+    # (the LM fit's pair-marginal c1 window is keyed on w1 — bounded by
+    # one context word's fan-out, never a corpus sort)
+    import re
+
     plan = ccnet_buckets_approx(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    spec_re = re.compile(r"windowspecdefinition\(([^,]+),")
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        m = spec_re.search(line)
+        first_arg = m.group(1) if m else ""
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"unpartitioned window: {line}"
+        )
 
 
 def test_fit_and_component_memos_hit_on_repeat(spark):
