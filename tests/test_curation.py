@@ -911,3 +911,61 @@ def test_c4_line_filter_rules(spark):
     for d in (2, 3, 4):
         assert got[d].cleaned_text == good
         assert got[d].n_lines == 4 and got[d].n_kept == 3
+
+
+def test_c4_line_filter_differential_random_corpus(spark):
+    """Seeded-random corpus vs a pure-Python rendering of the C4 rules:
+    cleaned_text / n_lines / n_kept and the page drop set agree exactly
+    on 150 docs mixing terminal/non-terminal lines, short lines,
+    javascript notices, lorem ipsum, braces, and empty pages."""
+    import random
+
+    from flink_bm25_spark.operators.cleaning import c4_line_filter
+
+    rng = random.Random(11)
+    vocab = [f"word{i}" for i in range(30)]
+
+    def line():
+        n = rng.randint(1, 9)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        r = rng.random()
+        if r < 0.5:
+            return body + rng.choice([".", "!", "?", '"'])
+        if r < 0.6:
+            return body + " javascript required."
+        return body  # no terminal punctuation
+
+    docs = []
+    for d in range(150):
+        ls = [line() for _ in range(rng.randint(0, 8))]
+        if rng.random() < 0.08:
+            ls.append("lorem ipsum filler.")
+        if rng.random() < 0.08:
+            ls.append("code { block }.")
+        docs.append((d, "\n".join(ls)))
+
+    def keep_line(x):
+        xs = x.rstrip(" ")
+        return (
+            bool(xs) and xs[-1] in '.!?"'
+            and len([w for w in x.split() if w]) >= 5
+            and "javascript" not in x.lower()
+        )
+
+    expect = {}
+    for d, text in docs:
+        lt = text.lower()
+        kept = [x for x in text.split("\n") if keep_line(x)]
+        ct = "\n".join(kept)
+        sentences = sum(ct.count(c) for c in ".!?")
+        if "lorem ipsum" in lt or "{" in lt or sentences < 3:
+            continue
+        expect[d] = (ct, len(text.split("\n")), len(kept))
+
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_kept)
+        for r in c4_line_filter(spark.createDataFrame(
+            docs, "doc_id long, text string"
+        )).collect()
+    }
+    assert got == expect and expect  # non-vacuous
