@@ -1054,6 +1054,77 @@ def positional_shingles(documents: DataFrame, n: int = 10) -> DataFrame:
     ).select("doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gram")
 
 
+def positional_shingle_hashes(
+    documents: DataFrame, n: int = 10
+) -> DataFrame:
+    """``(doc_id, pos, gh)`` — word n-grams as 64-bit IDENTITY hashes
+    with their 0-based start position.  The span-dedup family only ever
+    uses the gram as an equality key, so the gram text is never built:
+    each slot emits ``xxhash64(w_i, …, w_{i+n-1})`` directly (no
+    concatenation; ~8-byte join/shuffle keys instead of ~60-char
+    strings).  Same hashed-identity semantics as :func:`line_dedup`:
+    a collision falsely merges two grams with probability ~grams²/2⁶⁴
+    — negligible below ~10⁹ distinct grams.  Null tail slots are
+    dropped RELATIONALLY after the explode (interpreted array-level
+    filters cost ~2s per width at sf0.1 — see THROUGHPUT r5)."""
+    base = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
+    )
+    ws = F.col("_ws")
+
+    def make(x, i):
+        pieces = [
+            F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+            for j in range(n)
+        ]
+        return F.when(
+            i + n <= F.size(ws),
+            F.struct(i.alias("pos"), F.xxhash64(*pieces).alias("gh")),
+        )
+
+    return (
+        base.select(
+            "doc_id", F.explode(F.transform(ws, make)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .select(
+            "doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gh"
+        )
+    )
+
+
+def _cross_doc_gram_hashes(documents: DataFrame, n: int) -> DataFrame:
+    """``(gh)`` — identity hashes of grams appearing in ≥ 2 DISTINCT
+    documents.  Per-doc dedup happens map-side on the HASH array
+    (``array_distinct`` over longs — cheaper than over gram strings),
+    so the aggregation's count(*) is a document frequency, exactly the
+    ``shingles``-based form this replaces."""
+    base = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
+    )
+    ws = F.col("_ws")
+
+    def make(x, i):
+        pieces = [
+            F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+            for j in range(n)
+        ]
+        return F.when(i + n <= F.size(ws), F.xxhash64(*pieces))
+
+    return (
+        base.select(
+            F.explode(
+                F.array_distinct(F.transform(ws, make))
+            ).alias("gh")
+        )
+        .where(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count("*").alias("gdf"))
+        .where(F.col("gdf") >= 2)
+        .select("gh")
+    )
+
+
 def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
     """``(doc_id, n_tokens, n_dup_tokens, dup_frac)`` — the fraction of
     each document's tokens covered by an n-gram that also appears in
@@ -1070,19 +1141,12 @@ def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
     happens between two aggregations with map-side partial combine.
     Docs with zero duplicated spans are reported at 0.0.
     """
-    pos_sh = positional_shingles(documents, n)
-    # Gram doc-frequency needs only DISTINCT (doc, gram): derive it from
-    # the map-side array_distinct shingle relation instead of
-    # re-deriving the positional explode a second time (pos_sh would
-    # otherwise be computed once per reference).
-    cross_doc = (
-        shingles(documents, n)
-        .groupBy("gram")
-        .agg(F.count("*").alias("gdf"))
-        .where(F.col("gdf") >= 2)
-        .select("gram")
-    )
-    flagged = pos_sh.join(cross_doc, "gram")
+    pos_sh = positional_shingle_hashes(documents, n)
+    # Gram doc-frequency from the map-side DISTINCT-HASH relation — the
+    # positional explode is derived exactly once, and both join sides
+    # carry 8-byte identities, never gram text.
+    cross_doc = _cross_doc_gram_hashes(documents, n)
+    flagged = pos_sh.join(cross_doc, "gh")
     covered = (
         flagged.select(
             "doc_id",
@@ -1198,17 +1262,11 @@ def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
     Scale shape: positional n-grams → gram doc-frequency ≥ 2 → covered
     offsets anti-join the token relation (see :func:`_reassemble_without`).
     """
-    pos_sh = positional_shingles(documents, n)
-    # df side from the map-side distinct shingle relation (see
-    # duplicated_span_fraction) — pos_sh is derived exactly once.
-    cross_doc = (
-        shingles(documents, n)
-        .groupBy("gram")
-        .agg(F.count("*").alias("gdf"))
-        .where(F.col("gdf") >= 2)
-        .select("gram")
-    )
-    return _reassemble_without(documents, pos_sh.join(cross_doc, "gram"), n)
+    pos_sh = positional_shingle_hashes(documents, n)
+    # df side from the map-side distinct-hash relation (see
+    # duplicated_span_fraction) — 8-byte identities on both join sides.
+    cross_doc = _cross_doc_gram_hashes(documents, n)
+    return _reassemble_without(documents, pos_sh.join(cross_doc, "gh"), n)
 
 
 def remove_repeated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
@@ -1227,8 +1285,8 @@ def remove_repeated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    pos_sh = positional_shingles(documents, n)
-    w = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    pos_sh = positional_shingle_hashes(documents, n)
+    w = Window.partitionBy("doc_id", "gh").orderBy("pos")
     repeats = (
         pos_sh.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") > 1)
