@@ -818,3 +818,43 @@ def test_line_dedup_differential_random_corpus(spark):
         for r in line_dedup(df).collect()
     }
     assert got == expect
+
+
+def test_positional_shingle_hashes_match_text_form(spark):
+    """positional_shingle_hashes is the identity-only twin of
+    positional_shingles (the text form stays public for span
+    display/attribution): same (doc_id, pos) set, and the hash at each
+    position equals xxhash64 over that position's gram words."""
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.dedup import (
+        positional_shingle_hashes,
+        positional_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    n = 3
+    text_form = positional_shingles(docs, n)
+    hash_form = positional_shingle_hashes(docs, n)
+    # identical (doc, pos) coverage
+    t = {(r.doc_id, r.pos): r.gram for r in text_form.collect()}
+    h = {(r.doc_id, r.pos): r.gh for r in hash_form.collect()}
+    assert set(t) == set(h) and t
+    # hash at each position == xxhash64 over the gram's words
+    words = {k: v.split(" ") for k, v in t.items()}
+    expected = {
+        k: r.gh
+        for k, r in zip(
+            sorted(words),
+            spark.createDataFrame(
+                [tuple(words[k]) for k in sorted(words)],
+                ", ".join(f"w{i} string" for i in range(n)),
+            )
+            .select(F.xxhash64(*[f"w{i}" for i in range(n)]).alias("gh"))
+            .collect(),
+        )
+    }
+    assert {k: h[k] for k in sorted(h)} == expected
