@@ -79,6 +79,18 @@ ADDITIONS = [
 ]
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — loadavg cannot see a
+    noisy neighbor on a shared host, steal time can (observed 37s vs
+    46s headline totals at identical ~0 loadavg starts)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:  # noqa: BLE001 — sentinel is best-effort
+        return 0, 0
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from flink_bm25_spark.session import get_spark
@@ -94,6 +106,7 @@ def main() -> None:
     # whichever query happens to run first.
     extra_names = [n for n in ADDITIONS if n in qs]
     loadavg_start = os.getloadavg()
+    steal0, total0 = _cpu_times()
     runs: dict[str, list[float]] = {}
     # BOTH headline iterations run before any ADDITIONS query: the frozen
     # headline total must stay comparable round-over-round even as the
@@ -117,6 +130,8 @@ def main() -> None:
     # per-query iteration spread (max-min across the two runs), means
     # the recorded numbers reflect the machine, not the plans.
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
+    steal1, total1 = _cpu_times()
+    steal_pct = round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -130,6 +145,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpu_steal_pct": steal_pct,
                 "iter_spread_max": max(spread.values()) if spread else 0.0,
                 "iter_spread": spread,
             }
