@@ -107,6 +107,15 @@ def main() -> None:
     extra_names = [n for n in ADDITIONS if n in qs]
     loadavg_start = os.getloadavg()
     steal0, total0 = _cpu_times()
+    # Fixed single-thread CPU probe: same-code headline totals varied
+    # 37-46s on this host at ~0 loadavg AND ~1% steal, i.e. effective
+    # core speed itself fluctuates.  calib_sec measures it directly;
+    # compare totals ACROSS artifacts via total/calib_sec.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    calib_sec = round(time.perf_counter() - t0, 3)
     runs: dict[str, list[float]] = {}
     # BOTH headline iterations run before any ADDITIONS query: the frozen
     # headline total must stay comparable round-over-round even as the
@@ -146,6 +155,7 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in loadavg_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cpu_steal_pct": steal_pct,
+                "calib_sec": calib_sec,
                 "iter_spread_max": max(spread.values()) if spread else 0.0,
                 "iter_spread": spread,
             }
