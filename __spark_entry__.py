@@ -2882,6 +2882,26 @@ def _q_lm_score_frozen(spark, sf_dir):
     return lm_score(score, model, group_cols=["lang"])
 
 
+def _q_lm_score_backoff(spark, sf_dir):
+    # The backoff form of the frozen scorer (r5 verdict item 4): same
+    # even-half model, but unseen bigrams score CCNet's add-alpha
+    # smoothing -- -ln(alpha/(c1+alpha*V)) for a known context word,
+    # ln(V) for an unknown one -- so every bigram of every odd doc
+    # scores and n_known reports the exact-model hit count.
+    from flink_bm25_spark.operators.text_analysis import (
+        lm_fit_backoff_by,
+        lm_score_backoff,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    model, contexts, defaults = lm_fit_backoff_by(train, "lang", alpha=0.1)
+    return lm_score_backoff(
+        score, model, contexts, defaults, group_cols=["lang"]
+    )
+
+
 def _q_ngram_diversity(spark, sf_dir):
     # distinct-n diversity per source — the mode-collapse monitor for
     # synthetic/generated feeds (decaying ratio = same constructions on
@@ -3146,10 +3166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cjk_fmm": _q_cjk_fmm,
         "q_tf": _q_tf,
         "q_df": _q_df,
-        "q_tfidf": _q_tfidf,
         "q_bm25_rank": _q_bm25_rank,
         "q_hybrid_rrf": _q_hybrid_rrf,
-        "q_topk_per_doc": _q_topk_per_doc,
         "q_tf_vector_sink": _q_tf_vector_sink,
         "q_top30_lines": _q_top30_lines,
         "q_tpch_q1": _q_tpch_q1,
@@ -3182,7 +3200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_learn": _q_bpe_learn,
         "q_bpe_encode": _q_bpe_encode,
         "q_ccnet_buckets": _q_ccnet_buckets,
-        "q_quality_gate": _q_quality_gate,
         "q_textrank": _q_textrank,
         "q_quality_classifier": _q_quality_classifier,
         "q_dq_summary": _q_dq_summary,
@@ -3194,6 +3211,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 window rotation (r4 verdict item 3): flagships in, micro-
         # queries whose operators are covered by in-window composites out
         "q_line_dedup": _q_line_dedup,
+        # r6 window rotation (r5 verdict item 2): the published-filter
+        # family flagships get the external hard signal; out went
+        # q_tfidf (covered by q_bm25_rank's tf x idf composite),
+        # q_topk_per_doc (same top-30 window as q_top30_lines), and
+        # q_quality_gate (the grouped q_quality_gate_by_lang is the
+        # general form) -- all three stay oracle-swept below
+        "q_gopher_filter": _q_gopher_filter,
+        "q_c4_line_filter": _q_c4_line_filter,
+        "q_lm_score_frozen": _q_lm_score_frozen,
         "q_web_intake": _q_web_intake,
         "q_ccnet_by_lang": _q_ccnet_by_lang,
         "q_quality_gate_by_lang": _q_quality_gate_by_lang,
@@ -3210,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_scores by quality_gate+curation, lm_perplexity by
         # ccnet_buckets, embed_quantize by the ANN tier queries)
         "q_corpus_clean": _q_corpus_clean,
+        "q_tfidf": _q_tfidf,
+        "q_topk_per_doc": _q_topk_per_doc,
+        "q_quality_gate": _q_quality_gate,
         "q_more_like_this": _q_more_like_this,
         "q_distinct_words": _q_distinct_words,
         "q_sort_desc": _q_sort_desc,
@@ -3217,12 +3246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_quantize": _q_embed_quantize,
         "q_quality_scores": _q_quality_scores,
         "q_lm_perplexity": _q_lm_perplexity,
-        "q_lm_score_frozen": _q_lm_score_frozen,
+        "q_lm_score_backoff": _q_lm_score_backoff,
         "q_gopher_flags": _q_gopher_flags,
-        "q_c4_line_filter": _q_c4_line_filter,
         "q_gopher_repetition": _q_gopher_repetition,
         "q_gopher_ngram_fracs": _q_gopher_ngram_fracs,
-        "q_gopher_filter": _q_gopher_filter,
         "q_temperature_mix": _q_temperature_mix,
         "q_training_shuffle": _q_training_shuffle,
         # sketches
@@ -4452,7 +4479,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS word, rank AS tr_rank FROM r3
         """,
         "q_dq_null_profile": """
-            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+            SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
                    round(CAST(count(*) - count(doc_id) AS DOUBLE)
                          / count(*), 6) AS null_frac
@@ -6612,8 +6639,15 @@ def oracle_sql() -> dict[str, str]:
             f" THEN {concat} END), v -> v IS NOT NULL)) AS gram FROM base"
         )
 
+    # top-gram = char mass of the MOST FREQUENT gram (argmax by count,
+    # count ties to the longer gram — same product when both tie), with
+    # the missing-width aggregate coalesced to 0 BEFORE the least cap
+    # (r5 ADVICE; least would skip the NULL and report 1.0).  The
+    # ordering packs (count, len) into one BIGINT, exact below 2^31
+    # each — mirrors the engine's max_by key bit for bit.
     _g_aggs = ", ".join(
-        f"round(least(1.0, max(CASE WHEN n = {n} THEN c * len(gram) END)"
+        f"round(least(1.0, coalesce(arg_max(c * len(gram),"
+        f" CASE WHEN n = {n} THEN c * 2147483648 + len(gram) END), 0)"
         f" / chars), 6) AS top_{n}gram_char_frac"
         for n in _g_tops
     ) + ", " + ", ".join(
@@ -6693,11 +6727,13 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(ws,
                      w -> CAST(len(w) AS DOUBLE))) / len(ws), 6) END
                    AS mean_word_len,
-                 CASE WHEN len(ws) > 0 THEN round((
+                 CASE WHEN len(ws) > 0 THEN round(
                    (len(t) - len(replace(t, '#', '')))
-                   + (len(t) - len(replace(t, '...', ''))) / 3.0
+                   / len(ws), 6) END AS hash_word_ratio,
+                 CASE WHEN len(ws) > 0 THEN round((
+                   (len(t) - len(replace(t, '...', ''))) / 3.0
                    + (len(t) - len(replace(t, chr(8230), '')))
-                 ) / len(ws), 6) END AS symbol_word_ratio,
+                 ) / len(ws), 6) END AS ellipsis_word_ratio,
                  round(CAST(len(list_filter(ls, x ->
                    regexp_matches(ltrim(x),
                      '^[-*' || chr(8226) || chr(8227) || chr(9642)
@@ -6721,7 +6757,8 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(
                    n_words BETWEEN 50 AND 100000
                    AND mean_word_len BETWEEN 3.0 AND 10.0
-                   AND symbol_word_ratio <= 0.1
+                   AND hash_word_ratio <= 0.1
+                   AND ellipsis_word_ratio <= 0.1
                    AND bullet_line_frac <= 0.9
                    AND ellipsis_line_frac <= 0.3
                    AND alpha_word_frac >= 0.8
@@ -6920,11 +6957,13 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(ws,
                      w -> CAST(len(w) AS DOUBLE))) / len(ws), 6) END
                    AS mean_word_len,
-                 CASE WHEN len(ws) > 0 THEN round((
+                 CASE WHEN len(ws) > 0 THEN round(
                    (len(t) - len(replace(t, '#', '')))
-                   + (len(t) - len(replace(t, '...', ''))) / 3.0
+                   / len(ws), 6) END AS hash_word_ratio,
+                 CASE WHEN len(ws) > 0 THEN round((
+                   (len(t) - len(replace(t, '...', ''))) / 3.0
                    + (len(t) - len(replace(t, chr(8230), '')))
-                 ) / len(ws), 6) END AS symbol_word_ratio,
+                 ) / len(ws), 6) END AS ellipsis_word_ratio,
                  round(CAST(len(list_filter(ls, x ->
                    regexp_matches(ltrim(x),
                      '^[-*' || chr(8226) || chr(8227) || chr(9642)
@@ -6943,13 +6982,15 @@ def oracle_sql() -> dict[str, str]:
                    s -> len(list_filter(ws, w -> lower(w) = s)) > 0))
                    AS n_required_stops
           FROM base)
-        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+               ellipsis_word_ratio,
                bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
                n_required_stops,
                coalesce(
                  n_words BETWEEN 50 AND 100000
                  AND mean_word_len BETWEEN 3.0 AND 10.0
-                 AND symbol_word_ratio <= 0.1
+                 AND hash_word_ratio <= 0.1
+                 AND ellipsis_word_ratio <= 0.1
                  AND bullet_line_frac <= 0.9
                  AND ellipsis_line_frac <= 0.3
                  AND alpha_word_frac >= 0.8
@@ -6991,6 +7032,56 @@ def oracle_sql() -> dict[str, str]:
           FROM sbg s JOIN pc USING (lang, w1, w2) JOIN uc USING (lang, w1)
                      JOIN vv USING (lang))
         SELECT doc_id, lang, count(*) AS n_bigrams, round(avg(nl), 6) AS nll
+        FROM sc GROUP BY doc_id, lang
+    """
+    # backoff twin: unseen bigrams take the add-alpha smoothed cost via
+    # LEFT joins (known pair -> exact nl; known context -> nl0; known
+    # group -> ln(V)), n_known counts exact-model hits
+    out["q_lm_score_backoff"] = r"""
+        WITH trainb AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id % 2 = 0),
+        scoreb AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id % 2 = 1),
+        tbg AS (
+          SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, lang, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM trainb) WHERE p IS NOT NULL),
+        sbg AS (
+          SELECT doc_id, lang, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, lang, unnest(list_transform(ws, (x, i) ->
+              CASE WHEN i + 1 <= len(ws)
+                   THEN {'w1': ws[i], 'w2': ws[i+1]} END)) AS p
+            FROM scoreb) WHERE p IS NOT NULL),
+        pc AS (SELECT lang, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1,2,3),
+        uc AS (SELECT lang, w1, count(*) AS c1 FROM tbg GROUP BY 1, 2),
+        vv AS (SELECT lang, count(DISTINCT w) AS v
+               FROM (SELECT lang, unnest(ws) AS w FROM trainb) GROUP BY lang),
+        sc AS (
+          SELECT s.doc_id, s.lang,
+                 CASE WHEN pc.c12 IS NOT NULL
+                        THEN -ln((pc.c12 + 0.1) / (uc.c1 + 0.1 * vv.v))
+                      WHEN uc.c1 IS NOT NULL
+                        THEN -ln(0.1 / (uc.c1 + 0.1 * vv.v))
+                      WHEN vv.v IS NOT NULL THEN ln(vv.v)
+                 END AS nl,
+                 pc.c12 IS NOT NULL AS known
+          FROM sbg s
+          LEFT JOIN pc ON s.lang = pc.lang AND s.w1 = pc.w1
+                      AND s.w2 = pc.w2
+          LEFT JOIN uc ON s.lang = uc.lang AND s.w1 = uc.w1
+          LEFT JOIN vv ON s.lang = vv.lang)
+        SELECT doc_id, lang, count(*) AS n_bigrams,
+               CAST(count(CASE WHEN known THEN 1 END) AS BIGINT)
+                 AS n_known,
+               round(avg(nl), 6) AS nll
         FROM sc GROUP BY doc_id, lang
     """
     out["q_ngram_diversity"] = r"""

@@ -76,6 +76,10 @@ ADDITIONS = [
     "q_web_intake",
     "q_gopher_filter",
     "q_c4_line_filter",
+    # r6: the single-scan ngram rewrite + the new backoff scorer
+    "q_gopher_ngram_fracs",
+    "q_lm_score_frozen",
+    "q_lm_score_backoff",
 ]
 
 
@@ -156,6 +160,17 @@ def main() -> None:
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cpu_steal_pct": steal_pct,
                 "calib_sec": calib_sec,
+                # r5 verdict item 6: effective core speed swings ~2× on
+                # this shared host — totals are only comparable ACROSS
+                # artifacts as total/calib_sec.  `contended` tags an
+                # artifact recorded under load (loadavg_start above 2):
+                # its raw numbers reflect the machine, not the plans.
+                "value_per_calib": round(
+                    sum(timings.values()) / calib_sec, 2
+                )
+                if calib_sec > 0
+                else None,
+                "contended": loadavg_start[0] > 2.0,
                 "iter_spread_max": max(spread.values()) if spread else 0.0,
                 "iter_spread": spread,
             }

@@ -38,12 +38,30 @@ def _tokenize_query(query: str, stopwords: tuple[str, ...] = STOPWORDS) -> tuple
     return terms
 
 
-def _write_safe(df, path):  # noqa: ANN001 — DataFrame, str
+def _write_safe(df, path, compact=False):  # noqa: ANN001 — DataFrame, str
     """Overwrite-safe parquet write: eagerly truncate lineage first so a
     plan that still READS ``path`` (state loaded from the same store it
     is being saved back to) cannot race its own overwrite.  Returns the
-    checkpointed frame so callers can keep the truncated lineage."""
+    checkpointed frame so callers can keep the truncated lineage.
+
+    ``compact=True`` (r5 verdict item 7) bounds small-file growth for
+    APPEND-ONLY union-chain stores (LineScreen lines, WinnowScreen fps,
+    EmbeddingDeduper keys): each batch appends a delta's partitions, so
+    after many batches the store is hundreds of tiny files.  When the
+    partition count exceeds 2× the cluster's default parallelism, the
+    store is coalesced (narrow, no shuffle) to
+    ``max(defaultParallelism, rows / 2M)`` — parallelism-floor for
+    small stores, ~2M rows (≈ one comfortable parquet file) per
+    partition for large ones, so at 100 TB compaction keeps file sizes
+    sane instead of collapsing the store onto a handful of writers."""
     out = df.localCheckpoint(eager=True)
+    if compact:
+        n_parts = out.rdd.getNumPartitions()
+        floor_parts = out.sparkSession.sparkContext.defaultParallelism
+        if n_parts > 2 * floor_parts:
+            target = max(floor_parts, out.count() // 2_000_000 + 1)
+            if target < n_parts:
+                out = out.coalesce(int(target))
     out.write.mode("overwrite").parquet(path)
     return out
 
@@ -435,7 +453,7 @@ class EmbeddingDeduper:
 
         sub = os.path.join(path, "keys")
         if self.keys_wide is not None:
-            self.keys_wide = _write_safe(self.keys_wide, sub)
+            self.keys_wide = _write_safe(self.keys_wide, sub, compact=True)
         elif os.path.exists(sub):
             shutil.rmtree(sub)
 
@@ -524,7 +542,7 @@ class WinnowScreen:
 
         sub = os.path.join(path, "fps")
         if self.fps is not None:
-            self.fps = _write_safe(self.fps, sub)
+            self.fps = _write_safe(self.fps, sub, compact=True)
         elif os.path.exists(sub):
             shutil.rmtree(sub)
 
@@ -729,7 +747,9 @@ class LineScreen:
 
     def save(self, path: str) -> None:
         if self.lines is not None:
-            self.lines = _write_safe(self.lines, os.path.join(path, "lines"))
+            self.lines = _write_safe(
+                self.lines, os.path.join(path, "lines"), compact=True
+            )
 
     def checkpoint_state(self, path: str) -> None:
         """Eager lineage truncation + persist (union-chain depth grows
@@ -776,7 +796,11 @@ class WebIntakeScreen:
     perplexity is the correct reading of "the reference LM has never
     seen this".  A GROUP absent from the reference has no operating
     points; its docs bucket ``tail`` and gate against the global
-    fallback cut.
+    fallback cut.  ``fit(backoff=True)`` refines the partial case:
+    unseen bigrams score CCNet's own add-α smoothing
+    (``lm_score_backoff``) instead of being skipped, so a half-OOD doc
+    ranks between in-domain and fully-OOD rather than on its known
+    subset only; only the no-group case still yields null ``nll``.
     """
 
     def __init__(
@@ -788,10 +812,15 @@ class WebIntakeScreen:
         by_col: str = "lang",
         text_col: str = "text",
         sep: str = "\n",
+        contexts: DataFrame | None = None,
+        defaults: DataFrame | None = None,
     ):
         self.model = model              # (by, w1, w2, nl) — frozen
         self.nll_cuts = nll_cuts        # (by, nll_c1, nll_c2) — frozen
         self.score_cuts = score_cuts    # (by, score_cut) — frozen
+        # backoff relations (both or neither; see fit(backoff=True)):
+        self.contexts = contexts        # (by, w1, nl0) — frozen
+        self.defaults = defaults        # (by, nl_oov) — frozen
         self.global_score_cut = global_score_cut
         self.by_col = by_col
         self.text_col = text_col
@@ -808,19 +837,36 @@ class WebIntakeScreen:
         quality_cutoff: float = 0.75,
         text_col: str = "text",
         sep: str = "\n",
+        backoff: bool = False,
     ) -> "WebIntakeScreen":
         """Train the per-group LM on ``reference`` and freeze the
         operating points: per-group nll tercile boundaries (exact
         interpolated percentiles — these are thresholds, not ranks) and
         the per-group quality cut at ``quality_cutoff``, plus a global
-        fallback cut for groups the reference has never seen."""
+        fallback cut for groups the reference has never seen.
+
+        ``backoff=True`` (r5 verdict item 4) additionally freezes the
+        add-α backoff relations (``lm_fit_backoff_by``), so
+        ``screen_batch`` scores EVERY bigram of every future doc — a
+        partially out-of-domain page pays ``-ln(α/(c1+αV))`` /
+        ``ln(V)`` for its unknown half instead of scoring on its known
+        subset only.  The operating points are unchanged: on the
+        reference corpus itself every bigram is model-known, so the
+        two scorers agree exactly there."""
         from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
+            lm_fit_backoff_by,
             lm_fit_by,
             lm_score,
             quality_scores,
         )
 
-        model = lm_fit_by(reference, by_col, alpha)
+        contexts = defaults = None
+        if backoff:
+            model, contexts, defaults = lm_fit_backoff_by(
+                reference, by_col, alpha
+            )
+        else:
+            model = lm_fit_by(reference, by_col, alpha)
         scored = lm_score(reference, model, group_cols=[by_col])
         nll_cuts = scored.groupBy(by_col).agg(
             F.round(F.percentile("nll", F.lit(cuts[0])), 6).alias("nll_c1"),
@@ -847,12 +893,15 @@ class WebIntakeScreen:
             by_col=by_col,
             text_col=text_col,
             sep=sep,
+            contexts=contexts,
+            defaults=defaults,
         )
 
     def screen_batch(self, new_documents: DataFrame) -> DataFrame:
         from flink_bm25_spark.functions.text import strip_markup  # noqa: PLC0415
         from flink_bm25_spark.operators.text_analysis import (  # noqa: PLC0415
             lm_score,
+            lm_score_backoff,
             quality_scores,
         )
 
@@ -869,9 +918,18 @@ class WebIntakeScreen:
         # (nll null) or an unseen group (cut nulls) must surface, not
         # silently vanish — the degradation contract routes it to 'tail'
         # and the global fallback cut.
-        scored = lm_score(docs, self.model, group_cols=[by]).select(
-            "doc_id", "nll"
-        )
+        if self.contexts is not None:
+            scored = lm_score_backoff(
+                docs,
+                self.model,
+                self.contexts,
+                self.defaults,
+                group_cols=[by],
+            ).select("doc_id", "nll")
+        else:
+            scored = lm_score(docs, self.model, group_cols=[by]).select(
+                "doc_id", "nll"
+            )
         qual = quality_scores(docs).select("doc_id", "keep_score")
         base = (
             docs.join(scored, "doc_id", "left")
@@ -920,6 +978,13 @@ class WebIntakeScreen:
         self.score_cuts = _write_safe(
             self.score_cuts, os.path.join(path, "score_cuts")
         )
+        if self.contexts is not None:
+            self.contexts = _write_safe(
+                self.contexts, os.path.join(path, "contexts")
+            )
+            self.defaults = _write_safe(
+                self.defaults, os.path.join(path, "defaults")
+            )
         self._lines.save(path)
         with open(os.path.join(path, "config.json"), "w") as fh:
             json.dump(
@@ -943,6 +1008,7 @@ class WebIntakeScreen:
     def load(cls, spark: SparkSession, path: str) -> "WebIntakeScreen":
         with open(os.path.join(path, "config.json")) as fh:
             cfg = json.load(fh)
+        ctx_path = os.path.join(path, "contexts")
         screen = cls(
             spark.read.parquet(os.path.join(path, "model")),
             spark.read.parquet(os.path.join(path, "nll_cuts")),
@@ -951,6 +1017,16 @@ class WebIntakeScreen:
             by_col=cfg["by_col"],
             text_col=cfg["text_col"],
             sep=cfg["sep"],
+            contexts=(
+                spark.read.parquet(ctx_path)
+                if os.path.exists(ctx_path)
+                else None
+            ),
+            defaults=(
+                spark.read.parquet(os.path.join(path, "defaults"))
+                if os.path.exists(os.path.join(path, "defaults"))
+                else None
+            ),
         )
         screen._lines = LineScreen.load(
             spark, path, text_col=cfg["text_col"], sep=cfg["sep"]

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 
 def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
-    """``(column, n_rows, n_null, null_frac)`` — one row per audited
+    """``(col_name, n_rows, n_null, null_frac)`` — one row per audited
     column, computed in a SINGLE aggregate pass (``count(col)`` skips
     nulls, so per-column non-null counters ride the same map-side partial
     aggregation; the explode that reshapes counters into rows happens on
@@ -39,14 +39,14 @@ def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     packed = F.array(
         *[
             F.struct(
-                F.lit(c).alias("column"),
+                F.lit(c).alias("col_name"),
                 (F.col("n_rows") - F.col(f"__nn_{c}")).alias("n_null"),
             )
             for c in cols
         ]
     )
     return agg.select("n_rows", F.explode(packed).alias("p")).select(
-        F.col("p.column").alias("column"),
+        F.col("p.col_name").alias("col_name"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("p.n_null").cast("long").alias("n_null"),
         F.round(

@@ -10,6 +10,9 @@ Exit code 1 on any mismatch.  Run it with an odd parallelism too
 (`local[5]` / 7 partitions) to catch order-dependent results.
 
 Set SWEEP_ONLY=q_a,q_b to restrict to a comma-separated subset.
+Set SWEEP_ANSI=1 to run the whole sweep under spark.sql.ansi.enabled=true
+(r5 verdict item 3: Spark 4 defaults ANSI on; the engine must hold green
+under it).
 """
 
 from __future__ import annotations
@@ -39,14 +42,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("driver_sweep")
-        .getOrCreate()
     )
+    if os.environ.get("SWEEP_ANSI"):
+        builder = builder.config("spark.sql.ansi.enabled", "true")
+    spark = builder.getOrCreate()
 
     import duckdb
 

@@ -38,7 +38,10 @@ def main() -> None:
         curation_pipeline,
         web_intake_pipeline,
     )
-    from flink_bm25_spark.operators.text_analysis import gopher_filter
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_filter,
+        gopher_ngram_fracs,
+    )
     from flink_bm25_spark.operators.dedup import (
         jaccard_pairs,
         minhash_dedup_pairs,
@@ -151,6 +154,12 @@ def main() -> None:
         # per-doc repetition structure identical, so verdicts replicate
         # exactly M× and only engine cost varies
         "gopher_filter": lambda d: gopher_filter(d).count(),
+        # r6: the single-scan n-gram branch on its own (one tokenize +
+        # localCheckpoint + 9 replay branches); the frac filter keeps
+        # Catalyst from pruning the rollup under count()
+        "gopher_ngram_fracs": lambda d: gopher_ngram_fracs(d)
+        .where(F.col("top_2gram_char_frac") >= 0)
+        .count(),
         # C4 line/page rules: pure map-side projection + filter
         "c4_line_filter": lambda d: c4_line_filter(
             d.select(
@@ -166,6 +175,28 @@ def main() -> None:
         # constant-slope wall regardless of M)
         "cjk_fmm_tokens": lambda d: _fmm_tokens(d).count(),
     }
+
+    # r6: WebIntakeScreen.screen_batch at 1×/4×/8× — the model and
+    # operating points are fitted ONCE (on the first mult seen, 1× by
+    # default) and FROZEN (eagerly checkpointed so fit cost is never
+    # billed to a screening leg); each leg screens its replica batch
+    # with a fresh line archive, so the measured work is the production
+    # per-batch cost: strip → incremental line dedup → frozen-model
+    # scoring join → frozen gates.  Replica salting keeps cross-replica
+    # lines distinct (archive grows M×) while rep-0 stays model-known.
+    from flink_bm25_spark.api import WebIntakeScreen
+
+    _screen_state: dict[str, WebIntakeScreen] = {}
+
+    def _lined(d):
+        return d.select(
+            "doc_id",
+            "lang",
+            F.regexp_replace(
+                F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+            ).alias("text"),
+        )
+
 
     rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}
     for mult in mults:
@@ -246,6 +277,40 @@ def main() -> None:
         rows.setdefault("edit_distance_pairs", {})[mult] = (dt, out)
         print(
             f"x{mult} ({np_} part rows) edit_distance_pairs: {out} rows"
+            f" in {dt:.1f}s",
+            flush=True,
+        )
+
+        # r6: WebIntakeScreen.screen_batch — fit happens OUTSIDE the
+        # timed window (first mult seen, eagerly checkpointed), so each
+        # leg times only the production per-batch cost against the
+        # frozen model with a fresh line archive.
+        lined = _lined(mat)
+        if "s" not in _screen_state:
+            fitted = WebIntakeScreen.fit(lined, quality_cutoff=0.25)
+            fitted.model = fitted.model.localCheckpoint(eager=True)
+            fitted.nll_cuts = fitted.nll_cuts.localCheckpoint(eager=True)
+            fitted.score_cuts = fitted.score_cuts.localCheckpoint(
+                eager=True
+            )
+            _screen_state["s"] = fitted
+        frozen = _screen_state["s"]
+        ws = WebIntakeScreen(
+            frozen.model,
+            frozen.nll_cuts,
+            frozen.score_cuts,
+            frozen.global_score_cut,
+        )
+        t0 = time.perf_counter()
+        out = (
+            ws.screen_batch(lined)
+            .where(F.length("cleaned_text") >= 0)
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        rows.setdefault("web_intake_screen_batch", {})[mult] = (dt, out)
+        print(
+            f"x{mult} ({n} docs) web_intake_screen_batch: {out} rows"
             f" in {dt:.1f}s",
             flush=True,
         )

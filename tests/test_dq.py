@@ -29,7 +29,7 @@ def _df(spark):
 
 def test_null_profile_counts_and_single_pass(spark):
     df = _df(spark)
-    prof = {r.column: r for r in null_profile(df).collect()}
+    prof = {r.col_name: r for r in null_profile(df).collect()}
     assert set(prof) == {"id", "tag", "v"}
     assert all(r.n_rows == 4 for r in prof.values())
     assert prof["id"].n_null == 0

@@ -766,7 +766,10 @@ def test_gopher_quality_flags_rules(spark):
     assert all(not got[i].keep for i in range(2, 10))
     assert got[2].n_words == 8
     assert got[3].mean_word_len == 2.0
-    assert got[4].symbol_word_ratio > 0.1
+    assert got[4].hash_word_ratio > 0.1
+    # r5 ADVICE: each symbol ratio is cut SEPARATELY — a hash-heavy doc
+    # fails on hash_word_ratio alone even with zero ellipses
+    assert got[4].ellipsis_word_ratio == 0.0
     assert got[5].bullet_line_frac == 1.0
     assert got[6].ellipsis_line_frac == 1.0
     assert got[7].alpha_word_frac < 0.8
@@ -814,6 +817,12 @@ def test_gopher_ngram_fracs_hand_cases(spark):
             (1, "a b a b a b"),  # chars=11; top-2 'a b' 3x len3 -> 9/11
             (2, "w " * 40),      # one word repeated: everything capped
             (3, ""),
+            # r5 ADVICE hand cases:
+            (4, "a b"),          # 2 tokens: no 3-gram exists -> 0.0, NOT
+                                 # the least(1.0, NULL)->1.0 regression
+            # 'cc cc' 3x (len5, mass 15) vs 'aaaaaa bb' 2x (len9, mass
+            # 18): MOST FREQUENT gram wins, not max product
+            (5, "cc cc cc cc aaaaaa bb aaaaaa bb"),
         ],
         "doc_id long, text string",
     )
@@ -824,6 +833,12 @@ def test_gopher_ngram_fracs_hand_cases(spark):
     assert got[1]["dup_5gram_char_frac"] == 0.0  # no 5-gram repeats
     assert all(v == 1.0 for k, v in got[2].items() if k != "doc_id")
     assert all(v == 0.0 for k, v in got[3].items() if k != "doc_id")
+    assert got[4]["top_2gram_char_frac"] == 1.0  # 'a b' 1x len3 / chars 3
+    assert got[4]["top_3gram_char_frac"] == 0.0  # fewer than 3 tokens
+    assert got[4]["top_4gram_char_frac"] == 0.0
+    assert all(got[4][f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+    # chars = 8 + 16 + 7 spaces = 31; argmax-by-count picks 'cc cc'
+    assert got[5]["top_2gram_char_frac"] == round(15 / 31, 6)
 
 
 def test_gopher_filter_ledger(spark):

@@ -70,14 +70,49 @@ def test_gate_window_holds_flagships():
     names = list(mod.queries().keys())
     window = set(names[:50])
     # r5 rotation (r4 verdict item 3): q_idf left the window — its math is
-    # value-checked through the in-window q_tfidf/q_bm25_rank composites —
-    # to make room for the web-intake flagships.
+    # value-checked through the in-window q_tfidf/q_bm25_rank composites.
+    # r6 rotation (r5 verdict item 2): the published-filter flagships
+    # (q_gopher_filter, q_c4_line_filter, q_lm_score_frozen) entered;
+    # q_tfidf (covered by q_bm25_rank), q_topk_per_doc (covered by
+    # q_top30_lines) and q_quality_gate (covered by
+    # q_quality_gate_by_lang) moved to the oracle-swept overflow.
     for must in (
-        "q_tf", "q_df", "q_tfidf", "q_bm25_rank", "q_dedup_minhash",
+        "q_tf", "q_df", "q_bm25_rank", "q_dedup_minhash",
         "q_dedup_simhash", "q_semantic_dedup", "q_kmeans",
         "q_curation_pipeline", "q_pack_sequences", "q_decontaminate",
         "q_pos_filter", "q_tpch_q1",
         "q_line_dedup", "q_web_intake", "q_ccnet_by_lang",
         "q_quality_gate_by_lang",
+        "q_gopher_filter", "q_c4_line_filter", "q_lm_score_frozen",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"
+
+
+def test_no_reserved_word_output_columns(duck, spark):
+    """The r2 lesson, institutionalized (r5 verdict item 8): the
+    external gate's hash compare broke on an output column literally
+    named ``offset`` (a SQL clause keyword) while every local replay
+    matched.  Pin: no queries() output column may be a DuckDB RESERVED
+    keyword, so window rotation can never reintroduce that failure
+    class.  Oracle-backed queries are checked via DESCRIBE (cheap, and
+    the gate's schema_match forces Spark columns to agree); the
+    rows-only queries are checked through their Spark schema."""
+    reserved = {
+        r[0]
+        for r in duck.execute(
+            "SELECT keyword_name FROM duckdb_keywords()"
+            " WHERE keyword_category = 'reserved'"
+        ).fetchall()
+    }
+    bad = {}
+    for name, sql in ORACLES.items():
+        cols = [r[0] for r in duck.execute(f"DESCRIBE {sql}").fetchall()]
+        hits = [c for c in cols if c.lower() in reserved]
+        if hits:
+            bad[name] = hits
+    for name in set(QUERIES) - set(ORACLES):
+        cols = QUERIES[name](spark, SF_DIR).columns
+        hits = [c for c in cols if c.lower() in reserved]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"reserved-word output columns: {bad}"
