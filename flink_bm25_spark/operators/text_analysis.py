@@ -415,14 +415,20 @@ def gopher_filter(
 
     Scale shape: the flags branch is zero-shuffle map-side; the unit
     branch pays one (doc,unit) agg per unit type; the n-gram branch one
-    (doc,n,gram) count + rollup — all corpus-linear, sharing one scan
-    under Catalyst, joined back on doc_id.
+    (doc,n,gram) count + rollup — all corpus-linear.  The
+    ``(doc_id, text)`` projection is lazily localCheckpoint-ed ONCE
+    here (r6, same rationale as :func:`gopher_ngram_fracs`): Catalyst
+    does not reuse the shared scan across the four branches, so without
+    it the corpus (and any upstream transform) is re-read per branch —
+    at 100 TB that is one local write + 4 replays versus 4 full scans.
+    Batch-only by construction.
     """
-    flags = gopher_quality_flags(documents).select(
+    base = documents.select("doc_id", "text").localCheckpoint(eager=False)
+    flags = gopher_quality_flags(base).select(
         "doc_id", F.col("keep").alias("rule_keep")
     )
-    rep = gopher_repetition_scores(documents)
-    ng = gopher_ngram_fracs(documents)
+    rep = gopher_repetition_scores(base)
+    ng = gopher_ngram_fracs(base)
     rep_ok = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_para_frac") <= max_dup_para_frac)
@@ -699,15 +705,13 @@ def gopher_quality_flags(
     ws, ls, t = F.col("_ws"), F.col("_ls"), F.col("_t")
     n_words = F.size(ws)
     n_lines = F.size(ls)
+    # Σ word lengths = length(array_join) − (n−1) joining spaces —
+    # native expression instead of an interpreted aggregate-HOF pass
+    # (value-identical: integer sums are exact in double)
     mean_len = F.when(
         n_words > 0,
         F.round(
-            F.aggregate(
-                F.transform(ws, lambda w: F.length(w).cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / n_words,
+            (F.length(F.array_join(ws, " ")) - (n_words - 1)) / n_words,
             6,
         ),
     )
@@ -737,12 +741,13 @@ def gopher_quality_flags(
             F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
         ),
     )
+    # distinct stop words present — native array_intersect over the
+    # lowercased word array instead of 8 interpreted exists() lambdas
+    # (intersect returns distinct matches, same count semantics; ''
+    # never matches a stop word)
     stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
     n_stops = F.size(
-        F.filter(
-            stops,
-            lambda s: F.exists(ws, lambda w: F.lower(w) == s),
-        )
+        F.array_intersect(F.split(F.lower(t), r"\s+"), stops)
     )
     flagged = base.select(
         "doc_id",

@@ -75,7 +75,18 @@ AUDITED = [
     ),
     (
         "q_gopher_filter",
-        "flags map-side; unit + (n,gram) counts corpus-linear; doc_id joins",
+        "ONE corpus read (lazy checkpoint) replayed by all 4 branches; "
+        "flags map-side; unit + (n,gram) counts corpus-linear",
+    ),
+    (
+        "q_gopher_ngram_fracs",
+        "single scan + single tokenization: checkpointed token projection "
+        "replayed per width; (doc,n,hash,len)-keyed count",
+    ),
+    (
+        "q_lm_score_backoff",
+        "three co-keyed LEFT joins (pair/context/group) + one agg; "
+        "streaming-legal frozen-model scoring",
     ),
     (
         "q_edit_distance",
