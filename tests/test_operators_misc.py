@@ -865,3 +865,64 @@ def test_gopher_filter_ledger(spark):
     assert got[1].rule_keep and got[1].repetition_keep and got[1].keep
     assert got[2].rule_keep and not got[2].repetition_keep and not got[2].keep
     assert not got[3].rule_keep and not got[3].keep
+
+
+def test_gopher_ngram_fracs_python_differential(spark):
+    """Independent pure-Python reimplementation on randomized docs —
+    the defense against the shared-expression blind spot the r5 ADVICE
+    exposed (the DuckDB oracle mirrors the engine's formula, so a
+    mistake encoded in BOTH twins passes the parity gate; a third,
+    structurally different implementation does not share it)."""
+    import random
+    from collections import Counter
+
+    from flink_bm25_spark.operators.text_analysis import gopher_ngram_fracs
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dddd", "e", "ffffff", "gg", "hhh"]
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 15, 30, 60])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3 and n >= 6:  # plant a repeated block
+            toks = toks[:6] * (1 + n // 6)
+        docs.append((i, " ".join(toks)))
+
+    def py_fracs(text):
+        toks = [t for t in text.split() if t]
+        chars = len(" ".join(toks))
+        out = {}
+        for n in (2, 3, 4):
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                out[f"top_{n}gram_char_frac"] = 0.0
+                continue
+            c = Counter(grams)
+
+            def glen(g):
+                return sum(map(len, g)) + n - 1
+
+            best = max(c.items(), key=lambda kv: (kv[1], glen(kv[0])))
+            out[f"top_{n}gram_char_frac"] = min(
+                1.0, best[1] * glen(best[0]) / chars
+            )
+        for n in (5, 6, 7, 8, 9, 10):
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            mass = sum(
+                cnt * (sum(map(len, g)) + n - 1)
+                for g, cnt in c.items()
+                if cnt >= 2
+            )
+            out[f"dup_{n}gram_char_frac"] = (
+                min(1.0, mass / chars) if grams else 0.0
+            )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_ngram_fracs(df).collect()}
+    assert set(got) == set(range(40))
+    for i, text in docs:
+        want = py_fracs(text)
+        for col, w in want.items():
+            assert abs(got[i][col] - w) < 5e-7, (i, col, got[i][col], w, text)
