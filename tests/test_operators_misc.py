@@ -926,3 +926,180 @@ def test_gopher_ngram_fracs_python_differential(spark):
         want = py_fracs(text)
         for col, w in want.items():
             assert abs(got[i][col] - w) < 5e-7, (i, col, got[i][col], w, text)
+
+
+def test_gopher_flags_python_differential(spark):
+    """Independent pure-Python reimplementation of the seven Gopher
+    rules on randomized dirty docs (same blind-spot defense as the
+    n-gram differential: the DuckDB twin mirrors the engine formula,
+    a third implementation does not)."""
+    import random
+    import re
+
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    rng = random.Random(13)
+    vocab = ["the", "word", "amount", "to", "###", "so...", "Abc", "12",
+             "...", "…", "-", "•", "x"]
+    docs = []
+    for i in range(40):
+        n_lines = rng.randint(1, 6)
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(n_lines)
+        ]
+        docs.append((i, "\n".join(lines)))
+
+    def py_flags(text):
+        ws = [w for w in re.split(r"\s+", text) if w]
+        ls = text.split("\n")
+        n_words, n_lines = len(ws), len(ls)
+        n_hash = text.count("#")
+        n_ell = text.count("...") + text.count("…")
+        mean_len = sum(map(len, ws)) / n_words if n_words else None
+        hash_r = n_hash / n_words if n_words else None
+        ell_r = n_ell / n_words if n_words else None
+        bullet = sum(
+            1 for x in ls if re.match(r"^[-*•‣▪]( |$)", x.lstrip())
+        ) / n_lines
+        ell_end = sum(
+            1 for x in ls if re.search(r"(\.\.\.|…)$", x.rstrip())
+        ) / n_lines
+        alpha = (
+            sum(1 for w in ws if re.search("[A-Za-z]", w)) / n_words
+            if n_words
+            else None
+        )
+        stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        n_stops = len({w.lower() for w in ws} & stops)
+        keep = bool(
+            n_words
+            and 50 <= n_words <= 100_000
+            and 3.0 <= mean_len <= 10.0
+            and hash_r <= 0.1
+            and ell_r <= 0.1
+            and bullet <= 0.9
+            and ell_end <= 0.3
+            and alpha >= 0.8
+            and n_stops >= 2
+        )
+        return (n_words, mean_len, hash_r, ell_r, bullet, ell_end,
+                alpha, n_stops, keep)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for i, text in docs:
+        (n_words, mean_len, hash_r, ell_r, bullet, ell_end, alpha,
+         n_stops, keep) = py_flags(text)
+        g = got[i]
+        assert g.n_words == n_words, (i, "n_words")
+
+        def close(a, b):
+            return (a is None and b is None) or abs(a - b) < 5e-7
+
+        assert close(g.mean_word_len, mean_len), (i, "mean")
+        assert close(g.hash_word_ratio, hash_r), (i, "hash")
+        assert close(g.ellipsis_word_ratio, ell_r), (i, "ell")
+        assert close(g.bullet_line_frac, bullet), (i, "bullet")
+        assert close(g.ellipsis_line_frac, ell_end), (i, "ell_end")
+        assert close(g.alpha_word_frac, alpha), (i, "alpha")
+        assert g.n_required_stops == n_stops, (i, "stops")
+        assert g.keep == keep, (i, "keep", text)
+
+
+def test_c4_line_filter_python_differential(spark):
+    """Independent pure-Python C4 rules on randomized web-ish docs."""
+    import random
+
+    from flink_bm25_spark.operators.cleaning import c4_line_filter
+
+    rng = random.Random(17)
+    frags = [
+        "this is a sentence that really ends properly.",
+        "click here",
+        "please enable javascript now to continue reading this page.",
+        'he said "fine."',
+        "short one.",
+        "a much longer line of prose with many words that ends well!",
+        "does it end with a question mark after enough words here?",
+        "lorem ipsum dolor sit amet",
+        "function f() { return 1; }",
+        "no terminal punctuation on this line at all",
+    ]
+    docs = []
+    for i in range(40):
+        lines = [rng.choice(frags) for _ in range(rng.randint(1, 8))]
+        docs.append((i, "\n".join(lines)))
+
+    def py_c4(text, min_words=5, min_sentences=3):
+        lt = text.lower()
+        if "lorem ipsum" in lt or "{" in lt:
+            return None
+        ls = text.split("\n")
+        kept = [
+            x
+            for x in ls
+            if x.rstrip()[-1:] in '.!?"'
+            and len([w for w in x.split() if w]) >= min_words
+            and "javascript" not in x.lower()
+        ]
+        cleaned = "\n".join(kept)
+        sentences = sum(cleaned.count(c) for c in ".!?")
+        if sentences < min_sentences:
+            return None
+        return (cleaned, len(ls), len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    for i, text in docs:
+        want = py_c4(text)
+        if want is None:
+            assert i not in got, (i, text)
+        else:
+            assert i in got, (i, text)
+            assert got[i].cleaned_text == want[0], i
+            assert got[i].n_lines == want[1] and got[i].n_kept == want[2]
+
+
+def test_gopher_repetition_python_differential(spark):
+    """Independent pure-Python duplicate line/paragraph fractions."""
+    import random
+    from collections import Counter
+
+    from flink_bm25_spark.operators.text_analysis import (
+        gopher_repetition_scores,
+    )
+
+    rng = random.Random(19)
+    units = ["alpha beta", "gamma", "delta epsilon zeta", " ", "eta"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 8)
+        parts = [rng.choice(units) for _ in range(n)]
+        sep = rng.choice(["\n", "\n\n"])
+        docs.append((i, sep.join(parts)))
+
+    def fracs(unit_list):
+        us = [u for u in unit_list if u.strip()]
+        if not us:
+            return 0.0, 0.0
+        c = Counter(us)
+        dup = sum(v - 1 for v in c.values()) / len(us)
+        dup_ch = sum((v - 1) * len(u) for u, v in c.items()) / sum(
+            v * len(u) for u, v in c.items()
+        )
+        return dup, dup_ch
+
+    import re
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition_scores(df).collect()}
+    for i, text in docs:
+        dl, dlc = fracs(text.split("\n"))
+        dp, dpc = fracs(re.split(r"\n\n+", text))
+        g = got[i]
+        for a, b in [(g.dup_line_frac, dl), (g.dup_line_char_frac, dlc),
+                     (g.dup_para_frac, dp), (g.dup_para_char_frac, dpc)]:
+            assert abs(a - b) < 5e-7, (i, text, a, b)
