@@ -869,11 +869,20 @@ def redact_pii(
     )
 
 
-def _bigram_relation(documents: DataFrame) -> DataFrame:
-    """``(doc_id, w1, w2)`` — adjacent-token pairs, map-side (same
-    indexed-transform shape as :func:`bpe_pair_counts`, keeping doc_id)."""
+def _bigram_relation(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(doc_id, *carry, w1, w2)`` — adjacent-token pairs, map-side
+    (same indexed-transform shape as :func:`bpe_pair_counts`, keeping
+    doc_id).  ``carry`` rides extra per-doc columns (e.g. the group
+    key) through the explode — the grouped LM paths used to re-attach
+    the group with a corpus-sized ``join(documents, "doc_id")``, which
+    is an avoidable doc-keyed shuffle in batch and a stream-stream
+    self-join (illegal in complete mode) when ``documents`` is a
+    stream (r6)."""
     base = documents.select(
         "doc_id",
+        *carry,
         F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit("")).alias(
             "_ws"
         ),
@@ -890,9 +899,13 @@ def _bigram_relation(documents: DataFrame) -> DataFrame:
         )
 
     return (
-        base.select("doc_id", F.explode(F.transform(ws, make_pair)).alias("p"))
+        base.select(
+            "doc_id",
+            *carry,
+            F.explode(F.transform(ws, make_pair)).alias("p"),
+        )
         .where(F.col("p").isNotNull())
-        .select("doc_id", "p.w1", "p.w2")
+        .select("doc_id", *carry, "p.w1", "p.w2")
     )
 
 
@@ -1013,8 +1026,7 @@ def lm_fit_by(
     train-once half of CCNet's production loop: persist this relation
     and :func:`lm_score` every future batch or stream against it
     without ever touching the training corpus again."""
-    keyed = documents.select("doc_id", by_col)
-    bigrams = _bigram_relation(documents).join(keyed, "doc_id")
+    bigrams = _bigram_relation(documents, carry=(by_col,))
     pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
         F.count("*").alias("c12")
     )
@@ -1055,8 +1067,7 @@ def lm_fit_backoff_by(
     :func:`lm_score_backoff` scores any future batch.  ``contexts`` is
     context-vocabulary-sized and ``defaults`` groups-sized, both tiny
     next to the pair-type model."""
-    keyed = documents.select("doc_id", by_col)
-    bigrams = _bigram_relation(documents).join(keyed, "doc_id")
+    bigrams = _bigram_relation(documents, carry=(by_col,))
     pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
         F.count("*").alias("c12")
     )
@@ -1150,10 +1161,7 @@ def lm_score_backoff(
     co-keyed on (*group, w1[, w2]) — streaming-legal, one aggregation,
     same scale shape as :func:`lm_score`."""
     g = list(group_cols or [])
-    bigrams = _bigram_relation(documents)
-    if g:
-        keyed = documents.select("doc_id", *g)
-        bigrams = bigrams.join(keyed, "doc_id")
+    bigrams = _bigram_relation(documents, carry=tuple(g))
     scored = _nullsafe_left_join(bigrams, model, [*g, "w1", "w2"])
     scored = _nullsafe_left_join(scored, contexts, [*g, "w1"])
     if g:
@@ -1350,13 +1358,12 @@ def lm_score(
     from the model) are skipped by the inner join — the train-corpus
     scoring path never meets one, and a stream scorer that needs them
     should left-join against a backoff column instead.  With
-    ``group_cols``, documents must carry those columns (the group is
-    read per doc_id and joined onto the bigrams)."""
+    ``group_cols``, documents must carry those columns (the group
+    rides the bigram explode map-side — no doc-keyed join, so the
+    grouped form streams too)."""
     g = list(group_cols or [])
-    bigrams = _bigram_relation(documents)
+    bigrams = _bigram_relation(documents, carry=tuple(g))
     if g:
-        keyed = documents.select("doc_id", *g)
-        bigrams = bigrams.join(keyed, "doc_id")
         scored = nullsafe_key_join(bigrams, model, [*g, "w1", "w2"]).select(
             "doc_id", *g, "nl"
         )

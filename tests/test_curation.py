@@ -969,3 +969,56 @@ def test_c4_line_filter_differential_random_corpus(spark):
         )).collect()
     }
     assert got == expect and expect  # non-vacuous
+
+
+def test_streaming_lm_backoff_scoring_equals_batch(spark):
+    # The backoff scorer's streaming-legality claim, proven: three
+    # stream-static LEFT joins (pair/context/group backoff relations)
+    # + one agg in complete mode — final streamed scores equal the
+    # batch scorer's, unseen bigrams included.
+    import shutil
+    import tempfile
+
+    from flink_bm25_spark.operators.text_analysis import (
+        lm_fit_backoff_by,
+        lm_score_backoff,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    # train on the even half only, so the streamed odd half genuinely
+    # exercises the backoff joins (unseen bigrams/contexts)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    model, contexts, defaults = lm_fit_backoff_by(train, "lang", alpha=0.1)
+    model = model.cache(); model.count()
+    contexts = contexts.cache(); contexts.count()
+    defaults = defaults.cache(); defaults.count()
+
+    d = tempfile.mkdtemp(prefix="stream_lm_backoff_")
+    score.write.mode("overwrite").parquet(f"{d}/docs.parquet")
+    schema = score.schema
+    stream = spark.readStream.schema(schema).format("parquet").load(
+        f"{d}/docs.parquet"
+    )
+    q = (
+        lm_score_backoff(stream, model, contexts, defaults, ["lang"])
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_lm_backoff")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM t_lm_backoff").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in lm_score_backoff(
+            score, model, contexts, defaults, ["lang"]
+        ).collect()
+    )
+    assert got == want and got
+    for fr in (model, contexts, defaults):
+        fr.unpersist()
+    shutil.rmtree(d, ignore_errors=True)
