@@ -722,7 +722,9 @@ class LineScreen:
         self.text_col = text_col
         self.sep = sep
 
-    def screen_batch(self, new_documents: DataFrame) -> DataFrame:
+    def screen_batch(
+        self, new_documents: DataFrame, carry: tuple[str, ...] = ()
+    ) -> DataFrame:
         from flink_bm25_spark.operators.dedup import (  # noqa: PLC0415
             line_dedup_incremental,
         )
@@ -733,7 +735,7 @@ class LineScreen:
                 [], "line string"
             )
         cleaned, new_store = line_dedup_incremental(
-            store, new_documents, self.text_col, self.sep
+            store, new_documents, self.text_col, self.sep, carry
         )
         # new_store is the UNSEEN delta — dupe-free against the archive
         # by construction — so store maintenance is a true append: the
@@ -908,12 +910,14 @@ class WebIntakeScreen:
         by, tc = self.by_col, self.text_col
         stripped = new_documents.select(
             "doc_id",
+            by,
             strip_markup(F.col(tc), keep_line_breaks=True).alias(tc),
         )
-        cleaned = self._lines.screen_batch(stripped)
-        docs = new_documents.select("doc_id", by).join(
-            cleaned.withColumnRenamed("cleaned_text", tc), "doc_id"
-        )
+        # the group key rides the line screen's n_lines spine (carry) —
+        # no doc-keyed join to re-attach it (r6)
+        docs = self._lines.screen_batch(
+            stripped, carry=(by,)
+        ).withColumnRenamed("cleaned_text", tc)
         # left joins everywhere below: a doc with no model-known bigram
         # (nll null) or an unseen group (cut nulls) must surface, not
         # silently vanish — the degradation contract routes it to 'tail'

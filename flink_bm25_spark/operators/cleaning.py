@@ -392,10 +392,11 @@ def web_intake_pipeline(
         by_col,
         strip_markup(F.col(text_col), keep_line_breaks=True).alias(text_col),
     )
-    deduped = line_dedup(stripped, text_col, sep)
+    # by_col rides line_dedup's n_lines spine (carry) — no second
+    # doc-keyed join to re-attach it (r6)
+    deduped = line_dedup(stripped, text_col, sep, carry=(by_col,))
     cleaned = (
-        deduped.join(documents.select("doc_id", by_col), "doc_id")
-        .select(
+        deduped.select(
             "doc_id",
             by_col,
             F.col("cleaned_text").alias("text"),

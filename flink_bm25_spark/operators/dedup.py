@@ -65,7 +65,10 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def line_dedup(
-    documents: DataFrame, text_col: str = "text", sep: str = "\n"
+    documents: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(doc_id, cleaned_text, n_lines, n_kept)`` — corpus-wide
     line-level exact dedup, CCNet's step 1 (Wenzek et al. 2020: hash
@@ -97,7 +100,9 @@ def line_dedup(
     """
     lines = _line_relation(documents, text_col, sep)
     kept_content = _first_arrival_lines(lines)
-    return _reassemble_lines(documents, lines, kept_content, text_col, sep)
+    return _reassemble_lines(
+        documents, lines, kept_content, text_col, sep, carry
+    )
 
 
 def _line_relation(
@@ -144,16 +149,20 @@ def _reassemble_lines(
     kept_content: DataFrame,
     text_col: str,
     sep: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Rebuild ``(doc_id, cleaned_text, n_lines, n_kept)`` from the
-    surviving content lines plus the unconditionally-kept
+    """Rebuild ``(doc_id, *carry, cleaned_text, n_lines, n_kept)`` from
+    the surviving content lines plus the unconditionally-kept
     whitespace-only layout lines.
 
     Single-pass: ``n_kept`` is the count of content entries in the SAME
     doc_id-keyed aggregation that reassembles the text (``kept_content``
     is consumed exactly once, so its upstream line-keyed shuffle is paid
     exactly once), and ``n_lines`` is computed map-side from the raw
-    document text — no shuffle at all on that branch."""
+    document text — no shuffle at all on that branch.  ``carry`` rides
+    per-doc columns (e.g. a group key) on the existing n_lines spine,
+    so callers never pay a second doc-keyed join to re-attach them
+    (r6)."""
     import re as _re  # noqa: PLC0415
 
     survivors = kept_content.select(
@@ -175,6 +184,7 @@ def _reassemble_lines(
     )
     docs = documents.select(
         "doc_id",
+        *carry,
         F.size(
             F.filter(
                 F.split(F.col(text_col), _re.escape(sep)),
@@ -184,6 +194,7 @@ def _reassemble_lines(
     )
     return docs.join(reassembled, "doc_id", "left").select(
         "doc_id",
+        *carry,
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
@@ -195,6 +206,7 @@ def line_dedup_incremental(
     new_documents: DataFrame,
     text_col: str = "text",
     sep: str = "\n",
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-time form of :func:`line_dedup`: screen a batch against
     the ARCHIVE of every line already ingested, without re-reading any
@@ -220,7 +232,9 @@ def line_dedup_incremental(
     unseen = batch_first.join(
         store_lines.select("line"), "line", "left_anti"
     )
-    cleaned = _reassemble_lines(new_documents, lines, unseen, text_col, sep)
+    cleaned = _reassemble_lines(
+        new_documents, lines, unseen, text_col, sep, carry
+    )
     new_store = unseen.select("line")
     return cleaned, new_store
 

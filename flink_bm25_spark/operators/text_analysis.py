@@ -587,9 +587,9 @@ def quality_percentile_gate_by(
         block_ranked_spread,
     )
 
-    scored = quality_scores(documents).select("doc_id", "keep_score")
-    keyed = documents.select("doc_id", by_col)
-    base = scored.join(keyed, "doc_id").localCheckpoint(eager=True)
+    base = quality_scores(documents, carry=(by_col,)).select(
+        "doc_id", by_col, "keep_score"
+    ).localCheckpoint(eager=True)
     ranked = block_ranked_spread(
         base,
         "keep_score",
@@ -634,11 +634,19 @@ def quality_percentile_gate_approx(
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality signals + a composite keep-score for pipeline
-    filtering (length, stopword density, punctuation density)."""
+    filtering (length, stopword density, punctuation density).
+    ``carry`` rides extra per-doc columns (e.g. a group key) through
+    the projection — callers that need (score, group) together should
+    carry rather than join the group back on doc_id (that join is two
+    corpus Exchanges for a column the scan already had; r6)."""
     cols = quality_columns(F.col("text"))
-    scored = documents.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+    scored = documents.select(
+        "doc_id", *carry, *[v.alias(k) for k, v in cols.items()]
+    )
     keep = (
         F.when(F.col("n_tokens") < 5, 0.0)
         .when(F.col("stopword_ratio") > 0.5, 0.2)
@@ -1287,9 +1295,9 @@ def quality_percentile_gate_by_approx(
     threshold from ONE grouped ``approx_percentile`` aggregation,
     applied with a null-safe keyed join — no rank, no row-relation
     window.  Returns ``(doc_id, by_col, keep_score)``."""
-    scored = quality_scores(documents).select("doc_id", "keep_score")
-    keyed = documents.select("doc_id", by_col)
-    base = scored.join(keyed, "doc_id")
+    base = quality_scores(documents, carry=(by_col,)).select(
+        "doc_id", by_col, "keep_score"
+    )
     thr = base.groupBy(by_col).agg(
         F.percentile_approx("keep_score", cutoff, accuracy).alias("__thr")
     )
