@@ -609,3 +609,33 @@ def test_c4_line_filter_zero_shuffle(spark):
     df = QUERIES["q_c4_line_filter"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_grouped_lm_and_gates_have_no_solo_docid_exchange(spark):
+    """r6: the grouped LM scorers and percentile gates carry the group
+    key through the extracting projection instead of re-attaching it
+    with a join(documents, doc_id) — pinned as the ABSENCE of any
+    Exchange partitioned on doc_id alone (every doc-keyed exchange left
+    is the (doc_id, group) scoring aggregation).  A reintroduced rejoin
+    shows up as hashpartitioning(doc_id#N, <parts>)."""
+    import re
+
+    solo = re.compile(r"hashpartitioning\(doc_id#\d+L?, \d")
+    for name in (
+        "q_lm_score_frozen",
+        "q_lm_score_backoff",
+        "q_quality_gate_by_lang",
+        "q_ccnet_by_lang",
+    ):
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits = [
+            ln.strip()[:120]
+            for ln in plan.splitlines()
+            if solo.search(ln)
+        ]
+        assert not hits, (name, hits)
