@@ -259,12 +259,14 @@ class CorpusCurator:
         from flink_bm25_spark.operators.text_analysis import quality_scores  # noqa: PLC0415
 
         if self.line_screen is not None:
-            cleaned = self.line_screen.screen_batch(
-                new_documents.select("doc_id", "text")
+            # every non-text column rides the line screen's n_lines
+            # spine (carry) — no doc-keyed rejoin of the batch (r6)
+            others = tuple(
+                c for c in new_documents.columns if c not in ("doc_id", "text")
             )
-            new_documents = new_documents.drop("text").join(
-                cleaned.withColumnRenamed("cleaned_text", "text"), "doc_id"
-            )
+            new_documents = self.line_screen.screen_batch(
+                new_documents, carry=others
+            ).withColumnRenamed("cleaned_text", "text")
         if self.sigs_wide is None:
             empty = new_documents.where(F.lit(False))
             pairs = minhash_dedup_pairs_incremental(

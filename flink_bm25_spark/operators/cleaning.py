@@ -179,8 +179,11 @@ def curation_pipeline(
     # broadcast hint (AQE decides; see clean_corpus).
     decon = survivors.join(contaminated, "doc_id", "left_anti")
 
-    lens = token_stats(decon).select("doc_id", "n_tokens")
-    base = decon.select("doc_id", stratum_col).join(lens, "doc_id")
+    # the stratum rides token_stats' projection — no doc-keyed rejoin
+    # of two projections of the same relation (r6)
+    base = token_stats(decon, carry=(stratum_col,)).select(
+        "doc_id", stratum_col, "n_tokens"
+    )
     mixed = temperature_resample(
         base,
         weights=weights,

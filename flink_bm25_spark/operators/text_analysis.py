@@ -26,11 +26,16 @@ LANG_MARKERS = {
 }
 
 
-def token_stats(documents: DataFrame) -> DataFrame:
-    """``(doc_id, n_tokens, n_uniq_tokens)`` — whitespace token counting."""
+def token_stats(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(doc_id, *carry, n_tokens, n_uniq_tokens)`` — whitespace token
+    counting.  ``carry`` rides extra per-doc columns through the
+    projection so callers never re-join them on doc_id (r6)."""
     words = F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
     return documents.select(
         "doc_id",
+        *carry,
         F.size(words).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(words)).cast("long").alias("n_uniq_tokens"),
     )
