@@ -164,7 +164,7 @@ BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
 def gopher_repetition_scores(
-    documents: DataFrame, text_col: str = "text"
+    documents: DataFrame, text_col: str = "text", checkpoint: bool = True
 ) -> DataFrame:
     """The within-document duplicate line/paragraph signals of Gopher's
     repetition filter family (Rae et al. 2021, App. A — the unit-level
@@ -187,11 +187,20 @@ def gopher_repetition_scores(
     pays one (doc, unit)-keyed aggregation and one doc-keyed rollup
     (both corpus-linear with map-side partial combine), exactly the
     ``top_word_frac`` design.  An adversarial 100k-duplicate-line
-    document costs O(lines), not O(lines²).
+    document costs O(lines), not O(lines²).  The line/paragraph
+    branches and the 0.0-backfill spine consume the corpus three times;
+    with ``checkpoint=True`` (default) the ``(doc_id, text)`` projection
+    is lazily localCheckpoint-ed once and replayed (r6, the
+    gopher_ngram_fracs pattern — batch-only).  :func:`gopher_filter`
+    passes ``checkpoint=False`` because its branches already replay its
+    own shared corpus checkpoint.
     """
+    base_docs = documents.select("doc_id", text_col)
+    if checkpoint:
+        base_docs = base_docs.localCheckpoint(eager=False)
 
     def unit_fracs(sep_regex: str, prefix: str) -> DataFrame:
-        units = documents.select(
+        units = base_docs.select(
             "doc_id",
             F.explode(F.split(F.col(text_col), sep_regex)).alias("u"),
         ).where(F.trim("u") != "")
@@ -212,7 +221,7 @@ def gopher_repetition_scores(
     lines = unit_fracs(r"\n", "line")
     paras = unit_fracs(r"\n\n+", "para")
     return (
-        documents.select("doc_id")
+        base_docs.select("doc_id")
         .join(lines, "doc_id", "left")
         .join(paras, "doc_id", "left")
         .select(
@@ -432,7 +441,7 @@ def gopher_filter(
     flags = gopher_quality_flags(base).select(
         "doc_id", F.col("keep").alias("rule_keep")
     )
-    rep = gopher_repetition_scores(base)
+    rep = gopher_repetition_scores(base, checkpoint=False)
     ng = gopher_ngram_fracs(base)
     rep_ok = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
