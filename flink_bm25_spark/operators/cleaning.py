@@ -28,6 +28,7 @@ def clean_corpus(
     documents: DataFrame,
     min_keep_score: float = 0.2,
     jaccard_threshold: float = 0.8,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``(doc_id, keep_score)`` for every document that survives cleaning:
     ``keep_score >= min_keep_score`` AND not a non-canonical member of a
@@ -38,7 +39,15 @@ def clean_corpus(
     no broadcast hint is forced here: AQE picks broadcast when the
     runtime size allows and falls back to a shuffled anti-join when it
     doesn't (a forced hint would OOM the driver instead).
+
+    ``checkpoint=True`` (default) lazily localCheckpoints the input once
+    so the quality and LSH branches replay ONE corpus read instead of
+    scanning it each (r6, the gopher_filter pattern; Catalyst does not
+    share scans across branches).  Composers that already checkpointed
+    (curation_pipeline/report) pass ``checkpoint=False``.  Batch-only.
     """
+    if checkpoint:
+        documents = documents.localCheckpoint(eager=False)
     scored = quality_scores(documents).select("doc_id", "keep_score")
     pairs = minhash_dedup_pairs(documents, jaccard_threshold)
     losers = (
@@ -145,14 +154,19 @@ def curation_pipeline(
     Output: ``(doc_id, rep, lang, n_tokens, shard, offset, seq_id)`` —
     one row per packed document copy, trainer-ready.
 
-    Everything composes lazily: Catalyst shares the corpus scan across
-    quality, dedup, decontamination and token counting, and the only
-    corpus-sized shuffles are the ones each stage owns (LSH banding, the
-    per-shard packing cumsum).  The drop-sets (losers, contaminated) are
-    duplicate-fraction-sized and broadcast as anti-join probes — the
-    surviving corpus crosses the network only for its own layout.
+    Everything composes lazily, and the corpus is lazily
+    localCheckpoint-ed ONCE here so quality, dedup, decontamination and
+    token counting all replay one corpus read (r6 — Catalyst does NOT
+    share a scan across branches; the un-checkpointed plan read the
+    corpus 7×).  The only corpus-sized shuffles are the ones each stage
+    owns (LSH banding, the per-shard packing cumsum).  The drop-sets
+    (losers, contaminated) are duplicate-fraction-sized and broadcast
+    as anti-join probes — the surviving corpus crosses the network only
+    for its own layout.  Batch-only (in-plan checkpoint).
     """
     from flink_bm25_spark.operators.decontam import contamination  # noqa: PLC0415
+
+    documents = documents.localCheckpoint(eager=False)
     from flink_bm25_spark.operators.sampling import (  # noqa: PLC0415
         pack_sequences,
         temperature_resample,
@@ -165,7 +179,9 @@ def curation_pipeline(
     # — the standard stage checkpoint, same as the candidate set inside
     # minhash_dedup_pairs.
     kept = (
-        clean_corpus(documents, min_keep_score, jaccard_threshold)
+        clean_corpus(
+            documents, min_keep_score, jaccard_threshold, checkpoint=False
+        )
         .select("doc_id")
         .cache()
     )
@@ -237,9 +253,12 @@ def curation_report(
     loser and contaminated sets arrive as flag joins (duplicate-
     fraction- and contamination-fraction-sized, keyed on doc_id — AQE
     picks broadcast when they fit, exactly as in ``clean_corpus``).
+    The corpus is lazily localCheckpoint-ed once so the quality, LSH
+    and overlap branches replay one read (r6; batch-only).
     """
     from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
 
+    documents = documents.localCheckpoint(eager=False)
     scored = quality_scores(documents).select("doc_id", "keep_score")
     pairs = minhash_dedup_pairs(documents, jaccard_threshold)
     losers = (
