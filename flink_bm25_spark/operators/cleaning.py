@@ -28,7 +28,7 @@ def clean_corpus(
     documents: DataFrame,
     min_keep_score: float = 0.2,
     jaccard_threshold: float = 0.8,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """``(doc_id, keep_score)`` for every document that survives cleaning:
     ``keep_score >= min_keep_score`` AND not a non-canonical member of a
@@ -40,11 +40,16 @@ def clean_corpus(
     runtime size allows and falls back to a shuffled anti-join when it
     doesn't (a forced hint would OOM the driver instead).
 
-    ``checkpoint=True`` (default) lazily localCheckpoints the input once
-    so the quality and LSH branches replay ONE corpus read instead of
-    scanning it each (r6, the gopher_filter pattern; Catalyst does not
-    share scans across branches).  Composers that already checkpointed
-    (curation_pipeline/report) pass ``checkpoint=False``.  Batch-only.
+    ``checkpoint=True`` lazily localCheckpoints the input once so the
+    quality and LSH branches replay ONE corpus read instead of scanning
+    it each (Catalyst does not share scans across branches).  OFF by
+    default, unlike :func:`~flink_bm25_spark.operators.text_analysis.
+    gopher_filter`: there the branches re-pay TOKENIZATION per scan and
+    the checkpoint measured ~2× faster, here the shared prefix is only
+    the pruned parquet read and materializing the unpruned corpus
+    measured ~2× SLOWER at sf0.1 (r6 A/B).  Turn it on when the input
+    is an expensive derived lineage or the storage is remote/cold
+    enough that re-reading beats one local write.  Batch-only when on.
     """
     if checkpoint:
         documents = documents.localCheckpoint(eager=False)
@@ -142,6 +147,7 @@ def curation_pipeline(
     stratum_col: str = "lang",
     shards: int = 4,
     default_weight: float = 1.0,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """The full pretraining curation DAG as ONE declarative plan:
 
@@ -154,19 +160,25 @@ def curation_pipeline(
     Output: ``(doc_id, rep, lang, n_tokens, shard, offset, seq_id)`` —
     one row per packed document copy, trainer-ready.
 
-    Everything composes lazily, and the corpus is lazily
-    localCheckpoint-ed ONCE here so quality, dedup, decontamination and
-    token counting all replay one corpus read (r6 — Catalyst does NOT
-    share a scan across branches; the un-checkpointed plan read the
-    corpus 7×).  The only corpus-sized shuffles are the ones each stage
-    owns (LSH banding, the per-shard packing cumsum).  The drop-sets
-    (losers, contaminated) are duplicate-fraction-sized and broadcast
-    as anti-join probes — the surviving corpus crosses the network only
-    for its own layout.  Batch-only (in-plan checkpoint).
+    Everything composes lazily.  Catalyst does NOT share the corpus
+    scan across the quality/dedup/decontamination/token-counting
+    branches — this plan reads the corpus 7× — but the branches share
+    only the PRUNED parquet read, and the r6 A/B showed a shared
+    localCheckpoint here is ~2× SLOWER at sf0.1 (materializing the
+    unpruned corpus costs more than the re-scans; contrast
+    gopher_filter, whose branches re-pay tokenization and win 2× from
+    the same pattern).  Pass ``checkpoint=True`` when the input is an
+    expensive derived lineage or storage is remote/cold.  The only
+    corpus-sized shuffles are the ones each stage owns (LSH banding,
+    the per-shard packing cumsum).  The drop-sets (losers,
+    contaminated) are duplicate-fraction-sized and broadcast as
+    anti-join probes — the surviving corpus crosses the network only
+    for its own layout.
     """
     from flink_bm25_spark.operators.decontam import contamination  # noqa: PLC0415
 
-    documents = documents.localCheckpoint(eager=False)
+    if checkpoint:
+        documents = documents.localCheckpoint(eager=False)
     from flink_bm25_spark.operators.sampling import (  # noqa: PLC0415
         pack_sequences,
         temperature_resample,
@@ -240,6 +252,7 @@ def curation_report(
     jaccard_threshold: float = 0.8,
     min_overlap: int = 3,
     decontam_n: int = 3,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """``(doc_id, keep_score, status)`` for EVERY input document —
     ``status`` ∈ {'kept', 'quality', 'duplicate', 'contaminated'} with
@@ -253,12 +266,13 @@ def curation_report(
     loser and contaminated sets arrive as flag joins (duplicate-
     fraction- and contamination-fraction-sized, keyed on doc_id — AQE
     picks broadcast when they fit, exactly as in ``clean_corpus``).
-    The corpus is lazily localCheckpoint-ed once so the quality, LSH
-    and overlap branches replay one read (r6; batch-only).
+    ``checkpoint=True`` shares one corpus read across the branches —
+    off by default for the same measured reason as ``clean_corpus``.
     """
     from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
 
-    documents = documents.localCheckpoint(eager=False)
+    if checkpoint:
+        documents = documents.localCheckpoint(eager=False)
     scored = quality_scores(documents).select("doc_id", "keep_score")
     pairs = minhash_dedup_pairs(documents, jaccard_threshold)
     losers = (

@@ -164,7 +164,7 @@ BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
 def gopher_repetition_scores(
-    documents: DataFrame, text_col: str = "text", checkpoint: bool = True
+    documents: DataFrame, text_col: str = "text", checkpoint: bool = False
 ) -> DataFrame:
     """The within-document duplicate line/paragraph signals of Gopher's
     repetition filter family (Rae et al. 2021, App. A — the unit-level
@@ -189,11 +189,14 @@ def gopher_repetition_scores(
     ``top_word_frac`` design.  An adversarial 100k-duplicate-line
     document costs O(lines), not O(lines²).  The line/paragraph
     branches and the 0.0-backfill spine consume the corpus three times;
-    with ``checkpoint=True`` (default) the ``(doc_id, text)`` projection
-    is lazily localCheckpoint-ed once and replayed (r6, the
-    gopher_ngram_fracs pattern — batch-only).  :func:`gopher_filter`
-    passes ``checkpoint=False`` because its branches already replay its
-    own shared corpus checkpoint.
+    ``checkpoint=True`` shares one lazily localCheckpoint-ed read
+    across them (batch-only) — OFF by default: unit splitting is cheap
+    enough that re-scanning pruned parquet measured faster than
+    materializing the corpus at sf0.1 (0.4s vs 0.6s warm; contrast
+    :func:`gopher_ngram_fracs`, whose branches re-pay full tokenization
+    and win ~2× from the same pattern).  Composed inside
+    :func:`gopher_filter` the branches replay ITS shared checkpoint
+    either way.
     """
     base_docs = documents.select("doc_id", text_col)
     if checkpoint:
