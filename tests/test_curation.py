@@ -1022,3 +1022,77 @@ def test_streaming_lm_backoff_scoring_equals_batch(spark):
     for fr in (model, contexts, defaults):
         fr.unpersist()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lm_score_backoff_python_differential(spark):
+    # Independent Counter-based reimplementation of the add-alpha
+    # backoff scorer on randomized split-train/score docs — the same
+    # shared-expression-blind-spot defense as the gopher differentials
+    # (the DuckDB twin mirrors the engine's CASE; this does not).
+    import math
+    import random
+    from collections import Counter
+
+    from flink_bm25_spark.operators.text_analysis import (
+        lm_fit_backoff_by,
+        lm_score_backoff,
+    )
+
+    rng = random.Random(23)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 2, 5, 12, 25])
+        lang = rng.choice(["en", "de"])
+        rows.append((i, lang, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = [(i, g, t) for i, g, t in rows if i % 2 == 0]
+    alpha = 0.1
+
+    pc, uc, vv = Counter(), Counter(), {}
+    for _, g, t in train:
+        toks = t.split()
+        vv.setdefault(g, set()).update(toks)
+        for a, b in zip(toks, toks[1:]):
+            pc[(g, a, b)] += 1
+            uc[(g, a)] += 1
+    V = {g: len(ws) for g, ws in vv.items()}
+
+    def nl(g, a, b):
+        if (g, a, b) in pc:
+            return -math.log(
+                (pc[(g, a, b)] + alpha) / (uc[(g, a)] + alpha * V[g])
+            ), True
+        if (g, a) in uc:
+            return -math.log(alpha / (uc[(g, a)] + alpha * V[g])), False
+        if g in V:
+            return math.log(V[g]), False
+        return None, False
+
+    model, contexts, defaults = lm_fit_backoff_by(
+        df.where(F.col("doc_id") % 2 == 0), "lang", alpha
+    )
+    got = {
+        r.doc_id: r
+        for r in lm_score_backoff(
+            df.where(F.col("doc_id") % 2 == 1),
+            model,
+            contexts,
+            defaults,
+            ["lang"],
+        ).collect()
+    }
+    for i, g, t in rows:
+        if i % 2 == 0:
+            continue
+        toks = t.split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert i not in got  # no bigrams -> no score row
+            continue
+        vals = [nl(g, a, b) for a, b in bgs]
+        want_known = sum(1 for _, k in vals if k)
+        assert got[i].n_bigrams == len(bgs), i
+        assert got[i].n_known == want_known, i
+        want_nll = sum(v for v, _ in vals) / len(bgs)
+        assert abs(got[i].nll - want_nll) < 5e-7, (i, got[i].nll, want_nll)
