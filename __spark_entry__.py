@@ -425,6 +425,31 @@ def _q_bm25_batch(spark, sf_dir):
     return bm25_batch_rank(s.tf, s.idf_stats, s.dlen, qdf, k=5)
 
 
+def _q_bm25_serve(spark, sf_dir):
+    # The serving-index scoring path, value-checked end-to-end: two
+    # corpus batches -> per-batch postings + df/stats PARTIALS ->
+    # query-time fold (exactly the math the append-only on-disk index
+    # replays; the disk layer itself — bucket-partition-pruned reads,
+    # add == full rebuild — is pinned by tests/test_serving.py).  The
+    # oracle unrolls the same two-batch fold in SQL, so the MERGE LAW
+    # (partials summed at read time == batch rebuild) is what the
+    # value hash certifies.
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_batch,
+        bm25_topk_from_partials,
+        merge_index_batches,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merged = merge_index_batches(
+        [
+            bm25_index_batch(docs.where(F.col("doc_id") < 250)),
+            bm25_index_batch(docs.where(F.col("doc_id") >= 250)),
+        ]
+    )
+    return bm25_topk_from_partials(merged, DEFAULT_QUERY_TERMS, k=10)
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -3262,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
+        "q_bm25_serve": _q_bm25_serve,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
@@ -3966,6 +3992,60 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 5
+        """,
+        # serving-index merge law: two batches' df/stats PARTIALS folded
+        # at query time must score like the batch pipeline
+        "q_bm25_serve": f"""
+            WITH {_PIPE},
+            df_fold AS (
+              SELECT word, CAST(sum(df) AS BIGINT) AS df FROM (
+                SELECT word, count(*) AS df FROM tf
+                WHERE doc_id < 250 GROUP BY word
+                UNION ALL
+                SELECT word, count(*) AS df FROM tf
+                WHERE doc_id >= 250 GROUP BY word
+              ) GROUP BY word
+            ),
+            stats_parts AS (
+              SELECT (SELECT count(*) FROM documents WHERE doc_id < 250)
+                       AS n_docs,
+                     (SELECT count(*) FROM dlen WHERE doc_id < 250)
+                       AS n_dlen_docs,
+                     (SELECT sum(dl) FROM dlen WHERE doc_id < 250)
+                       AS total_dl
+              UNION ALL
+              SELECT (SELECT count(*) FROM documents WHERE doc_id >= 250),
+                     (SELECT count(*) FROM dlen WHERE doc_id >= 250),
+                     (SELECT sum(dl) FROM dlen WHERE doc_id >= 250)
+            ),
+            scalars AS (
+              SELECT CAST(sum(n_docs) AS DOUBLE) AS n_docs,
+                     CAST(sum(total_dl) AS DOUBLE)
+                       / CAST(sum(n_dlen_docs) AS DOUBLE) AS avgdl
+              FROM stats_parts
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       ln((SELECT n_docs FROM scalars) / (f.df + 1)) *
+                       (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM scalars)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN df_fold f ON t.word = f.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
         """,
         "q_bm25_not": f"""
             WITH {_PIPE},

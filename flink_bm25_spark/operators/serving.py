@@ -1,0 +1,274 @@
+"""Persisted BM25 serving index — term-bucket-partitioned postings with
+partition-pruned top-k and mergeable per-batch statistics partials.
+
+The batch pipeline answers "rank the corpus for this query" by deriving
+TF/DF/dlen from the raw text (one tokenize + one shuffle per session,
+amortized by the plan cache).  A SERVING deployment must not pay a
+corpus scan per query: this module freezes the statistics into an
+on-disk index laid out so a query opens only the files its terms can
+live in — the sparse twin of ``similarity.ivf_save`` /
+``ivf_topk_from_disk``.  Reference parity: this layout is what the
+reference's MongoDB ``tf5``/``idf`` collections exist to provide
+(``MongoTFSink.java:43-58``, ``util/MongoUtil.java:117-187`` — per-term
+point lookups against a materialized store), re-expressed as
+partition-pruned parquet so the SAME cluster that built the index can
+serve it with no extra system.
+
+Layout (all under one root directory):
+
+- ``postings/bucket=<b>/`` — ``(word, doc_id, tf, dl)``, the fact
+  relation, partitioned by ``bucket = h60(word) % n_buckets``.
+- ``df/bucket=<b>/`` — ``(word, df)`` per-BATCH partials, same scheme.
+- ``stats/`` — ``(n_docs, n_dlen_docs, total_dl, n_buckets)`` per-BATCH
+  one-row partials.
+
+``h60`` is the engine's portable md5-derived hash
+(`functions/hashing.py`), so the driver computes a query's buckets with
+``hashlib`` — no Spark job on the query path — and an external engine
+can replicate the assignment bit-for-bit.
+
+Incremental maintenance is APPEND-ONLY (the KMV/HLL merge-law
+philosophy): every batch appends its own postings, df partials and
+stats partials; the serving query folds partials at read time (sum df
+per word, sum the one-row stats).  Folding ≤ batches × |query terms|
+df rows per query is free; in exchange :func:`bm25_index_add` never
+reads or rewrites existing data — no read-modify-write hazard, no
+compaction stall on the write path, and any batch arrival order yields
+the same scores as a full rebuild (pinned by test).  doc_ids must be
+disjoint across batches (the incremental-tier contract shared with the
+minhash / embedding / line screens).
+
+At 100 TB: the index build is the corpus's one TF shuffle plus a
+doc_id-keyed join — paid once; each query then reads
+``|query buckets| / n_buckets`` of the postings files (directory-level
+partition pruning), and the ``word IN (...)`` predicate pushes into
+parquet row-group skipping within them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import BM25_B, BM25_K1
+from flink_bm25_spark.functions.hashing import h60
+from flink_bm25_spark.operators.bm25 import bm25_score_expr
+from flink_bm25_spark.operators.pipeline import build_corpus_stats
+from flink_bm25_spark.operators.tokenize import tokenize
+
+
+class Bm25IndexBatch(NamedTuple):
+    """One batch's contribution to the index: the postings fact relation
+    plus the two mergeable statistics partials."""
+
+    postings: DataFrame  # (bucket, word, doc_id, tf, dl)
+    df_parts: DataFrame  # (bucket, word, df)
+    stats_parts: DataFrame  # (n_docs, n_dlen_docs, total_dl, n_buckets)
+
+
+def _bucket(word_col, n_buckets: int):
+    return F.pmod(h60(word_col), F.lit(n_buckets)).cast("int")
+
+
+def query_buckets(terms: tuple[str, ...], n_buckets: int) -> list[int]:
+    """Driver-side bucket assignment for a query's terms — the python
+    twin of the in-plan ``pmod(h60(word), n_buckets)`` (same md5 recipe,
+    pinned equal by test), so the query path needs no Spark job to learn
+    which partitions to open."""
+    out = set()
+    for t in terms:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        out.add(h % n_buckets)
+    return sorted(out)
+
+
+def bm25_index_batch(
+    documents: DataFrame,
+    n_buckets: int = 64,
+    tokenizer=tokenize,
+) -> Bm25IndexBatch:
+    """Derive one batch's index relations from raw documents.
+
+    One tokenize + the TF shuffle (shared with the batch pipeline via
+    :func:`build_corpus_stats`), then a doc_id-keyed join denormalizes
+    ``dl`` into the postings so the query path never joins doc lengths.
+    ``n_docs`` counts ALL batch documents (the ``idf = ln(N/(df+1))``
+    population, matching ``df_idf.idf``); ``n_dlen_docs``/``total_dl``
+    count only docs with surviving tokens (the ``avgdl`` population,
+    matching ``bm25_rank``'s ``dlen.agg(avg)``)."""
+    stats = build_corpus_stats(documents, tokenizer=tokenizer)
+    postings = (
+        stats.tf.join(stats.dlen, "doc_id")
+        .select(
+            _bucket(F.col("word"), n_buckets).alias("bucket"),
+            "word",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+    df_parts = stats.df_stats.select(
+        _bucket(F.col("word"), n_buckets).alias("bucket"), "word", "df"
+    )
+    stats_parts = (
+        documents.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(
+            stats.dlen.agg(
+                F.count("*").cast("long").alias("n_dlen_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
+            )
+        )
+        .withColumn("n_buckets", F.lit(n_buckets))
+    )
+    return Bm25IndexBatch(postings, df_parts, stats_parts)
+
+
+def merge_index_batches(batches: list[Bm25IndexBatch]) -> Bm25IndexBatch:
+    """Union per-batch relations — partials stay UNFOLDED (the fold
+    happens inside the scoring query), so merge is pure concatenation:
+    any grouping of batches yields the same folded statistics."""
+    p, d, s = batches[0]
+    for b in batches[1:]:
+        p = p.unionByName(b.postings)
+        d = d.unionByName(b.df_parts)
+        s = s.unionByName(b.stats_parts)
+    return Bm25IndexBatch(p, d, s)
+
+
+def bm25_topk_from_partials(
+    index: Bm25IndexBatch,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k ``(doc_id, score, rk)`` for a bag-of-words query against
+    index relations — the single scoring path shared by the in-memory
+    and on-disk forms.
+
+    Plan shape: postings pruned to the query's terms FIRST (on disk the
+    same predicate is partition pruning); df partials folded per word
+    (≤ batches × |terms| rows) and broadcast; corpus scalars folded from
+    the batches-row stats relation and broadcast as one row — the whole
+    ranking is one Spark job and no scalar round-trips through Python
+    (``bm25_rank``'s posture).  Scores are identical to ``bm25_rank``
+    over the concatenated corpus because both folds are exact sums."""
+    matches = index.postings.where(F.col("word").isin(*query_terms))
+    df_fold = (
+        index.df_parts.where(F.col("word").isin(*query_terms))
+        .groupBy("word")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    scalars = index.stats_parts.agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (
+            F.sum("total_dl").cast("double")
+            / F.sum("n_dlen_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    scored = (
+        matches.join(F.broadcast(df_fold), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"),
+                F.log(F.col("n_docs") / (F.col("df") + F.lit(1))),
+                F.col("dl"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bm25_index_save(
+    documents: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    tokenizer=tokenize,
+) -> None:
+    """Build and persist the index from an initial corpus batch
+    (mode=overwrite — this CREATES the index; grow it with
+    :func:`bm25_index_add`)."""
+    batch = bm25_index_batch(documents, n_buckets, tokenizer)
+    batch.postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    batch.df_parts.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "df")
+    )
+    batch.stats_parts.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def _read_n_buckets(spark: SparkSession, path: str) -> int:
+    row = spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_buckets"
+    ).first()
+    return int(row["n_buckets"])
+
+
+def bm25_index_add(
+    documents: DataFrame,
+    path: str,
+    tokenizer=tokenize,
+) -> None:
+    """Fold a NEW document batch into a persisted index — O(batch) work,
+    append-only: the archive's postings are never read, rewritten or
+    re-tokenized.  The batch's df/stats arrive as additional partials
+    that the query-time fold sums.  doc_ids must be disjoint from the
+    archive (caller contract)."""
+    spark = documents.sparkSession
+    n_buckets = _read_n_buckets(spark, path)
+    batch = bm25_index_batch(documents, n_buckets, tokenizer)
+    batch.postings.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    batch.df_parts.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "df")
+    )
+    batch.stats_parts.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Serve a query from the persisted index: the driver hashes the
+    terms to their buckets (``hashlib`` — no Spark job), the postings
+    and df scans carry ``bucket IN (...)`` which Catalyst turns into
+    PARTITION pruning (only ~|terms|/n_buckets of the files open —
+    asserted by ``test_bm25_index_query_prunes_partitions``), and the
+    ``word IN (...)`` predicate pushes into parquet row-group skipping
+    within them.  Scoring is :func:`bm25_topk_from_partials` — identical
+    scores to ``bm25_rank`` over the same corpus (pinned by test)."""
+    n_buckets = _read_n_buckets(spark, path)
+    buckets = query_buckets(tuple(query_terms), n_buckets)
+    postings = spark.read.parquet(os.path.join(path, "postings")).where(
+        F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
+    )
+    df_parts = spark.read.parquet(os.path.join(path, "df")).where(
+        F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
+    )
+    stats_parts = spark.read.parquet(os.path.join(path, "stats"))
+    return bm25_topk_from_partials(
+        Bm25IndexBatch(postings, df_parts, stats_parts), tuple(query_terms), k, k1, b
+    )

@@ -1,0 +1,138 @@
+"""BM25 serving index: partition-pruned disk layout + mergeable
+statistics partials must answer exactly like the batch `bm25_rank`."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import DEFAULT_QUERY_TERMS
+from flink_bm25_spark.functions.hashing import h60
+from flink_bm25_spark.operators.bm25 import bm25_rank
+from flink_bm25_spark.operators.pipeline import build_corpus_stats
+from flink_bm25_spark.operators.serving import (
+    bm25_index_add,
+    bm25_index_batch,
+    bm25_index_save,
+    bm25_topk_from_index,
+    bm25_topk_from_partials,
+    merge_index_batches,
+    query_buckets,
+)
+from flink_bm25_spark.sources.tables import load_documents
+from tests.conftest import SF_DIR
+
+TERMS = DEFAULT_QUERY_TERMS
+
+
+def _want(spark):
+    docs = load_documents(spark, SF_DIR)
+    s = build_corpus_stats(docs)
+    return [
+        tuple(r)
+        for r in bm25_rank(s.tf, s.idf_stats, s.dlen, TERMS, k=10).collect()
+    ]
+
+
+def test_partials_equal_bm25_rank(spark):
+    # One batch over the full corpus: the serving fold IS the batch math.
+    docs = load_documents(spark, SF_DIR)
+    got = bm25_topk_from_partials(bm25_index_batch(docs), TERMS, k=10)
+    assert [tuple(r) for r in got.collect()] == _want(spark)
+
+
+def test_two_batch_fold_equals_full(spark):
+    # Split corpus -> per-batch partials -> fold == full rebuild: the
+    # merge law the append-only layout relies on.
+    docs = load_documents(spark, SF_DIR)
+    merged = merge_index_batches(
+        [
+            bm25_index_batch(docs.where(F.col("doc_id") < 250)),
+            bm25_index_batch(docs.where(F.col("doc_id") >= 250)),
+        ]
+    )
+    got = bm25_topk_from_partials(merged, TERMS, k=10)
+    assert [tuple(r) for r in got.collect()] == _want(spark)
+
+
+def test_index_disk_roundtrip_and_pruning(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "bm25idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    served = bm25_topk_from_index(spark, path, TERMS, k=10)
+    assert [tuple(r) for r in served.collect()] == _want(spark)
+
+    # the bucket predicate reaches the postings scan as PARTITION pruning
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:160]
+    assert "bucket" in seg
+
+    # and the files actually opened are only the query terms' buckets
+    expected = set(query_buckets(TERMS, 16))
+    opened = (
+        spark.read.parquet(f"{path}/postings")
+        .where(
+            F.col("bucket").isin(sorted(expected))
+            & F.col("word").isin(*TERMS)
+        )
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    got_buckets = {
+        int(r["f"].split("bucket=")[1].split("/")[0]) for r in opened
+    }
+    assert got_buckets <= expected and got_buckets
+
+
+def test_index_add_equals_full_rebuild(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    half = str(tmp_path / "half")
+    full = str(tmp_path / "full")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), half, n_buckets=16)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), half)
+    bm25_index_save(docs, full, n_buckets=16)
+    got = [tuple(r) for r in bm25_topk_from_index(spark, half, TERMS).collect()]
+    want = [tuple(r) for r in bm25_topk_from_index(spark, full, TERMS).collect()]
+    assert got == want == _want(spark)
+
+
+def test_unknown_term_contributes_nothing(spark):
+    docs = load_documents(spark, SF_DIR)
+    idx = bm25_index_batch(docs)
+    with_junk = bm25_topk_from_partials(
+        idx, (*TERMS, "zzz_not_in_vocab"), k=10
+    )
+    assert [tuple(r) for r in with_junk.collect()] == _want(spark)
+
+
+def test_query_buckets_match_plan_side_hash(spark):
+    # Driver-side hashlib bucketing == the in-plan h60 bucketing, term
+    # by term — the contract partition pruning correctness rests on.
+    words = ["spark", "stream", "join", "the", "zzz", "日本語", ""]
+    nb = 16
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", F.pmod(h60(F.col("word")), F.lit(nb)).cast("int").alias("b")
+    )
+    plan_side = {r["word"]: r["b"] for r in df.collect()}
+    for w in words:
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+        assert plan_side[w] == h % nb, w
+
+
+def test_add_rejects_nothing_but_matches_bucket_count(spark, tmp_path):
+    # n_buckets is read back from the stats partials so an add can never
+    # bucket the batch inconsistently with the archive.
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 100), path, n_buckets=8)
+    bm25_index_add(docs.where(F.col("doc_id") >= 100), path)
+    buckets = (
+        spark.read.parquet(f"{path}/postings")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    assert {r["bucket"] for r in buckets} <= set(range(8))
