@@ -14,27 +14,29 @@ point lookups against a materialized store), re-expressed as
 partition-pruned parquet so the SAME cluster that built the index can
 serve it with no extra system.
 
-Layout (all under one root directory):
+Layout (all under one root directory; every batch owns its
+``_batch_id=<i>`` partition so a re-delivered batch REPLACES itself —
+dynamic partition overwrite — instead of double-counting):
 
-- ``postings/bucket=<b>/`` — ``(word, doc_id, tf, dl)``, the fact
-  relation, partitioned by ``bucket = h60(word) % n_buckets``.
-- ``df/bucket=<b>/`` — ``(word, df)`` per-BATCH partials, same scheme.
-- ``stats/`` — ``(n_docs, n_dlen_docs, total_dl, n_buckets)`` per-BATCH
-  one-row partials.
+- ``postings/_batch_id=<i>/bucket=<b>/`` — ``(word, doc_id, tf, dl)``,
+  the fact relation, ``bucket = h60(word) % n_buckets``.
+- ``df/_batch_id=<i>/bucket=<b>/`` — ``(word, df)`` per-batch partials.
+- ``stats/_batch_id=<i>/`` — ``(n_docs, n_dlen_docs, total_dl,
+  n_buckets)`` per-batch one-row partials.
 
 ``h60`` is the engine's portable md5-derived hash
 (`functions/hashing.py`), so the driver computes a query's buckets with
 ``hashlib`` — no Spark job on the query path — and an external engine
 can replicate the assignment bit-for-bit.
 
-Incremental maintenance is APPEND-ONLY (the KMV/HLL merge-law
-philosophy): every batch appends its own postings, df partials and
-stats partials; the serving query folds partials at read time (sum df
-per word, sum the one-row stats).  Folding ≤ batches × |query terms|
-df rows per query is free; in exchange :func:`bm25_index_add` never
-reads or rewrites existing data — no read-modify-write hazard, no
-compaction stall on the write path, and any batch arrival order yields
-the same scores as a full rebuild (pinned by test).  doc_ids must be
+Incremental maintenance writes each batch's own partition only (the
+KMV/HLL merge-law philosophy): the serving query folds partials at
+read time (sum df per word, sum the one-row stats).  Folding ≤
+batches × |query terms| df rows per query is free; in exchange
+:func:`bm25_index_add` never reads or rewrites the archive's data — no
+read-modify-write hazard, no compaction stall on the write path, any
+batch arrival order yields the same scores as a full rebuild, and a
+redelivered batch id is a no-op (all pinned by test).  doc_ids must be
 disjoint across batches (the incremental-tier contract shared with the
 minhash / embedding / line screens).
 
@@ -192,6 +194,38 @@ def bm25_topk_from_partials(
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
+BATCH_COL = "_batch_id"
+
+
+def _write_index_batch(
+    batch: Bm25IndexBatch, path: str, batch_id: int, create: bool
+) -> None:
+    """Persist one batch under its own ``_batch_id`` partition.
+
+    ``create=False`` uses DYNAMIC partition overwrite (not blind
+    append): a re-delivered batch REPLACES its own ``_batch_id``
+    partitions instead of double-counting, so at-least-once delivery
+    (foreachBatch, retried jobs) becomes effectively-once in the index
+    — the same sink discipline as ``streaming/curation.py``.  Postings
+    and df stay bucket-partitioned WITHIN the batch partition; Catalyst
+    prunes on ``bucket`` at any directory level, so the query path is
+    unchanged."""
+    spark = batch.postings.sparkSession
+    tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
+    mode = "overwrite"
+    if not create:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.postings.select(tag, "*").write.mode(mode).partitionBy(
+        BATCH_COL, "bucket"
+    ).parquet(os.path.join(path, "postings"))
+    batch.df_parts.select(tag, "*").write.mode(mode).partitionBy(
+        BATCH_COL, "bucket"
+    ).parquet(os.path.join(path, "df"))
+    batch.stats_parts.select(tag, "*").coalesce(1).write.mode(
+        mode
+    ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+
+
 def bm25_index_save(
     documents: DataFrame,
     path: str,
@@ -199,24 +233,19 @@ def bm25_index_save(
     tokenizer=tokenize,
 ) -> None:
     """Build and persist the index from an initial corpus batch
-    (mode=overwrite — this CREATES the index; grow it with
+    (mode=overwrite — this CREATES the index as batch 0; grow it with
     :func:`bm25_index_add`)."""
-    batch = bm25_index_batch(documents, n_buckets, tokenizer)
-    batch.postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
+    _write_index_batch(
+        bm25_index_batch(documents, n_buckets, tokenizer), path, 0, create=True
     )
-    batch.df_parts.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "df")
-    )
-    batch.stats_parts.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "stats")
-    )
+
+
+def _read_stats(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "stats"))
 
 
 def _read_n_buckets(spark: SparkSession, path: str) -> int:
-    row = spark.read.parquet(os.path.join(path, "stats")).select(
-        "n_buckets"
-    ).first()
+    row = _read_stats(spark, path).select("n_buckets").first()
     return int(row["n_buckets"])
 
 
@@ -224,23 +253,31 @@ def bm25_index_add(
     documents: DataFrame,
     path: str,
     tokenizer=tokenize,
+    batch_id: int | None = None,
 ) -> None:
-    """Fold a NEW document batch into a persisted index — O(batch) work,
-    append-only: the archive's postings are never read, rewritten or
-    re-tokenized.  The batch's df/stats arrive as additional partials
-    that the query-time fold sums.  doc_ids must be disjoint from the
-    archive (caller contract)."""
+    """Fold a NEW document batch into a persisted index — O(batch) work:
+    the archive's postings are never read, rewritten or re-tokenized.
+    The batch's df/stats arrive as additional partials that the
+    query-time fold sums.
+
+    ``batch_id`` defaults to ``max(existing) + 1`` (one tiny stats
+    read).  Passing an EXPLICIT id makes the add idempotent for that id
+    — a redelivery replaces its own partitions via dynamic partition
+    overwrite — which is what the streaming maintenance loop relies on.
+    doc_ids must be disjoint from the archive (the incremental-tier
+    caller contract)."""
     spark = documents.sparkSession
-    n_buckets = _read_n_buckets(spark, path)
-    batch = bm25_index_batch(documents, n_buckets, tokenizer)
-    batch.postings.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
-    batch.df_parts.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "df")
-    )
-    batch.stats_parts.coalesce(1).write.mode("append").parquet(
-        os.path.join(path, "stats")
+    stats = _read_stats(spark, path)
+    n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
+    if batch_id is None:
+        batch_id = (
+            int(stats.agg(F.max(BATCH_COL).alias("m")).first()["m"]) + 1
+        )
+    _write_index_batch(
+        bm25_index_batch(documents, n_buckets, tokenizer),
+        path,
+        batch_id,
+        create=False,
     )
 
 

@@ -122,6 +122,59 @@ def test_query_buckets_match_plan_side_hash(spark):
         assert plan_side[w] == h % nb, w
 
 
+def test_add_redelivery_same_batch_id_is_noop(spark, tmp_path):
+    # An explicit batch_id makes the add idempotent: redelivery replaces
+    # its own partitions (dynamic overwrite), never double-counts.
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    hi = docs.where(F.col("doc_id") >= 250)
+    bm25_index_add(hi, path, batch_id=7)
+    once = [tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()]
+    bm25_index_add(hi, path, batch_id=7)  # at-least-once redelivery
+    twice = [tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()]
+    assert once == twice == _want(spark)
+
+
+def test_streaming_maintenance_equals_batch(spark, tmp_path):
+    # Micro-batched adds through the foreachBatch loop: the served
+    # ranking after the stream drains equals the batch pipeline over the
+    # whole corpus, and a restart on the same checkpoint re-adds nothing.
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+
+    src = str(tmp_path / "src")
+    cols = docs.columns
+    docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 375)).select(
+        *cols
+    ).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") >= 375).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_index_stream(stream, path, str(tmp_path / "ckpt"))
+
+    run()
+    got = [tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()]
+    assert got == _want(spark)
+    run()  # restart, same checkpoint: nothing new to deliver
+    again = [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ]
+    assert again == got
+
+
 def test_add_rejects_nothing_but_matches_bucket_count(spark, tmp_path):
     # n_buckets is read back from the stats partials so an add can never
     # bucket the batch inconsistently with the archive.
