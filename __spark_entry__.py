@@ -450,6 +450,21 @@ def _q_bm25_serve(spark, sf_dir):
     return bm25_topk_from_partials(merged, DEFAULT_QUERY_TERMS, k=10)
 
 
+def _q_bm25_prf(spark, sf_dir):
+    # Pseudo-relevance feedback (RM3-style): rank, mine the top-5
+    # documents' strongest tf-idf terms, re-rank with the weighted
+    # expanded query — two postings probes, no corpus rescan, no term
+    # list through the driver.  Oracle unrolls both passes + the mining
+    # window in SQL.
+    from flink_bm25_spark.operators.bm25 import bm25_rank_prf
+
+    s = _stats(spark, sf_dir)
+    return bm25_rank_prf(
+        s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS,
+        k=10, fb_docs=5, fb_terms=5, orig_weight=0.6,
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -3288,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
         "q_bm25_serve": _q_bm25_serve,
+        "q_bm25_prf": _q_bm25_prf,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
@@ -4037,6 +4053,80 @@ def oracle_sql() -> dict[str, str]:
               JOIN df_fold f ON t.word = f.word
               JOIN dlen d ON t.doc_id = d.doc_id
               WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+        """,
+        # RM3-style pseudo-relevance feedback: pass-1 top-5 docs -> mine
+        # top-5 tf-idf expansion terms (rounded before the cut so the
+        # selection replays cross-engine) -> weighted re-rank
+        "q_bm25_prf": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            p1 AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            ),
+            fb AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                         AS rk
+                FROM p1
+              ) WHERE rk <= 5
+            ),
+            mined AS (
+              SELECT word, wgt FROM (
+                SELECT t.word,
+                       round(sum(t.tf * i.idf), 6) AS wgt,
+                       row_number() OVER (
+                         ORDER BY round(sum(t.tf * i.idf), 6) DESC,
+                                  t.word ASC
+                       ) AS r
+                FROM tf t
+                JOIN fb ON t.doc_id = fb.doc_id
+                JOIN idf i ON t.word = i.word
+                WHERE t.word NOT IN ({_QT})
+                GROUP BY t.word
+              ) WHERE r <= 5
+            ),
+            qrel AS (
+              SELECT word, 0.6 AS qwgt
+              FROM (VALUES {", ".join(f"('{w}')" for w in DEFAULT_QUERY_TERMS)})
+                   v(word)
+              UNION ALL
+              SELECT word, 0.4 * wgt / (SELECT max(wgt) FROM mined) AS qwgt
+              FROM mined
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       q.qwgt *
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN qrel q ON t.word = q.word
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
               GROUP BY t.doc_id
             ),
             ranked AS (

@@ -300,3 +300,87 @@ def bm25_batch_rank(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= F.lit(k))
     )
+
+
+def bm25_rank_prf(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    orig_weight: float = 0.6,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-style two-pass ranking,
+    Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004 simplified to the
+    TF-IDF relevance weights the engine materializes) —
+    ``(doc_id, score, rk)``:
+
+    1. rank with :func:`bm25_rank`, keep the top ``fb_docs`` documents
+       as the pseudo-relevant set;
+    2. mine the ``fb_terms`` strongest expansion terms from that set —
+       per-term tf×idf mass summed over the feedback docs (rounded to 6
+       decimals BEFORE the cut so the selection replays cross-engine),
+       original query terms excluded, ties toward the lexically smaller
+       word;
+    3. re-rank with the weighted query: original terms at
+       ``orig_weight`` each, expansion terms at
+       ``(1 - orig_weight) × wgt/max_wgt`` — one weighted BM25 pass.
+
+    Plan shape: pass 1 is ``bm25_rank`` (postings pruned to the query's
+    terms at the scan); the feedback-doc set (``fb_docs`` rows) and the
+    mined term relation (``fb_terms`` rows) broadcast, so expansion
+    mining touches only the feedback docs' postings and pass 2 prunes
+    the corpus to ``|query| + fb_terms`` words — never a corpus rescan
+    beyond the two postings probes.  Everything is one declarative DAG;
+    no term list round-trips through the driver.
+    """
+    fb = (
+        bm25_rank(tf, idf_stats, dlen, query_terms, fb_docs, k1, b)
+        .select("doc_id")
+    )
+    mined = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("word").isin(*query_terms))
+        .join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .groupBy("word")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("wgt"))
+        .orderBy(F.desc("wgt"), F.asc("word"))
+        .limit(fb_terms)
+    )
+    mx = mined.agg(F.max("wgt").alias("mx"))
+    expansion = mined.crossJoin(F.broadcast(mx)).select(
+        "word",
+        (F.lit(1.0 - orig_weight) * F.col("wgt") / F.col("mx")).alias("qwgt"),
+    )
+    spark = tf.sparkSession
+    original = spark.createDataFrame(
+        [(w,) for w in dict.fromkeys(query_terms)], "word string"
+    ).select("word", F.lit(float(orig_weight)).alias("qwgt"))
+    qrel = original.unionByName(expansion)
+
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        tf.join(F.broadcast(qrel), "word")
+        .join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            "doc_id",
+            (
+                F.col("qwgt")
+                * bm25_score_expr(
+                    F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"),
+                    k1, b,
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -189,3 +189,43 @@ def test_add_rejects_nothing_but_matches_bucket_count(spark, tmp_path):
         .collect()
     )
     assert {r["bucket"] for r in buckets} <= set(range(8))
+
+
+def test_prf_expands_and_stays_deterministic(spark):
+    # RM3 feedback: the expanded query must (a) keep exactly k rows,
+    # (b) never mine an original term, (c) reproduce itself run-to-run.
+    from flink_bm25_spark.operators.bm25 import bm25_rank, bm25_rank_prf
+    from flink_bm25_spark.operators.pipeline import build_corpus_stats
+
+    docs = load_documents(spark, SF_DIR)
+    s = build_corpus_stats(docs)
+    out1 = [
+        tuple(r)
+        for r in bm25_rank_prf(
+            s.tf, s.idf_stats, s.dlen, TERMS, k=10, fb_docs=5, fb_terms=5
+        ).collect()
+    ]
+    out2 = [
+        tuple(r)
+        for r in bm25_rank_prf(
+            s.tf, s.idf_stats, s.dlen, TERMS, k=10, fb_docs=5, fb_terms=5
+        ).collect()
+    ]
+    assert out1 == out2 and len(out1) == 10
+
+    # orig_weight=1.0 with no expansion mass still ranks like plain BM25
+    # scaled by the weight — the interpolation degenerates correctly.
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(s.tf, s.idf_stats, s.dlen, TERMS, k=10).collect()
+    }
+    full_orig = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank_prf(
+            s.tf, s.idf_stats, s.dlen, TERMS, k=10, fb_terms=0,
+            orig_weight=1.0,
+        ).collect()
+    }
+    assert set(full_orig) == set(plain)
+    for d, sc in full_orig.items():
+        assert abs(sc - plain[d]) < 1e-5, (d, sc, plain[d])
