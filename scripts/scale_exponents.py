@@ -198,6 +198,18 @@ def main() -> None:
         )
 
 
+    # SPARK_GRAFT_STEPS=name1,name2 limits the run to named rows (the
+    # non-dict blocks below honor it too) — lets one new row be measured
+    # without re-paying the whole suite.
+    _only = os.environ.get("SPARK_GRAFT_STEPS")
+    _allow = set(_only.split(",")) if _only else None
+
+    def _want_step(name: str) -> bool:
+        return _allow is None or name in _allow
+
+    if _allow is not None:
+        steps = {k: v for k, v in steps.items() if k in _allow}
+
     rows: dict[str, dict[int, tuple[float, int]]] = {k: {} for k in steps}
     for mult in mults:
         reps = spark.range(mult).select(F.col("id").alias("rep"))
@@ -228,6 +240,42 @@ def main() -> None:
             dt = time.perf_counter() - t0
             rows[name][mult] = (dt, out)
             print(f"x{mult} ({n} docs) {name}: {out} rows in {dt:.1f}s", flush=True)
+
+        # r6: the BM25 serving index — build cost must be corpus-linear
+        # (one TF shuffle + one doc_id join + the partitioned write);
+        # the query leg times ONE partition-pruned top-k against the
+        # grown index.  Salting rewrites every word, so the query uses
+        # replica-0's salted terms; its bucket set is fixed while each
+        # bucket's postings grow M×, making the query row the honest
+        # "serve latency vs corpus size" curve (bounded by bucket scan,
+        # never the corpus).
+        if _want_step("bm25_index_build") or _want_step("bm25_serve_query"):
+            from flink_bm25_spark.operators.serving import (
+                bm25_index_save,
+                bm25_topk_from_index,
+            )
+
+            idx = f"{tmp}_bm25idx_x{mult}"
+            t0 = time.perf_counter()
+            bm25_index_save(mat, idx, n_buckets=64)
+            dt = time.perf_counter() - t0
+            if _want_step("bm25_index_build"):
+                rows.setdefault("bm25_index_build", {})[mult] = (dt, n)
+                print(
+                    f"x{mult} ({n} docs) bm25_index_build: in {dt:.1f}s",
+                    flush=True,
+                )
+            if _want_step("bm25_serve_query"):
+                qterms = ("spark·0", "stream·0", "join·0")
+                t0 = time.perf_counter()
+                out = bm25_topk_from_index(spark, idx, qterms, k=10).count()
+                dt = time.perf_counter() - t0
+                rows.setdefault("bm25_serve_query", {})[mult] = (dt, out)
+                print(
+                    f"x{mult} ({n} docs) bm25_serve_query: {out} rows"
+                    f" in {dt:.1f}s",
+                    flush=True,
+                )
 
         # SemDeDup scales by growing k with n (constant cluster size — the
         # published recipe).  Replicas get a deterministic per-replica ±1
@@ -261,32 +309,33 @@ def main() -> None:
         # grams ARE shared across replicas at identical positions, so
         # this is the hot-gram adversarial case the Ed-Join prefix
         # filter exists for.
-        part_rep = part_base.crossJoin(reps).select(
-            F.expr(
-                "regexp_replace(p_name, '(\\\\S+)',"
-                " concat('$1', repeat(cast(rep as string), 4)))"
-            ).alias("p_name")
-        )
-        dp = f"{tmp}_part_x{mult}"
-        part_rep.write.mode("overwrite").parquet(f"{dp}/part.parquet")
-        pmat = spark.read.parquet(f"{dp}/part.parquet")
-        np_ = pmat.count()
-        t0 = time.perf_counter()
-        out = edit_distance_pairs(pmat, "p_name", 3).count()
-        dt = time.perf_counter() - t0
-        rows.setdefault("edit_distance_pairs", {})[mult] = (dt, out)
-        print(
-            f"x{mult} ({np_} part rows) edit_distance_pairs: {out} rows"
-            f" in {dt:.1f}s",
-            flush=True,
-        )
+        if _want_step("edit_distance_pairs"):
+            part_rep = part_base.crossJoin(reps).select(
+                F.expr(
+                    "regexp_replace(p_name, '(\\\\S+)',"
+                    " concat('$1', repeat(cast(rep as string), 4)))"
+                ).alias("p_name")
+            )
+            dp = f"{tmp}_part_x{mult}"
+            part_rep.write.mode("overwrite").parquet(f"{dp}/part.parquet")
+            pmat = spark.read.parquet(f"{dp}/part.parquet")
+            np_ = pmat.count()
+            t0 = time.perf_counter()
+            out = edit_distance_pairs(pmat, "p_name", 3).count()
+            dt = time.perf_counter() - t0
+            rows.setdefault("edit_distance_pairs", {})[mult] = (dt, out)
+            print(
+                f"x{mult} ({np_} part rows) edit_distance_pairs: {out} rows"
+                f" in {dt:.1f}s",
+                flush=True,
+            )
 
         # r6: WebIntakeScreen.screen_batch — fit happens OUTSIDE the
         # timed window (first mult seen, eagerly checkpointed), so each
         # leg times only the production per-batch cost against the
         # frozen model with a fresh line archive.
         lined = _lined(mat)
-        if "s" not in _screen_state:
+        if _want_step("web_intake_screen_batch") and "s" not in _screen_state:
             fitted = WebIntakeScreen.fit(lined, quality_cutoff=0.25)
             fitted.model = fitted.model.localCheckpoint(eager=True)
             fitted.nll_cuts = fitted.nll_cuts.localCheckpoint(eager=True)
@@ -294,45 +343,47 @@ def main() -> None:
                 eager=True
             )
             _screen_state["s"] = fitted
-        frozen = _screen_state["s"]
-        ws = WebIntakeScreen(
-            frozen.model,
-            frozen.nll_cuts,
-            frozen.score_cuts,
-            frozen.global_score_cut,
-        )
-        t0 = time.perf_counter()
-        out = (
-            ws.screen_batch(lined)
-            .where(F.length("cleaned_text") >= 0)
-            .count()
-        )
-        dt = time.perf_counter() - t0
-        rows.setdefault("web_intake_screen_batch", {})[mult] = (dt, out)
-        print(
-            f"x{mult} ({n} docs) web_intake_screen_batch: {out} rows"
-            f" in {dt:.1f}s",
-            flush=True,
-        )
+        if _want_step("web_intake_screen_batch"):
+            frozen = _screen_state["s"]
+            ws = WebIntakeScreen(
+                frozen.model,
+                frozen.nll_cuts,
+                frozen.score_cuts,
+                frozen.global_score_cut,
+            )
+            t0 = time.perf_counter()
+            out = (
+                ws.screen_batch(lined)
+                .where(F.length("cleaned_text") >= 0)
+                .count()
+            )
+            dt = time.perf_counter() - t0
+            rows.setdefault("web_intake_screen_batch", {})[mult] = (dt, out)
+            print(
+                f"x{mult} ({n} docs) web_intake_screen_batch: {out} rows"
+                f" in {dt:.1f}s",
+                flush=True,
+            )
 
-        de = f"{tmp}_emb_x{mult}"
-        emb_rep.write.mode("overwrite").parquet(f"{de}/embeddings.parquet")
-        emat = spark.read.parquet(f"{de}/embeddings.parquet")
-        ne = emat.count()
-        t0 = time.perf_counter()
-        out = semantic_dedup_pairs(
-            emat,
-            threshold=0.45,
-            iterations=2,
-            target_cluster_size=tcs,
-        ).count()
-        dt = time.perf_counter() - t0
-        rows.setdefault("semantic_dedup(k∝n default)", {})[mult] = (dt, out)
-        print(
-            f"x{mult} ({ne} vecs) semantic_dedup(k=auto~{-(-ne // tcs)}): "
-            f"{out} rows in {dt:.1f}s",
-            flush=True,
-        )
+        if _want_step("semantic_dedup(k∝n default)"):
+            de = f"{tmp}_emb_x{mult}"
+            emb_rep.write.mode("overwrite").parquet(f"{de}/embeddings.parquet")
+            emat = spark.read.parquet(f"{de}/embeddings.parquet")
+            ne = emat.count()
+            t0 = time.perf_counter()
+            out = semantic_dedup_pairs(
+                emat,
+                threshold=0.45,
+                iterations=2,
+                target_cluster_size=tcs,
+            ).count()
+            dt = time.perf_counter() - t0
+            rows.setdefault("semantic_dedup(k∝n default)", {})[mult] = (dt, out)
+            print(
+                f"x{mult} ({ne} vecs) semantic_dedup(k=auto~{-(-ne // tcs)}): "
+                f"{out} rows in {dt:.1f}s",
+                flush=True,
+            )
 
     lo, hi = mults[0], mults[-1]
     print("\n| step | " + " | ".join(f"x{m} sec (rows)" for m in mults) + " | exponent |")
