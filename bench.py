@@ -80,6 +80,9 @@ ADDITIONS = [
     "q_gopher_ngram_fracs",
     "q_lm_score_frozen",
     "q_lm_score_backoff",
+    # r6: serving-index fold math + pseudo-relevance feedback
+    "q_bm25_serve",
+    "q_bm25_prf",
 ]
 
 

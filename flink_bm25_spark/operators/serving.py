@@ -197,6 +197,28 @@ def bm25_topk_from_partials(
 BATCH_COL = "_batch_id"
 
 
+class _overwrite_mode:
+    """Scoped ``spark.sql.sources.partitionOverwriteMode`` — restores the
+    previous session value on exit."""
+
+    def __init__(self, spark: SparkSession, mode: str):
+        self._spark, self._mode = spark, mode
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self._spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", self._mode
+        )
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", self._old
+        )
+        return False
+
+
 def _write_index_batch(
     batch: Bm25IndexBatch, path: str, batch_id: int, create: bool
 ) -> None:
@@ -213,17 +235,19 @@ def _write_index_batch(
     spark = batch.postings.sparkSession
     tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
     mode = "overwrite"
-    if not create:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch.postings.select(tag, "*").write.mode(mode).partitionBy(
-        BATCH_COL, "bucket"
-    ).parquet(os.path.join(path, "postings"))
-    batch.df_parts.select(tag, "*").write.mode(mode).partitionBy(
-        BATCH_COL, "bucket"
-    ).parquet(os.path.join(path, "df"))
-    batch.stats_parts.select(tag, "*").coalesce(1).write.mode(
-        mode
-    ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+    # set-and-restore, not set: leaking dynamic mode into the session
+    # would silently turn every later static overwrite (e.g. compaction)
+    # into a partial one
+    with _overwrite_mode(spark, "dynamic" if not create else "static"):
+        batch.postings.select(tag, "*").write.mode(mode).partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "postings"))
+        batch.df_parts.select(tag, "*").write.mode(mode).partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "df"))
+        batch.stats_parts.select(tag, "*").coalesce(1).write.mode(
+            mode
+        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
 
 
 def bm25_index_save(
@@ -309,3 +333,64 @@ def bm25_topk_from_index(
     return bm25_topk_from_partials(
         Bm25IndexBatch(postings, df_parts, stats_parts), tuple(query_terms), k, k1, b
     )
+
+
+def bm25_index_compact(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> None:
+    """Fold the per-batch partition layout into ONE batch-0 partition —
+    the small-files maintenance a long-lived index needs (every add /
+    micro-batch leaves its own `_batch_id=<i>/bucket=<b>` files; after
+    thousands of batches each query pays per-file open cost across all
+    of them).  df partials collapse to one row per word and the stats
+    relation to one row; served scores are unchanged (the fold the
+    query ran at read time is simply materialized — pinned by test).
+
+    Each relation is eager-materialized (``localCheckpoint``) before its
+    path is overwritten, the same rewrite-what-you-read discipline as
+    ``streaming/curation.py::compact_curated``.  Run it OFFLINE relative
+    to adds (maintenance window), like any compaction."""
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .drop(BATCH_COL)
+        .withColumn(BATCH_COL, F.lit(0).cast("long"))
+        .repartition(files_per_bucket * 8, "bucket")
+        .localCheckpoint(eager=True)
+    )
+    df_fold = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .groupBy("bucket", "word")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn(BATCH_COL, F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    stats_fold = (
+        _read_stats(spark, path)
+        .groupBy("n_buckets")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_dlen_docs").cast("long").alias("n_dlen_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        .select(
+            "n_docs",
+            "n_dlen_docs",
+            "total_dl",
+            "n_buckets",
+            F.lit(0).cast("long").alias(BATCH_COL),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # STATIC overwrite by construction: the compacted relations carry
+    # only _batch_id=0, and dynamic mode would leave every other batch
+    # partition alive (double-counting everything once)
+    with _overwrite_mode(spark, "static"):
+        postings.write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "postings"))
+        df_fold.write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "df"))
+        stats_fold.coalesce(1).write.mode("overwrite").partitionBy(
+            BATCH_COL
+        ).parquet(os.path.join(path, "stats"))

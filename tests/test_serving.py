@@ -229,3 +229,39 @@ def test_prf_expands_and_stays_deterministic(spark):
     assert set(full_orig) == set(plain)
     for d, sc in full_orig.items():
         assert abs(sc - plain[d]) < 1e-5, (d, sc, plain[d])
+
+
+def test_index_compaction_preserves_scores_and_folds_state(spark, tmp_path):
+    # Compaction folds many batch partitions into batch 0: served
+    # ranking unchanged, stats collapse to one row, df to one row/word.
+    from flink_bm25_spark.operators.serving import bm25_index_compact
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 200), path, n_buckets=16)
+    bm25_index_add(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), path
+    )
+    bm25_index_add(docs.where(F.col("doc_id") >= 350), path)
+    before = [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ]
+    bm25_index_compact(spark, path)
+    after = [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ]
+    assert after == before == _want(spark)
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    assert len(stats) == 1
+    dup_words = (
+        spark.read.parquet(f"{path}/df")
+        .groupBy("word")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup_words == 0
+    # still addable + queryable after compaction
+    assert [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ] == before
