@@ -3217,7 +3217,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_total": _q_running_total,
         # dedup family
         "q_dedup_exact": _q_dedup_exact,
-        "q_dedup_token_set": _q_dedup_token_set,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_dedup_minhash": _q_dedup_minhash,
         "q_dedup_clusters": _q_dedup_clusters,
@@ -3225,7 +3224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": _q_embed_near_dup,
         "q_semantic_dedup": _q_semantic_dedup,
         "q_remove_dup_spans": _q_remove_dup_spans,
-        "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_edit_distance": _q_edit_distance,
         "q_winnow_fps": _q_winnow_fps,
         # ANN / embeddings / multimodal
@@ -3263,7 +3261,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_web_intake": _q_web_intake,
         "q_ccnet_by_lang": _q_ccnet_by_lang,
         "q_quality_gate_by_lang": _q_quality_gate_by_lang,
+        # r6 in-session rotation: the serving-index merge law and the
+        # RM3 two-pass feedback ranking are this round's new flagships;
+        # out went q_dedup_token_set (exact dedup on a normalized key —
+        # q_dedup_exact stays in-window, family keeps 7 entries) and
+        # q_sorted_neighborhood (blocking variant; the ER family keeps
+        # q_edit_distance's Ed-Join in-window) -- both stay oracle-swept
+        "q_bm25_serve": _q_bm25_serve,
+        "q_bm25_prf": _q_bm25_prf,
         # rotated out of the 50-row window (still oracle-swept):
+        "q_dedup_token_set": _q_dedup_token_set,
+        "q_sorted_neighborhood": _q_sorted_neighborhood,
         "q_session_window": _q_session_window,
         "q_contrastive_triplets": _q_contrastive_triplets,
         "q_dup_span_fraction": _q_dup_span_fraction,
@@ -3302,8 +3310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
-        "q_bm25_serve": _q_bm25_serve,
-        "q_bm25_prf": _q_bm25_prf,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
