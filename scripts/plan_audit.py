@@ -13,6 +13,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDITED = [
+    (
+        "q_bm25_serve",
+        "serving fold: df partials + corpus scalars broadcast one-row; TakeOrderedAndProject top-k",
+    ),
+    (
+        "q_bm25_prf",
+        "two-pass RM3: feedback docs + mined terms broadcast; both passes postings-pruned",
+    ),
     ("q_tf", "one hash-agg shuffle; explode+filter fused map-side"),
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),

@@ -639,3 +639,26 @@ def test_grouped_lm_and_gates_have_no_solo_docid_exchange(spark):
             if solo.search(ln)
         ]
         assert not hits, (name, hits)
+
+
+def test_bm25_serve_fold_plan_shape(spark):
+    # The serving fold must keep bm25_rank's posture: df fold and corpus
+    # scalars arrive as broadcast one-row/tiny relations (no shuffle
+    # join against the postings), top-k stays TakeOrderedAndProject.
+    df = QUERIES["q_bm25_serve"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row scalar fold
+    # the postings side must never be the build side of a sort-merge join
+    assert "SortMergeJoin" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_bm25_prf_plan_shape(spark):
+    # Both passes keep distributed top-k; feedback docs, mined expansion
+    # terms, idf and avgdl all broadcast — postings never shuffle for a
+    # join in either pass.
+    df = QUERIES["q_bm25_prf"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2  # pass-1 fb + final
+    assert "BroadcastHashJoin" in plan
