@@ -394,3 +394,106 @@ def bm25_index_compact(
         stats_fold.coalesce(1).write.mode("overwrite").partitionBy(
             BATCH_COL
         ).parquet(os.path.join(path, "stats"))
+
+
+def bm25_batch_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k per query for a RELATION of bag-of-words queries against
+    the persisted index — ``(query_id, doc_id, score, rk)``, the served
+    twin of ``bm25.bm25_batch_rank`` (eval-set retrieval / hard-negative
+    mining without re-deriving corpus statistics).
+
+    ``queries`` is ``(query_id int, terms array<string>)`` — as a
+    DataFrame, or a list of ``(query_id, [terms])`` tuples built
+    driver-side.  The postings/df scans carry the UNION of all queries'
+    buckets (one partition-pruned pass regardless of query count); the
+    exploded (query, term) relation broadcasts into the postings join,
+    and the per-query k-cut is WindowGroupLimit — never a global sort.
+    Scores equal ``bm25_topk_from_partials`` of each query alone
+    (pinned by test)."""
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            [(int(q), list(t)) for q, t in queries],
+            "query_id int, terms array<string>",
+        )
+    terms_rows = queries.select(F.explode("terms").alias("word")).distinct()
+    all_terms = tuple(r["word"] for r in terms_rows.collect())
+    n_buckets = _read_n_buckets(spark, path)
+    buckets = query_buckets(all_terms, n_buckets)
+    postings = spark.read.parquet(os.path.join(path, "postings")).where(
+        F.col("bucket").isin(buckets) & F.col("word").isin(*all_terms)
+    )
+    df_fold = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .where(F.col("bucket").isin(buckets) & F.col("word").isin(*all_terms))
+        .groupBy("word")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    scalars = _read_stats(spark, path).agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (
+            F.sum("total_dl").cast("double")
+            / F.sum("n_dlen_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    q_terms = queries.select(
+        "query_id", F.explode("terms").alias("word")
+    ).distinct()
+    scored = (
+        postings.join(F.broadcast(q_terms), "word")
+        .join(F.broadcast(df_fold), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"),
+                F.log(F.col("n_docs") / (F.col("df") + F.lit(1))),
+                F.col("dl"),
+                F.col("avgdl"),
+                k1,
+                b,
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= F.lit(k)
+    )
+
+
+def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Operational profile of a persisted index — one row per bucket:
+    ``(bucket, n_batches, n_files, n_postings, n_terms)``.  The
+    dedup_stats of the serving tier: watch for bucket skew (a hot term
+    concentrating postings) and for file-count growth that says it is
+    time for :func:`bm25_index_compact`.  One aggregation over the
+    postings relation; batch/file counts ride the same pass via
+    ``input_file_name``."""
+    p = spark.read.parquet(os.path.join(path, "postings"))
+    return (
+        p.select(
+            "bucket",
+            F.col(BATCH_COL).alias("_b"),
+            F.input_file_name().alias("_f"),
+            "word",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count_distinct("_b").cast("long").alias("n_batches"),
+            F.count_distinct("_f").cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.count_distinct("word").cast("long").alias("n_terms"),
+        )
+        .orderBy("bucket")
+    )

@@ -265,3 +265,45 @@ def test_index_compaction_preserves_scores_and_folds_state(spark, tmp_path):
     assert [
         tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
     ] == before
+
+
+def test_batch_serving_equals_single_queries(spark, tmp_path):
+    # The served batch-retrieval primitive: per-query results equal the
+    # single-query serve path, computed in ONE plan for all queries.
+    from flink_bm25_spark.operators.serving import bm25_batch_topk_from_index
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    batch_queries = [
+        (1, ("spark", "stream", "join")),
+        (2, ("fast", "hash", "merge")),
+    ]
+    got = bm25_batch_topk_from_index(spark, path, batch_queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rk"])
+        )
+    for qid, terms in batch_queries:
+        solo = [
+            (r["doc_id"], r["score"], r["rk"])
+            for r in bm25_topk_from_index(spark, path, terms, k=5).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda x: x[2]) == solo, qid
+
+
+def test_index_stats_profile(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import bm25_index_stats
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=8)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+    prof = bm25_index_stats(spark, path).collect()
+    assert {r["bucket"] for r in prof} <= set(range(8))
+    assert all(r["n_batches"] == 2 for r in prof)  # both batches hit all 8
+    # postings across buckets account for the whole (doc, word) relation
+    total = sum(r["n_postings"] for r in prof)
+    tf_rows = build_corpus_stats(docs).tf.count()
+    assert total == tf_rows
