@@ -307,3 +307,19 @@ def test_index_stats_profile(spark, tmp_path):
     total = sum(r["n_postings"] for r in prof)
     tf_rows = build_corpus_stats(docs).tf.count()
     assert total == tf_rows
+
+
+def test_empty_batch_add_is_harmless(spark, tmp_path):
+    # An empty micro-batch contributes zero-valued partials; the fold
+    # skips them and served scores are unchanged.
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    before = [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ]
+    bm25_index_add(docs.where(F.lit(False)), path)
+    after = [
+        tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
+    ]
+    assert after == before == _want(spark)
