@@ -1038,3 +1038,63 @@ class WebIntakeScreen:
             spark, path, text_col=cfg["text_col"], sep=cfg["sep"]
         )
         return screen
+
+
+class Bm25Index:
+    """Operational facade over the persisted BM25 serving index
+    (:mod:`flink_bm25_spark.operators.serving`) — the query-side
+    counterpart of :class:`BM25Engine`: where the engine re-derives
+    statistics from raw text per session, the index answers from its
+    term-bucket-partitioned parquet layout, so ``search`` opens only the
+    query terms' buckets (partition pruning) and never re-tokenizes.
+
+    Loop: ``Bm25Index.create(docs, path)`` → ``idx.add(batch)`` per
+    arriving batch (idempotent per batch id; streaming twin
+    ``streaming/index_maintenance.py``) → ``idx.search("free text")``
+    any time → ``idx.compact()`` in maintenance windows.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @classmethod
+    def create(
+        cls, documents: DataFrame, path: str, n_buckets: int = 64
+    ) -> "Bm25Index":
+        from flink_bm25_spark.operators.serving import bm25_index_save
+
+        bm25_index_save(documents, path, n_buckets=n_buckets)
+        return cls(documents.sparkSession, path)
+
+    def add(self, documents: DataFrame, batch_id: int | None = None) -> None:
+        from flink_bm25_spark.operators.serving import bm25_index_add
+
+        bm25_index_add(documents, self.path, batch_id=batch_id)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """``(doc_id, score, rk)`` — served BM25 top-k for free text."""
+        from flink_bm25_spark.operators.serving import bm25_topk_from_index
+
+        return bm25_topk_from_index(
+            self.spark, self.path, _tokenize_query(query), k=k
+        )
+
+    def search_batch(self, queries, k: int = 10) -> DataFrame:
+        """``(query_id, doc_id, score, rk)`` for a relation/list of
+        ``(query_id, terms)`` — one partition-pruned pass for all."""
+        from flink_bm25_spark.operators.serving import (
+            bm25_batch_topk_from_index,
+        )
+
+        return bm25_batch_topk_from_index(self.spark, self.path, queries, k=k)
+
+    def compact(self) -> None:
+        from flink_bm25_spark.operators.serving import bm25_index_compact
+
+        bm25_index_compact(self.spark, self.path)
+
+    def stats(self) -> DataFrame:
+        from flink_bm25_spark.operators.serving import bm25_index_stats
+
+        return bm25_index_stats(self.spark, self.path)

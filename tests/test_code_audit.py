@@ -27,6 +27,7 @@ COLLECT_ALLOWED = {
     "operators/decontam.py",    # Bloom filter rows: bits/64 (16) rows
     "__main__.py",              # CLI search: prints the k-row top-k result
     "operators/sinks.py",       # shard manifest: n_shards rows (counts+checksum)
+    "operators/serving.py",     # batch-serve: distinct query terms (query-relation-sized)
 }
 
 

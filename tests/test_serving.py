@@ -323,3 +323,23 @@ def test_empty_batch_add_is_harmless(spark, tmp_path):
         tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
     ]
     assert after == before == _want(spark)
+
+
+def test_bm25index_facade_loop(spark, tmp_path):
+    # create -> add -> free-text search == BM25Engine.search; compact
+    # keeps answers; stats stays consistent.
+    from flink_bm25_spark.api import BM25Engine, Bm25Index
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    idx = Bm25Index.create(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    idx.add(docs.where(F.col("doc_id") >= 250))
+    want = [
+        tuple(r)
+        for r in BM25Engine.fit(docs).search("spark stream join", k=10).collect()
+    ]
+    got = [tuple(r) for r in idx.search("spark stream join", k=10).collect()]
+    assert got == want
+    idx.compact()
+    assert [tuple(r) for r in idx.search("spark stream join", k=10).collect()] == want
+    assert idx.stats().count() > 0
