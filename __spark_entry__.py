@@ -465,6 +465,35 @@ def _q_bm25_prf(spark, sf_dir):
     )
 
 
+def _q_bm25_facets(spark, sf_dir):
+    # Faceted result counts over ALL matching docs (the aggregation next
+    # to a search UI's top-k list) — scored relation stays postings-
+    # pruned; one facet groupBy closes it out.
+    from flink_bm25_spark.operators.bm25 import bm25_facets
+
+    s = _stats(spark, sf_dir)
+    meta = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return bm25_facets(
+        s.tf, s.idf_stats, s.dlen, meta, DEFAULT_QUERY_TERMS, "lang"
+    )
+
+
+def _q_bm25_snippets(spark, sf_dir):
+    # Result snippets: k ranked rows broadcast into ONE corpus read; the
+    # window around the first query-term occurrence is a map-side
+    # substring (least over nullif'd instr positions — deterministic).
+    from flink_bm25_spark.operators.bm25 import bm25_snippets
+
+    s = _stats(spark, sf_dir)
+    ranked = bm25_rank(s.tf, s.idf_stats, s.dlen, DEFAULT_QUERY_TERMS, k=10)
+    return bm25_snippets(
+        load_table(spark, "documents", sf_dir),
+        ranked,
+        DEFAULT_QUERY_TERMS,
+        width=60,
+    )
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 top-20 (lexical, over the reference's
     # materialized statistics) ⊕ cosine top-20 (dense, over the embedding
@@ -3310,6 +3339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
+        "q_bm25_facets": _q_bm25_facets,
+        "q_bm25_snippets": _q_bm25_snippets,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
@@ -4069,6 +4100,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
         """,
+        # faceted counts over ALL matching docs; per-doc score summed
+        # UNROUNDED, rounding applied once at the facet rollup
+        "q_bm25_facets": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            scored AS (
+              SELECT t.doc_id,
+                     sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            )
+            SELECT doc.lang AS facet,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(s.score), 6) AS total_score
+            FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+            GROUP BY doc.lang
+        """,
+        # snippets: the q_bm25_rank top-k joined back to the corpus, a
+        # 60-char window at the first query-term occurrence
+        "q_bm25_snippets": f"""
+            WITH {_PIPE},
+            avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(
+                       i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                       (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                        (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                         / (SELECT avgdl FROM avgdl)))
+                     ), 6) AS score
+              FROM tf t
+              JOIN idf i ON t.word = i.word
+              JOIN dlen d ON t.doc_id = d.doc_id
+              WHERE t.word IN ({_QT})
+              GROUP BY t.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM scored
+            )
+            SELECT r.doc_id, r.score, r.rk,
+                   substr(
+                     doc.text,
+                     coalesce(least({", ".join(
+                         f"nullif(instr(lower(doc.text), '{w}'), 0)"
+                         for w in DEFAULT_QUERY_TERMS
+                     )}), 1),
+                     60
+                   ) AS snippet
+            FROM ranked r JOIN documents doc ON r.doc_id = doc.doc_id
+            WHERE r.rk <= 10
+        """,
         # RM3-style pseudo-relevance feedback: pass-1 top-5 docs -> mine
         # top-5 tf-idf expansion terms (rounded before the cut so the
         # selection replays cross-engine) -> weighted re-rank
@@ -4110,6 +4203,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN idf i ON t.word = i.word
                 WHERE t.word NOT IN ({_QT})
                 GROUP BY t.word
+                HAVING round(sum(t.tf * i.idf), 6) > 0
               ) WHERE r <= 5
             ),
             qrel AS (

@@ -325,7 +325,9 @@ def bm25_rank_prf(
        per-term tf×idf mass summed over the feedback docs (rounded to 6
        decimals BEFORE the cut so the selection replays cross-engine),
        original query terms excluded, ties toward the lexically smaller
-       word;
+       word; only POSITIVE mass qualifies (``idf = ln(N/(df+1))`` goes
+       negative for near-ubiquitous terms, and a non-positive max would
+       invert the ``wgt/max`` normalization);
     3. re-rank with the weighted query: original terms at
        ``orig_weight`` each, expansion terms at
        ``(1 - orig_weight) × wgt/max_wgt`` — one weighted BM25 pass.
@@ -348,6 +350,7 @@ def bm25_rank_prf(
         .join(F.broadcast(idf_stats.select("word", "idf")), "word")
         .groupBy("word")
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("wgt"))
+        .where(F.col("wgt") > 0)
         .orderBy(F.desc("wgt"), F.asc("word"))
         .limit(fb_terms)
     )
@@ -384,3 +387,90 @@ def bm25_rank_prf(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bm25_facets(
+    tf: DataFrame,
+    idf_stats: DataFrame,
+    dlen: DataFrame,
+    documents_meta: DataFrame,
+    query_terms: tuple[str, ...],
+    facet_col: str = "lang",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Faceted result counts — ``(facet, n_docs, total_score)`` over ALL
+    documents matching any query term (the aggregation a search UI shows
+    next to the top-k list: "1,204 results in en, 310 in de, ...").
+
+    Plan: the scored relation is the same pruned-postings aggregation
+    ``bm25_rank`` runs (never a corpus scan), so the facet join touches
+    only matching doc_ids; ``documents_meta`` is ``(doc_id, facet)`` —
+    at 100 TB pass a pruned projection, the join is doc_id-keyed on the
+    match set.  One extra groupBy on the facet closes it out.
+    """
+    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    matches = tf.where(F.col("word").isin(*query_terms))
+    scored = (
+        matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(avgdl_row))
+        .select(
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl"), k1, b
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    meta = documents_meta.select(
+        "doc_id", F.col(facet_col).alias("facet")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("score"), 6).alias("total_score"),
+        )
+    )
+
+
+def bm25_snippets(
+    documents: DataFrame,
+    ranked: DataFrame,
+    query_terms: tuple[str, ...],
+    width: int = 60,
+) -> DataFrame:
+    """Attach a match snippet to a ranked result set —
+    ``(doc_id, score, rk, snippet)``: the ``width`` characters of the
+    document starting at the FIRST occurrence of any query term
+    (earliest position wins; term list order breaks position ties only
+    via ``least`` being order-insensitive, so the choice is
+    deterministic).  Documents where no term occurs as a substring
+    (possible when ranking matched a token the raw text cases
+    differently) fall back to the document head.
+
+    Plan: ``ranked`` is k rows — it broadcasts into the documents scan
+    and the snippet is a map-side substring; the corpus is read once,
+    projected to (doc_id, text), never shuffled.
+    """
+    low = F.lower(F.col("text"))
+    first_pos = F.least(
+        *[
+            F.nullif(F.instr(low, F.lit(t)), F.lit(0))
+            for t in dict.fromkeys(query_terms)
+        ]
+    )
+    start = F.coalesce(first_pos, F.lit(1))
+    return (
+        documents.select("doc_id", "text")
+        .join(F.broadcast(ranked), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "rk",
+            F.substring(F.col("text"), start, width).alias("snippet"),
+        )
+    )
