@@ -343,3 +343,51 @@ def test_bm25index_facade_loop(spark, tmp_path):
     idx.compact()
     assert [tuple(r) for r in idx.search("spark stream join", k=10).collect()] == want
     assert idx.stats().count() > 0
+
+
+def test_served_hybrid_rrf(spark, tmp_path):
+    # End-to-end hybrid retrieval with BOTH sides served from persisted
+    # indexes: BM25 from the bucket-partitioned postings, dense from the
+    # cell-partitioned IVF — fused by RRF with no corpus rescan and no
+    # statistics rebuild anywhere on the query path.
+    from flink_bm25_spark.operators.retrieval import rrf_fuse
+    from flink_bm25_spark.operators.similarity import (
+        ivf_build,
+        ivf_save,
+        ivf_topk_from_disk,
+    )
+    from flink_bm25_spark.sources.tables import load_embeddings
+
+    docs = load_documents(spark, SF_DIR)
+    idx = str(tmp_path / "bm25")
+    bm25_index_save(docs, idx, n_buckets=16)
+    lexical = bm25_topk_from_index(spark, idx, TERMS, k=10)
+
+    emb = load_embeddings(spark, SF_DIR).select(
+        F.col("vec_id").alias("doc_id").cast("long").alias("doc_id"),
+        "embedding",
+    )
+    model, assigned = ivf_build(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"), n_cells=4
+    )
+    ivf_path = str(tmp_path / "ivf")
+    ivf_save(model, assigned, ivf_path)
+    from pyspark.sql import Window
+
+    qvec = [float(x) for x in emb.orderBy("doc_id").first()["embedding"]]
+    dense = (
+        ivf_topk_from_disk(spark, ivf_path, qvec, k=10, nprobe=2)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rk")
+    )
+
+    fused = rrf_fuse([lexical.select("doc_id", "rk"), dense], k=10)
+    rows = fused.collect()
+    assert rows and fused.columns == ["doc_id", "rrf", "n_systems", "rk"]
+    assert all(1 <= r["n_systems"] <= 2 for r in rows)
+    assert any(r["n_systems"] >= 1 for r in rows) and len(rows) <= 10
