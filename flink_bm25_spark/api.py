@@ -1098,3 +1098,29 @@ class Bm25Index:
         from flink_bm25_spark.operators.serving import bm25_index_stats
 
         return bm25_index_stats(self.spark, self.path)
+
+    # -- forward (doc-major) section ----------------------------------------
+
+    def save_forward(self, documents: DataFrame) -> None:
+        """Persist the doc-major section (the reference's tf5 store
+        shape) enabling point lookups and served more-like-this."""
+        from flink_bm25_spark.operators.serving import (
+            bm25_index_save_forward,
+        )
+
+        bm25_index_save_forward(documents, self.path)
+
+    def doc_vector(self, doc_id: int) -> DataFrame:
+        """``(doc_id, dl, terms)`` point lookup — getByPid parity."""
+        from flink_bm25_spark.operators.serving import doc_vector_from_index
+
+        return doc_vector_from_index(self.spark, self.path, doc_id)
+
+    def more_like_this(self, doc_id: int, k: int = 10) -> DataFrame:
+        """``(doc_id, sim, rk)`` — related docs by weighted BM25 over
+        the source doc's vector; reads bounded by its vocabulary."""
+        from flink_bm25_spark.operators.serving import (
+            more_like_this_from_index,
+        )
+
+        return more_like_this_from_index(self.spark, self.path, doc_id, k=k)

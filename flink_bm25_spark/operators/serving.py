@@ -497,3 +497,163 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def bm25_forward_batch(
+    documents: DataFrame,
+    n_buckets: int = 64,
+    tokenizer=tokenize,
+) -> DataFrame:
+    """The doc-major (FORWARD) index relation for one batch —
+    ``(fbucket, doc_id, dl, terms: array<struct<word, tf>>)``, one row
+    per document, ``fbucket = pmod(doc_id, n_buckets)``.
+
+    This is the reference's MongoDB ``tf5`` collection re-expressed
+    (``MongoTFSink.java:43-58`` stores exactly this nested shape;
+    ``BatchBM25PreMain.java:78-105`` ``getByPid`` point-reads it): the
+    doc-keyed layout that serves "fetch THIS document's term vector"
+    without touching the term-major postings.  The bucket function is
+    plain modulo on the numeric key, so a point lookup prunes to one
+    directory with no hashing at all."""
+    stats = build_corpus_stats(documents, tokenizer=tokenizer)
+    return (
+        stats.tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.sort_array(
+                F.collect_list(F.struct("word", "tf"))
+            ).alias("terms"),
+        )
+        .select(
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias(
+                "fbucket"
+            ),
+            "doc_id",
+            "dl",
+            "terms",
+        )
+    )
+
+
+def bm25_index_save_forward(
+    documents: DataFrame,
+    path: str,
+    tokenizer=tokenize,
+    batch_id: int = 0,
+    create: bool = True,
+) -> None:
+    """Persist the forward section alongside an EXISTING index (same
+    root, ``forward/_batch_id=<i>/fbucket=<b>/``; same idempotent batch
+    discipline as the postings).  n_buckets is read from the index's
+    stats partials so both sections always agree."""
+    spark = documents.sparkSession
+    n_buckets = _read_n_buckets(spark, path)
+    fwd = bm25_forward_batch(documents, n_buckets, tokenizer)
+    tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
+    with _overwrite_mode(spark, "static" if create else "dynamic"):
+        fwd.select(tag, "*").write.mode("overwrite").partitionBy(
+            BATCH_COL, "fbucket"
+        ).parquet(os.path.join(path, "forward"))
+
+
+def doc_vector_from_index(
+    spark: SparkSession, path: str, doc_id: int
+) -> DataFrame:
+    """Point lookup — ``(doc_id, dl, terms)`` for ONE document: the
+    serving twin of the reference's ``getByPid`` (S2,
+    ``BatchBM25PreMain.java:78-105``).  The ``fbucket = doc_id %
+    n_buckets`` predicate is computed driver-side (integer modulo, no
+    job) and prunes the scan to one directory; the ``doc_id`` equality
+    then hits parquet row-group stats inside it."""
+    n_buckets = _read_n_buckets(spark, path)
+    return (
+        spark.read.parquet(os.path.join(path, "forward"))
+        .where(
+            (F.col("fbucket") == int(doc_id) % n_buckets)
+            & (F.col("doc_id") == int(doc_id))
+        )
+        .select("doc_id", "dl", "terms")
+    )
+
+
+def more_like_this_from_index(
+    spark: SparkSession,
+    path: str,
+    source_doc_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Served "more like this" — ``(doc_id, sim, rk)``: the source
+    document's term vector becomes a WEIGHTED BM25 query (weight = the
+    source's tf for the term; idf enters once, inside the BM25
+    contribution), reading ONE forward bucket (the source vector) plus
+    the source terms' postings buckets.  Every read is bounded by
+    the source doc's vocabulary — never a corpus scan.
+
+    BM25 scoring gives candidate length normalization for free (``dl``
+    rides in every posting), which a raw tf-idf dot product lacks —
+    without it long documents sharing common terms crowd out true
+    near-duplicates (measured on the fixture: the planted twin of the
+    source ranked below 5 long docs under dot product, first under
+    this form).  Exact tf-idf COSINE would instead need every
+    candidate's full norm, which lives across ALL its terms' buckets —
+    the in-memory :func:`~flink_bm25_spark.operators.bm25.
+    more_like_this` is that form; this is the bounded-read serving
+    form."""
+    src = doc_vector_from_index(spark, path, source_doc_id).select(
+        F.explode("terms").alias("t")
+    ).select(F.col("t.word").alias("word"), F.col("t.tf").alias("tf_src"))
+    src_terms = [r["word"] for r in src.select("word").distinct().collect()]
+    if not src_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, sim double, rk int"
+        )
+    n_buckets = _read_n_buckets(spark, path)
+    buckets = query_buckets(tuple(src_terms), n_buckets)
+    postings = spark.read.parquet(os.path.join(path, "postings")).where(
+        F.col("bucket").isin(buckets)
+        & F.col("word").isin(*src_terms)
+        & (F.col("doc_id") != int(source_doc_id))
+    )
+    df_fold = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .where(F.col("bucket").isin(buckets) & F.col("word").isin(*src_terms))
+        .groupBy("word")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    scalars = _read_stats(spark, path).agg(
+        F.sum("n_docs").cast("double").alias("n"),
+        (
+            F.sum("total_dl").cast("double")
+            / F.sum("n_dlen_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    weighted = src.join(df_fold, "word").select(
+        "word",
+        "df",
+        (
+            F.col("tf_src").cast("double")
+        ).alias("tf_src"),
+    )
+    dots = (
+        postings.join(F.broadcast(weighted), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            # weight = source tf (how much the source emphasizes the
+            # term); the idf lives once, inside the BM25 contribution
+            (
+                F.col("tf_src")
+                * bm25_score_expr(
+                    F.col("tf"),
+                    F.log(F.col("n") / (F.col("df") + F.lit(1))),
+                    F.col("dl"),
+                    F.col("avgdl"),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("p"), 6).alias("sim"))
+    )
+    topk = dots.orderBy(F.desc("sim"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -391,3 +391,62 @@ def test_served_hybrid_rrf(spark, tmp_path):
     assert rows and fused.columns == ["doc_id", "rrf", "n_systems", "rk"]
     assert all(1 <= r["n_systems"] <= 2 for r in rows)
     assert any(r["n_systems"] >= 1 for r in rows) and len(rows) <= 10
+
+
+def test_forward_point_lookup_matches_tf_vectors(spark, tmp_path):
+    # The forward section is the reference's tf5 store shape: a point
+    # lookup returns exactly the doc's (word, tf) vector, partition-
+    # pruned to its fbucket directory.
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_save_forward,
+        doc_vector_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+
+    row = doc_vector_from_index(spark, path, 7).collect()
+    assert len(row) == 1 and row[0]["doc_id"] == 7
+    got = {(t["word"], t["tf"]) for t in row[0]["terms"]}
+    s = build_corpus_stats(docs)
+    want = {
+        (r["word"], r["tf"])
+        for r in s.tf.where(F.col("doc_id") == 7).collect()
+    }
+    assert got == want and row[0]["dl"] == sum(t for _, t in want)
+
+    plan = (
+        doc_vector_from_index(spark, path, 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "fbucket" in plan.split("PartitionFilters")[1][:160]
+
+
+def test_served_mlt_bounded_reads_and_sane_ranking(spark, tmp_path):
+    # Served more-like-this: reads = one forward bucket + the source
+    # terms' postings buckets; the dot-product ranking must surface the
+    # corpus doc whose vector IS the source's (a near-duplicate) first.
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_save_forward,
+        more_like_this_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    # plant an exact near-duplicate of doc 3 with a new id
+    twin = docs.where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    corpus = docs.unionByName(twin.select(*docs.columns))
+    path = str(tmp_path / "idx")
+    bm25_index_save(corpus, path, n_buckets=16)
+    bm25_index_save_forward(corpus, path)
+
+    out = more_like_this_from_index(spark, path, 3, k=5).collect()
+    assert out and out[0]["doc_id"] == 900003
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
