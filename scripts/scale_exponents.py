@@ -249,7 +249,15 @@ def main() -> None:
         # bucket's postings grow M×, making the query row the honest
         # "serve latency vs corpus size" curve (bounded by bucket scan,
         # never the corpus).
-        if _want_step("bm25_index_build") or _want_step("bm25_serve_query"):
+        if any(
+            _want_step(s)
+            for s in (
+                "bm25_index_build",
+                "bm25_serve_query",
+                "bm25_point_lookup",
+                "bm25_serve_mlt",
+            )
+        ):
             from flink_bm25_spark.operators.serving import (
                 bm25_index_save,
                 bm25_topk_from_index,
@@ -276,6 +284,34 @@ def main() -> None:
                     f" in {dt:.1f}s",
                     flush=True,
                 )
+            if _want_step("bm25_point_lookup") or _want_step("bm25_serve_mlt"):
+                from flink_bm25_spark.operators.serving import (
+                    bm25_index_save_forward,
+                    doc_vector_from_index,
+                    more_like_this_from_index,
+                )
+
+                bm25_index_save_forward(mat, idx)
+                if _want_step("bm25_point_lookup"):
+                    t0 = time.perf_counter()
+                    out = doc_vector_from_index(spark, idx, 42).count()
+                    dt = time.perf_counter() - t0
+                    rows.setdefault("bm25_point_lookup", {})[mult] = (dt, out)
+                    print(
+                        f"x{mult} ({n} docs) bm25_point_lookup: {out} rows"
+                        f" in {dt:.1f}s",
+                        flush=True,
+                    )
+                if _want_step("bm25_serve_mlt"):
+                    t0 = time.perf_counter()
+                    out = more_like_this_from_index(spark, idx, 42, k=10).count()
+                    dt = time.perf_counter() - t0
+                    rows.setdefault("bm25_serve_mlt", {})[mult] = (dt, out)
+                    print(
+                        f"x{mult} ({n} docs) bm25_serve_mlt: {out} rows"
+                        f" in {dt:.1f}s",
+                        flush=True,
+                    )
 
         # SemDeDup scales by growing k with n (constant cluster size — the
         # published recipe).  Replicas get a deterministic per-replica ±1
