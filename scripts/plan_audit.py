@@ -21,6 +21,14 @@ AUDITED = [
         "q_bm25_prf",
         "two-pass RM3: feedback docs + mined terms broadcast; both passes postings-pruned",
     ),
+    (
+        "q_bm25_facets",
+        "scored relation postings-pruned; facet rollup one keyed agg",
+    ),
+    (
+        "q_bm25_snippets",
+        "k ranked rows broadcast into ONE corpus read; snippet map-side",
+    ),
     ("q_tf", "one hash-agg shuffle; explode+filter fused map-side"),
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),
