@@ -581,6 +581,7 @@ def more_like_this_from_index(
     path: str,
     source_doc_id: int,
     k: int = 10,
+    max_terms: int = 64,
 ) -> DataFrame:
     """Served "more like this" — ``(doc_id, sim, rk)``: the source
     document's term vector becomes a WEIGHTED BM25 query (weight = the
@@ -598,10 +599,18 @@ def more_like_this_from_index(
     candidate's full norm, which lives across ALL its terms' buckets —
     the in-memory :func:`~flink_bm25_spark.operators.bm25.
     more_like_this` is that form; this is the bounded-read serving
-    form."""
-    src = doc_vector_from_index(spark, path, source_doc_id).select(
+    form.
+
+    ``max_terms`` caps the query at the source's highest-tf terms
+    (ties toward the lexically smaller word — deterministic), the
+    Lucene-MLT ``maxQueryTerms`` discipline: a pathological megadoc
+    must not expand into a hundred-thousand-term filter."""
+    src_rows = doc_vector_from_index(spark, path, source_doc_id).select(
         F.explode("terms").alias("t")
-    ).select(F.col("t.word").alias("word"), F.col("t.tf").alias("tf_src"))
+    ).select(
+        F.col("t.word").alias("word"), F.col("t.tf").alias("tf_src")
+    ).orderBy(F.desc("tf_src"), F.asc("word")).limit(max_terms)
+    src = src_rows.localCheckpoint(eager=True)  # one read, reused twice
     src_terms = [r["word"] for r in src.select("word").distinct().collect()]
     if not src_terms:
         return spark.createDataFrame(
@@ -657,3 +666,24 @@ def more_like_this_from_index(
     topk = dots.orderBy(F.desc("sim"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def doc_vectors_from_index(
+    spark: SparkSession, path: str, doc_ids: list[int]
+) -> DataFrame:
+    """Multi-get point lookup — ``(doc_id, dl, terms)`` for a SET of
+    documents: one scan pruned to the union of the ids' fbucket
+    directories (≤ min(len(ids), n_buckets) of them), the id equality
+    pushed to row-group stats inside.  The batched getByPid."""
+    n_buckets = _read_n_buckets(spark, path)
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return spark.createDataFrame(
+            [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
+        )
+    fbuckets = sorted({d % n_buckets for d in ids})
+    return (
+        spark.read.parquet(os.path.join(path, "forward"))
+        .where(F.col("fbucket").isin(fbuckets) & F.col("doc_id").isin(ids))
+        .select("doc_id", "dl", "terms")
+    )

@@ -450,3 +450,25 @@ def test_served_mlt_bounded_reads_and_sane_ranking(spark, tmp_path):
     out = more_like_this_from_index(spark, path, 3, k=5).collect()
     assert out and out[0]["doc_id"] == 900003
     assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_multi_get_and_mlt_term_cap(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_save_forward,
+        doc_vectors_from_index,
+        more_like_this_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+
+    got = doc_vectors_from_index(spark, path, [3, 7, 100]).collect()
+    assert {r["doc_id"] for r in got} == {3, 7, 100}
+    assert doc_vectors_from_index(spark, path, []).count() == 0
+
+    # the term cap keeps the query bounded and leaves ranking sane
+    capped = more_like_this_from_index(spark, path, 3, k=5, max_terms=8)
+    rows = capped.collect()
+    assert len(rows) == 5 and [r["rk"] for r in rows] == [1, 2, 3, 4, 5]
