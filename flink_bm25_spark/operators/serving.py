@@ -289,7 +289,12 @@ def bm25_index_add(
     — a redelivery replaces its own partitions via dynamic partition
     overwrite — which is what the streaming maintenance loop relies on.
     doc_ids must be disjoint from the archive (the incremental-tier
-    caller contract)."""
+    caller contract).
+
+    If the index carries a FORWARD section, the batch's doc-major rows
+    land in it under the same batch id — both sections stay in lockstep
+    with no extra caller step (the batch's tokenization is shared by
+    lineage; adds remain O(batch))."""
     spark = documents.sparkSession
     stats = _read_stats(spark, path)
     n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
@@ -303,6 +308,10 @@ def bm25_index_add(
         batch_id,
         create=False,
     )
+    if os.path.isdir(os.path.join(path, "forward")):
+        bm25_index_save_forward(
+            documents, path, tokenizer, batch_id=batch_id, create=False
+        )
 
 
 def bm25_topk_from_index(
@@ -381,6 +390,15 @@ def bm25_index_compact(
         )
         .localCheckpoint(eager=True)
     )
+    fwd = None
+    if os.path.isdir(os.path.join(path, "forward")):
+        fwd = (
+            spark.read.parquet(os.path.join(path, "forward"))
+            .drop(BATCH_COL)
+            .withColumn(BATCH_COL, F.lit(0).cast("long"))
+            .repartition(files_per_bucket * 8, "fbucket")
+            .localCheckpoint(eager=True)
+        )
     # STATIC overwrite by construction: the compacted relations carry
     # only _batch_id=0, and dynamic mode would leave every other batch
     # partition alive (double-counting everything once)
@@ -394,6 +412,10 @@ def bm25_index_compact(
         stats_fold.coalesce(1).write.mode("overwrite").partitionBy(
             BATCH_COL
         ).parquet(os.path.join(path, "stats"))
+        if fwd is not None:
+            fwd.write.mode("overwrite").partitionBy(
+                BATCH_COL, "fbucket"
+            ).parquet(os.path.join(path, "forward"))
 
 
 def bm25_batch_topk_from_index(

@@ -472,3 +472,30 @@ def test_multi_get_and_mlt_term_cap(spark, tmp_path):
     capped = more_like_this_from_index(spark, path, 3, k=5, max_terms=8)
     rows = capped.collect()
     assert len(rows) == 5 and [r["rk"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_forward_section_stays_in_lockstep_with_adds(spark, tmp_path):
+    # Once the forward section exists, adds and compaction maintain it
+    # automatically: point lookups see new-batch docs, and compaction
+    # folds forward partitions without losing any vector.
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_compact,
+        bm25_index_save_forward,
+        doc_vector_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    lo = docs.where(F.col("doc_id") < 250)
+    bm25_index_save(lo, path, n_buckets=16)
+    bm25_index_save_forward(lo, path)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+
+    row = doc_vector_from_index(spark, path, 400).collect()  # new-batch doc
+    assert len(row) == 1 and row[0]["terms"]
+
+    bm25_index_compact(spark, path)
+    again = doc_vector_from_index(spark, path, 400).collect()
+    assert len(again) == 1 and again[0]["terms"] == row[0]["terms"]
+    n_fwd = spark.read.parquet(f"{path}/forward").count()
+    assert n_fwd == docs.count()  # every doc exactly once after the fold
