@@ -63,6 +63,48 @@ from flink_bm25_spark.operators.pipeline import build_corpus_stats
 from flink_bm25_spark.operators.tokenize import tokenize
 
 
+# Stream-maintained batches live at STREAM_BATCH_BASE + micro-batch id;
+# manual adds allocate strictly below it, so the two id spaces can never
+# collide (a manual add landing on a stream id would let the stream's
+# next dynamic overwrite partially wipe it — postings replaced per
+# (batch, bucket) partition but the stats row replaced wholesale).
+STREAM_BATCH_BASE = 1_000_000_000
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves the
+    SAME filesystem the reads/writes use (HDFS/S3A/ABFS/local), unlike
+    ``os.path``, which only ever sees the driver's local disk and would
+    silently report a remote index's sections as absent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent = jdst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, score double, rk int")
+
+
 class Bm25IndexBatch(NamedTuple):
     """One batch's contribution to the index: the postings fact relation
     plus the two mergeable statistics partials."""
@@ -83,9 +125,50 @@ def query_buckets(terms: tuple[str, ...], n_buckets: int) -> list[int]:
     which partitions to open."""
     out = set()
     for t in terms:
-        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-        out.add(h % n_buckets)
+        out.add(_h_driver(t) % n_buckets)
     return sorted(out)
+
+
+def _h_driver(term: str) -> int:
+    """Driver-side twin of the in-plan ``h60`` (same md5 recipe)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _read_hot_salts(
+    spark: SparkSession, path: str, terms: tuple[str, ...]
+) -> dict[str, int]:
+    """``word -> n_salts`` for the query terms that some batch salted —
+    a read of the tiny ``hot/`` relation pruned to the terms (collect
+    bounded by ``|terms|``); ``{}`` when the index has no hot section.
+    Folding with MAX is safe-by-superset: if batches disagree on a
+    word's salt count, opening the widest salt range covers every
+    bucket any batch wrote (the word equality inside keeps scores
+    exact)."""
+    hot_path = os.path.join(path, "hot")
+    if not _fs_exists(spark, hot_path):
+        return {}
+    rows = (
+        spark.read.parquet(hot_path)
+        .where(F.col("word").isin(*terms))
+        .groupBy("word")
+        .agg(F.max("n_salts").alias("n_salts"))
+        .collect()
+    )
+    return {r["word"]: int(r["n_salts"]) for r in rows}
+
+
+def _expanded_query_buckets(
+    spark: SparkSession, path: str, terms: tuple[str, ...], n_buckets: int
+) -> list[int]:
+    """The buckets a query must open against a PERSISTED index: the
+    base bucket per term, plus — for terms the index salted as hot —
+    every salted sub-bucket ``(h60(word) + salt) % n_buckets``."""
+    buckets = set(query_buckets(terms, n_buckets))
+    for word, n_salts in _read_hot_salts(spark, path, terms).items():
+        h = _h_driver(word)
+        for s in range(n_salts):
+            buckets.add((h + s) % n_buckets)
+    return sorted(buckets)
 
 
 def bm25_index_batch(
@@ -158,7 +241,13 @@ def bm25_topk_from_partials(
     the batches-row stats relation and broadcast as one row — the whole
     ranking is one Spark job and no scalar round-trips through Python
     (``bm25_rank``'s posture).  Scores are identical to ``bm25_rank``
-    over the concatenated corpus because both folds are exact sums."""
+    over the concatenated corpus because both folds are exact sums.
+
+    An EMPTY term tuple (a stopword-only query after tokenization)
+    short-circuits to an empty result instead of reaching a zero-arg
+    ``isin`` (which Spark rejects with an opaque analysis error)."""
+    if not query_terms:
+        return _empty_topk(index.postings.sparkSession)
     matches = index.postings.where(F.col("word").isin(*query_terms))
     df_fold = (
         index.df_parts.where(F.col("word").isin(*query_terms))
@@ -196,6 +285,11 @@ def bm25_topk_from_partials(
 
 BATCH_COL = "_batch_id"
 
+# Above this many distinct query terms, batch serving stops pushing a
+# word IN (...) literal into the scans (plan-size blowup, driver-side
+# term materialization) and relies on the broadcast hash join alone.
+ISIN_TERM_CAP = 64
+
 
 class _overwrite_mode:
     """Scoped ``spark.sql.sources.partitionOverwriteMode`` — restores the
@@ -219,8 +313,52 @@ class _overwrite_mode:
         return False
 
 
+def _hot_words(df_parts: DataFrame, hot_df_cap: int, n_buckets: int) -> DataFrame:
+    """``(word, n_salts)`` for the batch's terms whose df exceeds the
+    cap — the stopword-grade keys that would otherwise concentrate one
+    bucket directory.  ``n_salts = ceil(df / cap)`` capped at
+    ``n_buckets``: postings volume per salted sub-bucket stays ≤ cap."""
+    return df_parts.where(F.col("df") > hot_df_cap).select(
+        "word",
+        F.least(
+            F.ceil(F.col("df") / F.lit(float(hot_df_cap))), F.lit(n_buckets)
+        ).cast("int").alias("n_salts"),
+    )
+
+
+def _salt_postings(
+    postings: DataFrame, hot: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Re-bucket hot words' postings across their salted sub-buckets:
+    ``bucket = (h60(word) + doc_id % n_salts) % n_buckets``.  The salt
+    is doc-keyed and deterministic, so a redelivered batch lands on the
+    same buckets; non-hot words keep salt 0 — their bucket is unchanged.
+    One broadcast join over the (tiny) hot relation; no extra shuffle
+    (the write repartitions by partition columns regardless)."""
+    return (
+        postings.join(F.broadcast(hot), "word", "left")
+        .withColumn(
+            "bucket",
+            F.pmod(
+                h60(F.col("word"))
+                + F.coalesce(
+                    F.pmod(F.col("doc_id"), F.col("n_salts")), F.lit(0)
+                ),
+                F.lit(n_buckets),
+            ).cast("int"),
+        )
+        .drop("n_salts")
+        .select(*postings.columns)
+    )
+
+
 def _write_index_batch(
-    batch: Bm25IndexBatch, path: str, batch_id: int, create: bool
+    batch: Bm25IndexBatch,
+    path: str,
+    batch_id: int,
+    create: bool,
+    n_buckets: int | None = None,
+    hot_df_cap: int | None = None,
 ) -> None:
     """Persist one batch under its own ``_batch_id`` partition.
 
@@ -231,15 +369,31 @@ def _write_index_batch(
     — the same sink discipline as ``streaming/curation.py``.  Postings
     and df stay bucket-partitioned WITHIN the batch partition; Catalyst
     prunes on ``bucket`` at any directory level, so the query path is
-    unchanged."""
+    unchanged.
+
+    With ``hot_df_cap`` set, terms whose batch-local df exceeds the cap
+    are SALTED across sub-buckets (``_salt_postings``) and recorded in
+    the ``hot/`` section so the read side knows which extra buckets to
+    open — the serving twin of ``operators/skew.py``'s salted
+    aggregation (the reference hit the same hot-key wall on its ``idf``
+    ``$inc`` upserts, ``BMStream.java:136-152``).  df partials keep the
+    BASE bucket (one row per word — never skewed)."""
     spark = batch.postings.sparkSession
     tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
     mode = "overwrite"
+    postings = batch.postings
+    hot = None
+    if hot_df_cap is not None:
+        hot = _hot_words(batch.df_parts, hot_df_cap, n_buckets or 64)
+        if hot.isEmpty():
+            hot = None  # no hot section: empty parquet dirs are unreadable
+        else:
+            postings = _salt_postings(postings, hot, n_buckets or 64)
     # set-and-restore, not set: leaking dynamic mode into the session
     # would silently turn every later static overwrite (e.g. compaction)
     # into a partial one
     with _overwrite_mode(spark, "dynamic" if not create else "static"):
-        batch.postings.select(tag, "*").write.mode(mode).partitionBy(
+        postings.select(tag, "*").write.mode(mode).partitionBy(
             BATCH_COL, "bucket"
         ).parquet(os.path.join(path, "postings"))
         batch.df_parts.select(tag, "*").write.mode(mode).partitionBy(
@@ -248,6 +402,10 @@ def _write_index_batch(
         batch.stats_parts.select(tag, "*").coalesce(1).write.mode(
             mode
         ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+        if hot is not None:
+            hot.select(tag, "*").coalesce(1).write.mode(mode).partitionBy(
+                BATCH_COL
+            ).parquet(os.path.join(path, "hot"))
 
 
 def bm25_index_save(
@@ -255,12 +413,29 @@ def bm25_index_save(
     path: str,
     n_buckets: int = 64,
     tokenizer=tokenize,
+    hot_df_cap: int | None = None,
 ) -> None:
     """Build and persist the index from an initial corpus batch
     (mode=overwrite — this CREATES the index as batch 0; grow it with
-    :func:`bm25_index_add`)."""
+    :func:`bm25_index_add`).
+
+    Creating OVER an existing index also clears its auxiliary sections
+    (``forward/``, ``hot/``): the static overwrite only rewrites
+    postings/df/stats, and a surviving forward section would keep
+    serving term vectors for documents that are not in the rebuilt
+    index (and adds would keep maintaining it)."""
+    spark = documents.sparkSession
+    for section in ("forward", "hot"):
+        sec_path = os.path.join(path, section)
+        if _fs_exists(spark, sec_path):
+            _fs_delete(spark, sec_path)
     _write_index_batch(
-        bm25_index_batch(documents, n_buckets, tokenizer), path, 0, create=True
+        bm25_index_batch(documents, n_buckets, tokenizer),
+        path,
+        0,
+        create=True,
+        n_buckets=n_buckets,
+        hot_df_cap=hot_df_cap,
     )
 
 
@@ -278,18 +453,22 @@ def bm25_index_add(
     path: str,
     tokenizer=tokenize,
     batch_id: int | None = None,
+    hot_df_cap: int | None = None,
 ) -> None:
     """Fold a NEW document batch into a persisted index — O(batch) work:
     the archive's postings are never read, rewritten or re-tokenized.
     The batch's df/stats arrive as additional partials that the
     query-time fold sums.
 
-    ``batch_id`` defaults to ``max(existing) + 1`` (one tiny stats
-    read).  Passing an EXPLICIT id makes the add idempotent for that id
-    — a redelivery replaces its own partitions via dynamic partition
-    overwrite — which is what the streaming maintenance loop relies on.
-    doc_ids must be disjoint from the archive (the incremental-tier
-    caller contract).
+    ``batch_id`` defaults to ``max(existing manual id) + 1`` (one tiny
+    stats read) — allocated strictly BELOW :data:`STREAM_BATCH_BASE`, so
+    a manual add after a stream has delivered batches can never land in
+    the stream's id space (where the stream's next micro-batch would
+    partially overwrite it).  Passing an EXPLICIT id makes the add
+    idempotent for that id — a redelivery replaces its own partitions
+    via dynamic partition overwrite — which is what the streaming
+    maintenance loop relies on.  doc_ids must be disjoint from the
+    archive (the incremental-tier caller contract).
 
     If the index carries a FORWARD section, the batch's doc-major rows
     land in it under the same batch id — both sections stay in lockstep
@@ -299,16 +478,24 @@ def bm25_index_add(
     stats = _read_stats(spark, path)
     n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
     if batch_id is None:
-        batch_id = (
-            int(stats.agg(F.max(BATCH_COL).alias("m")).first()["m"]) + 1
-        )
+        row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
+            F.max(BATCH_COL).alias("m")
+        ).first()
+        batch_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        if batch_id >= STREAM_BATCH_BASE:
+            raise ValueError(
+                "manual batch-id space exhausted; run bm25_index_compact"
+                " to fold batches back to 0"
+            )
     _write_index_batch(
         bm25_index_batch(documents, n_buckets, tokenizer),
         path,
         batch_id,
         create=False,
+        n_buckets=n_buckets,
+        hot_df_cap=hot_df_cap,
     )
-    if os.path.isdir(os.path.join(path, "forward")):
+    if _fs_exists(spark, os.path.join(path, "forward")):
         bm25_index_save_forward(
             documents, path, tokenizer, batch_id=batch_id, create=False
         )
@@ -330,8 +517,10 @@ def bm25_topk_from_index(
     ``word IN (...)`` predicate pushes into parquet row-group skipping
     within them.  Scoring is :func:`bm25_topk_from_partials` — identical
     scores to ``bm25_rank`` over the same corpus (pinned by test)."""
+    if not tuple(query_terms):
+        return _empty_topk(spark)
     n_buckets = _read_n_buckets(spark, path)
-    buckets = query_buckets(tuple(query_terms), n_buckets)
+    buckets = _expanded_query_buckets(spark, path, tuple(query_terms), n_buckets)
     postings = spark.read.parquet(os.path.join(path, "postings")).where(
         F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
     )
@@ -344,8 +533,26 @@ def bm25_topk_from_index(
     )
 
 
+def _fold_batch_col(df: DataFrame, exclude: tuple[int, ...]):
+    """Re-tag every non-excluded row to batch 0; excluded batches keep
+    their original id (and their partials stay UNFOLDED, so a later
+    dynamic overwrite of that id still replaces them cleanly)."""
+    if not exclude:
+        return df.drop(BATCH_COL).withColumn(
+            BATCH_COL, F.lit(0).cast("long")
+        )
+    keep = F.col(BATCH_COL).isin([int(i) for i in exclude])
+    return df.withColumn(
+        BATCH_COL, F.when(keep, F.col(BATCH_COL)).otherwise(F.lit(0)).cast("long")
+    )
+
+
 def bm25_index_compact(
-    spark: SparkSession, path: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    exclude_batch_ids: tuple[int, ...] = (),
+    hot_df_cap: int | None = None,
 ) -> None:
     """Fold the per-batch partition layout into ONE batch-0 partition —
     the small-files maintenance a long-lived index needs (every add /
@@ -355,26 +562,105 @@ def bm25_index_compact(
     relation to one row; served scores are unchanged (the fold the
     query ran at read time is simply materialized — pinned by test).
 
-    Each relation is eager-materialized (``localCheckpoint``) before its
-    path is overwritten, the same rewrite-what-you-read discipline as
-    ``streaming/curation.py::compact_curated``.  Run it OFFLINE relative
-    to adds (maintenance window), like any compaction."""
-    postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .drop(BATCH_COL)
-        .withColumn(BATCH_COL, F.lit(0).cast("long"))
-        .repartition(files_per_bucket * 8, "bucket")
-        .localCheckpoint(eager=True)
-    )
+    CRASH SAFETY: every compacted relation is written to a staging
+    directory (``<path>/_compact_staging/``) FIRST, then swapped into
+    place by renames — the live index is readable until its section's
+    swap instant, and a mid-compaction failure leaves either the intact
+    live index (staging discarded on the next run) or a ``_old``
+    sibling to restore from; the data is never only in executor-memory
+    checkpoint blocks.  On rename-less object stores the swap degrades
+    to copy+delete — run compaction in a maintenance window there.
+
+    ``exclude_batch_ids`` keeps the named batches UNFOLDED (rows keep
+    their own ``_batch_id`` partitions): the streaming maintenance loop
+    compacts mid-stream by excluding the micro-batch it is about to
+    (re-)add, so a redelivered uncommitted batch still replaces itself
+    instead of double-counting a folded copy.
+
+    ``hot_df_cap`` re-evaluates hot-term salting GLOBALLY during the
+    fold (per-batch adds can only see batch-local df): the folded df
+    decides the hot set, postings are re-bucketed from scratch, and the
+    ``hot/`` section is rewritten — per-batch salt decisions are
+    superseded, excluded batches' hot partials are preserved."""
+    excl = tuple(int(i) for i in exclude_batch_ids)
+    staging = os.path.join(path, "_compact_staging")
+    if _fs_exists(spark, staging):
+        _fs_delete(spark, staging)  # leftover from an interrupted run
+
+    df_all = spark.read.parquet(os.path.join(path, "df"))
     df_fold = (
-        spark.read.parquet(os.path.join(path, "df"))
+        (df_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else df_all)
         .groupBy("bucket", "word")
         .agg(F.sum("df").cast("long").alias("df"))
         .withColumn(BATCH_COL, F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
+    if excl:
+        df_fold = df_fold.unionByName(
+            df_all.where(F.col(BATCH_COL).isin(list(excl))).select(
+                "bucket", "word", "df", BATCH_COL
+            )
+        )
+
+    postings = _fold_batch_col(
+        spark.read.parquet(os.path.join(path, "postings")), excl
+    )
+    n_buckets = _read_n_buckets(spark, path)
+    hot_out = None
+    hot_path = os.path.join(path, "hot")
+    if hot_df_cap is not None:
+        # global hotness from the FOLDED df (exclusions included in the
+        # measurement — their postings keep old buckets, covered by the
+        # max-fold read contract)
+        global_df = (
+            spark.read.parquet(os.path.join(path, "df"))
+            .groupBy("word")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        hot_new = _hot_words(global_df, hot_df_cap, n_buckets)
+        folded = (
+            postings.where(~F.col(BATCH_COL).isin(list(excl)))
+            if excl
+            else postings
+        )
+        # _salt_postings recomputes bucket for EVERY row (salt 0 for
+        # non-hot words = the base bucket), so this IS the global
+        # re-bucketing — per-batch salt decisions are superseded
+        resalted = _salt_postings(folded, hot_new, n_buckets)
+        if excl:
+            postings = resalted.unionByName(
+                postings.where(F.col(BATCH_COL).isin(list(excl)))
+            )
+        else:
+            postings = resalted
+        hot_out = hot_new.withColumn(BATCH_COL, F.lit(0).cast("long"))
+        if excl and _fs_exists(spark, hot_path):
+            hot_out = hot_out.unionByName(
+                spark.read.parquet(hot_path)
+                .where(F.col(BATCH_COL).isin(list(excl)))
+                .select(*hot_out.columns)
+            )
+    elif _fs_exists(spark, hot_path):
+        # preserve salting: fold hot partials with MAX (superset-safe)
+        hot_all = spark.read.parquet(hot_path)
+        hot_out = (
+            (hot_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else hot_all)
+            .groupBy("word")
+            .agg(F.max("n_salts").alias("n_salts"))
+            .withColumn(BATCH_COL, F.lit(0).cast("long"))
+        )
+        if excl:
+            hot_out = hot_out.unionByName(
+                hot_all.where(F.col(BATCH_COL).isin(list(excl))).select(
+                    *hot_out.columns
+                )
+            )
+    if hot_out is not None and hot_out.isEmpty():
+        hot_out = None  # re-salt found nothing hot: the section goes away
+
+    postings = postings.repartition(files_per_bucket * 8, "bucket")
+    stats_all = _read_stats(spark, path)
     stats_fold = (
-        _read_stats(spark, path)
+        (stats_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else stats_all)
         .groupBy("n_buckets")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
@@ -388,34 +674,59 @@ def bm25_index_compact(
             "n_buckets",
             F.lit(0).cast("long").alias(BATCH_COL),
         )
-        .localCheckpoint(eager=True)
     )
-    fwd = None
-    if os.path.isdir(os.path.join(path, "forward")):
-        fwd = (
-            spark.read.parquet(os.path.join(path, "forward"))
-            .drop(BATCH_COL)
-            .withColumn(BATCH_COL, F.lit(0).cast("long"))
-            .repartition(files_per_bucket * 8, "fbucket")
-            .localCheckpoint(eager=True)
+    if excl:
+        stats_fold = stats_fold.unionByName(
+            stats_all.where(F.col(BATCH_COL).isin(list(excl))).select(
+                *stats_fold.columns
+            )
         )
-    # STATIC overwrite by construction: the compacted relations carry
-    # only _batch_id=0, and dynamic mode would leave every other batch
-    # partition alive (double-counting everything once)
+    fwd = None
+    if _fs_exists(spark, os.path.join(path, "forward")):
+        fwd = _fold_batch_col(
+            spark.read.parquet(os.path.join(path, "forward")), excl
+        ).repartition(files_per_bucket * 8, "fbucket")
+
+    # 1) write everything to staging (reads the live index; nothing is
+    # deleted yet, so a failure here leaves the index untouched)
+    writes = [("postings", postings, ("bucket",)), ("df", df_fold, ("bucket",))]
     with _overwrite_mode(spark, "static"):
-        postings.write.mode("overwrite").partitionBy(
-            BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "postings"))
-        df_fold.write.mode("overwrite").partitionBy(
-            BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "df"))
+        for name, rel, extra in writes:
+            rel.write.mode("overwrite").partitionBy(BATCH_COL, *extra).parquet(
+                os.path.join(staging, name)
+            )
         stats_fold.coalesce(1).write.mode("overwrite").partitionBy(
             BATCH_COL
-        ).parquet(os.path.join(path, "stats"))
+        ).parquet(os.path.join(staging, "stats"))
         if fwd is not None:
             fwd.write.mode("overwrite").partitionBy(
                 BATCH_COL, "fbucket"
-            ).parquet(os.path.join(path, "forward"))
+            ).parquet(os.path.join(staging, "forward"))
+        if hot_out is not None:
+            hot_out.coalesce(1).write.mode("overwrite").partitionBy(
+                BATCH_COL
+            ).parquet(os.path.join(staging, "hot"))
+
+    # 2) swap each section: live -> _old, staging -> live, drop _old.
+    # A "hot" entry with nothing staged (re-salt decided nothing is hot)
+    # deletes the live section — the rebucketed postings no longer need it.
+    sections = ["postings", "df", "stats"]
+    if fwd is not None:
+        sections.append("forward")
+    if hot_out is not None or _fs_exists(spark, hot_path):
+        sections.append("hot")
+    old = os.path.join(path, "_compact_old")
+    if _fs_exists(spark, old):
+        _fs_delete(spark, old)
+    for name in sections:
+        live = os.path.join(path, name)
+        staged = os.path.join(staging, name)
+        if _fs_exists(spark, live):
+            _fs_rename(spark, live, os.path.join(old, name))
+        if _fs_exists(spark, staged):
+            _fs_rename(spark, staged, live)
+    _fs_delete(spark, old)
+    _fs_delete(spark, staging)
 
 
 def bm25_batch_topk_from_index(
@@ -438,24 +749,70 @@ def bm25_batch_topk_from_index(
     exploded (query, term) relation broadcasts into the postings join,
     and the per-query k-cut is WindowGroupLimit — never a global sort.
     Scores equal ``bm25_topk_from_partials`` of each query alone
-    (pinned by test)."""
+    (pinned by test).
+
+    DRIVER cost is constant in the query count: at most
+    ``ISIN_TERM_CAP + 1`` term rows and ``n_buckets`` bucket rows are
+    ever collected.  Small term sets (eval probes) additionally push a
+    ``word IN (...)`` literal into parquet row-group skipping; above
+    the cap the word pruning happens ONLY through the broadcast
+    (query, term) hash join — same result, no plan-size blowup at
+    100k-query hard-negative-mining scale."""
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(
             [(int(q), list(t)) for q, t in queries],
             "query_id int, terms array<string>",
         )
-    terms_rows = queries.select(F.explode("terms").alias("word")).distinct()
-    all_terms = tuple(r["word"] for r in terms_rows.collect())
     n_buckets = _read_n_buckets(spark, path)
-    buckets = query_buckets(all_terms, n_buckets)
+    words = queries.select(F.explode("terms").alias("word")).distinct()
+    sample = words.limit(ISIN_TERM_CAP + 1).collect()
+    if not sample:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double, rk int"
+        )
+    word_pred = None
+    if len(sample) <= ISIN_TERM_CAP:
+        all_terms = tuple(r["word"] for r in sample)
+        buckets = _expanded_query_buckets(spark, path, all_terms, n_buckets)
+        word_pred = F.col("word").isin(*all_terms)
+    else:
+        # buckets via a tiny in-plan distinct aggregate (≤ n_buckets
+        # rows collected); hot terms expand to their salted sub-buckets
+        base = words.select(_bucket(F.col("word"), n_buckets).alias("b"))
+        hot_path = os.path.join(path, "hot")
+        if _fs_exists(spark, hot_path):
+            hot_fold = (
+                spark.read.parquet(hot_path)
+                .groupBy("word")
+                .agg(F.max("n_salts").alias("n_salts"))
+            )
+            salted = (
+                words.join(hot_fold, "word")
+                .select(
+                    h60(F.col("word")).alias("h"),
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("n_salts") - 1)
+                    ).alias("s"),
+                )
+                .select(
+                    F.pmod(F.col("h") + F.col("s"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+            )
+            base = base.unionByName(salted)
+        buckets = sorted({int(r["b"]) for r in base.distinct().collect()})
+    bucket_pred = F.col("bucket").isin(buckets)
     postings = spark.read.parquet(os.path.join(path, "postings")).where(
-        F.col("bucket").isin(buckets) & F.col("word").isin(*all_terms)
+        bucket_pred & word_pred if word_pred is not None else bucket_pred
     )
-    df_fold = (
-        spark.read.parquet(os.path.join(path, "df"))
-        .where(F.col("bucket").isin(buckets) & F.col("word").isin(*all_terms))
-        .groupBy("word")
-        .agg(F.sum("df").cast("long").alias("df"))
+    df_src = spark.read.parquet(os.path.join(path, "df")).where(
+        bucket_pred & word_pred if word_pred is not None else bucket_pred
+    )
+    if word_pred is None:
+        df_src = df_src.join(F.broadcast(words), "word", "leftsemi")
+    df_fold = df_src.groupBy("word").agg(
+        F.sum("df").cast("long").alias("df")
     )
     scalars = _read_stats(spark, path).agg(
         F.sum("n_docs").cast("double").alias("n_docs"),
@@ -639,7 +996,7 @@ def more_like_this_from_index(
             [], "doc_id long, sim double, rk int"
         )
     n_buckets = _read_n_buckets(spark, path)
-    buckets = query_buckets(tuple(src_terms), n_buckets)
+    buckets = _expanded_query_buckets(spark, path, tuple(src_terms), n_buckets)
     postings = spark.read.parquet(os.path.join(path, "postings")).where(
         F.col("bucket").isin(buckets)
         & F.col("word").isin(*src_terms)

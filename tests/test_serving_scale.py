@@ -1,0 +1,407 @@
+"""Round-7 serving-tier scale hardening: bounded driver cost in batch
+serving, hot-term bucket salting, crash-safe compaction with in-stream
+auto-fold, id-space guards, and the empty-query short-circuit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_bm25_spark.config import DEFAULT_QUERY_TERMS
+from flink_bm25_spark.operators.serving import (
+    ISIN_TERM_CAP,
+    STREAM_BATCH_BASE,
+    bm25_batch_topk_from_index,
+    bm25_index_add,
+    bm25_index_batch,
+    bm25_index_compact,
+    bm25_index_save,
+    bm25_index_save_forward,
+    bm25_topk_from_index,
+    bm25_topk_from_partials,
+    doc_vector_from_index,
+)
+from flink_bm25_spark.sources.tables import load_documents
+from tests.conftest import SF_DIR
+
+TERMS = DEFAULT_QUERY_TERMS
+
+
+def _topk(spark, path, terms=TERMS, k=10):
+    return [tuple(r) for r in bm25_topk_from_index(spark, path, terms, k=k).collect()]
+
+
+# --- task 1: bounded driver cost in batch serving ---------------------------
+
+
+def _vocab_queries(spark, sf_dir, n_queries=30, terms_per_query=3):
+    """A query relation whose distinct-term union exceeds ISIN_TERM_CAP:
+    real corpus vocabulary (so matches exist) padded per-query with
+    unique unknown terms (score-neutral — pinned by
+    ``test_unknown_term_contributes_nothing`` — but they count toward
+    the term-set size exactly like a real eval set's long tail)."""
+    docs = load_documents(spark, sf_dir)
+    words = [
+        r["word"]
+        for r in (
+            docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+            .where(F.length("word") > 3)
+            .groupBy("word")
+            .count()
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(n_queries * terms_per_query)
+            .collect()
+        )
+    ]
+    qs = []
+    for i in range(n_queries):
+        real = tuple(
+            words[(i * terms_per_query + j) % len(words)]
+            for j in range(terms_per_query)
+        )
+        tail = tuple(f"zzz_tail_{i}_{j}" for j in range(3))
+        qs.append((i, real + tail))
+    return qs
+
+
+def test_batch_serving_large_termset_no_isin_literal(spark, tmp_path):
+    # Above the cap: the postings scan must carry NO word In-list (the
+    # r6 plan-size/driver-bottleneck weak) — word pruning rides the
+    # broadcast (query, term) join alone; results still equal the
+    # single-query serve path.
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+
+    queries = _vocab_queries(spark, SF_DIR)
+    n_terms = len({w for _, ts in queries for w in ts})
+    assert n_terms > ISIN_TERM_CAP, "fixture must exceed the isin cap"
+
+    got = bm25_batch_topk_from_index(spark, path, queries, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # no In-list over word anywhere (neither pushed nor post-scan):
+    # the plan size stays constant no matter how many queries arrive
+    assert "In(word" not in plan and "word#" not in (
+        plan.split("PushedFilters")[1].split("]")[0]
+        if "PushedFilters" in plan
+        else ""
+    )
+    # the bucket In-list IS present (partition pruning survives)
+    assert "bucket" in plan
+
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rk"])
+        )
+    for qid, terms in queries[:5]:
+        solo = [
+            (r["doc_id"], r["score"], r["rk"])
+            for r in bm25_topk_from_index(spark, path, terms, k=5).collect()
+        ]
+        assert sorted(by_q.get(qid, []), key=lambda x: x[2]) == solo, qid
+
+
+def test_batch_serving_small_termset_keeps_isin_pushdown(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    got = bm25_batch_topk_from_index(
+        spark, path, [(1, ("spark", "stream")), (2, ("fast", "hash"))], k=5
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(word" in plan  # small sets still push row-group skipping
+    assert got.count() > 0
+
+
+def test_batch_serving_empty_queries(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    out = bm25_batch_topk_from_index(spark, path, [(1, ())], k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score", "rk"]
+
+
+# --- A5: empty query terms short-circuit ------------------------------------
+
+
+def test_empty_query_terms_yield_empty_results(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    served = bm25_topk_from_index(spark, path, (), k=10)
+    assert served.count() == 0
+    assert served.columns == ["doc_id", "score", "rk"]
+    in_mem = bm25_topk_from_partials(bm25_index_batch(docs), (), k=10)
+    assert in_mem.count() == 0
+
+    from flink_bm25_spark.api import Bm25Index
+
+    idx = Bm25Index(spark, path)
+    with pytest.raises(ValueError, match="no searchable terms"):
+        idx.search("the a", k=10)  # all stopwords: explicit, not opaque
+
+
+# --- A2: manual-add id allocation below the stream base ---------------------
+
+
+def test_manual_add_allocates_below_stream_base(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 200), path, n_buckets=16)
+    # a stream delivered a batch...
+    bm25_index_add(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+        path,
+        batch_id=STREAM_BATCH_BASE + 3,
+    )
+    # ...then a manual add with the DEFAULT id must land below the base,
+    # not at max(existing)+1 inside the stream's id space
+    bm25_index_add(docs.where(F.col("doc_id") >= 350), path)
+    ids = {
+        int(r["_batch_id"])
+        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+    }
+    assert ids == {0, 1, STREAM_BATCH_BASE + 3}
+    assert _topk(spark, path) == _topk_full_rebuild(spark, tmp_path, docs)
+
+
+def _topk_full_rebuild(spark, tmp_path, docs):
+    full = str(tmp_path / "full_rebuild")
+    bm25_index_save(docs, full, n_buckets=16)
+    return _topk(spark, full)
+
+
+# --- A3: create over an existing index clears stale sections ----------------
+
+
+def test_recreate_clears_stale_forward_and_hot(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    lo = docs.where(F.col("doc_id") < 250)
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    assert doc_vector_from_index(spark, path, 400).count() == 1
+    # rebuild over the same path from a SMALLER corpus: the old forward
+    # section must not survive to serve vectors for absent documents
+    bm25_index_save(lo, path, n_buckets=16)
+    import os
+
+    assert not os.path.isdir(f"{path}/forward")
+    bm25_index_save_forward(lo, path)
+    assert doc_vector_from_index(spark, path, 400).count() == 0
+    assert doc_vector_from_index(spark, path, 100).count() == 1
+
+
+# --- task 2: hot-term salting ------------------------------------------------
+
+
+def _skewed_docs(spark, n=400):
+    rows = [(i, f"hotword filler{i} other{i % 7} text{i % 13}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_term_salting_bounds_bucket_skew_and_pins_scores(spark, tmp_path):
+    docs = _skewed_docs(spark)
+    plain = str(tmp_path / "plain")
+    salted = str(tmp_path / "salted")
+    bm25_index_save(docs, plain, n_buckets=8)
+    bm25_index_save(docs, salted, n_buckets=8, hot_df_cap=50)
+
+    q = ("hotword", "other3")
+    want = _topk(spark, plain, q)
+    assert _topk(spark, salted, q) == want and want
+
+    # the hot word's postings concentrate ONE bucket unsalted...
+    def spread(path):
+        rows = (
+            spark.read.parquet(f"{path}/postings")
+            .where(F.col("word") == "hotword")
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        return {r["bucket"]: r["count"] for r in rows}
+
+    assert len(spread(plain)) == 1
+    # ...and spread across all salted sub-buckets (df=400, cap=50 -> 8)
+    sal = spread(salted)
+    assert len(sal) == 8 and max(sal.values()) <= 50
+
+
+def test_hot_salting_survives_adds_and_compaction(spark, tmp_path):
+    docs = _skewed_docs(spark)
+    path = str(tmp_path / "idx")
+    lo, hi = docs.where(F.col("doc_id") < 200), docs.where(F.col("doc_id") >= 200)
+    bm25_index_save(lo, path, n_buckets=8, hot_df_cap=50)
+    bm25_index_add(hi, path, hot_df_cap=50)
+    q = ("hotword", "other3")
+
+    full = str(tmp_path / "full")
+    bm25_index_save(docs, full, n_buckets=8)
+    want = _topk(spark, full, q)
+    assert _topk(spark, path, q) == want
+
+    # compaction with a global re-salt keeps scores and the spread
+    bm25_index_compact(spark, path, hot_df_cap=50)
+    assert _topk(spark, path, q) == want
+    hot = spark.read.parquet(f"{path}/hot").collect()
+    assert any(r["word"] == "hotword" and r["n_salts"] == 8 for r in hot)
+
+    # plain compaction (no re-salt) preserves the hot section's routing
+    bm25_index_compact(spark, path)
+    assert _topk(spark, path, q) == want
+
+
+# --- A4 + task 4: crash-safe compaction & in-stream auto-fold ----------------
+
+
+def test_compaction_is_staged_and_cleans_up(spark, tmp_path):
+    import os
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+    # a leftover staging dir from an interrupted run must not poison it
+    os.makedirs(f"{path}/_compact_staging/postings", exist_ok=True)
+    before = _topk(spark, path)
+    bm25_index_compact(spark, path)
+    assert _topk(spark, path) == before
+    assert not os.path.exists(f"{path}/_compact_staging")
+    assert not os.path.exists(f"{path}/_compact_old")
+
+
+def test_compaction_excludes_named_batches(spark, tmp_path):
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 200), path, n_buckets=16)
+    mid = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    hi = docs.where(F.col("doc_id") >= 350)
+    bm25_index_add(mid, path, batch_id=STREAM_BATCH_BASE + 4)
+    bm25_index_add(hi, path, batch_id=STREAM_BATCH_BASE + 5)
+    before = _topk(spark, path)
+
+    # fold everything except the (possibly uncommitted) batch 5...
+    bm25_index_compact(
+        spark, path, exclude_batch_ids=(STREAM_BATCH_BASE + 5,)
+    )
+    ids = {
+        int(r["_batch_id"])
+        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+    }
+    assert ids == {0, STREAM_BATCH_BASE + 5}
+    assert _topk(spark, path) == before
+
+    # ...and a redelivery of batch 5 still replaces itself (no double count)
+    bm25_index_add(hi, path, batch_id=STREAM_BATCH_BASE + 5)
+    assert _topk(spark, path) == before
+
+
+def test_streaming_auto_compaction_bounds_batches_and_pins_scores(
+    spark, tmp_path
+):
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 200), path, n_buckets=16)
+
+    src = str(tmp_path / "src")
+    cols = docs.columns
+    for lo, hi in ((200, 275), (275, 350), (350, 425), (425, 10**9)):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(*cols).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_index_stream(
+            stream, path, str(tmp_path / "ckpt"), compact_every=2
+        )
+
+    run()
+    want = _topk_full_rebuild(spark, tmp_path, docs)
+    assert _topk(spark, path) == want
+    # 4 micro-batches with compact_every=2: at most the last fold's
+    # excluded batch + everything-folded-to-0 + post-fold batches remain
+    ids = {
+        int(r["_batch_id"])
+        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+    }
+    assert len(ids) <= 3, ids
+    run()  # restart, same checkpoint: no re-delivery, nothing changes
+    assert _topk(spark, path) == want
+
+
+def test_fresh_checkpoint_over_used_index_raises(spark, tmp_path):
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 200), path, n_buckets=16)
+    bm25_index_add(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        path,
+        batch_id=STREAM_BATCH_BASE + 2,  # a prior stream's committed batch
+    )
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") >= 300).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(Exception, match="fresh streaming checkpoint"):
+        maintain_index_stream(stream, path, str(tmp_path / "fresh_ckpt"))
+
+
+# --- task 8: forward section lockstep under STREAMED adds --------------------
+
+
+def test_forward_lockstep_under_streaming_maintenance(spark, tmp_path):
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    lo = docs.where(F.col("doc_id") < 250)
+    bm25_index_save(lo, path, n_buckets=16)
+    bm25_index_save_forward(lo, path)
+
+    src = str(tmp_path / "src")
+    cols = docs.columns
+    docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 375)).select(
+        *cols
+    ).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") >= 375).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_index_stream(stream, path, str(tmp_path / "ckpt"))
+
+    run()
+    # a streamed-in doc is point-readable, identical to the batch twin
+    got = doc_vector_from_index(spark, path, 400).collect()
+    assert len(got) == 1 and got[0]["terms"]
+    batch_twin = str(tmp_path / "twin")
+    bm25_index_save(docs, batch_twin, n_buckets=16)
+    bm25_index_save_forward(docs, batch_twin)
+    want = doc_vector_from_index(spark, batch_twin, 400).collect()
+    assert got == want
+    run()  # restart on the same checkpoint: still exactly one vector
+    assert doc_vector_from_index(spark, path, 400).count() == 1
+    n_fwd = spark.read.parquet(f"{path}/forward").count()
+    assert n_fwd == docs.count()
