@@ -76,6 +76,13 @@ def test_gate_window_holds_flagships():
     # q_tfidf (covered by q_bm25_rank), q_topk_per_doc (covered by
     # q_top30_lines) and q_quality_gate (covered by
     # q_quality_gate_by_lang) moved to the oracle-swept overflow.
+    # r7 rotation (r6 verdict item 3): the sweep-only r6 flagships
+    # (q_gopher_ngram_fracs, q_lm_score_backoff, q_bm25_facets,
+    # q_bm25_snippets) plus the new served-surface oracles
+    # (q_doc_vector, q_bm25_mlt_served) entered; out went composites'
+    # micro-queries (q_embed_near_dup, q_winnow_fps, q_edit_distance,
+    # q_ann_filtered, q_bpe_encode, q_curation_report), all still
+    # oracle-swept in the overflow.
     for must in (
         "q_tf", "q_df", "q_bm25_rank", "q_dedup_minhash",
         "q_dedup_simhash", "q_semantic_dedup", "q_kmeans",
@@ -84,6 +91,9 @@ def test_gate_window_holds_flagships():
         "q_line_dedup", "q_web_intake", "q_ccnet_by_lang",
         "q_quality_gate_by_lang",
         "q_gopher_filter", "q_c4_line_filter", "q_lm_score_frozen",
+        "q_bm25_serve", "q_bm25_prf",
+        "q_gopher_ngram_fracs", "q_lm_score_backoff",
+        "q_doc_vector", "q_bm25_mlt_served",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"
 
