@@ -361,6 +361,55 @@ def test_fresh_checkpoint_over_used_index_raises(spark, tmp_path):
         maintain_index_stream(stream, path, str(tmp_path / "fresh_ckpt"))
 
 
+# --- task 5: warm-path facade -------------------------------------------------
+
+
+def test_warm_search_equals_cold_and_invalidates(spark, tmp_path):
+    from flink_bm25_spark.api import Bm25Index
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    idx = Bm25Index.create(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    cold = [tuple(r) for r in idx.search("spark stream join").collect()]
+    idx.warm()
+    assert [tuple(r) for r in idx.search("spark stream join").collect()] == cold
+    assert idx._warm is not None
+
+    # an add invalidates the pinned statistics, and post-add answers
+    # (re-warmed or not) equal the full rebuild
+    idx.add(docs.where(F.col("doc_id") >= 250))
+    assert idx._warm is None
+    grown = [tuple(r) for r in idx.search("spark stream join").collect()]
+    full = str(tmp_path / "full")
+    want = [
+        tuple(r)
+        for r in Bm25Index.create(docs, full, n_buckets=16)
+        .search("spark stream join")
+        .collect()
+    ]
+    assert grown == want
+    idx.warm()
+    assert [tuple(r) for r in idx.search("spark stream join").collect()] == want
+    idx.compact()
+    assert idx._warm is None
+    assert [tuple(r) for r in idx.search("spark stream join").collect()] == want
+
+
+def test_warm_search_respects_hot_salting(spark, tmp_path):
+    from flink_bm25_spark.api import Bm25Index
+
+    docs = _skewed_docs(spark)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=8, hot_df_cap=50)
+    plain = str(tmp_path / "plain")
+    bm25_index_save(docs, plain, n_buckets=8)
+    want = _topk(spark, plain, ("hotword", "other3"))
+    idx = Bm25Index(spark, path).warm()
+    assert idx._warm["hot"].get("hotword") == 8
+    got = [tuple(r) for r in idx.search("hotword other3").collect()]
+    assert got == want
+
+
 # --- task 8: forward section lockstep under STREAMED adds --------------------
 
 
