@@ -29,6 +29,14 @@ AUDITED = [
         "q_bm25_snippets",
         "k ranked rows broadcast into ONE corpus read; snippet map-side",
     ),
+    (
+        "q_doc_vector",
+        "forward point read: fbucket partition filter + doc_id row-group skip; zero joins",
+    ),
+    (
+        "q_bm25_mlt_served",
+        "source vector one forward bucket; weighted postings probe broadcast; reads bounded by source vocabulary",
+    ),
     ("q_tf", "one hash-agg shuffle; explode+filter fused map-side"),
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),
