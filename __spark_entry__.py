@@ -425,6 +425,21 @@ def _q_bm25_batch(spark, sf_dir):
     return bm25_batch_rank(s.tf, s.idf_stats, s.dlen, qdf, k=5)
 
 
+def _q_bm25_batch_served(spark, sf_dir):
+    # The SERVED twin of q_bm25_batch, value-checked against the same
+    # SQL unroll but answered from the real on-disk index (bucket
+    # partition pruning; driver cost constant in query count — the r7
+    # isin-cap path is pinned by tests/test_serving_scale.py).
+    from flink_bm25_spark.operators.serving import (
+        bm25_batch_topk_from_index,
+    )
+
+    path = _served_index(spark, sf_dir)
+    return bm25_batch_topk_from_index(
+        spark, path, [(qid, terms) for qid, terms in _BATCH_QUERIES], k=5
+    )
+
+
 def _q_bm25_serve(spark, sf_dir):
     # The serving-index scoring path, value-checked end-to-end: two
     # corpus batches -> per-batch postings + df/stats PARTIALS ->
@@ -3414,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
+        "q_bm25_batch_served": _q_bm25_batch_served,
         "q_bm25_facets": _q_bm25_facets,
         "q_bm25_snippets": _q_bm25_snippets,
         "q_ann_batch_topk": _q_ann_batch_topk,
@@ -6754,6 +6770,9 @@ def oracle_sql() -> dict[str, str]:
     # rolled up with hll_merge; the oracle rebuilds over the union.
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
+    # served batch retrieval answers EXACTLY like the in-memory batch
+    # ranker (same fold algebra, disk layout pinned by tests)
+    out["q_bm25_batch_served"] = out["q_bm25_batch"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
     out["q_curation_report"] = _curation_report_oracle_sql()
     out["q_chunk_embeddings"] = r"""
