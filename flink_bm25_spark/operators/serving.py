@@ -581,9 +581,31 @@ def bm25_index_compact(
     fold (per-batch adds can only see batch-local df): the folded df
     decides the hot set, postings are re-bucketed from scratch, and the
     ``hot/`` section is rewritten — per-batch salt decisions are
-    superseded, excluded batches' hot partials are preserved."""
+    superseded, excluded batches' hot partials are preserved.
+
+    Crash recovery: a re-run restores any section whose live dir went
+    missing mid-swap from ``_compact_old`` and folds again — sound for
+    the plain fold because every mixed section state is
+    content-equivalent.  A RE-SALTING compaction (``hot_df_cap``) is
+    the one exception: postings and hot/ must change together, so a
+    crash exactly between their two swaps can leave reads opening the
+    wrong salt range until the re-run completes — run re-salting folds
+    in a maintenance window."""
     excl = tuple(int(i) for i in exclude_batch_ids)
     staging = os.path.join(path, "_compact_staging")
+    old = os.path.join(path, "_compact_old")
+    if _fs_exists(spark, old):
+        # Interrupted swap: a section whose live dir is missing has its
+        # only copy in _compact_old — restore it BEFORE discarding
+        # anything.  Every other mixed state is content-equivalent
+        # (compaction changes layout, not content), so the re-run just
+        # folds it again.
+        for name in ("postings", "df", "stats", "forward", "hot"):
+            live_sec = os.path.join(path, name)
+            old_sec = os.path.join(old, name)
+            if _fs_exists(spark, old_sec) and not _fs_exists(spark, live_sec):
+                _fs_rename(spark, old_sec, live_sec)
+        _fs_delete(spark, old)
     if _fs_exists(spark, staging):
         _fs_delete(spark, staging)  # leftover from an interrupted run
 
@@ -715,9 +737,6 @@ def bm25_index_compact(
         sections.append("forward")
     if hot_out is not None or _fs_exists(spark, hot_path):
         sections.append("hot")
-    old = os.path.join(path, "_compact_old")
-    if _fs_exists(spark, old):
-        _fs_delete(spark, old)
     for name in sections:
         live = os.path.join(path, name)
         staged = os.path.join(staging, name)

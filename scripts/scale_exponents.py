@@ -254,6 +254,7 @@ def main() -> None:
             for s in (
                 "bm25_index_build",
                 "bm25_serve_query",
+                "bm25_batch_serve_q100",
                 "bm25_point_lookup",
                 "bm25_serve_mlt",
             )
@@ -281,6 +282,37 @@ def main() -> None:
                 rows.setdefault("bm25_serve_query", {})[mult] = (dt, out)
                 print(
                     f"x{mult} ({n} docs) bm25_serve_query: {out} rows"
+                    f" in {dt:.1f}s",
+                    flush=True,
+                )
+            if _want_step("bm25_batch_serve_q100"):
+                # r7: the capped batch path (no In-list above 64 terms)
+                # serving a FIXED 100-query eval set as the corpus
+                # grows — per-query buckets are fixed, so the curve is
+                # the bucket-scan growth, never the corpus scan
+                from flink_bm25_spark.operators.serving import (
+                    bm25_batch_topk_from_index,
+                )
+
+                vocab = ("spark", "stream", "join", "fast", "hash",
+                         "merge", "data", "big", "value", "table")
+                q100 = [
+                    (
+                        i,
+                        tuple(
+                            f"{vocab[(i + j) % len(vocab)]}·0"
+                            for j in range(4)
+                        )
+                        + (f"tail{i}·0", f"tail{i}b·0"),
+                    )
+                    for i in range(100)
+                ]
+                t0 = time.perf_counter()
+                out = bm25_batch_topk_from_index(spark, idx, q100, k=10).count()
+                dt = time.perf_counter() - t0
+                rows.setdefault("bm25_batch_serve_q100", {})[mult] = (dt, out)
+                print(
+                    f"x{mult} ({n} docs) bm25_batch_serve_q100: {out} rows"
                     f" in {dt:.1f}s",
                     flush=True,
                 )

@@ -273,6 +273,29 @@ def test_compaction_is_staged_and_cleans_up(spark, tmp_path):
     assert not os.path.exists(f"{path}/_compact_old")
 
 
+def test_compaction_recovers_interrupted_swap(spark, tmp_path):
+    # Simulate a crash between "live -> _compact_old" and
+    # "staging -> live" for one section: the re-run must restore the
+    # section from _compact_old (its only copy) instead of discarding
+    # it, then fold normally.
+    import os
+    import shutil
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+    want = _topk(spark, path)
+    # crash state: postings moved aside, a stale staging dir exists
+    os.makedirs(f"{path}/_compact_old", exist_ok=True)
+    shutil.move(f"{path}/postings", f"{path}/_compact_old/postings")
+    os.makedirs(f"{path}/_compact_staging/postings", exist_ok=True)
+    bm25_index_compact(spark, path)
+    assert _topk(spark, path) == want
+    assert not os.path.exists(f"{path}/_compact_old")
+    assert not os.path.exists(f"{path}/_compact_staging")
+
+
 def test_compaction_excludes_named_batches(spark, tmp_path):
     docs = load_documents(spark, SF_DIR)
     path = str(tmp_path / "idx")
