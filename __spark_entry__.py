@@ -425,6 +425,32 @@ def _q_bm25_batch(spark, sf_dir):
     return bm25_batch_rank(s.tf, s.idf_stats, s.dlen, qdf, k=5)
 
 
+def _q_bm25_serve_salted(spark, sf_dir):
+    # The hot-term-salted disk layout, value-checked end-to-end: a low
+    # df cap salts the corpus's stopword-grade terms across sub-buckets
+    # (r7 skew mitigation); the served top-k must still equal plain
+    # BM25 — the oracle is the straight bm25_rank unroll, so the value
+    # hash certifies that salting changes LAYOUT, never scores.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        bm25_index_save,
+        bm25_topk_from_index,
+    )
+
+    path = _SERVED_INDEX_CACHE.get(sf_dir + "#salted")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bm25_salted_idx_")
+        bm25_index_save(
+            load_table(spark, "documents", sf_dir),
+            path,
+            n_buckets=16,
+            hot_df_cap=50,
+        )
+        _SERVED_INDEX_CACHE[sf_dir + "#salted"] = path
+    return bm25_topk_from_index(spark, path, DEFAULT_QUERY_TERMS, k=10)
+
+
 def _q_bm25_batch_served(spark, sf_dir):
     # The SERVED twin of q_bm25_batch, value-checked against the same
     # SQL unroll but answered from the real on-disk index (bucket
@@ -3430,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
         "q_bm25_batch_served": _q_bm25_batch_served,
+        "q_bm25_serve_salted": _q_bm25_serve_salted,
         "q_bm25_facets": _q_bm25_facets,
         "q_bm25_snippets": _q_bm25_snippets,
         "q_ann_batch_topk": _q_ann_batch_topk,
@@ -6773,6 +6800,9 @@ def oracle_sql() -> dict[str, str]:
     # served batch retrieval answers EXACTLY like the in-memory batch
     # ranker (same fold algebra, disk layout pinned by tests)
     out["q_bm25_batch_served"] = out["q_bm25_batch"]
+    # hot-term salting changes LAYOUT, never scores: the salted index
+    # answers exactly like plain bm25_rank
+    out["q_bm25_serve_salted"] = out["q_bm25_rank"]
     out["q_curation_pipeline"] = _curation_oracle_sql()
     out["q_curation_report"] = _curation_report_oracle_sql()
     out["q_chunk_embeddings"] = r"""
