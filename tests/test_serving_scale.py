@@ -364,6 +364,40 @@ def test_streaming_auto_compaction_bounds_batches_and_pins_scores(
     assert _topk(spark, path) == want
 
 
+def test_streaming_with_salting_and_autocompaction(spark, tmp_path):
+    # The full production combination: salted adds + in-loop global
+    # re-salt — served scores must still equal an unsalted full rebuild.
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = _skewed_docs(spark)
+    path = str(tmp_path / "idx")
+    bm25_index_save(
+        docs.where(F.col("doc_id") < 100), path, n_buckets=8, hot_df_cap=30
+    )
+    src = str(tmp_path / "src")
+    for lo, hi in ((100, 200), (200, 300), (300, 10**9)):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_index_stream(
+        stream, path, str(tmp_path / "ckpt"), compact_every=2, hot_df_cap=30
+    )
+    plain = str(tmp_path / "plain")
+    bm25_index_save(docs, plain, n_buckets=8)
+    q = ("hotword", "other3")
+    assert _topk(spark, path, q) == _topk(spark, plain, q)
+    # the hot section exists and the hot word is spread
+    hot = {r["word"]: r["n_salts"] for r in spark.read.parquet(f"{path}/hot").collect()}
+    assert hot.get("hotword", 0) >= 2
+
+
 def test_fresh_checkpoint_over_used_index_raises(spark, tmp_path):
     from flink_bm25_spark.streaming.index_maintenance import (
         maintain_index_stream,
