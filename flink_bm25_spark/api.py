@@ -1074,6 +1074,17 @@ class Bm25Index:
         self.cool()  # cached statistics would go stale
         bm25_index_add(documents, self.path, batch_id=batch_id)
 
+    def delete(self, doc_ids, batch_id: int | None = None) -> None:
+        """Remove documents from the served index — O(|ids|) point reads
+        against the forward section + one negative-partial batch; the
+        physical postings go at the next full :meth:`compact` (the
+        reference's Mongo ``remove`` leg, on the same partial algebra
+        as adds)."""
+        from flink_bm25_spark.operators.serving import bm25_index_delete
+
+        self.cool()
+        bm25_index_delete(self.spark, self.path, doc_ids, batch_id=batch_id)
+
     def warm(self) -> "Bm25Index":
         """Pin the index's SMALL relations for a repeated-query workload:
         the df partials and stats rows go to executor memory
@@ -1116,12 +1127,21 @@ class Bm25Index:
                 .agg(F.max("n_salts").alias("n_salts"))
                 .collect()
             }
+        deleted = None
+        if _fs_exists(self.spark, os.path.join(self.path, "deleted")):
+            deleted = (
+                self.spark.read.parquet(os.path.join(self.path, "deleted"))
+                .select("doc_id")
+                .persist()
+            )
+            deleted.count()
         self._warm = {
             "df": df_rel,
             "stats": stats_rel,
             "n_buckets": n_buckets,
             "hot": hot,
             "h": _h_driver,
+            "deleted": deleted,
         }
         return self
 
@@ -1130,6 +1150,8 @@ class Bm25Index:
         if self._warm is not None:
             self._warm["df"].unpersist()
             self._warm["stats"].unpersist()
+            if self._warm.get("deleted") is not None:
+                self._warm["deleted"].unpersist()
             self._warm = None
 
     def search(self, query: str, k: int = 10) -> DataFrame:
@@ -1159,6 +1181,10 @@ class Bm25Index:
         ).where(
             F.col("bucket").isin(sorted(buckets)) & F.col("word").isin(*terms)
         )
+        if w["deleted"] is not None:
+            postings = postings.join(
+                F.broadcast(w["deleted"]), "doc_id", "left_anti"
+            )
         return bm25_topk_from_partials(
             Bm25IndexBatch(postings, w["df"], w["stats"]), terms, k=k
         )

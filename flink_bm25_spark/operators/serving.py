@@ -425,7 +425,7 @@ def bm25_index_save(
     serving term vectors for documents that are not in the rebuilt
     index (and adds would keep maintaining it)."""
     spark = documents.sparkSession
-    for section in ("forward", "hot"):
+    for section in ("forward", "hot", "deleted"):
         sec_path = os.path.join(path, section)
         if _fs_exists(spark, sec_path):
             _fs_delete(spark, sec_path)
@@ -501,6 +501,116 @@ def bm25_index_add(
         )
 
 
+def _read_deleted(spark: SparkSession, path: str) -> DataFrame | None:
+    """The tombstone relation ``(doc_id)`` if the index has pending
+    deletes, else None.  Small by contract (compaction applies and
+    clears it), so read paths broadcast it into an anti-join."""
+    p = os.path.join(path, "deleted")
+    if not _fs_exists(spark, p):
+        return None
+    return spark.read.parquet(p).select("doc_id")
+
+
+def _drop_deleted(df: DataFrame, deleted: DataFrame | None) -> DataFrame:
+    if deleted is None:
+        return df
+    return df.join(F.broadcast(deleted), "doc_id", "left_anti")
+
+
+def bm25_index_delete(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    batch_id: int | None = None,
+) -> None:
+    """Delete documents from a persisted index WITHOUT rewriting the
+    postings — the missing CRUD leg (the reference's Mongo store gets
+    this from ``remove``/``$pull``; here it rides the same mergeable
+    partial algebra as adds).
+
+    Mechanics (requires the FORWARD section — the doc-major layout
+    exists precisely so doc-keyed reads never scan the term-major
+    postings):
+
+    - the deleted docs' vectors come from ≤ |ids| fbucket point reads;
+    - their statistics land as one NEGATIVE partial batch — df rows
+      with ``-count`` per word, a stats row with negative
+      ``n_docs``/``n_dlen_docs``/``total_dl`` — and the existing
+      query-time fold (plain sums) nets them out exactly;
+    - the physical postings stay until compaction; reads drop them via
+      a broadcast anti-join on the tiny ``deleted/`` tombstone relation
+      (a FULL ``bm25_index_compact`` applies tombstones physically and
+      clears the section).
+
+    Idempotent per ``batch_id`` like adds (dynamic partition
+    overwrite); ids already tombstoned or absent from the index are
+    no-ops (the partials derive only from forward rows actually found,
+    minus existing tombstones).  Caveats, both documented contracts:
+    a tombstoned id stays invisible even if RE-ADDED until a full
+    compaction clears the tombstone (re-ingesting a deleted id is
+    outside the disjoint-doc_ids contract anyway); and a document that
+    had NO surviving tokens has no forward row, so deleting it leaves
+    ``n_docs`` unchanged — it carried no postings or dl, so rankings
+    only see a marginally conservative idf denominator."""
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return
+    if not _fs_exists(spark, os.path.join(path, "forward")):
+        raise ValueError(
+            "bm25_index_delete requires the forward section"
+            " (bm25_index_save_forward) — doc-keyed reads against the"
+            " term-major postings would be a corpus scan"
+        )
+    stats = _read_stats(spark, path)
+    n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
+    if batch_id is None:
+        row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
+            F.max(BATCH_COL).alias("m")
+        ).first()
+        batch_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        if batch_id >= STREAM_BATCH_BASE:
+            raise ValueError(
+                "manual batch-id space exhausted; run bm25_index_compact"
+            )
+    # doc_vectors_from_index already anti-joins existing tombstones, so
+    # re-deleting an id is a no-op by construction
+    victims = doc_vectors_from_index(spark, path, ids).localCheckpoint(
+        eager=True
+    )
+    if victims.isEmpty():
+        # nothing new to delete — return BEFORE any write: a redelivered
+        # batch must leave its original partials intact (the one-row
+        # zero aggregate would otherwise replace the stats partial while
+        # the empty df relation leaves the df negatives — inconsistent)
+        return
+
+    tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
+    neg_df = (
+        victims.select("doc_id", F.explode("terms").alias("t"))
+        .groupBy(F.col("t.word").alias("word"))
+        .agg((-F.count("*")).cast("long").alias("df"))
+        .select(
+            _bucket(F.col("word"), n_buckets).alias("bucket"), "word", "df"
+        )
+    )
+    neg_stats = victims.agg(
+        (-F.count("*")).cast("long").alias("n_docs"),
+        (-F.count("*")).cast("long").alias("n_dlen_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+    ).withColumn("n_buckets", F.lit(n_buckets))
+    tombstones = victims.select("doc_id")
+    with _overwrite_mode(spark, "dynamic"):
+        neg_df.select(tag, "*").write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "df"))
+        neg_stats.select(tag, "*").coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+        tombstones.select(tag, "*").coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "deleted"))
+
+
 def bm25_topk_from_index(
     spark: SparkSession,
     path: str,
@@ -521,8 +631,11 @@ def bm25_topk_from_index(
         return _empty_topk(spark)
     n_buckets = _read_n_buckets(spark, path)
     buckets = _expanded_query_buckets(spark, path, tuple(query_terms), n_buckets)
-    postings = spark.read.parquet(os.path.join(path, "postings")).where(
-        F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
+    postings = _drop_deleted(
+        spark.read.parquet(os.path.join(path, "postings")).where(
+            F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
+        ),
+        _read_deleted(spark, path),
     )
     df_parts = spark.read.parquet(os.path.join(path, "df")).where(
         F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
@@ -600,7 +713,7 @@ def bm25_index_compact(
         # anything.  Every other mixed state is content-equivalent
         # (compaction changes layout, not content), so the re-run just
         # folds it again.
-        for name in ("postings", "df", "stats", "forward", "hot"):
+        for name in ("postings", "df", "stats", "forward", "hot", "deleted"):
             live_sec = os.path.join(path, name)
             old_sec = os.path.join(old, name)
             if _fs_exists(spark, old_sec) and not _fs_exists(spark, live_sec):
@@ -622,10 +735,24 @@ def bm25_index_compact(
                 "bucket", "word", "df", BATCH_COL
             )
         )
+    else:
+        # fully-deleted words net to df=0 once the negative partials
+        # fold in — drop the dead rows at the full fold
+        df_fold = df_fold.where(F.col("df") != 0)
 
     postings = _fold_batch_col(
         spark.read.parquet(os.path.join(path, "postings")), excl
     )
+    # A FULL compaction applies the delete tombstones physically: the
+    # tombstoned postings/forward rows are dropped, the df/stats sums
+    # already net their negative partials, and the deleted/ section
+    # goes away.  With exclusions the tombstones are folded to batch 0
+    # and RETAINED (excluded partitions keep their rows, so reads still
+    # need the anti-join).
+    deleted = _read_deleted(spark, path)
+    apply_deletes = deleted is not None and not excl
+    if apply_deletes:
+        postings = _drop_deleted(postings, deleted)
     n_buckets = _read_n_buckets(spark, path)
     hot_out = None
     hot_path = os.path.join(path, "hot")
@@ -707,7 +834,15 @@ def bm25_index_compact(
     if _fs_exists(spark, os.path.join(path, "forward")):
         fwd = _fold_batch_col(
             spark.read.parquet(os.path.join(path, "forward")), excl
-        ).repartition(files_per_bucket * 8, "fbucket")
+        )
+        if apply_deletes:
+            fwd = _drop_deleted(fwd, deleted)
+        fwd = fwd.repartition(files_per_bucket * 8, "fbucket")
+    deleted_out = None
+    if deleted is not None and not apply_deletes:
+        deleted_out = _fold_batch_col(
+            spark.read.parquet(os.path.join(path, "deleted")), excl
+        )
 
     # 1) write everything to staging (reads the live index; nothing is
     # deleted yet, so a failure here leaves the index untouched)
@@ -728,15 +863,21 @@ def bm25_index_compact(
             hot_out.coalesce(1).write.mode("overwrite").partitionBy(
                 BATCH_COL
             ).parquet(os.path.join(staging, "hot"))
+        if deleted_out is not None:
+            deleted_out.coalesce(1).write.mode("overwrite").partitionBy(
+                BATCH_COL
+            ).parquet(os.path.join(staging, "deleted"))
 
     # 2) swap each section: live -> _old, staging -> live, drop _old.
-    # A "hot" entry with nothing staged (re-salt decided nothing is hot)
-    # deletes the live section — the rebucketed postings no longer need it.
+    # An entry with nothing staged (re-salt decided nothing is hot; a
+    # full fold applied all tombstones) deletes the live section.
     sections = ["postings", "df", "stats"]
     if fwd is not None:
         sections.append("forward")
     if hot_out is not None or _fs_exists(spark, hot_path):
         sections.append("hot")
+    if deleted is not None:
+        sections.append("deleted")
     for name in sections:
         live = os.path.join(path, name)
         staged = os.path.join(staging, name)
@@ -822,8 +963,11 @@ def bm25_batch_topk_from_index(
             base = base.unionByName(salted)
         buckets = sorted({int(r["b"]) for r in base.distinct().collect()})
     bucket_pred = F.col("bucket").isin(buckets)
-    postings = spark.read.parquet(os.path.join(path, "postings")).where(
-        bucket_pred & word_pred if word_pred is not None else bucket_pred
+    postings = _drop_deleted(
+        spark.read.parquet(os.path.join(path, "postings")).where(
+            bucket_pred & word_pred if word_pred is not None else bucket_pred
+        ),
+        _read_deleted(spark, path),
     )
     df_src = spark.read.parquet(os.path.join(path, "df")).where(
         bucket_pred & word_pred if word_pred is not None else bucket_pred
@@ -964,13 +1108,14 @@ def doc_vector_from_index(
     job) and prunes the scan to one directory; the ``doc_id`` equality
     then hits parquet row-group stats inside it."""
     n_buckets = _read_n_buckets(spark, path)
-    return (
+    return _drop_deleted(
         spark.read.parquet(os.path.join(path, "forward"))
         .where(
             (F.col("fbucket") == int(doc_id) % n_buckets)
             & (F.col("doc_id") == int(doc_id))
         )
-        .select("doc_id", "dl", "terms")
+        .select("doc_id", "dl", "terms"),
+        _read_deleted(spark, path),
     )
 
 
@@ -1016,10 +1161,13 @@ def more_like_this_from_index(
         )
     n_buckets = _read_n_buckets(spark, path)
     buckets = _expanded_query_buckets(spark, path, tuple(src_terms), n_buckets)
-    postings = spark.read.parquet(os.path.join(path, "postings")).where(
-        F.col("bucket").isin(buckets)
-        & F.col("word").isin(*src_terms)
-        & (F.col("doc_id") != int(source_doc_id))
+    postings = _drop_deleted(
+        spark.read.parquet(os.path.join(path, "postings")).where(
+            F.col("bucket").isin(buckets)
+            & F.col("word").isin(*src_terms)
+            & (F.col("doc_id") != int(source_doc_id))
+        ),
+        _read_deleted(spark, path),
     )
     df_fold = (
         spark.read.parquet(os.path.join(path, "df"))
@@ -1080,8 +1228,9 @@ def doc_vectors_from_index(
             [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
         )
     fbuckets = sorted({d % n_buckets for d in ids})
-    return (
+    return _drop_deleted(
         spark.read.parquet(os.path.join(path, "forward"))
         .where(F.col("fbucket").isin(fbuckets) & F.col("doc_id").isin(ids))
-        .select("doc_id", "dl", "terms")
+        .select("doc_id", "dl", "terms"),
+        _read_deleted(spark, path),
     )

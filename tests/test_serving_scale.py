@@ -418,6 +418,114 @@ def test_fresh_checkpoint_over_used_index_raises(spark, tmp_path):
         maintain_index_stream(stream, path, str(tmp_path / "fresh_ckpt"))
 
 
+# --- delete leg: negative partials + tombstones ------------------------------
+
+
+def test_delete_equals_rebuild_without_docs(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_delete,
+        doc_vectors_from_index,
+        more_like_this_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    gone = [r["doc_id"] for r in docs.where(F.col("doc_id") >= 250).select("doc_id").collect()]
+    bm25_index_delete(spark, path, gone)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    lo = docs.where(F.col("doc_id") < 250)
+    bm25_index_save(lo, rebuilt, n_buckets=16)
+    want = _topk(spark, rebuilt)
+    assert _topk(spark, path) == want
+
+    # the deleted docs vanish from every read surface
+    assert doc_vector_from_index(spark, path, 400).count() == 0
+    assert doc_vectors_from_index(spark, path, [3, 400]).count() == 1
+    mlt = more_like_this_from_index(spark, path, 3, k=50).collect()
+    assert all(r["doc_id"] < 250 for r in mlt)
+
+
+def test_delete_then_full_compact_applies_tombstones(spark, tmp_path):
+    import os
+
+    from flink_bm25_spark.operators.serving import bm25_index_delete
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    bm25_index_delete(
+        spark, path,
+        [r["doc_id"] for r in docs.where(F.col("doc_id") >= 250).select("doc_id").collect()],
+    )
+    want = _topk(spark, path)
+    bm25_index_compact(spark, path)
+    assert _topk(spark, path) == want
+    assert not os.path.exists(f"{path}/deleted")  # tombstones applied
+    assert (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("doc_id") >= 250)
+        .count()
+        == 0
+    )
+    assert spark.read.parquet(f"{path}/forward").where(
+        F.col("doc_id") >= 250
+    ).count() == 0
+    # df carries no dead (net-zero) words and stats folded to one row
+    assert spark.read.parquet(f"{path}/df").where(F.col("df") <= 0).count() == 0
+    n_docs = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    assert n_docs == 250
+
+
+def test_delete_redelivery_and_absent_ids_are_noops(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import bm25_index_delete
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    gone = list(range(250, 300))
+    bm25_index_delete(spark, path, gone, batch_id=9)
+    once = _topk(spark, path)
+    bm25_index_delete(spark, path, gone, batch_id=9)  # redelivery
+    assert _topk(spark, path) == once
+    bm25_index_delete(spark, path, gone)  # same ids, new batch: no-op
+    assert _topk(spark, path) == once
+    bm25_index_delete(spark, path, [99999999])  # absent id: no-op
+    assert _topk(spark, path) == once
+    n_docs = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    assert n_docs == load_documents(spark, SF_DIR).count() - len(gone)
+
+
+def test_delete_requires_forward_and_facade_roundtrip(spark, tmp_path):
+    from flink_bm25_spark.api import Bm25Index
+    from flink_bm25_spark.operators.serving import bm25_index_delete
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    with pytest.raises(ValueError, match="forward section"):
+        bm25_index_delete(spark, path, [1])
+
+    bm25_index_save_forward(docs, path)
+    idx = Bm25Index(spark, path).warm()
+    before = [tuple(r) for r in idx.search("spark stream join").collect()]
+    top_doc = before[0][0]
+    idx.delete([top_doc])  # cools the warm state
+    assert idx._warm is None
+    after = [tuple(r) for r in idx.search("spark stream join").collect()]
+    assert all(r[0] != top_doc for r in after) and after != before
+    idx.warm()  # warm path sees the tombstone too
+    assert [tuple(r) for r in idx.search("spark stream join").collect()] == after
+
+
 # --- task 5: warm-path facade -------------------------------------------------
 
 
