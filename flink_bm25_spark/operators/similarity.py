@@ -1165,11 +1165,22 @@ def feature_hash_embeddings(
 def ivf_save(model, assigned: DataFrame, path: str) -> None:
     """Persist the IVF index: vectors cell-PARTITIONED on disk (so a
     probe's cell filter becomes partition pruning — the physical
-    "inverted list" lookup) plus the tiny centroid table."""
+    "inverted list" lookup) plus the tiny centroid table.
+
+    r7: cells carry the same ``_batch_id`` partition discipline as the
+    BM25 serving index (``operators/serving.py``) — the initial build is
+    batch 0, every :func:`ivf_add` owns its own batch partition, so
+    at-least-once delivery is effectively-once on disk.  Probes are
+    unaffected: the ``cell`` filter prunes directories at any nesting
+    level."""
     import os  # noqa: PLC0415
 
+    from flink_bm25_spark.operators.serving import BATCH_COL  # noqa: PLC0415
+
     spark = assigned.sparkSession
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    assigned.select(
+        F.lit(0).cast("long").alias(BATCH_COL), "*"
+    ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
         os.path.join(path, "cells")
     )
     centroids = spark.createDataFrame(
@@ -1181,18 +1192,10 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     )
 
 
-def ivf_add(spark, path: str, new_vectors: DataFrame) -> None:
-    """Extend a persisted IVF index with a new vector batch WITHOUT
-    retraining — standard IVF maintenance (the coarse quantizer is only
-    retrained when drift degrades recall): each new vector is assigned
-    to its nearest EXISTING cell map-side (centroids are n_cells×d
-    literals compiled into the expression — no shuffle, no join) and
-    appended to that cell's partition directory, so probes keep their
-    partition-pruned scan shape over old and new vectors alike.
-
-    ``new_vectors`` must carry the same columns as the vectors the index
-    was built from (vec_ids disjoint from the archive, caller contract
-    shared with every incremental tier)."""
+def ivf_assign_to_existing(spark, path: str, new_vectors: DataFrame) -> DataFrame:
+    """Assign a vector batch to its nearest EXISTING cell map-side —
+    centroids are n_cells×d literals compiled into the expression (no
+    shuffle, no join)."""
     import os  # noqa: PLC0415
 
     from flink_bm25_spark.operators.kmeans import _squared_dist  # noqa: PLC0415
@@ -1210,12 +1213,115 @@ def ivf_add(spark, path: str, new_vectors: DataFrame) -> None:
             for r in sorted(cents, key=lambda r: int(r["cell"]))
         ]
     )
-    assigned = new_vectors.withColumn(
+    return new_vectors.withColumn(
         "cell", F.array_min(candidates)["cid"].cast("int")
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
+
+
+def _ivf_batch_ids(spark, path: str):
+    """Existing cell batch ids — a partition-column-only read (directory
+    listing, no row data)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import BATCH_COL  # noqa: PLC0415
+
+    return {
+        int(r[BATCH_COL])
+        for r in spark.read.parquet(os.path.join(path, "cells"))
+        .select(BATCH_COL)
+        .distinct()
+        .collect()
+    }
+
+
+def ivf_add(spark, path: str, new_vectors: DataFrame, batch_id: int | None = None) -> None:
+    """Extend a persisted IVF index with a new vector batch WITHOUT
+    retraining — standard IVF maintenance (the coarse quantizer is only
+    retrained when drift degrades recall): each new vector is assigned
+    to its nearest EXISTING cell map-side and lands under its own
+    ``_batch_id`` partition via DYNAMIC overwrite, so a redelivered
+    batch REPLACES itself instead of double-inserting (r7 — the same
+    effectively-once sink discipline as ``bm25_index_add``; the old
+    blind ``append`` silently duplicated vectors on retry).  Probes
+    keep their partition-pruned scan shape over old and new vectors
+    alike.
+
+    ``batch_id`` defaults to ``max(existing manual id) + 1``, allocated
+    below ``STREAM_BATCH_BASE`` (stream batches live above it).
+    ``new_vectors`` must carry the same columns as the vectors the
+    index was built from (vec_ids disjoint from the archive, caller
+    contract shared with every incremental tier)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        STREAM_BATCH_BASE,
+        _overwrite_mode,
     )
+
+    if batch_id is None:
+        manual = [i for i in _ivf_batch_ids(spark, path) if i < STREAM_BATCH_BASE]
+        batch_id = (max(manual) if manual else 0) + 1
+        if batch_id >= STREAM_BATCH_BASE:
+            raise ValueError(
+                "manual batch-id space exhausted; run ivf_compact"
+            )
+    assigned = ivf_assign_to_existing(spark, path, new_vectors)
+    with _overwrite_mode(spark, "dynamic"):
+        assigned.select(
+            F.lit(int(batch_id)).cast("long").alias(BATCH_COL), "*"
+        ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
+            os.path.join(path, "cells")
+        )
+
+
+def ivf_compact(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+    exclude_batch_ids: tuple[int, ...] = (),
+) -> None:
+    """Fold the per-batch cell partitions to batch 0 — the small-files
+    maintenance a long-lived IVF index needs under streaming adds; the
+    same staged write + rename swap as ``bm25_index_compact`` (the live
+    index is readable until the swap instant, a crash leaves a
+    recoverable copy), and the same ``exclude_batch_ids`` contract (the
+    streaming loop excludes the in-flight micro-batch so its redelivery
+    stays idempotent).  Probe results are unchanged (pinned by test)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        _fold_batch_col,
+        _fs_delete,
+        _fs_exists,
+        _fs_rename,
+        _overwrite_mode,
+    )
+
+    staging = os.path.join(path, "_compact_staging")
+    old = os.path.join(path, "_compact_old")
+    live = os.path.join(path, "cells")
+    if _fs_exists(spark, old):
+        if not _fs_exists(spark, live) and _fs_exists(
+            spark, os.path.join(old, "cells")
+        ):
+            _fs_rename(spark, os.path.join(old, "cells"), live)
+        _fs_delete(spark, old)
+    if _fs_exists(spark, staging):
+        _fs_delete(spark, staging)
+    folded = _fold_batch_col(
+        spark.read.parquet(live),
+        tuple(int(i) for i in exclude_batch_ids),
+    ).repartition(files_per_cell * 8, "cell")
+    with _overwrite_mode(spark, "static"):
+        folded.write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
+            os.path.join(staging, "cells")
+        )
+    _fs_rename(spark, live, os.path.join(old, "cells"))
+    _fs_rename(spark, os.path.join(staging, "cells"), live)
+    _fs_delete(spark, old)
+    _fs_delete(spark, staging)
 
 
 def ivf_topk_from_disk(

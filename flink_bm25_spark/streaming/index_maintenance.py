@@ -119,3 +119,55 @@ def maintain_index_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_ivf_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+) -> None:
+    """Drive a ``(vec_id, embedding)`` stream into a persisted IVF index
+    (availableNow trigger) — the dense-retrieval twin of
+    :func:`maintain_index_stream`, same discipline throughout: each
+    micro-batch lands under ``STREAM_BATCH_BASE + batch_id`` via dynamic
+    partition overwrite (redelivery replaces itself), a fresh checkpoint
+    over a used index is refused, and ``compact_every=N`` folds
+    committed batches mid-stream while EXCLUDING the micro-batch about
+    to be (re-)added — a redelivered uncommitted batch still replaces
+    its own partition instead of double-counting a folded copy."""
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        _ivf_batch_ids,
+        ivf_add,
+        ivf_compact,
+    )
+
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id == 0:
+            seen = _ivf_batch_ids(spark, path)
+            if seen and max(seen) > STREAM_BATCH_BASE:
+                raise RuntimeError(
+                    "fresh streaming checkpoint over an IVF index that"
+                    f" already holds stream batches (max _batch_id ="
+                    f" {max(seen)}): run ivf_compact first, then attach"
+                    " the new checkpoint."
+                )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            ivf_compact(
+                spark, path,
+                exclude_batch_ids=(STREAM_BATCH_BASE + batch_id,),
+            )
+        if batch_df.isEmpty():
+            return
+        ivf_add(
+            spark, path, batch_df, batch_id=STREAM_BATCH_BASE + batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -619,3 +619,104 @@ def test_forward_lockstep_under_streaming_maintenance(spark, tmp_path):
     assert doc_vector_from_index(spark, path, 400).count() == 1
     n_fwd = spark.read.parquet(f"{path}/forward").count()
     assert n_fwd == docs.count()
+
+
+# --- IVF tier: unified maintenance discipline (r7) ----------------------------
+
+
+def _ivf_fixture(spark, tmp_path, n_base=60):
+    from flink_bm25_spark.operators.similarity import ivf_build, ivf_save
+    from flink_bm25_spark.sources.tables import load_embeddings
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < n_base)
+    model, assigned = ivf_build(base, n_cells=4)
+    path = str(tmp_path / "ivf")
+    ivf_save(model, assigned, path)
+    return emb, path
+
+
+def _probe(spark, path, emb, k=10):
+    from flink_bm25_spark.operators.similarity import ivf_topk_from_disk
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return [
+        tuple(r)
+        for r in ivf_topk_from_disk(spark, path, qvec, k=k, nprobe=4).collect()
+    ]
+
+
+def test_ivf_add_redelivery_is_noop(spark, tmp_path):
+    from flink_bm25_spark.operators.similarity import ivf_add
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+    new = emb.where(F.col("vec_id") >= 60)
+    ivf_add(spark, path, new, batch_id=3)
+    once = _probe(spark, path, emb)
+    n_once = spark.read.parquet(f"{path}/cells").count()
+    ivf_add(spark, path, new, batch_id=3)  # at-least-once redelivery
+    assert _probe(spark, path, emb) == once
+    assert spark.read.parquet(f"{path}/cells").count() == n_once
+
+
+def test_ivf_compact_preserves_probes_and_folds(spark, tmp_path):
+    from flink_bm25_spark.operators.similarity import ivf_add, ivf_compact
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+    ivf_add(spark, path, emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 80)))
+    ivf_add(spark, path, emb.where(F.col("vec_id") >= 80))
+    before = _probe(spark, path, emb)
+    ivf_compact(spark, path)
+    assert _probe(spark, path, emb) == before
+    ids = {
+        int(r["_batch_id"])
+        for r in spark.read.parquet(f"{path}/cells").select("_batch_id").distinct().collect()
+    }
+    assert ids == {0}
+
+
+def test_ivf_streaming_maintenance_and_autocompact(spark, tmp_path):
+    from flink_bm25_spark.streaming.index_maintenance import (
+        STREAM_BATCH_BASE,
+        maintain_ivf_stream,
+    )
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+    src = str(tmp_path / "src")
+    for lo, hi in ((60, 75), (75, 90), (90, 10**9)):
+        emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_ivf_stream(
+            stream, path, str(tmp_path / "ckpt"), compact_every=2
+        )
+
+    run()
+    # stream result == batch adds of the same vectors
+    from flink_bm25_spark.operators.similarity import ivf_add
+
+    _, twin = _ivf_fixture(spark, tmp_path / "twin")
+    ivf_add(spark, twin, emb.where(F.col("vec_id") >= 60))
+    assert _probe(spark, path, emb) == _probe(spark, twin, emb)
+    ids = {
+        int(r["_batch_id"])
+        for r in spark.read.parquet(f"{path}/cells").select("_batch_id").distinct().collect()
+    }
+    assert len(ids) <= 3, ids
+    run()  # restart on the same checkpoint: nothing re-added
+    assert _probe(spark, path, emb) == _probe(spark, twin, emb)
+
+    # fresh checkpoint over the used index is refused
+    import pytest as _pytest
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    if max(ids) > STREAM_BATCH_BASE:
+        with _pytest.raises(Exception, match="fresh streaming checkpoint"):
+            maintain_ivf_stream(stream, path, str(tmp_path / "ckpt2"))
