@@ -1016,14 +1016,17 @@ def bm25_batch_topk_from_index(
 
 def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
     """Operational profile of a persisted index — one row per bucket:
-    ``(bucket, n_batches, n_files, n_postings, n_terms)``.  The
-    dedup_stats of the serving tier: watch for bucket skew (a hot term
-    concentrating postings) and for file-count growth that says it is
-    time for :func:`bm25_index_compact`.  One aggregation over the
-    postings relation; batch/file counts ride the same pass via
-    ``input_file_name``."""
+    ``(bucket, n_batches, n_files, n_postings, n_terms, n_hot_terms,
+    n_tombstoned)``.  The dedup_stats of the serving tier: watch for
+    bucket skew (a hot term concentrating postings — mitigate with
+    ``hot_df_cap``), for file-count growth that says it is time for
+    :func:`bm25_index_compact`, and for tombstone volume that says the
+    next compaction should be a FULL one (pending deletes cost every
+    read an anti-join).  One aggregation over the postings relation;
+    batch/file counts ride the same pass via ``input_file_name``; the
+    hot/deleted gauges are tiny side reads."""
     p = spark.read.parquet(os.path.join(path, "postings"))
-    return (
+    out = (
         p.select(
             "bucket",
             F.col(BATCH_COL).alias("_b"),
@@ -1037,6 +1040,33 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_postings"),
             F.count_distinct("word").cast("long").alias("n_terms"),
         )
+    )
+    hot_path = os.path.join(path, "hot")
+    if _fs_exists(spark, hot_path):
+        # hot terms are counted at their BASE bucket (where the df row lives)
+        n_buckets_row = _read_n_buckets(spark, path)
+        hot_counts = (
+            spark.read.parquet(hot_path)
+            .select("word")
+            .distinct()
+            .select(_bucket(F.col("word"), n_buckets_row).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hot_terms"))
+        )
+        out = out.join(hot_counts, "bucket", "left")
+    else:
+        out = out.withColumn("n_hot_terms", F.lit(None).cast("long"))
+    deleted = _read_deleted(spark, path)
+    n_tomb = (
+        F.lit(int(deleted.count())).cast("long")
+        if deleted is not None
+        else F.lit(0).cast("long")
+    )
+    return (
+        out.withColumn(
+            "n_hot_terms", F.coalesce(F.col("n_hot_terms"), F.lit(0)).cast("long")
+        )
+        .withColumn("n_tombstoned", n_tomb)
         .orderBy("bucket")
     )
 

@@ -720,3 +720,23 @@ def test_ivf_streaming_maintenance_and_autocompact(spark, tmp_path):
     if max(ids) > STREAM_BATCH_BASE:
         with _pytest.raises(Exception, match="fresh streaming checkpoint"):
             maintain_ivf_stream(stream, path, str(tmp_path / "ckpt2"))
+
+
+def test_index_stats_reports_hot_and_tombstones(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_delete,
+        bm25_index_stats,
+    )
+
+    docs = _skewed_docs(spark)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=8, hot_df_cap=50)
+    bm25_index_save_forward(docs, path)
+    bm25_index_delete(spark, path, [1, 2, 3])
+    prof = bm25_index_stats(spark, path).collect()
+    assert prof and all(r["n_tombstoned"] == 3 for r in prof)
+    assert sum(r["n_hot_terms"] for r in prof) >= 1  # hotword at its base bucket
+    assert set(prof[0].asDict()) == {
+        "bucket", "n_batches", "n_files", "n_postings", "n_terms",
+        "n_hot_terms", "n_tombstoned",
+    }
