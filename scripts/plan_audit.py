@@ -37,6 +37,14 @@ AUDITED = [
         "q_bm25_mlt_served",
         "source vector one forward bucket; weighted postings probe broadcast; reads bounded by source vocabulary",
     ),
+    (
+        "q_bm25_serve_deleted",
+        "tombstones broadcast anti-join; negative partials fold inside the same aggregates",
+    ),
+    (
+        "q_bm25_serve_salted",
+        "salted sub-buckets all partition-pruned; word equality keeps scores exact",
+    ),
     ("q_tf", "one hash-agg shuffle; explode+filter fused map-side"),
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),
