@@ -105,6 +105,46 @@ def _empty_topk(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, score double, rk int")
 
 
+# Marker file recording which streaming checkpoint owns an index's
+# stream-id space.  Written at a stream's first micro-batch, checked on
+# every later first-micro-batch (a DIFFERENT checkpoint starting at
+# batch 0 would silently overwrite the owner's partitions — including
+# the one case batch ids alone cannot distinguish, an index whose only
+# stream batch is id 0), cleared by a FULL compaction (after the fold
+# no stream partitions remain to collide with).
+STREAM_OWNER_FILE = "_stream_owner"
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 class Bm25IndexBatch(NamedTuple):
     """One batch's contribution to the index: the postings fact relation
     plus the two mergeable statistics partials."""
@@ -887,6 +927,10 @@ def bm25_index_compact(
             _fs_rename(spark, staged, live)
     _fs_delete(spark, old)
     _fs_delete(spark, staging)
+    if not excl:
+        # every stream partition folded to batch 0: release the stream
+        # ownership so a NEW checkpoint may legally attach
+        _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
 
 
 def bm25_batch_topk_from_index(

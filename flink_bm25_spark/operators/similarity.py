@@ -1322,6 +1322,12 @@ def ivf_compact(
     _fs_rename(spark, os.path.join(staging, "cells"), live)
     _fs_delete(spark, old)
     _fs_delete(spark, staging)
+    if not exclude_batch_ids:
+        from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+            STREAM_OWNER_FILE,
+        )
+
+        _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
 
 
 def ivf_topk_from_disk(

@@ -83,8 +83,28 @@ def maintain_index_stream(
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            from flink_bm25_spark.operators.serving import _read_stats  # noqa: PLC0415
+            import os as _os  # noqa: PLC0415
 
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                STREAM_OWNER_FILE,
+                _fs_read_text,
+                _fs_write_text,
+                _read_stats,
+            )
+
+            marker = _os.path.join(path, STREAM_OWNER_FILE)
+            owner = _fs_read_text(spark, marker)
+            if owner is not None and owner != checkpoint:
+                raise RuntimeError(
+                    f"index is owned by streaming checkpoint {owner!r};"
+                    f" attaching {checkpoint!r} at micro-batch 0 would"
+                    " silently overwrite its partitions. Run a full"
+                    " bm25_index_compact first (folds every committed"
+                    " batch to id 0 and releases ownership)."
+                )
+            # belt-and-braces for pre-marker indexes: stream ids beyond
+            # BASE+0 with a batch-0 delivery can only be a fresh
+            # checkpoint
             seen = _read_stats(spark, path).agg(
                 F.max(BATCH_COL).alias("m")
             ).first()["m"]
@@ -97,6 +117,7 @@ def maintain_index_stream(
                     " first (folds every committed batch to id 0), then"
                     " attach the new checkpoint."
                 )
+            _fs_write_text(spark, marker, checkpoint)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             bm25_index_compact(
                 spark,
@@ -145,6 +166,23 @@ def maintain_ivf_stream(
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
+            import os as _os  # noqa: PLC0415
+
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                STREAM_OWNER_FILE,
+                _fs_read_text,
+                _fs_write_text,
+            )
+
+            marker = _os.path.join(path, STREAM_OWNER_FILE)
+            owner = _fs_read_text(spark, marker)
+            if owner is not None and owner != checkpoint:
+                raise RuntimeError(
+                    f"IVF index is owned by streaming checkpoint"
+                    f" {owner!r}; attaching {checkpoint!r} at micro-batch"
+                    " 0 would silently overwrite its partitions. Run a"
+                    " full ivf_compact first."
+                )
             seen = _ivf_batch_ids(spark, path)
             if seen and max(seen) > STREAM_BATCH_BASE:
                 raise RuntimeError(
@@ -153,6 +191,7 @@ def maintain_ivf_stream(
                     f" {max(seen)}): run ivf_compact first, then attach"
                     " the new checkpoint."
                 )
+            _fs_write_text(spark, marker, checkpoint)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             ivf_compact(
                 spark, path,

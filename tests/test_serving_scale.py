@@ -718,7 +718,10 @@ def test_ivf_streaming_maintenance_and_autocompact(spark, tmp_path):
 
     stream = spark.readStream.schema(emb.schema).parquet(src)
     if max(ids) > STREAM_BATCH_BASE:
-        with _pytest.raises(Exception, match="fresh streaming checkpoint"):
+        with _pytest.raises(
+            Exception,
+            match="owned by streaming checkpoint|fresh streaming checkpoint",
+        ):
             maintain_ivf_stream(stream, path, str(tmp_path / "ckpt2"))
 
 
@@ -740,3 +743,40 @@ def test_index_stats_reports_hot_and_tombstones(spark, tmp_path):
         "bucket", "n_batches", "n_files", "n_postings", "n_terms",
         "n_hot_terms", "n_tombstoned",
     }
+
+
+def test_stream_ownership_marker_closes_the_batch0_residual(spark, tmp_path):
+    # The case batch ids alone cannot distinguish: an index whose ONLY
+    # stream batch is id 0.  The ownership marker written at a stream's
+    # first micro-batch makes a different checkpoint's attach an error,
+    # and a full compaction releases ownership.
+    import os
+
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_index_stream,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    src_a = str(tmp_path / "src_a")
+    docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 300)).coalesce(
+        1
+    ).write.parquet(src_a)
+
+    def run(src, ckpt):
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        maintain_index_stream(stream, path, str(tmp_path / ckpt))
+
+    run(src_a, "ckpt_a")  # one micro-batch: lands at BASE+0, marker written
+    assert os.path.exists(f"{path}/_stream_owner")
+
+    src_b = str(tmp_path / "src_b")
+    docs.where(F.col("doc_id") >= 300).coalesce(1).write.parquet(src_b)
+    with pytest.raises(Exception, match="owned by streaming checkpoint"):
+        run(src_b, "ckpt_b")  # different checkpoint, batch 0: refused
+
+    bm25_index_compact(spark, path)  # full fold releases ownership
+    assert not os.path.exists(f"{path}/_stream_owner")
+    run(src_b, "ckpt_b")  # now legal
+    assert _topk(spark, path) == _topk_full_rebuild(spark, tmp_path, docs)
