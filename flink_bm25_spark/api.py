@@ -1117,16 +1117,25 @@ class Bm25Index:
         stats_rel.count()
         df_rel.count()
         n_buckets = int(stats_rel.select("n_buckets").first()["n_buckets"])
-        hot: dict[str, int] = {}
+        # hot-salt map: driver-cached ONLY while it is genuinely small
+        # (bounded collect — at most HOT_CACHE_CAP+1 rows); a
+        # pathologically low df cap falls back to the per-query bounded
+        # hot probe instead of materializing an unbounded map
+        HOT_CACHE_CAP = 10_000
+        hot: dict[str, int] | None = {}
         hot_path = os.path.join(self.path, "hot")
         if _fs_exists(self.spark, hot_path):
-            hot = {
-                r["word"]: int(r["n_salts"])
-                for r in self.spark.read.parquet(hot_path)
+            rows = (
+                self.spark.read.parquet(hot_path)
                 .groupBy("word")
                 .agg(F.max("n_salts").alias("n_salts"))
+                .limit(HOT_CACHE_CAP + 1)
                 .collect()
-            }
+            )
+            if len(rows) > HOT_CACHE_CAP:
+                hot = None  # too many hot words to pin driver-side
+            else:
+                hot = {r["word"]: int(r["n_salts"]) for r in rows}
         deleted = None
         if _fs_exists(self.spark, os.path.join(self.path, "deleted")):
             deleted = (
@@ -1170,12 +1179,24 @@ class Bm25Index:
         )
 
         w = self._warm
-        buckets = set()
-        for t in terms:
-            h = w["h"](t)
-            buckets.add(h % w["n_buckets"])
-            for s in range(w["hot"].get(t, 0)):
-                buckets.add((h + s) % w["n_buckets"])
+        if w["hot"] is None:
+            # hot map too large to pin: per-query bounded hot probe
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                _expanded_query_buckets,
+            )
+
+            buckets = set(
+                _expanded_query_buckets(
+                    self.spark, self.path, terms, w["n_buckets"]
+                )
+            )
+        else:
+            buckets = set()
+            for t in terms:
+                h = w["h"](t)
+                buckets.add(h % w["n_buckets"])
+                for s in range(w["hot"].get(t, 0)):
+                    buckets.add((h + s) % w["n_buckets"])
         postings = self.spark.read.parquet(
             os.path.join(self.path, "postings")
         ).where(
