@@ -1302,9 +1302,20 @@ def doc_vectors_from_index(
             [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
         )
     fbuckets = sorted({d % n_buckets for d in ids})
+    scan = spark.read.parquet(os.path.join(path, "forward")).where(
+        F.col("fbucket").isin(fbuckets)
+    )
+    if len(ids) <= ISIN_TERM_CAP:
+        scan = scan.where(F.col("doc_id").isin(ids))
+    else:
+        # bulk multi-get (e.g. a large delete set): an In-list over
+        # thousands of ids blows up the plan — broadcast-semi-join the
+        # id relation instead (fbucket pruning still bounds the scan)
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        )
+        scan = scan.join(F.broadcast(ids_df), "doc_id", "leftsemi")
     return _drop_deleted(
-        spark.read.parquet(os.path.join(path, "forward"))
-        .where(F.col("fbucket").isin(fbuckets) & F.col("doc_id").isin(ids))
-        .select("doc_id", "dl", "terms"),
+        scan.select("doc_id", "dl", "terms"),
         _read_deleted(spark, path),
     )
