@@ -7,6 +7,9 @@ and golden text files).
         [--output DIR] [--golden-text DIR] [--pos-filter]
     python -m flink_bm25_spark search --stats DIR "spark stream join"
         [-k 10]
+    python -m flink_bm25_spark index ACTION --path DIR ...
+        (create/add/delete/search/mlt/get/compact/stats — the persisted
+        serving index's whole operational loop)
     python -m flink_bm25_spark curate --input DIR --benchmark DIR
         --output DIR [--weights en=0.5,de=2.3]
 
@@ -70,6 +73,32 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--output", required=True)
     cur.add_argument("--weights", default="")
     cur.add_argument("--budget", type=int, default=512)
+
+    idx = sub.add_parser(
+        "index",
+        help="persisted BM25 serving index: the operational CRUD loop"
+        " (create/add/delete/search/mlt/get/compact/stats)",
+    )
+    idx.add_argument(
+        "action",
+        choices=(
+            "create", "add", "delete", "search", "mlt", "get",
+            "compact", "stats",
+        ),
+    )
+    idx.add_argument("--path", required=True, help="index root directory")
+    idx.add_argument("--input", default=None,
+                     help="dir with documents.parquet (create/add)")
+    idx.add_argument("--query", default=None, help="free text (search)")
+    idx.add_argument("--doc-id", type=int, default=None, help="mlt/get")
+    idx.add_argument("--doc-ids", default=None,
+                     help="comma-separated ids (delete)")
+    idx.add_argument("-k", type=int, default=10)
+    idx.add_argument("--n-buckets", type=int, default=64)
+    idx.add_argument("--hot-df-cap", type=int, default=None,
+                     help="salt terms with df above this cap (create/add/compact)")
+    idx.add_argument("--forward", action="store_true",
+                     help="also build the doc-major forward section (create)")
 
     exp = sub.add_parser(
         "explain",
@@ -152,6 +181,72 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"{r['rk']}\t{r['doc_id']}\t{r['rrf']}\t{r['n_systems']}"
                 )
+        elif args.cmd == "index":
+            from flink_bm25_spark.api import Bm25Index  # noqa: PLC0415
+            from flink_bm25_spark.operators import serving  # noqa: PLC0415
+            from flink_bm25_spark.sources.tables import (  # noqa: PLC0415
+                load_documents,
+            )
+
+            if args.action in ("create", "add") and not args.input:
+                print("--input is required for create/add", file=sys.stderr)
+                return 2
+            if args.action == "create":
+                docs = load_documents(spark, args.input)
+                serving.bm25_index_save(
+                    docs, args.path, n_buckets=args.n_buckets,
+                    hot_df_cap=args.hot_df_cap,
+                )
+                if args.forward:
+                    serving.bm25_index_save_forward(docs, args.path)
+                print(f"index -> {args.path}", file=sys.stderr)
+            elif args.action == "add":
+                serving.bm25_index_add(
+                    load_documents(spark, args.input), args.path,
+                    hot_df_cap=args.hot_df_cap,
+                )
+                print(f"batch added -> {args.path}", file=sys.stderr)
+            elif args.action == "delete":
+                if not args.doc_ids:
+                    print("--doc-ids is required for delete", file=sys.stderr)
+                    return 2
+                ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+                serving.bm25_index_delete(spark, args.path, ids)
+                print(f"tombstoned {len(ids)} ids", file=sys.stderr)
+            elif args.action == "search":
+                if not args.query:
+                    print("--query is required for search", file=sys.stderr)
+                    return 2
+                out = Bm25Index(spark, args.path).search(args.query, k=args.k)
+                for r in out.collect():
+                    print(f"{r['rk']}\t{r['doc_id']}\t{r['score']}")
+            elif args.action == "mlt":
+                out = serving.more_like_this_from_index(
+                    spark, args.path, int(args.doc_id), k=args.k
+                )
+                for r in out.collect():
+                    print(f"{r['rk']}\t{r['doc_id']}\t{r['sim']}")
+            elif args.action == "get":
+                rows = serving.doc_vector_from_index(
+                    spark, args.path, int(args.doc_id)
+                ).collect()
+                for r in rows:
+                    terms = ",".join(f"{t['word']}:{t['tf']}" for t in r["terms"])
+                    print(f"{r['doc_id']}\t{r['dl']}\t{terms}")
+                if not rows:
+                    return 3
+            elif args.action == "compact":
+                serving.bm25_index_compact(
+                    spark, args.path, hot_df_cap=args.hot_df_cap
+                )
+                print("compacted", file=sys.stderr)
+            elif args.action == "stats":
+                for r in serving.bm25_index_stats(spark, args.path).collect():
+                    print(
+                        f"{r['bucket']}\t{r['n_batches']}\t{r['n_files']}\t"
+                        f"{r['n_postings']}\t{r['n_terms']}\t"
+                        f"{r['n_hot_terms']}\t{r['n_tombstoned']}"
+                    )
         elif args.cmd == "explain":
             import importlib.util  # noqa: PLC0415
             import os  # noqa: PLC0415

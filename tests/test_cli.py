@@ -71,3 +71,38 @@ def test_cli_hybrid_search(tmp_path):
     rrf = [float(x[2]) for x in rows]
     assert rrf == sorted(rrf, reverse=True)
     assert all(x[3] in ("1", "2") for x in rows)
+
+
+def test_cli_index_lifecycle(tmp_path):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    idx = str(tmp_path / "idx")
+
+    def run(*args, ok=True):
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_bm25_spark", "index", *args,
+             "--path", idx],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+        if ok:
+            assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    run("create", "--input", SF_DIR, "--n-buckets", "16", "--forward")
+    r = run("search", "--query", "spark stream join", "-k", "5")
+    rows = [ln.split("\t") for ln in r.stdout.strip().splitlines()]
+    assert rows and [int(x[0]) for x in rows] == list(range(1, len(rows) + 1))
+    top_doc = rows[0][1]
+
+    g = run("get", "--doc-id", top_doc)
+    assert g.stdout.startswith(f"{top_doc}\t")
+
+    run("delete", "--doc-ids", top_doc)
+    r2 = run("search", "--query", "spark stream join", "-k", "5")
+    assert all(ln.split("\t")[1] != top_doc for ln in r2.stdout.strip().splitlines())
+    miss = run("get", "--doc-id", top_doc, ok=False)
+    assert miss.returncode == 3  # tombstoned: point lookup finds nothing
+
+    run("compact")
+    s = run("stats")
+    cols = s.stdout.strip().splitlines()[0].split("\t")
+    assert len(cols) == 7 and cols[6] == "0"  # tombstones applied
