@@ -485,6 +485,99 @@ def _q_bm25_serve_deleted(spark, sf_dir):
     return bm25_topk_from_index(spark, path, DEFAULT_QUERY_TERMS, k=10)
 
 
+_UPSERT_TEXT = "replacement spark document stream xyzzy spark"
+
+
+def _kept_pipeline_sql(kept_select: str) -> str:
+    """The full BM25 pipeline (tokenize → tf/dlen/df/idf → rank) over an
+    arbitrary ``kept`` corpus relation — the oracle body for the served
+    delete/upsert legs, which must rank exactly like a REBUILD over the
+    modified corpus (idf population, avgdl and postings all re-derived)."""
+    return f"""
+        WITH kept AS ({kept_select}),
+        tokens AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM kept
+          ) WHERE word <> ''
+        ),
+        filtered AS (
+          SELECT doc_id, word FROM tokens WHERE word NOT IN ({_SW})
+        ),
+        tf AS (
+          SELECT doc_id, word, count(*) AS tf FROM filtered
+          GROUP BY doc_id, word
+        ),
+        dlen AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+          GROUP BY doc_id
+        ),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        idf AS (
+          SELECT word, df,
+                 ln(CAST((SELECT count(*) FROM kept) AS DOUBLE) / (df + 1))
+                   AS idf
+          FROM dfreq
+        ),
+        avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+        scored AS (
+          SELECT t.doc_id,
+                 round(sum(
+                   i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
+                   (CAST(t.tf AS DOUBLE) + {BM25_K1} *
+                    (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                     / (SELECT avgdl FROM avgdl)))
+                 ), 6) AS score
+          FROM tf t
+          JOIN idf i ON t.word = i.word
+          JOIN dlen d ON t.doc_id = d.doc_id
+          WHERE t.word IN ({_QT})
+          GROUP BY t.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS INTEGER) AS rk
+          FROM scored
+        )
+        SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+    """
+
+
+def _q_bm25_serve_upserted(spark, sf_dir):
+    # The upsert leg (reference-sink semantics, MongoTFSink.java:43-58:
+    # re-ingesting a doc REPLACES its vector), value-checked end-to-end:
+    # one fused delete-old + add-new batch (versioned tombstone +
+    # negative partials, r7 serving.py::bm25_index_upsert) must serve
+    # EXACTLY like a rebuild over the corpus with that doc's text
+    # replaced — the oracle swaps the text in SQL and re-derives the
+    # whole pipeline.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        bm25_index_save,
+        bm25_index_save_forward,
+        bm25_index_upsert,
+        bm25_topk_from_index,
+    )
+
+    path = _SERVED_INDEX_CACHE.get(sf_dir + "#upserted")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bm25_upserted_idx_")
+        docs = load_table(spark, "documents", sf_dir)
+        bm25_index_save(docs, path, n_buckets=16)
+        bm25_index_save_forward(docs, path)
+        bm25_index_upsert(
+            spark.createDataFrame(
+                [(3, _UPSERT_TEXT)], "doc_id long, text string"
+            ),
+            path,
+        )
+        _SERVED_INDEX_CACHE[sf_dir + "#upserted"] = path
+    return bm25_topk_from_index(spark, path, DEFAULT_QUERY_TERMS, k=10)
+
+
 def _q_bm25_batch_served(spark, sf_dir):
     # The SERVED twin of q_bm25_batch, value-checked against the same
     # SQL unroll but answered from the real on-disk index (bucket
@@ -3492,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_batch_served": _q_bm25_batch_served,
         "q_bm25_serve_salted": _q_bm25_serve_salted,
         "q_bm25_serve_deleted": _q_bm25_serve_deleted,
+        "q_bm25_serve_upserted": _q_bm25_serve_upserted,
         "q_bm25_facets": _q_bm25_facets,
         "q_bm25_snippets": _q_bm25_snippets,
         "q_ann_batch_topk": _q_ann_batch_topk,
@@ -6838,59 +6932,19 @@ def oracle_sql() -> dict[str, str]:
     # hot-term salting changes LAYOUT, never scores: the salted index
     # answers exactly like plain bm25_rank
     out["q_bm25_serve_salted"] = out["q_bm25_rank"]
+    # upsert via versioned tombstone + fused negative/positive partials
+    # == a rebuild with the doc's text replaced: the oracle swaps the
+    # text in SQL and re-derives the whole pipeline over it
+    out["q_bm25_serve_upserted"] = _kept_pipeline_sql(
+        "SELECT doc_id, CASE WHEN doc_id = 3 THEN"
+        f" '{_UPSERT_TEXT}' ELSE text END AS text FROM documents"
+    )
     # deletes via negative partials + tombstones == an index that never
     # contained the docs: the oracle re-derives the pipeline over the
     # KEPT corpus only (idf population, avgdl, postings all restricted)
-    out["q_bm25_serve_deleted"] = f"""
-        WITH kept AS (SELECT * FROM documents WHERE doc_id < 250),
-        tokens AS (
-          SELECT doc_id, word FROM (
-            SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '\\s+')) AS word
-            FROM kept
-          ) WHERE word <> ''
-        ),
-        filtered AS (
-          SELECT doc_id, word FROM tokens WHERE word NOT IN ({_SW})
-        ),
-        tf AS (
-          SELECT doc_id, word, count(*) AS tf FROM filtered
-          GROUP BY doc_id, word
-        ),
-        dlen AS (
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
-          GROUP BY doc_id
-        ),
-        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-        idf AS (
-          SELECT word, df,
-                 ln(CAST((SELECT count(*) FROM kept) AS DOUBLE) / (df + 1))
-                   AS idf
-          FROM dfreq
-        ),
-        avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
-        scored AS (
-          SELECT t.doc_id,
-                 round(sum(
-                   i.idf * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0)) /
-                   (CAST(t.tf AS DOUBLE) + {BM25_K1} *
-                    (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
-                     / (SELECT avgdl FROM avgdl)))
-                 ), 6) AS score
-          FROM tf t
-          JOIN idf i ON t.word = i.word
-          JOIN dlen d ON t.doc_id = d.doc_id
-          WHERE t.word IN ({_QT})
-          GROUP BY t.doc_id
-        ),
-        ranked AS (
-          SELECT doc_id, score,
-                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                      AS INTEGER) AS rk
-          FROM scored
-        )
-        SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
-    """
+    out["q_bm25_serve_deleted"] = _kept_pipeline_sql(
+        "SELECT * FROM documents WHERE doc_id < 250"
+    )
     out["q_curation_pipeline"] = _curation_oracle_sql()
     out["q_curation_report"] = _curation_report_oracle_sql()
     out["q_chunk_embeddings"] = r"""

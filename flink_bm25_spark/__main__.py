@@ -82,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument(
         "action",
         choices=(
-            "create", "add", "delete", "search", "mlt", "get",
+            "create", "add", "upsert", "delete", "search", "mlt", "get",
             "compact", "stats",
         ),
     )
@@ -188,8 +188,11 @@ def main(argv: list[str] | None = None) -> int:
                 load_documents,
             )
 
-            if args.action in ("create", "add") and not args.input:
-                print("--input is required for create/add", file=sys.stderr)
+            if args.action in ("create", "add", "upsert") and not args.input:
+                print(
+                    "--input is required for create/add/upsert",
+                    file=sys.stderr,
+                )
                 return 2
             if args.action == "create":
                 docs = load_documents(spark, args.input)
@@ -206,6 +209,12 @@ def main(argv: list[str] | None = None) -> int:
                     hot_df_cap=args.hot_df_cap,
                 )
                 print(f"batch added -> {args.path}", file=sys.stderr)
+            elif args.action == "upsert":
+                serving.bm25_index_upsert(
+                    load_documents(spark, args.input), args.path,
+                    hot_df_cap=args.hot_df_cap,
+                )
+                print(f"batch upserted -> {args.path}", file=sys.stderr)
             elif args.action == "delete":
                 if not args.doc_ids:
                     print("--doc-ids is required for delete", file=sys.stderr)

@@ -1074,6 +1074,15 @@ class Bm25Index:
         self.cool()  # cached statistics would go stale
         bm25_index_add(documents, self.path, batch_id=batch_id)
 
+    def upsert(self, documents: DataFrame, batch_id: int | None = None) -> None:
+        """REPLACE documents (insert if absent) — the reference sink's
+        actual per-doc semantics (`MongoTFSink.java:43-58`), as one
+        fused delete-old + add-new batch."""
+        from flink_bm25_spark.operators.serving import bm25_index_upsert
+
+        self.cool()
+        bm25_index_upsert(documents, self.path, batch_id=batch_id)
+
     def delete(self, doc_ids, batch_id: int | None = None) -> None:
         """Remove documents from the served index — O(|ids|) point reads
         against the forward section + one negative-partial batch; the
@@ -1136,13 +1145,11 @@ class Bm25Index:
                 hot = None  # too many hot words to pin driver-side
             else:
                 hot = {r["word"]: int(r["n_salts"]) for r in rows}
-        deleted = None
-        if _fs_exists(self.spark, os.path.join(self.path, "deleted")):
-            deleted = (
-                self.spark.read.parquet(os.path.join(self.path, "deleted"))
-                .select("doc_id")
-                .persist()
-            )
+        from flink_bm25_spark.operators.serving import _read_deleted
+
+        deleted = _read_deleted(self.spark, self.path)  # folded (doc_id, below)
+        if deleted is not None:
+            deleted = deleted.persist()
             deleted.count()
         self._warm = {
             "df": df_rel,
@@ -1197,15 +1204,19 @@ class Bm25Index:
                 buckets.add(h % w["n_buckets"])
                 for s in range(w["hot"].get(t, 0)):
                     buckets.add((h + s) % w["n_buckets"])
-        postings = self.spark.read.parquet(
-            os.path.join(self.path, "postings")
-        ).where(
-            F.col("bucket").isin(sorted(buckets)) & F.col("word").isin(*terms)
+        from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+            _drop_deleted,
         )
-        if w["deleted"] is not None:
-            postings = postings.join(
-                F.broadcast(w["deleted"]), "doc_id", "left_anti"
-            )
+
+        postings = _drop_deleted(
+            self.spark.read.parquet(
+                os.path.join(self.path, "postings")
+            ).where(
+                F.col("bucket").isin(sorted(buckets))
+                & F.col("word").isin(*terms)
+            ),
+            w["deleted"],
+        )
         return bm25_topk_from_partials(
             Bm25IndexBatch(postings, w["df"], w["stats"]), terms, k=k
         )

@@ -541,20 +541,46 @@ def bm25_index_add(
         )
 
 
+# "Delete every version" sentinel for a tombstone's `below` cutoff —
+# far above any real batch id (stream ids top out near
+# STREAM_BATCH_BASE + micro-batch count).
+DELETE_ALL = 1 << 62
+
+
 def _read_deleted(spark: SparkSession, path: str) -> DataFrame | None:
-    """The tombstone relation ``(doc_id)`` if the index has pending
-    deletes, else None.  Small by contract (compaction applies and
-    clears it), so read paths broadcast it into an anti-join."""
+    """The folded tombstone relation ``(doc_id, below)`` if the index
+    has pending deletes/upserts, else None.
+
+    Tombstones are VERSIONED: a row hides postings/forward rows of its
+    doc with ``_batch_id < below`` (a plain delete writes ``below =
+    DELETE_ALL``; an upsert writes ``below = its own batch id`` so the
+    replacement version survives its own tombstone).  Per doc, the
+    LATEST tombstone wins (``max_by(below, _batch_id)``) — so an upsert
+    after a delete resurrects the doc, and a delete after an upsert
+    removes every version.  Small by contract (compaction applies and
+    clears it), so read paths broadcast it."""
     p = os.path.join(path, "deleted")
     if not _fs_exists(spark, p):
         return None
-    return spark.read.parquet(p).select("doc_id")
+    return (
+        spark.read.parquet(p)
+        .groupBy("doc_id")
+        .agg(F.max_by("below", F.col(BATCH_COL)).alias("below"))
+    )
 
 
 def _drop_deleted(df: DataFrame, deleted: DataFrame | None) -> DataFrame:
+    """Filter out tombstoned VERSIONS: rows whose ``_batch_id`` is below
+    their doc's tombstone cutoff.  ``df`` must still carry the
+    ``_batch_id`` column (every on-disk read does — it is a partition
+    column)."""
     if deleted is None:
         return df
-    return df.join(F.broadcast(deleted), "doc_id", "left_anti")
+    return (
+        df.join(F.broadcast(deleted), "doc_id", "left")
+        .where(F.col("below").isNull() | (F.col(BATCH_COL) >= F.col("below")))
+        .drop("below")
+    )
 
 
 def bm25_index_delete(
@@ -625,6 +651,48 @@ def bm25_index_delete(
         return
 
     tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
+    neg_df, neg_stats, tombstones = _write_negative_partials(
+        victims, path, batch_id, n_buckets, below=DELETE_ALL
+    )
+    with _overwrite_mode(spark, "dynamic"):
+        neg_df.select(tag, "*").write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(path, "df"))
+        neg_stats.select(tag, "*").coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+        tombstones.select(tag, "*").coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "deleted"))
+
+
+def _forward_scan(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
+    """RAW pruned forward scan for a set of ids (tombstones NOT applied;
+    ``_batch_id`` retained) — ≤ min(len(ids), n_buckets) fbucket
+    directories opened; past the In-list cap the id pruning rides a
+    broadcast semi-join instead (plan size stays constant)."""
+    n_buckets = _read_n_buckets(spark, path)
+    fbuckets = sorted({d % n_buckets for d in ids})
+    scan = spark.read.parquet(os.path.join(path, "forward")).where(
+        F.col("fbucket").isin(fbuckets)
+    )
+    if len(ids) <= ISIN_TERM_CAP:
+        return scan.where(F.col("doc_id").isin(ids))
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return scan.join(F.broadcast(ids_df), "doc_id", "leftsemi")
+
+
+def _write_negative_partials(
+    victims: DataFrame,
+    path: str,
+    batch_id: int,
+    n_buckets: int,
+    below: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Relations debiting a victim set: negative df partials, a negative
+    stats row, and the versioned tombstones — NOT yet written (the
+    caller composes them with any positive partials sharing the batch
+    partition, so one dynamic overwrite stays atomic per section)."""
     neg_df = (
         victims.select("doc_id", F.explode("terms").alias("t"))
         .groupBy(F.col("t.word").alias("word"))
@@ -638,17 +706,118 @@ def bm25_index_delete(
         (-F.count("*")).cast("long").alias("n_dlen_docs"),
         (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
     ).withColumn("n_buckets", F.lit(n_buckets))
-    tombstones = victims.select("doc_id")
+    tombstones = victims.select(
+        "doc_id", F.lit(int(below)).cast("long").alias("below")
+    )
+    return neg_df, neg_stats, tombstones
+
+
+def bm25_index_upsert(
+    documents: DataFrame,
+    path: str,
+    tokenizer=tokenize,
+    batch_id: int | None = None,
+    hot_df_cap: int | None = None,
+) -> None:
+    """REPLACE documents in the served index (insert if absent) — the
+    reference sink's actual semantics (``MongoTFSink.java:43-58``
+    upserts each doc's TF vector by ``_id``), which plain
+    :func:`bm25_index_add` forbids (disjoint-ids contract).
+
+    Mechanics — delete-the-visible-old + add-the-new fused into ONE
+    batch partition per section:
+
+    - the batch's PREVIOUSLY-VISIBLE versions (forward rows with
+      ``_batch_id < this batch`` that survive all EARLIER tombstones)
+      become negative df/stats partials, exactly like
+      :func:`bm25_index_delete`;
+    - tombstones carry ``below = this batch id``, so they hide every
+      older version while the replacement — written under this very
+      id — survives its own tombstone (and an upsert AFTER a delete
+      resurrects the doc: per doc the latest tombstone wins);
+    - the new versions' postings/df/stats/forward land under the same
+      batch id, with the negative partials UNIONED into the same
+      df/stats partitions — one dynamic overwrite per section, so an
+      at-least-once redelivery recomputes the identical victim set
+      (its visibility predicate ignores this batch's own tombstone and
+      forward rows) and rewrites the identical partitions.
+
+    Requires the forward section (old-version statistics come from
+    doc-keyed point reads, never a postings scan).  O(batch + |ids|
+    fbucket point reads)."""
+    spark = documents.sparkSession
+    if not _fs_exists(spark, os.path.join(path, "forward")):
+        raise ValueError(
+            "bm25_index_upsert requires the forward section"
+            " (bm25_index_save_forward) — replacing a document needs its"
+            " old version's statistics, which only the doc-major layout"
+            " can read without a corpus scan"
+        )
+    stats = _read_stats(spark, path)
+    n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
+    if batch_id is None:
+        row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
+            F.max(BATCH_COL).alias("m")
+        ).first()
+        batch_id = (int(row["m"]) if row["m"] is not None else 0) + 1
+        if batch_id >= STREAM_BATCH_BASE:
+            raise ValueError(
+                "manual batch-id space exhausted; run bm25_index_compact"
+            )
+    ids = [
+        int(r["doc_id"])
+        for r in documents.select("doc_id").distinct().collect()
+    ]
+    # visibility BEFORE this upsert, recomputable on redelivery: only
+    # versions older than this batch, under only OLDER tombstones
+    deleted_path = os.path.join(path, "deleted")
+    prior_tombs = None
+    if _fs_exists(spark, deleted_path):
+        prior_tombs = (
+            spark.read.parquet(deleted_path)
+            .where(F.col(BATCH_COL) != int(batch_id))
+            .groupBy("doc_id")
+            .agg(F.max_by("below", F.col(BATCH_COL)).alias("below"))
+        )
+    victims = _drop_deleted(
+        _forward_scan(spark, path, ids).where(
+            F.col(BATCH_COL) < int(batch_id)
+        ),
+        prior_tombs,
+    ).localCheckpoint(eager=True)
+
+    batch = bm25_index_batch(documents, n_buckets, tokenizer)
+    if victims.isEmpty():
+        combined = batch
+    else:
+        neg_df, neg_stats, _ = _write_negative_partials(
+            victims, path, batch_id, n_buckets, below=batch_id
+        )
+        combined = Bm25IndexBatch(
+            batch.postings,
+            batch.df_parts.unionByName(neg_df),
+            batch.stats_parts.unionByName(neg_stats),
+        )
+    _write_index_batch(
+        combined, path, batch_id, create=False,
+        n_buckets=n_buckets, hot_df_cap=hot_df_cap,
+    )
+    bm25_index_save_forward(
+        documents, path, tokenizer, batch_id=batch_id, create=False
+    )
+    # tombstones for EVERY upserted id, not just the visible victims:
+    # an id resurrected after a delete needs this batch's tombstone to
+    # supersede the DELETE_ALL one (latest-wins), and for never-present
+    # ids the cutoff hides nothing.  Recomputed identically on
+    # redelivery (pure function of ids + batch_id).
+    tombstones = spark.createDataFrame(
+        [(int(i), int(batch_id)) for i in ids], "doc_id long, below long"
+    )
+    tag = F.lit(int(batch_id)).cast("long").alias(BATCH_COL)
     with _overwrite_mode(spark, "dynamic"):
-        neg_df.select(tag, "*").write.mode("overwrite").partitionBy(
-            BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "df"))
-        neg_stats.select(tag, "*").coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
         tombstones.select(tag, "*").coalesce(1).write.mode(
             "overwrite"
-        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "deleted"))
+        ).partitionBy(BATCH_COL).parquet(deleted_path)
 
 
 def bm25_topk_from_index(
@@ -767,6 +936,9 @@ def bm25_index_compact(
         (df_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else df_all)
         .groupBy("bucket", "word")
         .agg(F.sum("df").cast("long").alias("df"))
+        # fully-deleted words net to df=0 once the negative partials
+        # fold in — drop the dead rows at the fold
+        .where(F.col("df") != 0)
         .withColumn(BATCH_COL, F.lit(0).cast("long"))
     )
     if excl:
@@ -775,24 +947,23 @@ def bm25_index_compact(
                 "bucket", "word", "df", BATCH_COL
             )
         )
-    else:
-        # fully-deleted words net to df=0 once the negative partials
-        # fold in — drop the dead rows at the full fold
-        df_fold = df_fold.where(F.col("df") != 0)
 
-    postings = _fold_batch_col(
-        spark.read.parquet(os.path.join(path, "postings")), excl
-    )
-    # A FULL compaction applies the delete tombstones physically: the
-    # tombstoned postings/forward rows are dropped, the df/stats sums
-    # already net their negative partials, and the deleted/ section
-    # goes away.  With exclusions the tombstones are folded to batch 0
-    # and RETAINED (excluded partitions keep their rows, so reads still
-    # need the anti-join).
+    # Tombstones are applied physically on EVERY compaction — versioned
+    # cutoffs compare against ORIGINAL batch ids, so the drop must
+    # happen BEFORE the fold re-tags rows to batch 0.  The df/stats
+    # sums already net the delete/upsert negative partials, and the
+    # deleted/ section goes away.  Safe with exclusions too: manual
+    # tombstone cutoffs sit below the stream id space, and the
+    # no-race contract forbids deleting docs the in-flight stream
+    # batch carries (a plain-delete sentinel names docs from the
+    # archive, never from that batch).
     deleted = _read_deleted(spark, path)
-    apply_deletes = deleted is not None and not excl
-    if apply_deletes:
-        postings = _drop_deleted(postings, deleted)
+    postings = _fold_batch_col(
+        _drop_deleted(
+            spark.read.parquet(os.path.join(path, "postings")), deleted
+        ),
+        excl,
+    )
     n_buckets = _read_n_buckets(spark, path)
     hot_out = None
     hot_path = os.path.join(path, "hot")
@@ -873,16 +1044,11 @@ def bm25_index_compact(
     fwd = None
     if _fs_exists(spark, os.path.join(path, "forward")):
         fwd = _fold_batch_col(
-            spark.read.parquet(os.path.join(path, "forward")), excl
-        )
-        if apply_deletes:
-            fwd = _drop_deleted(fwd, deleted)
-        fwd = fwd.repartition(files_per_bucket * 8, "fbucket")
-    deleted_out = None
-    if deleted is not None and not apply_deletes:
-        deleted_out = _fold_batch_col(
-            spark.read.parquet(os.path.join(path, "deleted")), excl
-        )
+            _drop_deleted(
+                spark.read.parquet(os.path.join(path, "forward")), deleted
+            ),
+            excl,
+        ).repartition(files_per_bucket * 8, "fbucket")
 
     # 1) write everything to staging (reads the live index; nothing is
     # deleted yet, so a failure here leaves the index untouched)
@@ -903,14 +1069,11 @@ def bm25_index_compact(
             hot_out.coalesce(1).write.mode("overwrite").partitionBy(
                 BATCH_COL
             ).parquet(os.path.join(staging, "hot"))
-        if deleted_out is not None:
-            deleted_out.coalesce(1).write.mode("overwrite").partitionBy(
-                BATCH_COL
-            ).parquet(os.path.join(staging, "deleted"))
 
     # 2) swap each section: live -> _old, staging -> live, drop _old.
-    # An entry with nothing staged (re-salt decided nothing is hot; a
-    # full fold applied all tombstones) deletes the live section.
+    # An entry with nothing staged (re-salt decided nothing is hot;
+    # tombstones applied, so "deleted" is never staged) removes the
+    # live section.
     sections = ["postings", "df", "stats"]
     if fwd is not None:
         sections.append("forward")
@@ -1183,14 +1346,12 @@ def doc_vector_from_index(
     then hits parquet row-group stats inside it."""
     n_buckets = _read_n_buckets(spark, path)
     return _drop_deleted(
-        spark.read.parquet(os.path.join(path, "forward"))
-        .where(
+        spark.read.parquet(os.path.join(path, "forward")).where(
             (F.col("fbucket") == int(doc_id) % n_buckets)
             & (F.col("doc_id") == int(doc_id))
-        )
-        .select("doc_id", "dl", "terms"),
+        ),
         _read_deleted(spark, path),
-    )
+    ).select("doc_id", "dl", "terms")
 
 
 def more_like_this_from_index(
@@ -1295,27 +1456,11 @@ def doc_vectors_from_index(
     documents: one scan pruned to the union of the ids' fbucket
     directories (≤ min(len(ids), n_buckets) of them), the id equality
     pushed to row-group stats inside.  The batched getByPid."""
-    n_buckets = _read_n_buckets(spark, path)
     ids = sorted({int(d) for d in doc_ids})
     if not ids:
         return spark.createDataFrame(
             [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
         )
-    fbuckets = sorted({d % n_buckets for d in ids})
-    scan = spark.read.parquet(os.path.join(path, "forward")).where(
-        F.col("fbucket").isin(fbuckets)
-    )
-    if len(ids) <= ISIN_TERM_CAP:
-        scan = scan.where(F.col("doc_id").isin(ids))
-    else:
-        # bulk multi-get (e.g. a large delete set): an In-list over
-        # thousands of ids blows up the plan — broadcast-semi-join the
-        # id relation instead (fbucket pruning still bounds the scan)
-        ids_df = spark.createDataFrame(
-            [(i,) for i in ids], "doc_id long"
-        )
-        scan = scan.join(F.broadcast(ids_df), "doc_id", "leftsemi")
     return _drop_deleted(
-        scan.select("doc_id", "dl", "terms"),
-        _read_deleted(spark, path),
-    )
+        _forward_scan(spark, path, ids), _read_deleted(spark, path)
+    ).select("doc_id", "dl", "terms")

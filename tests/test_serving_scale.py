@@ -780,3 +780,151 @@ def test_stream_ownership_marker_closes_the_batch0_residual(spark, tmp_path):
     assert not os.path.exists(f"{path}/_stream_owner")
     run(src_b, "ckpt_b")  # now legal
     assert _topk(spark, path) == _topk_full_rebuild(spark, tmp_path, docs)
+
+
+# --- upsert leg: versioned tombstones ----------------------------------------
+
+
+def _with_replaced(spark, docs, doc_id, new_text):
+    repl = spark.createDataFrame(
+        [(int(doc_id), new_text)], "doc_id long, text string"
+    )
+    base = docs.select("doc_id", "text")
+    return base.where(F.col("doc_id") != int(doc_id)).unionByName(repl)
+
+
+def test_upsert_replaces_document_everywhere(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_upsert,
+        doc_vector_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    top_doc = int(_topk(spark, path)[0][0])
+
+    new_text = "completely different replacement content xyzzy"
+    repl = spark.createDataFrame(
+        [(top_doc, new_text)], "doc_id long, text string"
+    )
+    bm25_index_upsert(repl, path)
+
+    # ranking == a rebuild over the corpus with the doc's text replaced
+    rebuilt = str(tmp_path / "rebuilt")
+    bm25_index_save(
+        _with_replaced(spark, docs, top_doc, new_text), rebuilt, n_buckets=16
+    )
+    assert _topk(spark, path) == _topk(spark, rebuilt)
+    assert all(d != top_doc for d, _, _ in _topk(spark, path))
+
+    # the point lookup serves exactly ONE row: the NEW vector
+    rows = doc_vector_from_index(spark, path, top_doc).collect()
+    assert len(rows) == 1
+    words = {t["word"] for t in rows[0]["terms"]}
+    assert "xyzzy" in words and "replacement" in words
+
+    # n_docs unchanged: one doc out, one doc in
+    n = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    assert n == docs.count()
+
+    # the new version is searchable by its new vocabulary
+    hit = _topk(spark, path, ("xyzzy",), k=3)
+    assert hit and hit[0][0] == top_doc
+
+
+def test_upsert_redelivery_and_insert_if_absent(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import bm25_index_upsert
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    batch = spark.createDataFrame(
+        [
+            (3, "replacement three spark stream"),  # existing: replace
+            (900001, "brand new document spark join"),  # absent: insert
+        ],
+        "doc_id long, text string",
+    )
+    bm25_index_upsert(batch, path, batch_id=5)
+    once = _topk(spark, path)
+    n_once = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    bm25_index_upsert(batch, path, batch_id=5)  # at-least-once redelivery
+    assert _topk(spark, path) == once
+    n_twice = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    assert n_twice == n_once == docs.count() + 1
+
+    rebuilt = str(tmp_path / "rebuilt")
+    corpus = _with_replaced(
+        spark, docs, 3, "replacement three spark stream"
+    ).unionByName(
+        spark.createDataFrame(
+            [(900001, "brand new document spark join")],
+            "doc_id long, text string",
+        )
+    )
+    bm25_index_save(corpus, rebuilt, n_buckets=16)
+    assert once == _topk(spark, rebuilt)
+
+
+def test_upsert_after_delete_resurrects(spark, tmp_path):
+    from flink_bm25_spark.operators.serving import (
+        bm25_index_delete,
+        bm25_index_upsert,
+        doc_vector_from_index,
+    )
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    bm25_index_delete(spark, path, [3])
+    assert doc_vector_from_index(spark, path, 3).count() == 0
+    bm25_index_upsert(
+        spark.createDataFrame(
+            [(3, "resurrected document xyzzy")], "doc_id long, text string"
+        ),
+        path,
+    )
+    rows = doc_vector_from_index(spark, path, 3).collect()
+    assert len(rows) == 1
+    assert {t["word"] for t in rows[0]["terms"]} >= {"resurrected", "xyzzy"}
+    n = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n")
+    ).first()["n"]
+    assert n == docs.count()  # -1 from the delete, +1 from the upsert
+
+
+def test_upsert_then_compact_is_physical_and_stable(spark, tmp_path):
+    import os
+
+    from flink_bm25_spark.operators.serving import bm25_index_upsert
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    bm25_index_upsert(
+        spark.createDataFrame(
+            [(3, "replacement three xyzzy")], "doc_id long, text string"
+        ),
+        path,
+    )
+    want = _topk(spark, path)
+    bm25_index_compact(spark, path)
+    assert _topk(spark, path) == want
+    assert not os.path.exists(f"{path}/deleted")
+    # exactly one physical version of the doc remains, the new one
+    fwd = spark.read.parquet(f"{path}/forward").where(F.col("doc_id") == 3)
+    rows = fwd.collect()
+    assert len(rows) == 1
+    assert {t["word"] for t in rows[0]["terms"]} >= {"xyzzy"}
+    assert _topk(spark, path, ("xyzzy",), k=1)[0][0] == 3
