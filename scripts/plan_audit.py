@@ -42,6 +42,10 @@ AUDITED = [
         "tombstones broadcast anti-join; negative partials fold inside the same aggregates",
     ),
     (
+        "q_bm25_serve_upserted",
+        "versioned cutoff join keeps only each doc's latest version; replace == rebuild by hash",
+    ),
+    (
         "q_bm25_serve_salted",
         "salted sub-buckets all partition-pruned; word equality keeps scores exact",
     ),
