@@ -166,34 +166,42 @@ def main() -> None:
     steal1, total1 = _cpu_times()
     steal_pct = round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    per_calib = round(total / calib_sec, 2) if calib_sec > 0 else None
+    contended = loadavg_start[0] > 2.0
+    # Key ORDER is part of the artifact contract (r7 verdict item 7):
+    # the driver may persist only a truncated head OR tail of this line,
+    # so the headline scalars come FIRST, the big per-query dicts sit in
+    # the middle, and the headline repeats at the END under *_tail
+    # names — either truncation keeps metric/value/calib/contended.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_extra": extra,
-                "extra_total": round(sum(extra.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_start": [round(x, 2) for x in loadavg_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "cpu_steal_pct": steal_pct,
-                "calib_sec": calib_sec,
                 # r5 verdict item 6: effective core speed swings ~2× on
                 # this shared host — totals are only comparable ACROSS
                 # artifacts as total/calib_sec.  `contended` tags an
                 # artifact recorded under load (loadavg_start above 2):
                 # its raw numbers reflect the machine, not the plans.
-                "value_per_calib": round(
-                    sum(timings.values()) / calib_sec, 2
-                )
-                if calib_sec > 0
-                else None,
-                "contended": loadavg_start[0] > 2.0,
+                "value_per_calib": per_calib,
+                "calib_sec": calib_sec,
+                "contended": contended,
+                "extra_total": round(sum(extra.values()), 3),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpu_steal_pct": steal_pct,
                 "quiet_wait_s": waited_s,
                 "iter_spread_max": max(spread.values()) if spread else 0.0,
+                "queries": timings,
+                "queries_extra": extra,
                 "iter_spread": spread,
+                "value_tail": total,
+                "value_per_calib_tail": per_calib,
+                "calib_sec_tail": calib_sec,
+                "contended_tail": contended,
             }
         )
     )

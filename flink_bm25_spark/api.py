@@ -1110,19 +1110,28 @@ class Bm25Index:
         ``scripts/serve_compare.py``: this trims the per-query floor,
         but Spark remains a batch engine — sub-100ms serving latency
         needs a dedicated server in front; the index's job is
-        throughput per corpus version (DEPLOY.md)."""
+        throughput per corpus version (DEPLOY.md).
+
+        STALENESS GUARD: the facade's own mutators :meth:`cool`
+        automatically, but a SECOND session (or the CLI) writing the
+        same path would leave this session's pinned df/stats silently
+        stale — so ``warm()`` records the index's write stamp (a
+        root-level counter every mutating op bumps) and each
+        :meth:`search` re-checks it with ONE tiny filesystem read (no
+        Spark job); on mismatch the warm state self-cools and the
+        query falls back to the cold path."""
         from flink_bm25_spark.operators.serving import (
             _fs_exists,
             _h_driver,
+            _Layout,
+            read_write_stamp,
         )
 
         self.cool()
-        df_rel = self.spark.read.parquet(
-            os.path.join(self.path, "df")
-        ).persist()
-        stats_rel = self.spark.read.parquet(
-            os.path.join(self.path, "stats")
-        ).persist()
+        lay = _Layout(self.spark, self.path)
+        stamp = read_write_stamp(self.spark, self.path)
+        df_rel = self.spark.read.parquet(lay.sec("df")).persist()
+        stats_rel = self.spark.read.parquet(lay.sec("stats")).persist()
         stats_rel.count()
         df_rel.count()
         n_buckets = int(stats_rel.select("n_buckets").first()["n_buckets"])
@@ -1132,7 +1141,7 @@ class Bm25Index:
         # hot probe instead of materializing an unbounded map
         HOT_CACHE_CAP = 10_000
         hot: dict[str, int] | None = {}
-        hot_path = os.path.join(self.path, "hot")
+        hot_path = lay.sec("hot")
         if _fs_exists(self.spark, hot_path):
             rows = (
                 self.spark.read.parquet(hot_path)
@@ -1147,7 +1156,7 @@ class Bm25Index:
                 hot = {r["word"]: int(r["n_salts"]) for r in rows}
         from flink_bm25_spark.operators.serving import _read_deleted
 
-        deleted = _read_deleted(self.spark, self.path)  # folded (doc_id, below)
+        deleted = _read_deleted(self.spark, self.path, lay=lay)
         if deleted is not None:
             deleted = deleted.persist()
             deleted.count()
@@ -1158,6 +1167,8 @@ class Bm25Index:
             "hot": hot,
             "h": _h_driver,
             "deleted": deleted,
+            "postings_path": lay.sec("postings"),
+            "stamp": stamp,
         }
         return self
 
@@ -1182,9 +1193,23 @@ class Bm25Index:
     def _search_warm(self, terms: tuple[str, ...], k: int) -> DataFrame:
         from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
             Bm25IndexBatch,
+            _empty_topk,
+            bm25_topk_from_index,
             bm25_topk_from_partials,
+            read_write_stamp,
         )
 
+        if not terms:
+            # mirror the cold paths' guard: a zero-arg isin is an opaque
+            # Spark analysis error (unreachable today — _tokenize_query
+            # raises on stopword-only input — but the warm path must not
+            # be fragile against future pre-tokenized callers)
+            return _empty_topk(self.spark)
+        # staleness guard: one tiny FS read per query — an external
+        # writer (second session, CLI) bumped the stamp since warm()
+        if read_write_stamp(self.spark, self.path) != self._warm["stamp"]:
+            self.cool()
+            return bm25_topk_from_index(self.spark, self.path, terms, k=k)
         w = self._warm
         if w["hot"] is None:
             # hot map too large to pin: per-query bounded hot probe

@@ -24,6 +24,12 @@ dynamic partition overwrite — instead of double-counting):
 - ``stats/_batch_id=<i>/`` — ``(n_docs, n_dlen_docs, total_dl,
   n_buckets)`` per-batch one-row partials.
 
+Section directories live at the root until the first compaction;
+every compaction after that writes a complete NEW tree ``v<N>/`` and
+flips one pointer file ``_manifest_v<N>`` — reader-atomic version
+swaps with a one-compaction-cycle grace period for in-flight readers
+(see :class:`_Layout`).
+
 ``h60`` is the engine's portable md5-derived hash
 (`functions/hashing.py`), so the driver computes a query's buckets with
 ``hashlib`` — no Spark job on the query path — and an external engine
@@ -114,6 +120,21 @@ def _empty_topk(spark: SparkSession) -> DataFrame:
 # no stream partitions remain to collide with).
 STREAM_OWNER_FILE = "_stream_owner"
 
+# Root-level write stamp — a monotonically increasing counter bumped by
+# EVERY mutating operation (save/add/delete/upsert/compact/forward), so
+# a cached reader (``Bm25Index.warm()``) can detect an external writer
+# (another session, the CLI) with ONE tiny filesystem read instead of a
+# Spark job per query.
+WRITE_STAMP_FILE = "_last_write"
+
+# Manifest pointer files — ``_manifest_v<N>`` names the CURRENT section
+# tree ``<path>/v<N>/``; see `_Layout` for the protocol.
+MANIFEST_PREFIX = "_manifest_v"
+
+# Every section a compaction may produce (also the GC scope for stale
+# version trees and the bare pre-manifest layout).
+SECTIONS = ("postings", "df", "stats", "forward", "hot", "deleted")
+
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     jvm = spark._jvm
@@ -143,6 +164,107 @@ def _fs_read_text(spark: SparkSession, path: str) -> str | None:
         return "\n".join(lines)
     finally:
         stream.close()
+
+
+def _fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory through the Hadoop FileSystem API
+    (same-filesystem discipline as the other ``_fs_*`` helpers)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _list_manifest_versions(spark: SparkSession, path: str) -> list[int]:
+    out = []
+    for name in _fs_list_names(spark, path):
+        if name.startswith(MANIFEST_PREFIX):
+            suffix = name[len(MANIFEST_PREFIX):]
+            if suffix.isdigit():
+                out.append(int(suffix))
+    return sorted(out)
+
+
+class _Layout:
+    """Resolved view of an index's CURRENT version — the reader-atomicity
+    mechanism for compaction.
+
+    Protocol: section directories live either at the index root (the
+    bare pre-compaction layout, version 0) or under ``<path>/v<N>/``; a
+    zero-byte-sufficient pointer file ``_manifest_v<N>`` (its NAME is
+    the pointer — readers never parse the content, so a partially
+    written file is already a valid flip) names the current tree.
+    Compaction writes a COMPLETE new tree ``v<N+1>/`` first, then
+    creates ``_manifest_v<N+1>`` — one atomic file-create is the whole
+    swap, so a query that resolved its layout either sees all-old or
+    all-new sections, never a mix (the mid-swap window of the r7
+    staged-rename design).  The superseded tree survives until the NEXT
+    compaction's GC — a full inter-compaction cycle of grace for
+    in-flight readers.
+
+    Every public read/write entry point resolves the layout ONCE and
+    uses it for all its section paths; mutating ops (add/delete/upsert)
+    write into the current tree — their new partition directories
+    appear atomically to readers exactly as before."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        versions = _list_manifest_versions(spark, path)
+        self.version = versions[-1] if versions else 0
+        self.root = (
+            path if self.version == 0 else os.path.join(path, f"v{self.version}")
+        )
+
+    def sec(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def has(self, name: str) -> bool:
+        return _fs_exists(self.spark, self.sec(name))
+
+
+def _gc_versions(
+    spark: SparkSession,
+    path: str,
+    keep: int,
+    sections: tuple[str, ...] = SECTIONS,
+) -> None:
+    """Remove every version tree, manifest pointer, and bare section not
+    belonging to version ``keep`` — run at the START of a compaction, so
+    the previous version's grace period is one full compaction cycle.
+    Also reaps orphan ``v<M>`` trees from a compaction that crashed
+    before its manifest flip (their manifest never appeared, so no
+    reader can hold them).  ``sections`` names the bare (v0) dirs this
+    index type owns — the BM25 set by default, ``("cells",)`` for IVF."""
+    for v in _list_manifest_versions(spark, path):
+        if v != keep:
+            _fs_delete(spark, os.path.join(path, f"{MANIFEST_PREFIX}{v}"))
+    for name in _fs_list_names(spark, path):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) != keep
+        ):
+            _fs_delete(spark, os.path.join(path, name))
+    if keep != 0:
+        for name in sections:
+            bare = os.path.join(path, name)
+            if _fs_exists(spark, bare):
+                _fs_delete(spark, bare)
+
+
+def _touch_stamp(spark: SparkSession, path: str) -> None:
+    old = _fs_read_text(spark, os.path.join(path, WRITE_STAMP_FILE))
+    nxt = int(old.strip()) + 1 if old and old.strip().isdigit() else 1
+    _fs_write_text(spark, os.path.join(path, WRITE_STAMP_FILE), str(nxt))
+
+
+def read_write_stamp(spark: SparkSession, path: str) -> str | None:
+    """The index's current write stamp (None for an index written before
+    stamps existed) — compare across time to detect external writers."""
+    return _fs_read_text(spark, os.path.join(path, WRITE_STAMP_FILE))
 
 
 class Bm25IndexBatch(NamedTuple):
@@ -175,7 +297,10 @@ def _h_driver(term: str) -> int:
 
 
 def _read_hot_salts(
-    spark: SparkSession, path: str, terms: tuple[str, ...]
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    lay: "_Layout | None" = None,
 ) -> dict[str, int]:
     """``word -> n_salts`` for the query terms that some batch salted —
     a read of the tiny ``hot/`` relation pruned to the terms (collect
@@ -184,7 +309,8 @@ def _read_hot_salts(
     word's salt count, opening the widest salt range covers every
     bucket any batch wrote (the word equality inside keeps scores
     exact)."""
-    hot_path = os.path.join(path, "hot")
+    lay = lay or _Layout(spark, path)
+    hot_path = lay.sec("hot")
     if not _fs_exists(spark, hot_path):
         return {}
     rows = (
@@ -198,13 +324,17 @@ def _read_hot_salts(
 
 
 def _expanded_query_buckets(
-    spark: SparkSession, path: str, terms: tuple[str, ...], n_buckets: int
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    n_buckets: int,
+    lay: "_Layout | None" = None,
 ) -> list[int]:
     """The buckets a query must open against a PERSISTED index: the
     base bucket per term, plus — for terms the index salted as hot —
     every salted sub-bucket ``(h60(word) + salt) % n_buckets``."""
     buckets = set(query_buckets(terms, n_buckets))
-    for word, n_salts in _read_hot_salts(spark, path, terms).items():
+    for word, n_salts in _read_hot_salts(spark, path, terms, lay=lay).items():
         h = _h_driver(word)
         for s in range(n_salts):
             buckets.add((h + s) % n_buckets)
@@ -394,13 +524,15 @@ def _salt_postings(
 
 def _write_index_batch(
     batch: Bm25IndexBatch,
-    path: str,
+    root: str,
     batch_id: int,
     create: bool,
     n_buckets: int | None = None,
     hot_df_cap: int | None = None,
 ) -> None:
-    """Persist one batch under its own ``_batch_id`` partition.
+    """Persist one batch under its own ``_batch_id`` partition, into the
+    section tree at ``root`` (the index path for the bare layout, the
+    current ``v<N>`` tree once a compaction has versioned it).
 
     ``create=False`` uses DYNAMIC partition overwrite (not blind
     append): a re-delivered batch REPLACES its own ``_batch_id``
@@ -435,17 +567,17 @@ def _write_index_batch(
     with _overwrite_mode(spark, "dynamic" if not create else "static"):
         postings.select(tag, "*").write.mode(mode).partitionBy(
             BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "postings"))
+        ).parquet(os.path.join(root, "postings"))
         batch.df_parts.select(tag, "*").write.mode(mode).partitionBy(
             BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "df"))
+        ).parquet(os.path.join(root, "df"))
         batch.stats_parts.select(tag, "*").coalesce(1).write.mode(
             mode
-        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+        ).partitionBy(BATCH_COL).parquet(os.path.join(root, "stats"))
         if hot is not None:
             hot.select(tag, "*").coalesce(1).write.mode(mode).partitionBy(
                 BATCH_COL
-            ).parquet(os.path.join(path, "hot"))
+            ).parquet(os.path.join(root, "hot"))
 
 
 def bm25_index_save(
@@ -459,16 +591,24 @@ def bm25_index_save(
     (mode=overwrite — this CREATES the index as batch 0; grow it with
     :func:`bm25_index_add`).
 
-    Creating OVER an existing index also clears its auxiliary sections
-    (``forward/``, ``hot/``): the static overwrite only rewrites
-    postings/df/stats, and a surviving forward section would keep
-    serving term vectors for documents that are not in the rebuilt
-    index (and adds would keep maintaining it)."""
+    Creating OVER an existing index RESETS it to the bare version-0
+    layout: auxiliary sections (``forward/``, ``hot/``, ``deleted/``),
+    any manifest-versioned trees from past compactions, and the
+    streaming-ownership marker are all cleared — the static overwrite
+    only rewrites postings/df/stats, and a surviving forward section
+    would keep serving term vectors for documents that are not in the
+    rebuilt index, while a surviving ``_stream_owner`` would refuse the
+    rebuilt index its first legitimate streaming checkpoint (and bless
+    the stale one re-attaching over the new corpus)."""
     spark = documents.sparkSession
+    _gc_versions(spark, path, keep=0)
     for section in ("forward", "hot", "deleted"):
         sec_path = os.path.join(path, section)
         if _fs_exists(spark, sec_path):
             _fs_delete(spark, sec_path)
+    owner = os.path.join(path, STREAM_OWNER_FILE)
+    if _fs_exists(spark, owner):
+        _fs_delete(spark, owner)
     _write_index_batch(
         bm25_index_batch(documents, n_buckets, tokenizer),
         path,
@@ -477,14 +617,20 @@ def bm25_index_save(
         n_buckets=n_buckets,
         hot_df_cap=hot_df_cap,
     )
+    _touch_stamp(spark, path)
 
 
-def _read_stats(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "stats"))
+def _read_stats(
+    spark: SparkSession, path: str, lay: "_Layout | None" = None
+) -> DataFrame:
+    lay = lay or _Layout(spark, path)
+    return spark.read.parquet(lay.sec("stats"))
 
 
-def _read_n_buckets(spark: SparkSession, path: str) -> int:
-    row = _read_stats(spark, path).select("n_buckets").first()
+def _read_n_buckets(
+    spark: SparkSession, path: str, lay: "_Layout | None" = None
+) -> int:
+    row = _read_stats(spark, path, lay=lay).select("n_buckets").first()
     return int(row["n_buckets"])
 
 
@@ -515,7 +661,8 @@ def bm25_index_add(
     with no extra caller step (the batch's tokenization is shared by
     lineage; adds remain O(batch))."""
     spark = documents.sparkSession
-    stats = _read_stats(spark, path)
+    lay = _Layout(spark, path)
+    stats = _read_stats(spark, path, lay=lay)
     n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
     if batch_id is None:
         row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
@@ -529,16 +676,17 @@ def bm25_index_add(
             )
     _write_index_batch(
         bm25_index_batch(documents, n_buckets, tokenizer),
-        path,
+        lay.root,
         batch_id,
         create=False,
         n_buckets=n_buckets,
         hot_df_cap=hot_df_cap,
     )
-    if _fs_exists(spark, os.path.join(path, "forward")):
+    if lay.has("forward"):
         bm25_index_save_forward(
             documents, path, tokenizer, batch_id=batch_id, create=False
         )
+    _touch_stamp(spark, path)
 
 
 # "Delete every version" sentinel for a tombstone's `below` cutoff —
@@ -547,7 +695,9 @@ def bm25_index_add(
 DELETE_ALL = 1 << 62
 
 
-def _read_deleted(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_deleted(
+    spark: SparkSession, path: str, lay: "_Layout | None" = None
+) -> DataFrame | None:
     """The folded tombstone relation ``(doc_id, below)`` if the index
     has pending deletes/upserts, else None.
 
@@ -559,7 +709,8 @@ def _read_deleted(spark: SparkSession, path: str) -> DataFrame | None:
     after a delete resurrects the doc, and a delete after an upsert
     removes every version.  Small by contract (compaction applies and
     clears it), so read paths broadcast it."""
-    p = os.path.join(path, "deleted")
+    lay = lay or _Layout(spark, path)
+    p = lay.sec("deleted")
     if not _fs_exists(spark, p):
         return None
     return (
@@ -573,11 +724,17 @@ def _drop_deleted(df: DataFrame, deleted: DataFrame | None) -> DataFrame:
     """Filter out tombstoned VERSIONS: rows whose ``_batch_id`` is below
     their doc's tombstone cutoff.  ``df`` must still carry the
     ``_batch_id`` column (every on-disk read does — it is a partition
-    column)."""
+    column).
+
+    No forced broadcast hint: tombstones are tiny in steady state (AQE
+    broadcasts them at runtime), but between a corpus-shaped upsert and
+    its compaction the relation is batch-sized — a forced broadcast
+    would OOM the driver exactly when the tombstone-threshold auto-fold
+    is about to fire."""
     if deleted is None:
         return df
     return (
-        df.join(F.broadcast(deleted), "doc_id", "left")
+        df.join(deleted, "doc_id", "left")
         .where(F.col("below").isNull() | (F.col(BATCH_COL) >= F.col("below")))
         .drop("below")
     )
@@ -617,17 +774,20 @@ def bm25_index_delete(
     outside the disjoint-doc_ids contract anyway); and a document that
     had NO surviving tokens has no forward row, so deleting it leaves
     ``n_docs`` unchanged — it carried no postings or dl, so rankings
-    only see a marginally conservative idf denominator."""
-    ids = sorted({int(d) for d in doc_ids})
-    if not ids:
-        return
-    if not _fs_exists(spark, os.path.join(path, "forward")):
+    only see a marginally conservative idf denominator.
+
+    ``doc_ids`` may be a DataFrame with a ``doc_id`` column (the CDC
+    micro-batch shape) — the id set then stays in-plan end to end
+    (``_forward_scan_rel``'s capped recipe), never materializing on the
+    driver."""
+    lay = _Layout(spark, path)
+    if not lay.has("forward"):
         raise ValueError(
             "bm25_index_delete requires the forward section"
             " (bm25_index_save_forward) — doc-keyed reads against the"
             " term-major postings would be a corpus scan"
         )
-    stats = _read_stats(spark, path)
+    stats = _read_stats(spark, path, lay=lay)
     n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
     if batch_id is None:
         row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
@@ -638,11 +798,18 @@ def bm25_index_delete(
             raise ValueError(
                 "manual batch-id space exhausted; run bm25_index_compact"
             )
-    # doc_vectors_from_index already anti-joins existing tombstones, so
-    # re-deleting an id is a no-op by construction
-    victims = doc_vectors_from_index(spark, path, ids).localCheckpoint(
-        eager=True
-    )
+    # The raw forward scan anti-joined with existing tombstones — so
+    # re-deleting an id is a no-op by construction.
+    if isinstance(doc_ids, DataFrame):
+        raw = _forward_scan_rel(lay, doc_ids.select("doc_id").distinct())
+    else:
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return
+        raw = _forward_scan(spark, path, ids, lay=lay)
+    victims = _drop_deleted(
+        raw, _read_deleted(spark, path, lay=lay)
+    ).localCheckpoint(eager=True)
     if victims.isEmpty():
         # nothing new to delete — return BEFORE any write: a redelivered
         # batch must leave its original partials intact (the one-row
@@ -657,29 +824,71 @@ def bm25_index_delete(
     with _overwrite_mode(spark, "dynamic"):
         neg_df.select(tag, "*").write.mode("overwrite").partitionBy(
             BATCH_COL, "bucket"
-        ).parquet(os.path.join(path, "df"))
+        ).parquet(lay.sec("df"))
         neg_stats.select(tag, "*").coalesce(1).write.mode(
             "overwrite"
-        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "stats"))
+        ).partitionBy(BATCH_COL).parquet(lay.sec("stats"))
         tombstones.select(tag, "*").coalesce(1).write.mode(
             "overwrite"
-        ).partitionBy(BATCH_COL).parquet(os.path.join(path, "deleted"))
+        ).partitionBy(BATCH_COL).parquet(lay.sec("deleted"))
+    _touch_stamp(spark, path)
 
 
-def _forward_scan(spark: SparkSession, path: str, ids: list[int]) -> DataFrame:
-    """RAW pruned forward scan for a set of ids (tombstones NOT applied;
-    ``_batch_id`` retained) — ≤ min(len(ids), n_buckets) fbucket
-    directories opened; past the In-list cap the id pruning rides a
-    broadcast semi-join instead (plan size stays constant)."""
-    n_buckets = _read_n_buckets(spark, path)
+def _forward_scan(
+    spark: SparkSession,
+    path: str,
+    ids: list[int],
+    lay: "_Layout | None" = None,
+) -> DataFrame:
+    """RAW pruned forward scan for a DRIVER-SIDE id list (tombstones NOT
+    applied; ``_batch_id`` retained) — ≤ min(len(ids), n_buckets)
+    fbucket directories opened; past the In-list cap the id pruning
+    rides a broadcast semi-join instead (plan size stays constant)."""
+    lay = lay or _Layout(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
     fbuckets = sorted({d % n_buckets for d in ids})
-    scan = spark.read.parquet(os.path.join(path, "forward")).where(
+    scan = spark.read.parquet(lay.sec("forward")).where(
         F.col("fbucket").isin(fbuckets)
     )
     if len(ids) <= ISIN_TERM_CAP:
         return scan.where(F.col("doc_id").isin(ids))
     ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     return scan.join(F.broadcast(ids_df), "doc_id", "leftsemi")
+
+
+def _forward_scan_rel(lay: "_Layout", ids_rel: DataFrame) -> DataFrame:
+    """RAW forward scan for an IN-PLAN id relation — the batch-shaped
+    twin of :func:`_forward_scan` for callers whose id set must never
+    materialize on the driver (a corpus-shaped upsert/CDC batch).
+
+    The driver collects at most ``ISIN_TERM_CAP + 1`` sample ids plus
+    ≤ n_buckets fbucket rows (an in-plan distinct aggregate), mirroring
+    ``bm25_batch_topk_from_index``'s capped-path recipe: below the cap
+    the scan gets the ``doc_id IN (...)`` literal (row-group skipping);
+    above it, pruning is the fbucket partition filter plus a PLAIN
+    semi-join against ``ids_rel`` — no broadcast hint, so AQE picks
+    broadcast for small batches and shuffle for corpus-shaped ones."""
+    spark = lay.spark
+    n_buckets = _read_n_buckets(spark, lay.path, lay=lay)
+    ids_rel = ids_rel.select(F.col("doc_id").cast("long").alias("doc_id"))
+    sample = ids_rel.limit(ISIN_TERM_CAP + 1).collect()
+    if not sample:
+        return spark.read.parquet(lay.sec("forward")).where(F.lit(False))
+    if len(sample) <= ISIN_TERM_CAP:
+        ids = sorted({int(r["doc_id"]) for r in sample})
+        return _forward_scan(spark, lay.path, ids, lay=lay)
+    fb_rows = (
+        ids_rel.select(
+            F.pmod("doc_id", F.lit(n_buckets)).cast("int").alias("fb")
+        )
+        .distinct()
+        .collect()
+    )
+    fbuckets = sorted(int(r["fb"]) for r in fb_rows)
+    scan = spark.read.parquet(lay.sec("forward")).where(
+        F.col("fbucket").isin(fbuckets)
+    )
+    return scan.join(ids_rel, "doc_id", "leftsemi")
 
 
 def _write_negative_partials(
@@ -744,16 +953,31 @@ def bm25_index_upsert(
 
     Requires the forward section (old-version statistics come from
     doc-keyed point reads, never a postings scan).  O(batch + |ids|
-    fbucket point reads)."""
+    fbucket point reads).
+
+    SCALE: upsert's stated purpose is re-crawl refresh — the one
+    maintenance op whose batch is corpus-shaped (the reference sink
+    replaced EVERY doc every run, ``MongoTFSink.java:43-58``) — so the
+    batch's id set never materializes on the driver: the victim scan is
+    :func:`_forward_scan_rel` (≤ ``ISIN_TERM_CAP + 1`` sample ids and
+    ≤ n_buckets fbucket rows collected, the rest in-plan), and the
+    tombstone relation derives from ``documents`` by lineage.
+
+    WRITE ORDER: the tombstone partition commits FIRST — a crash
+    mid-upsert then leaves a clean hide-old state (the doc temporarily
+    absent, conservatively) instead of both versions visible and
+    double-scoring; either way the redelivery converges (its visibility
+    predicate ignores this batch's own tombstones)."""
     spark = documents.sparkSession
-    if not _fs_exists(spark, os.path.join(path, "forward")):
+    lay = _Layout(spark, path)
+    if not lay.has("forward"):
         raise ValueError(
             "bm25_index_upsert requires the forward section"
             " (bm25_index_save_forward) — replacing a document needs its"
             " old version's statistics, which only the doc-major layout"
             " can read without a corpus scan"
         )
-    stats = _read_stats(spark, path)
+    stats = _read_stats(spark, path, lay=lay)
     n_buckets = int(stats.select("n_buckets").first()["n_buckets"])
     if batch_id is None:
         row = stats.where(F.col(BATCH_COL) < STREAM_BATCH_BASE).agg(
@@ -764,13 +988,12 @@ def bm25_index_upsert(
             raise ValueError(
                 "manual batch-id space exhausted; run bm25_index_compact"
             )
-    ids = [
-        int(r["doc_id"])
-        for r in documents.select("doc_id").distinct().collect()
-    ]
+    ids_rel = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).distinct()
     # visibility BEFORE this upsert, recomputable on redelivery: only
     # versions older than this batch, under only OLDER tombstones
-    deleted_path = os.path.join(path, "deleted")
+    deleted_path = lay.sec("deleted")
     prior_tombs = None
     if _fs_exists(spark, deleted_path):
         prior_tombs = (
@@ -780,11 +1003,29 @@ def bm25_index_upsert(
             .agg(F.max_by("below", F.col(BATCH_COL)).alias("below"))
         )
     victims = _drop_deleted(
-        _forward_scan(spark, path, ids).where(
+        _forward_scan_rel(lay, ids_rel).where(
             F.col(BATCH_COL) < int(batch_id)
         ),
         prior_tombs,
     ).localCheckpoint(eager=True)
+
+    # tombstones for EVERY upserted id, not just the visible victims:
+    # an id resurrected after a delete needs this batch's tombstone to
+    # supersede the DELETE_ALL one (latest-wins), and for never-present
+    # ids the cutoff hides nothing.  Recomputed identically on
+    # redelivery (pure function of ids + batch_id) — and committed
+    # BEFORE the positive sections (see WRITE ORDER above).
+    tombstones = ids_rel.withColumn(
+        "below", F.lit(int(batch_id)).cast("long")
+    )
+    tag = F.lit(int(batch_id)).cast("long").alias(BATCH_COL)
+    # no coalesce(1): a corpus-shaped batch's tombstones must not funnel
+    # through one task (tiny batches still write few files — the distinct
+    # upstream leaves most partitions empty and parquet skips them)
+    with _overwrite_mode(spark, "dynamic"):
+        tombstones.select(tag, "*").coalesce(8).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(deleted_path)
 
     batch = bm25_index_batch(documents, n_buckets, tokenizer)
     if victims.isEmpty():
@@ -799,25 +1040,13 @@ def bm25_index_upsert(
             batch.stats_parts.unionByName(neg_stats),
         )
     _write_index_batch(
-        combined, path, batch_id, create=False,
+        combined, lay.root, batch_id, create=False,
         n_buckets=n_buckets, hot_df_cap=hot_df_cap,
     )
     bm25_index_save_forward(
         documents, path, tokenizer, batch_id=batch_id, create=False
     )
-    # tombstones for EVERY upserted id, not just the visible victims:
-    # an id resurrected after a delete needs this batch's tombstone to
-    # supersede the DELETE_ALL one (latest-wins), and for never-present
-    # ids the cutoff hides nothing.  Recomputed identically on
-    # redelivery (pure function of ids + batch_id).
-    tombstones = spark.createDataFrame(
-        [(int(i), int(batch_id)) for i in ids], "doc_id long, below long"
-    )
-    tag = F.lit(int(batch_id)).cast("long").alias(BATCH_COL)
-    with _overwrite_mode(spark, "dynamic"):
-        tombstones.select(tag, "*").coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy(BATCH_COL).parquet(deleted_path)
+    _touch_stamp(spark, path)
 
 
 def bm25_topk_from_index(
@@ -838,18 +1067,21 @@ def bm25_topk_from_index(
     scores to ``bm25_rank`` over the same corpus (pinned by test)."""
     if not tuple(query_terms):
         return _empty_topk(spark)
-    n_buckets = _read_n_buckets(spark, path)
-    buckets = _expanded_query_buckets(spark, path, tuple(query_terms), n_buckets)
+    lay = _Layout(spark, path)  # resolved ONCE: all-old or all-new sections
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
+    buckets = _expanded_query_buckets(
+        spark, path, tuple(query_terms), n_buckets, lay=lay
+    )
     postings = _drop_deleted(
-        spark.read.parquet(os.path.join(path, "postings")).where(
+        spark.read.parquet(lay.sec("postings")).where(
             F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
         ),
-        _read_deleted(spark, path),
+        _read_deleted(spark, path, lay=lay),
     )
-    df_parts = spark.read.parquet(os.path.join(path, "df")).where(
+    df_parts = spark.read.parquet(lay.sec("df")).where(
         F.col("bucket").isin(buckets) & F.col("word").isin(*query_terms)
     )
-    stats_parts = spark.read.parquet(os.path.join(path, "stats"))
+    stats_parts = spark.read.parquet(lay.sec("stats"))
     return bm25_topk_from_partials(
         Bm25IndexBatch(postings, df_parts, stats_parts), tuple(query_terms), k, k1, b
     )
@@ -903,35 +1135,58 @@ def bm25_index_compact(
     fold (per-batch adds can only see batch-local df): the folded df
     decides the hot set, postings are re-bucketed from scratch, and the
     ``hot/`` section is rewritten — per-batch salt decisions are
-    superseded, excluded batches' hot partials are preserved.
+    superseded, excluded batches' hot partials are preserved.  Because
+    the whole new tree flips at once, re-salting no longer needs a
+    maintenance window: postings and ``hot/`` change TOGETHER.
 
-    Crash recovery: a re-run restores any section whose live dir went
-    missing mid-swap from ``_compact_old`` and folds again — sound for
-    the plain fold because every mixed section state is
-    content-equivalent.  A RE-SALTING compaction (``hot_df_cap``) is
-    the one exception: postings and hot/ must change together, so a
-    crash exactly between their two swaps can leave reads opening the
-    wrong salt range until the re-run completes — run re-salting folds
-    in a maintenance window."""
+    READER ATOMICITY + CRASH SAFETY (the manifest protocol, `_Layout`):
+    the fold writes a COMPLETE new section tree ``v<N+1>/`` while the
+    live tree stays untouched, then creates the pointer file
+    ``_manifest_v<N+1>`` — one atomic file-create is the entire swap,
+    so a concurrent query sees all-old or all-new sections, never a
+    mix, and a crash at ANY instant leaves either the intact live index
+    (an orphan ``v<N+1>`` reaped on the next run) or the fully
+    committed new version.  The superseded tree survives until the
+    NEXT compaction's GC — in-flight readers get a full compaction
+    cycle of grace.
+
+    Tombstones of EXCLUDED (in-flight) batches are NOT applied
+    physically and their ``deleted/`` partitions are preserved: an
+    in-flight CDC upsert's negative partials live in its own (also
+    preserved) df/stats partition, so applying its cutoff here while a
+    redelivery later rewrites that partition would double-count the
+    replaced docs' old versions.  Committed batches' tombstones fold in
+    exactly as before."""
     excl = tuple(int(i) for i in exclude_batch_ids)
-    staging = os.path.join(path, "_compact_staging")
+    # Legacy migration (pre-manifest r7 layout): an interrupted
+    # staged-rename swap is rolled back IN FULL — every section present
+    # in _compact_old is restored over its live counterpart, so
+    # versioned tombstone cutoffs are only ever applied against
+    # ORIGINAL batch ids (restoring only the missing sections could
+    # pair a live re-tagged postings tree with a restored deleted/,
+    # silently dropping upsert survivors).
     old = os.path.join(path, "_compact_old")
     if _fs_exists(spark, old):
-        # Interrupted swap: a section whose live dir is missing has its
-        # only copy in _compact_old — restore it BEFORE discarding
-        # anything.  Every other mixed state is content-equivalent
-        # (compaction changes layout, not content), so the re-run just
-        # folds it again.
-        for name in ("postings", "df", "stats", "forward", "hot", "deleted"):
+        for name in SECTIONS:
             live_sec = os.path.join(path, name)
             old_sec = os.path.join(old, name)
-            if _fs_exists(spark, old_sec) and not _fs_exists(spark, live_sec):
+            if _fs_exists(spark, old_sec):
+                if _fs_exists(spark, live_sec):
+                    _fs_delete(spark, live_sec)
                 _fs_rename(spark, old_sec, live_sec)
         _fs_delete(spark, old)
+    staging = os.path.join(path, "_compact_staging")
     if _fs_exists(spark, staging):
-        _fs_delete(spark, staging)  # leftover from an interrupted run
+        _fs_delete(spark, staging)  # leftover from an interrupted r7 run
 
-    df_all = spark.read.parquet(os.path.join(path, "df"))
+    lay = _Layout(spark, path)
+    # GC: the previous version tree (its grace period ends now) and any
+    # orphan trees from a compaction that crashed before its flip.
+    _gc_versions(spark, path, keep=lay.version)
+    new_version = lay.version + 1
+    new_root = os.path.join(path, f"v{new_version}")
+
+    df_all = spark.read.parquet(lay.sec("df"))
     df_fold = (
         (df_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else df_all)
         .groupBy("bucket", "word")
@@ -948,31 +1203,49 @@ def bm25_index_compact(
             )
         )
 
-    # Tombstones are applied physically on EVERY compaction — versioned
-    # cutoffs compare against ORIGINAL batch ids, so the drop must
-    # happen BEFORE the fold re-tags rows to batch 0.  The df/stats
-    # sums already net the delete/upsert negative partials, and the
-    # deleted/ section goes away.  Safe with exclusions too: manual
-    # tombstone cutoffs sit below the stream id space, and the
-    # no-race contract forbids deleting docs the in-flight stream
-    # batch carries (a plain-delete sentinel names docs from the
-    # archive, never from that batch).
-    deleted = _read_deleted(spark, path)
+    # COMMITTED tombstones are applied physically — versioned cutoffs
+    # compare against ORIGINAL batch ids, so the drop must happen BEFORE
+    # the fold re-tags rows to batch 0.  The df/stats sums already net
+    # the delete/upsert negative partials.  Excluded (in-flight)
+    # batches' tombstones are withheld from the physical application and
+    # carried into the new tree (see the docstring's exclusion note).
+    deleted_raw = (
+        spark.read.parquet(lay.sec("deleted"))
+        if lay.has("deleted")
+        else None
+    )
+    deleted = None
+    deleted_keep = None
+    if deleted_raw is not None:
+        apply_src = (
+            deleted_raw.where(~F.col(BATCH_COL).isin(list(excl)))
+            if excl
+            else deleted_raw
+        )
+        deleted = apply_src.groupBy("doc_id").agg(
+            F.max_by("below", F.col(BATCH_COL)).alias("below")
+        )
+        if excl:
+            deleted_keep = deleted_raw.where(
+                F.col(BATCH_COL).isin(list(excl))
+            )
+            if deleted_keep.isEmpty():
+                deleted_keep = None
     postings = _fold_batch_col(
         _drop_deleted(
-            spark.read.parquet(os.path.join(path, "postings")), deleted
+            spark.read.parquet(lay.sec("postings")), deleted
         ),
         excl,
     )
-    n_buckets = _read_n_buckets(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
     hot_out = None
-    hot_path = os.path.join(path, "hot")
+    hot_path = lay.sec("hot")
     if hot_df_cap is not None:
         # global hotness from the FOLDED df (exclusions included in the
         # measurement — their postings keep old buckets, covered by the
         # max-fold read contract)
         global_df = (
-            spark.read.parquet(os.path.join(path, "df"))
+            spark.read.parquet(lay.sec("df"))
             .groupBy("word")
             .agg(F.sum("df").cast("long").alias("df"))
         )
@@ -1018,7 +1291,7 @@ def bm25_index_compact(
         hot_out = None  # re-salt found nothing hot: the section goes away
 
     postings = postings.repartition(files_per_bucket * 8, "bucket")
-    stats_all = _read_stats(spark, path)
+    stats_all = _read_stats(spark, path, lay=lay)
     stats_fold = (
         (stats_all.where(~F.col(BATCH_COL).isin(list(excl))) if excl else stats_all)
         .groupBy("n_buckets")
@@ -1042,58 +1315,61 @@ def bm25_index_compact(
             )
         )
     fwd = None
-    if _fs_exists(spark, os.path.join(path, "forward")):
+    if lay.has("forward"):
         fwd = _fold_batch_col(
             _drop_deleted(
-                spark.read.parquet(os.path.join(path, "forward")), deleted
+                spark.read.parquet(lay.sec("forward")), deleted
             ),
             excl,
         ).repartition(files_per_bucket * 8, "fbucket")
 
-    # 1) write everything to staging (reads the live index; nothing is
-    # deleted yet, so a failure here leaves the index untouched)
-    writes = [("postings", postings, ("bucket",)), ("df", df_fold, ("bucket",))]
+    # 1) write the COMPLETE new tree (reads come from the live tree;
+    # nothing is deleted or renamed, so a failure anywhere here leaves
+    # the index untouched and an orphan v<N+1> reaped on the next run)
+    written = ["postings", "df", "stats"]
     with _overwrite_mode(spark, "static"):
-        for name, rel, extra in writes:
-            rel.write.mode("overwrite").partitionBy(BATCH_COL, *extra).parquet(
-                os.path.join(staging, name)
-            )
+        postings.write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(new_root, "postings"))
+        df_fold.write.mode("overwrite").partitionBy(
+            BATCH_COL, "bucket"
+        ).parquet(os.path.join(new_root, "df"))
         stats_fold.coalesce(1).write.mode("overwrite").partitionBy(
             BATCH_COL
-        ).parquet(os.path.join(staging, "stats"))
+        ).parquet(os.path.join(new_root, "stats"))
         if fwd is not None:
             fwd.write.mode("overwrite").partitionBy(
                 BATCH_COL, "fbucket"
-            ).parquet(os.path.join(staging, "forward"))
+            ).parquet(os.path.join(new_root, "forward"))
+            written.append("forward")
         if hot_out is not None:
             hot_out.coalesce(1).write.mode("overwrite").partitionBy(
                 BATCH_COL
-            ).parquet(os.path.join(staging, "hot"))
+            ).parquet(os.path.join(new_root, "hot"))
+            written.append("hot")
+        if deleted_keep is not None:
+            deleted_keep.write.mode("overwrite").partitionBy(
+                BATCH_COL
+            ).parquet(os.path.join(new_root, "deleted"))
+            written.append("deleted")
 
-    # 2) swap each section: live -> _old, staging -> live, drop _old.
-    # An entry with nothing staged (re-salt decided nothing is hot;
-    # tombstones applied, so "deleted" is never staged) removes the
-    # live section.
-    sections = ["postings", "df", "stats"]
-    if fwd is not None:
-        sections.append("forward")
-    if hot_out is not None or _fs_exists(spark, hot_path):
-        sections.append("hot")
-    if deleted is not None:
-        sections.append("deleted")
-    for name in sections:
-        live = os.path.join(path, name)
-        staged = os.path.join(staging, name)
-        if _fs_exists(spark, live):
-            _fs_rename(spark, live, os.path.join(old, name))
-        if _fs_exists(spark, staged):
-            _fs_rename(spark, staged, live)
-    _fs_delete(spark, old)
-    _fs_delete(spark, staging)
+    # 2) FLIP: one atomic file-create moves every reader to the new tree
+    # at the same instant (the manifest's NAME is the pointer — content
+    # is informational only).  Sections absent from the new tree
+    # (applied tombstones, a re-salt that found nothing hot) simply
+    # don't exist there — no per-section delete window.
+    import json  # noqa: PLC0415
+
+    _fs_write_text(
+        spark,
+        os.path.join(path, f"{MANIFEST_PREFIX}{new_version}"),
+        json.dumps({"version": new_version, "sections": written}),
+    )
     if not excl:
         # every stream partition folded to batch 0: release the stream
         # ownership so a NEW checkpoint may legally attach
         _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
+    _touch_stamp(spark, path)
 
 
 def bm25_batch_topk_from_index(
@@ -1130,7 +1406,8 @@ def bm25_batch_topk_from_index(
             [(int(q), list(t)) for q, t in queries],
             "query_id int, terms array<string>",
         )
-    n_buckets = _read_n_buckets(spark, path)
+    lay = _Layout(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
     words = queries.select(F.explode("terms").alias("word")).distinct()
     sample = words.limit(ISIN_TERM_CAP + 1).collect()
     if not sample:
@@ -1140,13 +1417,15 @@ def bm25_batch_topk_from_index(
     word_pred = None
     if len(sample) <= ISIN_TERM_CAP:
         all_terms = tuple(r["word"] for r in sample)
-        buckets = _expanded_query_buckets(spark, path, all_terms, n_buckets)
+        buckets = _expanded_query_buckets(
+            spark, path, all_terms, n_buckets, lay=lay
+        )
         word_pred = F.col("word").isin(*all_terms)
     else:
         # buckets via a tiny in-plan distinct aggregate (≤ n_buckets
         # rows collected); hot terms expand to their salted sub-buckets
         base = words.select(_bucket(F.col("word"), n_buckets).alias("b"))
-        hot_path = os.path.join(path, "hot")
+        hot_path = lay.sec("hot")
         if _fs_exists(spark, hot_path):
             hot_fold = (
                 spark.read.parquet(hot_path)
@@ -1171,12 +1450,12 @@ def bm25_batch_topk_from_index(
         buckets = sorted({int(r["b"]) for r in base.distinct().collect()})
     bucket_pred = F.col("bucket").isin(buckets)
     postings = _drop_deleted(
-        spark.read.parquet(os.path.join(path, "postings")).where(
+        spark.read.parquet(lay.sec("postings")).where(
             bucket_pred & word_pred if word_pred is not None else bucket_pred
         ),
-        _read_deleted(spark, path),
+        _read_deleted(spark, path, lay=lay),
     )
-    df_src = spark.read.parquet(os.path.join(path, "df")).where(
+    df_src = spark.read.parquet(lay.sec("df")).where(
         bucket_pred & word_pred if word_pred is not None else bucket_pred
     )
     if word_pred is None:
@@ -1184,7 +1463,7 @@ def bm25_batch_topk_from_index(
     df_fold = df_src.groupBy("word").agg(
         F.sum("df").cast("long").alias("df")
     )
-    scalars = _read_stats(spark, path).agg(
+    scalars = _read_stats(spark, path, lay=lay).agg(
         F.sum("n_docs").cast("double").alias("n_docs"),
         (
             F.sum("total_dl").cast("double")
@@ -1232,7 +1511,8 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
     read an anti-join).  One aggregation over the postings relation;
     batch/file counts ride the same pass via ``input_file_name``; the
     hot/deleted gauges are tiny side reads."""
-    p = spark.read.parquet(os.path.join(path, "postings"))
+    lay = _Layout(spark, path)
+    p = spark.read.parquet(lay.sec("postings"))
     out = (
         p.select(
             "bucket",
@@ -1248,10 +1528,10 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
             F.count_distinct("word").cast("long").alias("n_terms"),
         )
     )
-    hot_path = os.path.join(path, "hot")
+    hot_path = lay.sec("hot")
     if _fs_exists(spark, hot_path):
         # hot terms are counted at their BASE bucket (where the df row lives)
-        n_buckets_row = _read_n_buckets(spark, path)
+        n_buckets_row = _read_n_buckets(spark, path, lay=lay)
         hot_counts = (
             spark.read.parquet(hot_path)
             .select("word")
@@ -1263,7 +1543,7 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
         out = out.join(hot_counts, "bucket", "left")
     else:
         out = out.withColumn("n_hot_terms", F.lit(None).cast("long"))
-    deleted = _read_deleted(spark, path)
+    deleted = _read_deleted(spark, path, lay=lay)
     n_tomb = (
         F.lit(int(deleted.count())).cast("long")
         if deleted is not None
@@ -1326,13 +1606,15 @@ def bm25_index_save_forward(
     discipline as the postings).  n_buckets is read from the index's
     stats partials so both sections always agree."""
     spark = documents.sparkSession
-    n_buckets = _read_n_buckets(spark, path)
+    lay = _Layout(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
     fwd = bm25_forward_batch(documents, n_buckets, tokenizer)
     tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
     with _overwrite_mode(spark, "static" if create else "dynamic"):
         fwd.select(tag, "*").write.mode("overwrite").partitionBy(
             BATCH_COL, "fbucket"
-        ).parquet(os.path.join(path, "forward"))
+        ).parquet(lay.sec("forward"))
+    _touch_stamp(spark, path)
 
 
 def doc_vector_from_index(
@@ -1344,13 +1626,14 @@ def doc_vector_from_index(
     n_buckets`` predicate is computed driver-side (integer modulo, no
     job) and prunes the scan to one directory; the ``doc_id`` equality
     then hits parquet row-group stats inside it."""
-    n_buckets = _read_n_buckets(spark, path)
+    lay = _Layout(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
     return _drop_deleted(
-        spark.read.parquet(os.path.join(path, "forward")).where(
+        spark.read.parquet(lay.sec("forward")).where(
             (F.col("fbucket") == int(doc_id) % n_buckets)
             & (F.col("doc_id") == int(doc_id))
         ),
-        _read_deleted(spark, path),
+        _read_deleted(spark, path, lay=lay),
     ).select("doc_id", "dl", "terms")
 
 
@@ -1394,23 +1677,26 @@ def more_like_this_from_index(
         return spark.createDataFrame(
             [], "doc_id long, sim double, rk int"
         )
-    n_buckets = _read_n_buckets(spark, path)
-    buckets = _expanded_query_buckets(spark, path, tuple(src_terms), n_buckets)
+    lay = _Layout(spark, path)
+    n_buckets = _read_n_buckets(spark, path, lay=lay)
+    buckets = _expanded_query_buckets(
+        spark, path, tuple(src_terms), n_buckets, lay=lay
+    )
     postings = _drop_deleted(
-        spark.read.parquet(os.path.join(path, "postings")).where(
+        spark.read.parquet(lay.sec("postings")).where(
             F.col("bucket").isin(buckets)
             & F.col("word").isin(*src_terms)
             & (F.col("doc_id") != int(source_doc_id))
         ),
-        _read_deleted(spark, path),
+        _read_deleted(spark, path, lay=lay),
     )
     df_fold = (
-        spark.read.parquet(os.path.join(path, "df"))
+        spark.read.parquet(lay.sec("df"))
         .where(F.col("bucket").isin(buckets) & F.col("word").isin(*src_terms))
         .groupBy("word")
         .agg(F.sum("df").cast("long").alias("df"))
     )
-    scalars = _read_stats(spark, path).agg(
+    scalars = _read_stats(spark, path, lay=lay).agg(
         F.sum("n_docs").cast("double").alias("n"),
         (
             F.sum("total_dl").cast("double")
@@ -1461,6 +1747,8 @@ def doc_vectors_from_index(
         return spark.createDataFrame(
             [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
         )
+    lay = _Layout(spark, path)
     return _drop_deleted(
-        _forward_scan(spark, path, ids), _read_deleted(spark, path)
+        _forward_scan(spark, path, ids, lay=lay),
+        _read_deleted(spark, path, lay=lay),
     ).select("doc_id", "dl", "terms")

@@ -1172,12 +1172,25 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     batch 0, every :func:`ivf_add` owns its own batch partition, so
     at-least-once delivery is effectively-once on disk.  Probes are
     unaffected: the ``cell`` filter prunes directories at any nesting
-    level."""
+    level.  r8: building OVER an existing index resets it to the bare
+    version-0 layout (manifest pointers, version trees, and the stream
+    ownership marker are cleared — same reset contract as
+    ``bm25_index_save``)."""
     import os  # noqa: PLC0415
 
-    from flink_bm25_spark.operators.serving import BATCH_COL  # noqa: PLC0415
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        STREAM_OWNER_FILE,
+        _fs_delete,
+        _fs_exists,
+        _gc_versions,
+    )
 
     spark = assigned.sparkSession
+    _gc_versions(spark, path, keep=0, sections=("cells",))
+    owner = os.path.join(path, STREAM_OWNER_FILE)
+    if _fs_exists(spark, owner):
+        _fs_delete(spark, owner)
     assigned.select(
         F.lit(0).cast("long").alias(BATCH_COL), "*"
     ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
@@ -1218,16 +1231,24 @@ def ivf_assign_to_existing(spark, path: str, new_vectors: DataFrame) -> DataFram
     )
 
 
+def _ivf_cells_path(spark, path: str) -> str:
+    """Layout-resolved cells section (bare before the first compaction,
+    the current ``v<N>/`` tree after — the BM25 index's `_Layout`)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+
+    return os.path.join(_Layout(spark, path).root, "cells")
+
+
 def _ivf_batch_ids(spark, path: str):
     """Existing cell batch ids — a partition-column-only read (directory
     listing, no row data)."""
-    import os  # noqa: PLC0415
-
     from flink_bm25_spark.operators.serving import BATCH_COL  # noqa: PLC0415
 
     return {
         int(r[BATCH_COL])
-        for r in spark.read.parquet(os.path.join(path, "cells"))
+        for r in spark.read.parquet(_ivf_cells_path(spark, path))
         .select(BATCH_COL)
         .distinct()
         .collect()
@@ -1271,7 +1292,7 @@ def ivf_add(spark, path: str, new_vectors: DataFrame, batch_id: int | None = Non
         assigned.select(
             F.lit(int(batch_id)).cast("long").alias(BATCH_COL), "*"
         ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
-            os.path.join(path, "cells")
+            _ivf_cells_path(spark, path)
         )
 
 
@@ -1283,50 +1304,61 @@ def ivf_compact(
 ) -> None:
     """Fold the per-batch cell partitions to batch 0 — the small-files
     maintenance a long-lived IVF index needs under streaming adds; the
-    same staged write + rename swap as ``bm25_index_compact`` (the live
-    index is readable until the swap instant, a crash leaves a
-    recoverable copy), and the same ``exclude_batch_ids`` contract (the
-    streaming loop excludes the in-flight micro-batch so its redelivery
-    stays idempotent).  Probe results are unchanged (pinned by test)."""
+    same reader-atomic manifest protocol as ``bm25_index_compact`` (r8:
+    the fold writes a complete new ``v<N>/cells`` tree, one atomic
+    ``_manifest_v<N>`` file-create is the whole swap, the superseded
+    tree survives one compaction cycle of grace — no mid-swap window at
+    all, including on rename-less object stores), and the same
+    ``exclude_batch_ids`` contract (the streaming loop excludes the
+    in-flight micro-batch so its redelivery stays idempotent).  Probe
+    results are unchanged (pinned by test)."""
+    import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
         BATCH_COL,
+        MANIFEST_PREFIX,
+        STREAM_OWNER_FILE,
         _fold_batch_col,
         _fs_delete,
         _fs_exists,
         _fs_rename,
+        _fs_write_text,
+        _gc_versions,
+        _Layout,
         _overwrite_mode,
     )
 
-    staging = os.path.join(path, "_compact_staging")
+    # legacy migration (pre-manifest r7 staged swap): full rollback
     old = os.path.join(path, "_compact_old")
-    live = os.path.join(path, "cells")
     if _fs_exists(spark, old):
-        if not _fs_exists(spark, live) and _fs_exists(
-            spark, os.path.join(old, "cells")
-        ):
-            _fs_rename(spark, os.path.join(old, "cells"), live)
+        live0 = os.path.join(path, "cells")
+        if _fs_exists(spark, os.path.join(old, "cells")):
+            if _fs_exists(spark, live0):
+                _fs_delete(spark, live0)
+            _fs_rename(spark, os.path.join(old, "cells"), live0)
         _fs_delete(spark, old)
+    staging = os.path.join(path, "_compact_staging")
     if _fs_exists(spark, staging):
         _fs_delete(spark, staging)
+
+    lay = _Layout(spark, path)
+    _gc_versions(spark, path, keep=lay.version, sections=("cells",))
+    new_version = lay.version + 1
     folded = _fold_batch_col(
-        spark.read.parquet(live),
+        spark.read.parquet(os.path.join(lay.root, "cells")),
         tuple(int(i) for i in exclude_batch_ids),
     ).repartition(files_per_cell * 8, "cell")
     with _overwrite_mode(spark, "static"):
         folded.write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
-            os.path.join(staging, "cells")
+            os.path.join(path, f"v{new_version}", "cells")
         )
-    _fs_rename(spark, live, os.path.join(old, "cells"))
-    _fs_rename(spark, os.path.join(staging, "cells"), live)
-    _fs_delete(spark, old)
-    _fs_delete(spark, staging)
+    _fs_write_text(
+        spark,
+        os.path.join(path, f"{MANIFEST_PREFIX}{new_version}"),
+        json.dumps({"version": new_version, "sections": ["cells"]}),
+    )
     if not exclude_batch_ids:
-        from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
-            STREAM_OWNER_FILE,
-        )
-
         _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
 
 
@@ -1353,7 +1385,7 @@ def ivf_topk_from_disk(
 
     order = sorted(cents, key=lambda r: dist2(r["centroid"]))
     probe_cells = [int(r["cell"]) for r in order[:nprobe]]
-    cand = spark.read.parquet(os.path.join(path, "cells")).where(
+    cand = spark.read.parquet(_ivf_cells_path(spark, path)).where(
         F.col("cell").isin(probe_cells)
     )
     qcol = F.array(*[F.lit(x) for x in q])

@@ -43,14 +43,57 @@ Two id-space hazards are guarded, not just documented:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from flink_bm25_spark.operators.serving import (
     BATCH_COL,
     STREAM_BATCH_BASE,
+    STREAM_OWNER_FILE,
+    _fs_read_text,
+    _fs_write_text,
+    _read_deleted,
+    _read_stats,
     bm25_index_add,
     bm25_index_compact,
+    bm25_index_delete,
+    bm25_index_upsert,
 )
+
+
+def _claim_stream_ownership(spark, path: str, checkpoint: str) -> None:
+    """Micro-batch-0 guard shared by every index-maintenance loop: refuse
+    a FRESH checkpoint attaching to an index that already holds stream
+    partitions (its batch ids would restart at 0 and silently overwrite
+    the prior stream's partitions), then record this checkpoint as the
+    owner."""
+    marker = os.path.join(path, STREAM_OWNER_FILE)
+    owner = _fs_read_text(spark, marker)
+    if owner is not None and owner != checkpoint:
+        raise RuntimeError(
+            f"index is owned by streaming checkpoint {owner!r};"
+            f" attaching {checkpoint!r} at micro-batch 0 would"
+            " silently overwrite its partitions. Run a full"
+            " bm25_index_compact first (folds every committed"
+            " batch to id 0 and releases ownership)."
+        )
+    # belt-and-braces for pre-marker indexes: stream ids beyond
+    # BASE+0 with a batch-0 delivery can only be a fresh checkpoint
+    seen = _read_stats(spark, path).agg(
+        F.max(BATCH_COL).alias("m")
+    ).first()["m"]
+    if seen is not None and int(seen) > STREAM_BATCH_BASE:
+        raise RuntimeError(
+            "fresh streaming checkpoint over an index that already"
+            " holds stream batches (max _batch_id ="
+            f" {int(seen)}): restarting ids at 0 would silently"
+            " overwrite them. Run bm25_index_compact on the index"
+            " first (folds every committed batch to id 0), then"
+            " attach the new checkpoint."
+        )
+    _fs_write_text(spark, marker, checkpoint)
 
 
 def maintain_index_stream(
@@ -70,12 +113,12 @@ def maintain_index_stream(
     micro-batches from inside the loop — bounding per-query file-open
     cost on a long-lived stream (THROUGHPUT.md measured ~60% extra
     query wall after only 31 uncompacted batches) without a separate
-    maintenance job.  The index stays queryable across the fold
-    (staging + swap inside ``bm25_index_compact``).  ``hot_df_cap``
-    forwards to both adds and compactions (per-batch salting, global
-    re-salt at each fold)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
+    maintenance job.  The index stays queryable across the fold — and
+    since the manifest protocol flips the WHOLE section tree in one
+    atomic pointer create, a mid-stream re-salting fold is as
+    crash-safe as a plain one (postings and ``hot/`` change together),
+    so ``hot_df_cap`` forwards to both adds and compactions (per-batch
+    salting, global re-salt at each fold)."""
     from flink_bm25_spark.operators.tokenize import tokenize  # noqa: PLC0415
 
     tok = tokenizer or tokenize
@@ -83,41 +126,7 @@ def maintain_index_stream(
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            import os as _os  # noqa: PLC0415
-
-            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
-                STREAM_OWNER_FILE,
-                _fs_read_text,
-                _fs_write_text,
-                _read_stats,
-            )
-
-            marker = _os.path.join(path, STREAM_OWNER_FILE)
-            owner = _fs_read_text(spark, marker)
-            if owner is not None and owner != checkpoint:
-                raise RuntimeError(
-                    f"index is owned by streaming checkpoint {owner!r};"
-                    f" attaching {checkpoint!r} at micro-batch 0 would"
-                    " silently overwrite its partitions. Run a full"
-                    " bm25_index_compact first (folds every committed"
-                    " batch to id 0 and releases ownership)."
-                )
-            # belt-and-braces for pre-marker indexes: stream ids beyond
-            # BASE+0 with a batch-0 delivery can only be a fresh
-            # checkpoint
-            seen = _read_stats(spark, path).agg(
-                F.max(BATCH_COL).alias("m")
-            ).first()["m"]
-            if seen is not None and int(seen) > STREAM_BATCH_BASE:
-                raise RuntimeError(
-                    "fresh streaming checkpoint over an index that already"
-                    " holds stream batches (max _batch_id ="
-                    f" {int(seen)}): restarting ids at 0 would silently"
-                    " overwrite them. Run bm25_index_compact on the index"
-                    " first (folds every committed batch to id 0), then"
-                    " attach the new checkpoint."
-                )
-            _fs_write_text(spark, marker, checkpoint)
+            _claim_stream_ownership(spark, path, checkpoint)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             bm25_index_compact(
                 spark,
@@ -135,6 +144,126 @@ def maintain_index_stream(
 
     q = (
         stream.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def maintain_index_cdc_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    tokenizer=None,
+    compact_every: int | None = None,
+    compact_tombstones: int | None = None,
+    hot_df_cap: int | None = None,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> None:
+    """Drive a CDC stream of ``(op, doc_id, text, [seq])`` changes into a
+    persisted BM25 index (availableNow trigger) — the production shape
+    of index maintenance: the reference's continuous loop re-UPSERTED
+    every document it saw (``backup/BMStream.java:318-321`` via
+    ``MongoTFSink``'s per-``_id`` replace) and its Mongo consumers
+    issued ``remove``s; :func:`maintain_index_stream` only covers the
+    append-only special case.  Op vocabulary matches
+    ``operators/cdc.py`` (``delete_op`` ⇒ delete, anything else ⇒
+    upsert), so a ``cdc_apply`` change feed drives the index unchanged.
+
+    Each micro-batch splits into its delete and upsert legs, applied as
+    :func:`~flink_bm25_spark.operators.serving.bm25_index_delete` /
+    :func:`~flink_bm25_spark.operators.serving.bm25_index_upsert` under
+    batch ids ``STREAM_BATCH_BASE + 2*batch_id`` and ``... + 2*batch_id
+    + 1`` — two ids per micro-batch so the legs' dynamic partition
+    overwrites can never clobber each other, both stable across
+    restarts (checkpointed micro-batch ids), hence effectively-once:
+    a redelivered delete is a no-op by construction and a redelivered
+    upsert recomputes the identical victim set and rewrites its own
+    partitions.  Doc-id sets stay IN-PLAN end to end (both legs take
+    the id relation as a DataFrame — no driver materialization of a
+    corpus-shaped re-crawl batch).
+
+    Within a micro-batch, at most one op per doc applies: rows are
+    deduplicated per ``doc_id`` by the ``seq`` column when the stream
+    carries one (highest wins — the CDC event-id discipline of
+    ``cdc_apply``), else by a deterministic lexicographic max over
+    ``(op, text)`` so redelivery reproduces the same choice.
+
+    Index hygiene runs from inside the loop, both triggers composable:
+    ``compact_every=N`` folds every N micro-batches (file-count bound),
+    and ``compact_tombstones=T`` folds whenever the pending tombstone
+    count crosses T — a delete-heavy stream piles tombstones while the
+    batch count stays low, and the read-side anti-join stops being free
+    once ``deleted/`` outgrows broadcast size.  Both exclude the
+    in-flight legs' batch ids; compaction withholds excluded batches'
+    tombstones from physical application and carries them into the new
+    tree, so a crash between the fold and the checkpoint commit still
+    redelivers cleanly.  The index must already exist WITH a forward
+    section (deletes and upserts read old versions doc-keyed)."""
+    from flink_bm25_spark.operators.tokenize import tokenize  # noqa: PLC0415
+
+    tok = tokenizer or tokenize
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id == 0:
+            _claim_stream_ownership(spark, path, checkpoint)
+        del_id = STREAM_BATCH_BASE + 2 * batch_id
+        ups_id = STREAM_BATCH_BASE + 2 * batch_id + 1
+        due = bool(
+            compact_every and batch_id > 0 and batch_id % compact_every == 0
+        )
+        if not due and compact_tombstones:
+            pending = _read_deleted(spark, path)
+            due = (
+                pending is not None
+                and pending.count() >= int(compact_tombstones)
+            )
+        if due:
+            bm25_index_compact(
+                spark,
+                path,
+                exclude_batch_ids=(del_id, ups_id),
+                hot_df_cap=hot_df_cap,
+            )
+        if batch_df.isEmpty():
+            return
+        # one op per doc per micro-batch: latest-by-seq wins when the
+        # stream carries event ids, else a deterministic lexicographic
+        # max (redelivery must reproduce the same choice)
+        order = (
+            F.col("seq")
+            if "seq" in batch_df.columns
+            else F.struct(F.col(op_col), F.col("text"))
+        )
+        latest = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col(op_col).alias("op"), F.col("text")), order
+                ).alias("ch")
+            )
+            .select("doc_id", F.col("ch.op").alias("op"), "ch.text")
+        )
+        deletes = latest.where(F.col("op") == delete_op).select("doc_id")
+        upserts = latest.where(F.col("op") != delete_op).select(
+            "doc_id", "text"
+        )
+        if not deletes.isEmpty():
+            bm25_index_delete(spark, path, deletes, batch_id=del_id)
+        if not upserts.isEmpty():
+            bm25_index_upsert(
+                upserts,
+                path,
+                tokenizer=tok,
+                batch_id=ups_id,
+                hot_df_cap=hot_df_cap,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -257,6 +257,9 @@ def main() -> None:
                 "bm25_batch_serve_q100",
                 "bm25_point_lookup",
                 "bm25_serve_mlt",
+                "bm25_delete_10pct",
+                "bm25_upsert_10pct",
+                "bm25_serve_tombstoned",
             )
         ):
             from flink_bm25_spark.operators.serving import (
@@ -341,6 +344,75 @@ def main() -> None:
                     rows.setdefault("bm25_serve_mlt", {})[mult] = (dt, out)
                     print(
                         f"x{mult} ({n} docs) bm25_serve_mlt: {out} rows"
+                        f" in {dt:.1f}s",
+                        flush=True,
+                    )
+            # r8: the CRUD legs at 10% of the corpus per scale — the
+            # WRITE side is expected ~linear in its own batch (which
+            # grows with the corpus here), the tombstoned READ side
+            # ~flat vs the clean serve row (the anti-join folds into
+            # the pruned scan; never a postings rewrite).  Ids stay
+            # IN-PLAN (a DataFrame — the r7-weak recipe end to end).
+            if any(
+                _want_step(s)
+                for s in (
+                    "bm25_delete_10pct",
+                    "bm25_upsert_10pct",
+                    "bm25_serve_tombstoned",
+                )
+            ):
+                from flink_bm25_spark.operators.serving import (
+                    bm25_index_delete,
+                    bm25_index_save_forward,
+                    bm25_index_upsert,
+                )
+
+                if not os.path.isdir(f"{idx}/forward"):
+                    bm25_index_save_forward(mat, idx)
+                if _want_step("bm25_upsert_10pct"):
+                    repl = mat.where(
+                        F.pmod(F.col("doc_id"), F.lit(10)) == 1
+                    ).select(
+                        "doc_id",
+                        F.concat(
+                            F.lit("refreshed·crawl "), F.col("text")
+                        ).alias("text"),
+                    )
+                    t0 = time.perf_counter()
+                    bm25_index_upsert(repl, idx)
+                    dt = time.perf_counter() - t0
+                    out = repl.count()
+                    rows.setdefault("bm25_upsert_10pct", {})[mult] = (dt, out)
+                    print(
+                        f"x{mult} ({n} docs) bm25_upsert_10pct: {out} docs"
+                        f" in {dt:.1f}s",
+                        flush=True,
+                    )
+                if _want_step("bm25_delete_10pct"):
+                    dels = mat.where(
+                        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+                    ).select("doc_id")
+                    t0 = time.perf_counter()
+                    bm25_index_delete(spark, idx, dels)
+                    dt = time.perf_counter() - t0
+                    out = dels.count()
+                    rows.setdefault("bm25_delete_10pct", {})[mult] = (dt, out)
+                    print(
+                        f"x{mult} ({n} docs) bm25_delete_10pct: {out} docs"
+                        f" in {dt:.1f}s",
+                        flush=True,
+                    )
+                if _want_step("bm25_serve_tombstoned"):
+                    qterms = ("spark·0", "stream·0", "join·0")
+                    t0 = time.perf_counter()
+                    out = bm25_topk_from_index(spark, idx, qterms, k=10).count()
+                    dt = time.perf_counter() - t0
+                    rows.setdefault("bm25_serve_tombstoned", {})[mult] = (
+                        dt,
+                        out,
+                    )
+                    print(
+                        f"x{mult} ({n} docs) bm25_serve_tombstoned: {out} rows"
                         f" in {dt:.1f}s",
                         flush=True,
                     )

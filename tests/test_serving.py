@@ -23,6 +23,14 @@ from flink_bm25_spark.operators.serving import (
 from flink_bm25_spark.sources.tables import load_documents
 from tests.conftest import SF_DIR
 
+
+def _sec(spark, path, name):
+    """Layout-resolved section path (bare before the first compaction,
+    the current v<N>/ tree after — mirrors the engine's _Layout)."""
+    from flink_bm25_spark.operators.serving import _Layout
+
+    return _Layout(spark, path).sec(name)
+
 TERMS = DEFAULT_QUERY_TERMS
 
 
@@ -72,7 +80,7 @@ def test_index_disk_roundtrip_and_pruning(spark, tmp_path):
     # and the files actually opened are only the query terms' buckets
     expected = set(query_buckets(TERMS, 16))
     opened = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(_sec(spark, path, "postings"))
         .where(
             F.col("bucket").isin(sorted(expected))
             & F.col("word").isin(*TERMS)
@@ -183,7 +191,7 @@ def test_add_rejects_nothing_but_matches_bucket_count(spark, tmp_path):
     bm25_index_save(docs.where(F.col("doc_id") < 100), path, n_buckets=8)
     bm25_index_add(docs.where(F.col("doc_id") >= 100), path)
     buckets = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(_sec(spark, path, "postings"))
         .select("bucket")
         .distinct()
         .collect()
@@ -251,10 +259,10 @@ def test_index_compaction_preserves_scores_and_folds_state(spark, tmp_path):
         tuple(r) for r in bm25_topk_from_index(spark, path, TERMS).collect()
     ]
     assert after == before == _want(spark)
-    stats = spark.read.parquet(f"{path}/stats").collect()
+    stats = spark.read.parquet(_sec(spark, path, "stats")).collect()
     assert len(stats) == 1
     dup_words = (
-        spark.read.parquet(f"{path}/df")
+        spark.read.parquet(_sec(spark, path, "df"))
         .groupBy("word")
         .count()
         .where(F.col("count") > 1)
@@ -497,5 +505,5 @@ def test_forward_section_stays_in_lockstep_with_adds(spark, tmp_path):
     bm25_index_compact(spark, path)
     again = doc_vector_from_index(spark, path, 400).collect()
     assert len(again) == 1 and again[0]["terms"] == row[0]["terms"]
-    n_fwd = spark.read.parquet(f"{path}/forward").count()
+    n_fwd = spark.read.parquet(_sec(spark, path, "forward")).count()
     assert n_fwd == docs.count()  # every doc exactly once after the fold

@@ -24,6 +24,20 @@ from flink_bm25_spark.operators.serving import (
 from flink_bm25_spark.sources.tables import load_documents
 from tests.conftest import SF_DIR
 
+
+def _cells(spark, path):
+    from flink_bm25_spark.operators.similarity import _ivf_cells_path
+
+    return _ivf_cells_path(spark, path)
+
+
+def _sec(spark, path, name):
+    """Layout-resolved section path (bare before the first compaction,
+    the current v<N>/ tree after — mirrors the engine's _Layout)."""
+    from flink_bm25_spark.operators.serving import _Layout
+
+    return _Layout(spark, path).sec(name)
+
 TERMS = DEFAULT_QUERY_TERMS
 
 
@@ -161,7 +175,7 @@ def test_manual_add_allocates_below_stream_base(spark, tmp_path):
     bm25_index_add(docs.where(F.col("doc_id") >= 350), path)
     ids = {
         int(r["_batch_id"])
-        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+        for r in spark.read.parquet(_sec(spark, path, "stats")).select("_batch_id").collect()
     }
     assert ids == {0, 1, STREAM_BATCH_BASE + 3}
     assert _topk(spark, path) == _topk_full_rebuild(spark, tmp_path, docs)
@@ -216,7 +230,7 @@ def test_hot_term_salting_bounds_bucket_skew_and_pins_scores(spark, tmp_path):
     # the hot word's postings concentrate ONE bucket unsalted...
     def spread(path):
         rows = (
-            spark.read.parquet(f"{path}/postings")
+            spark.read.parquet(_sec(spark, path, "postings"))
             .where(F.col("word") == "hotword")
             .groupBy("bucket")
             .count()
@@ -246,7 +260,7 @@ def test_hot_salting_survives_adds_and_compaction(spark, tmp_path):
     # compaction with a global re-salt keeps scores and the spread
     bm25_index_compact(spark, path, hot_df_cap=50)
     assert _topk(spark, path, q) == want
-    hot = spark.read.parquet(f"{path}/hot").collect()
+    hot = spark.read.parquet(_sec(spark, path, "hot")).collect()
     assert any(r["word"] == "hotword" and r["n_salts"] == 8 for r in hot)
 
     # plain compaction (no re-salt) preserves the hot section's routing
@@ -312,7 +326,7 @@ def test_compaction_excludes_named_batches(spark, tmp_path):
     )
     ids = {
         int(r["_batch_id"])
-        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+        for r in spark.read.parquet(_sec(spark, path, "stats")).select("_batch_id").collect()
     }
     assert ids == {0, STREAM_BATCH_BASE + 5}
     assert _topk(spark, path) == before
@@ -357,7 +371,7 @@ def test_streaming_auto_compaction_bounds_batches_and_pins_scores(
     # excluded batch + everything-folded-to-0 + post-fold batches remain
     ids = {
         int(r["_batch_id"])
-        for r in spark.read.parquet(f"{path}/stats").select("_batch_id").collect()
+        for r in spark.read.parquet(_sec(spark, path, "stats")).select("_batch_id").collect()
     }
     assert len(ids) <= 3, ids
     run()  # restart, same checkpoint: no re-delivery, nothing changes
@@ -394,7 +408,7 @@ def test_streaming_with_salting_and_autocompaction(spark, tmp_path):
     q = ("hotword", "other3")
     assert _topk(spark, path, q) == _topk(spark, plain, q)
     # the hot section exists and the hot word is spread
-    hot = {r["word"]: r["n_salts"] for r in spark.read.parquet(f"{path}/hot").collect()}
+    hot = {r["word"]: r["n_salts"] for r in spark.read.parquet(_sec(spark, path, "hot")).collect()}
     assert hot.get("hotword", 0) >= 2
 
 
@@ -464,19 +478,19 @@ def test_delete_then_full_compact_applies_tombstones(spark, tmp_path):
     want = _topk(spark, path)
     bm25_index_compact(spark, path)
     assert _topk(spark, path) == want
-    assert not os.path.exists(f"{path}/deleted")  # tombstones applied
+    assert not os.path.exists(_sec(spark, path, "deleted"))  # tombstones applied
     assert (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(_sec(spark, path, "postings"))
         .where(F.col("doc_id") >= 250)
         .count()
         == 0
     )
-    assert spark.read.parquet(f"{path}/forward").where(
+    assert spark.read.parquet(_sec(spark, path, "forward")).where(
         F.col("doc_id") >= 250
     ).count() == 0
     # df carries no dead (net-zero) words and stats folded to one row
-    assert spark.read.parquet(f"{path}/df").where(F.col("df") <= 0).count() == 0
-    n_docs = spark.read.parquet(f"{path}/stats").agg(
+    assert spark.read.parquet(_sec(spark, path, "df")).where(F.col("df") <= 0).count() == 0
+    n_docs = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     assert n_docs == 250
@@ -498,7 +512,7 @@ def test_delete_redelivery_and_absent_ids_are_noops(spark, tmp_path):
     assert _topk(spark, path) == once
     bm25_index_delete(spark, path, [99999999])  # absent id: no-op
     assert _topk(spark, path) == once
-    n_docs = spark.read.parquet(f"{path}/stats").agg(
+    n_docs = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     assert n_docs == load_documents(spark, SF_DIR).count() - len(gone)
@@ -617,7 +631,7 @@ def test_forward_lockstep_under_streaming_maintenance(spark, tmp_path):
     assert got == want
     run()  # restart on the same checkpoint: still exactly one vector
     assert doc_vector_from_index(spark, path, 400).count() == 1
-    n_fwd = spark.read.parquet(f"{path}/forward").count()
+    n_fwd = spark.read.parquet(_sec(spark, path, "forward")).count()
     assert n_fwd == docs.count()
 
 
@@ -653,10 +667,10 @@ def test_ivf_add_redelivery_is_noop(spark, tmp_path):
     new = emb.where(F.col("vec_id") >= 60)
     ivf_add(spark, path, new, batch_id=3)
     once = _probe(spark, path, emb)
-    n_once = spark.read.parquet(f"{path}/cells").count()
+    n_once = spark.read.parquet(_cells(spark, path)).count()
     ivf_add(spark, path, new, batch_id=3)  # at-least-once redelivery
     assert _probe(spark, path, emb) == once
-    assert spark.read.parquet(f"{path}/cells").count() == n_once
+    assert spark.read.parquet(_cells(spark, path)).count() == n_once
 
 
 def test_ivf_compact_preserves_probes_and_folds(spark, tmp_path):
@@ -670,7 +684,7 @@ def test_ivf_compact_preserves_probes_and_folds(spark, tmp_path):
     assert _probe(spark, path, emb) == before
     ids = {
         int(r["_batch_id"])
-        for r in spark.read.parquet(f"{path}/cells").select("_batch_id").distinct().collect()
+        for r in spark.read.parquet(_cells(spark, path)).select("_batch_id").distinct().collect()
     }
     assert ids == {0}
 
@@ -707,7 +721,7 @@ def test_ivf_streaming_maintenance_and_autocompact(spark, tmp_path):
     assert _probe(spark, path, emb) == _probe(spark, twin, emb)
     ids = {
         int(r["_batch_id"])
-        for r in spark.read.parquet(f"{path}/cells").select("_batch_id").distinct().collect()
+        for r in spark.read.parquet(_cells(spark, path)).select("_batch_id").distinct().collect()
     }
     assert len(ids) <= 3, ids
     run()  # restart on the same checkpoint: nothing re-added
@@ -826,7 +840,7 @@ def test_upsert_replaces_document_everywhere(spark, tmp_path):
     assert "xyzzy" in words and "replacement" in words
 
     # n_docs unchanged: one doc out, one doc in
-    n = spark.read.parquet(f"{path}/stats").agg(
+    n = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     assert n == docs.count()
@@ -852,12 +866,12 @@ def test_upsert_redelivery_and_insert_if_absent(spark, tmp_path):
     )
     bm25_index_upsert(batch, path, batch_id=5)
     once = _topk(spark, path)
-    n_once = spark.read.parquet(f"{path}/stats").agg(
+    n_once = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     bm25_index_upsert(batch, path, batch_id=5)  # at-least-once redelivery
     assert _topk(spark, path) == once
-    n_twice = spark.read.parquet(f"{path}/stats").agg(
+    n_twice = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     assert n_twice == n_once == docs.count() + 1
@@ -897,7 +911,7 @@ def test_upsert_after_delete_resurrects(spark, tmp_path):
     rows = doc_vector_from_index(spark, path, 3).collect()
     assert len(rows) == 1
     assert {t["word"] for t in rows[0]["terms"]} >= {"resurrected", "xyzzy"}
-    n = spark.read.parquet(f"{path}/stats").agg(
+    n = spark.read.parquet(_sec(spark, path, "stats")).agg(
         F.sum("n_docs").alias("n")
     ).first()["n"]
     assert n == docs.count()  # -1 from the delete, +1 from the upsert
@@ -921,9 +935,9 @@ def test_upsert_then_compact_is_physical_and_stable(spark, tmp_path):
     want = _topk(spark, path)
     bm25_index_compact(spark, path)
     assert _topk(spark, path) == want
-    assert not os.path.exists(f"{path}/deleted")
+    assert not os.path.exists(_sec(spark, path, "deleted"))
     # exactly one physical version of the doc remains, the new one
-    fwd = spark.read.parquet(f"{path}/forward").where(F.col("doc_id") == 3)
+    fwd = spark.read.parquet(_sec(spark, path, "forward")).where(F.col("doc_id") == 3)
     rows = fwd.collect()
     assert len(rows) == 1
     assert {t["word"] for t in rows[0]["terms"]} >= {"xyzzy"}
