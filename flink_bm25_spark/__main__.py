@@ -77,18 +77,19 @@ def main(argv: list[str] | None = None) -> int:
     idx = sub.add_parser(
         "index",
         help="persisted BM25 serving index: the operational CRUD loop"
-        " (create/add/delete/search/mlt/get/compact/stats)",
+        " (create/add/delete/search/mlt/get/compact/stats/cdc)",
     )
     idx.add_argument(
         "action",
         choices=(
             "create", "add", "upsert", "delete", "search", "mlt", "get",
-            "compact", "stats",
+            "compact", "stats", "cdc",
         ),
     )
     idx.add_argument("--path", required=True, help="index root directory")
     idx.add_argument("--input", default=None,
-                     help="dir with documents.parquet (create/add)")
+                     help="dir with documents.parquet (create/add), or a"
+                     " parquet dir of (op, doc_id, text[, seq]) changes (cdc)")
     idx.add_argument("--query", default=None, help="free text (search)")
     idx.add_argument("--doc-id", type=int, default=None, help="mlt/get")
     idx.add_argument("--doc-ids", default=None,
@@ -99,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="salt terms with df above this cap (create/add/compact)")
     idx.add_argument("--forward", action="store_true",
                      help="also build the doc-major forward section (create)")
+    idx.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir (cdc)")
+    idx.add_argument("--compact-every", type=int, default=None,
+                     help="fold every N micro-batches (cdc)")
+    idx.add_argument("--compact-tombstones", type=int, default=None,
+                     help="fold when pending tombstones cross this (cdc)")
 
     exp = sub.add_parser(
         "explain",
@@ -249,6 +256,33 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.path, hot_df_cap=args.hot_df_cap
                 )
                 print("compacted", file=sys.stderr)
+            elif args.action == "cdc":
+                if not args.input or not args.checkpoint:
+                    print(
+                        "--input and --checkpoint are required for cdc",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from flink_bm25_spark.streaming.index_maintenance import (  # noqa: PLC0415
+                    maintain_index_cdc_stream,
+                )
+
+                stream = (
+                    spark.readStream.schema(
+                        "op string, doc_id long, text string, seq long"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(args.input)
+                )
+                maintain_index_cdc_stream(
+                    stream,
+                    args.path,
+                    args.checkpoint,
+                    compact_every=args.compact_every,
+                    compact_tombstones=args.compact_tombstones,
+                    hot_df_cap=args.hot_df_cap,
+                )
+                print("cdc stream drained", file=sys.stderr)
             elif args.action == "stats":
                 for r in serving.bm25_index_stats(spark, args.path).collect():
                     print(

@@ -1255,11 +1255,20 @@ class Bm25Index:
 
         return bm25_batch_topk_from_index(self.spark, self.path, queries, k=k)
 
-    def compact(self, hot_df_cap: int | None = None) -> None:
+    def compact(
+        self,
+        hot_df_cap: int | None = None,
+        gc_grace_seconds: float = 300.0,
+    ) -> None:
         from flink_bm25_spark.operators.serving import bm25_index_compact
 
         self.cool()  # the fold replaces the relations the warm state pinned
-        bm25_index_compact(self.spark, self.path, hot_df_cap=hot_df_cap)
+        bm25_index_compact(
+            self.spark,
+            self.path,
+            hot_df_cap=hot_df_cap,
+            gc_grace_seconds=gc_grace_seconds,
+        )
 
     def stats(self) -> DataFrame:
         from flink_bm25_spark.operators.serving import bm25_index_stats

@@ -200,9 +200,8 @@ class _Layout:
     creates ``_manifest_v<N+1>`` — one atomic file-create is the whole
     swap, so a query that resolved its layout either sees all-old or
     all-new sections, never a mix (the mid-swap window of the r7
-    staged-rename design).  The superseded tree survives until the NEXT
-    compaction's GC — a full inter-compaction cycle of grace for
-    in-flight readers.
+    staged-rename design).  Superseded trees are reclaimed by a later
+    compaction only after a time-based read grace (`_gc_versions`).
 
     Every public read/write entry point resolves the layout ONCE and
     uses it for all its section paths; mutating ops (add/delete/upsert)
@@ -225,30 +224,57 @@ class _Layout:
         return _fs_exists(self.spark, self.sec(name))
 
 
+def _fs_mtime_ms(spark: SparkSession, path: str) -> int:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
 def _gc_versions(
     spark: SparkSession,
     path: str,
     keep: int,
     sections: tuple[str, ...] = SECTIONS,
+    grace_seconds: float = 0.0,
 ) -> None:
-    """Remove every version tree, manifest pointer, and bare section not
-    belonging to version ``keep`` — run at the START of a compaction, so
-    the previous version's grace period is one full compaction cycle.
-    Also reaps orphan ``v<M>`` trees from a compaction that crashed
-    before its manifest flip (their manifest never appeared, so no
-    reader can hold them).  ``sections`` names the bare (v0) dirs this
+    """Reclaim section trees no reader can (or may any longer) hold —
+    run at the START of a compaction.
+
+    Two tiers, because readers resolve the layout through the manifest:
+
+    - ORPHAN trees (``v<M>`` with ``M > keep`` — a compaction crashed
+      before its manifest flip, so no reader ever resolved them) are
+      reaped unconditionally.
+    - SUPERSEDED trees (versions below ``keep``, including the bare v0
+      sections) are reaped only once the CURRENT manifest is at least
+      ``grace_seconds`` old: every reader of an older version resolved
+      its layout BEFORE that manifest appeared, so it has had the full
+      grace window to finish — time-based snapshot retention, the same
+      discipline table formats use, which stays correct under
+      back-to-back folds where a fixed keep-one-previous rule would
+      delete a tree mid-read (caught by the concurrent-hammer test).
+
+    ``keep=0`` (no manifest / an explicit reset) reclaims everything
+    versioned immediately — with no manifest there is nothing a reader
+    could have resolved.  ``sections`` names the bare (v0) dirs this
     index type owns — the BM25 set by default, ``("cells",)`` for IVF."""
+    expired = True
+    if keep != 0 and grace_seconds > 0:
+        import time  # noqa: PLC0415
+
+        cur = os.path.join(path, f"{MANIFEST_PREFIX}{keep}")
+        age_s = (time.time() * 1000 - _fs_mtime_ms(spark, cur)) / 1000.0
+        expired = age_s >= grace_seconds
     for v in _list_manifest_versions(spark, path):
-        if v != keep:
+        if v != keep and (v > keep or expired):
             _fs_delete(spark, os.path.join(path, f"{MANIFEST_PREFIX}{v}"))
     for name in _fs_list_names(spark, path):
-        if (
-            name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) != keep
-        ):
-            _fs_delete(spark, os.path.join(path, name))
-    if keep != 0:
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            if v != keep and (v > keep or expired):
+                _fs_delete(spark, os.path.join(path, name))
+    if keep != 0 and expired:
         for name in sections:
             bare = os.path.join(path, name)
             if _fs_exists(spark, bare):
@@ -1107,6 +1133,7 @@ def bm25_index_compact(
     files_per_bucket: int = 1,
     exclude_batch_ids: tuple[int, ...] = (),
     hot_df_cap: int | None = None,
+    gc_grace_seconds: float = 300.0,
 ) -> None:
     """Fold the per-batch partition layout into ONE batch-0 partition —
     the small-files maintenance a long-lived index needs (every add /
@@ -1146,9 +1173,12 @@ def bm25_index_compact(
     so a concurrent query sees all-old or all-new sections, never a
     mix, and a crash at ANY instant leaves either the intact live index
     (an orphan ``v<N+1>`` reaped on the next run) or the fully
-    committed new version.  The superseded tree survives until the
-    NEXT compaction's GC — in-flight readers get a full compaction
-    cycle of grace.
+    committed new version.  Superseded trees survive until a LATER
+    compaction finds the then-current manifest at least
+    ``gc_grace_seconds`` old (time-based snapshot retention — a fixed
+    keep-one-previous rule would delete a tree mid-read under
+    back-to-back folds); ``gc_grace_seconds=0`` reclaims immediately
+    for single-writer-single-reader maintenance windows.
 
     Tombstones of EXCLUDED (in-flight) batches are NOT applied
     physically and their ``deleted/`` partitions are preserved: an
@@ -1180,9 +1210,9 @@ def bm25_index_compact(
         _fs_delete(spark, staging)  # leftover from an interrupted r7 run
 
     lay = _Layout(spark, path)
-    # GC: the previous version tree (its grace period ends now) and any
-    # orphan trees from a compaction that crashed before its flip.
-    _gc_versions(spark, path, keep=lay.version)
+    # GC: superseded trees whose read grace has expired, plus any orphan
+    # trees from a compaction that crashed before its flip.
+    _gc_versions(spark, path, keep=lay.version, grace_seconds=gc_grace_seconds)
     new_version = lay.version + 1
     new_root = os.path.join(path, f"v{new_version}")
 

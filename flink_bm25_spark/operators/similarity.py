@@ -1301,6 +1301,7 @@ def ivf_compact(
     path: str,
     files_per_cell: int = 1,
     exclude_batch_ids: tuple[int, ...] = (),
+    gc_grace_seconds: float = 300.0,
 ) -> None:
     """Fold the per-batch cell partitions to batch 0 — the small-files
     maintenance a long-lived IVF index needs under streaming adds; the
@@ -1343,7 +1344,13 @@ def ivf_compact(
         _fs_delete(spark, staging)
 
     lay = _Layout(spark, path)
-    _gc_versions(spark, path, keep=lay.version, sections=("cells",))
+    _gc_versions(
+        spark,
+        path,
+        keep=lay.version,
+        sections=("cells",),
+        grace_seconds=gc_grace_seconds,
+    )
     new_version = lay.version + 1
     folded = _fold_batch_col(
         spark.read.parquet(os.path.join(lay.root, "cells")),

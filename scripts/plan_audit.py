@@ -49,6 +49,10 @@ AUDITED = [
         "q_bm25_serve_salted",
         "salted sub-buckets all partition-pruned; word equality keeps scores exact",
     ),
+    (
+        "q_bm25_batch_served",
+        "one pruned postings pass for ALL queries; (query,term) broadcast; per-query k-cut WindowGroupLimit",
+    ),
     ("q_tf", "one hash-agg shuffle; explode+filter fused map-side"),
     ("q_topk_per_doc", "WindowGroupLimit pushes the k-cut below the sort"),
     ("q_df", "re-aggregates the TF relation; partial counts map-side"),

@@ -2,7 +2,7 @@
 (`bm25_index_upsert` used to collect the batch's distinct doc_ids to the
 driver; re-crawl refresh makes that batch corpus-shaped).
 
-Builds one index from sf0.1 documents replicated ×2 (~120k docs with a
+Builds one index from sf0.1 documents replicated ×20 (100k docs with a
 forward section), then times `bm25_index_upsert` at growing batch sizes
 (1k / 10k / 100k docs).  The id set stays IN-PLAN at every size (above
 `ISIN_TERM_CAP` the victim scan semi-joins the id relation; tombstones
@@ -40,7 +40,7 @@ def main() -> None:
     base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
         "doc_id", "text"
     )
-    reps = spark.range(2).select(F.col("id").alias("rep"))
+    reps = spark.range(20).select(F.col("id").alias("rep"))
     docs = base.crossJoin(reps).select(
         (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),

@@ -106,3 +106,44 @@ def test_cli_index_lifecycle(tmp_path):
     s = run("stats")
     cols = s.stdout.strip().splitlines()[0].split("\t")
     assert len(cols) == 7 and cols[6] == "0"  # tombstones applied
+
+
+def test_cli_index_cdc(tmp_path):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    idx = str(tmp_path / "idx")
+    changes = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(*args, ok=True):
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_bm25_spark", "index", *args,
+             "--path", idx],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+        if ok:
+            assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    run("create", "--input", SF_DIR, "--n-buckets", "16", "--forward")
+    r = run("search", "--query", "spark stream join", "-k", "3")
+    top_doc = r.stdout.strip().splitlines()[0].split("\t")[1]
+
+    # one change file = one micro-batch: drop the top doc, refresh another
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE ch (op VARCHAR, doc_id BIGINT, text VARCHAR, seq BIGINT)")
+    con.execute(f"INSERT INTO ch VALUES ('delete', {top_doc}, NULL, 1),"
+                f" ('upsert', 1, 'refreshed text about spark stream join', 2)")
+    os.makedirs(changes, exist_ok=True)
+    con.execute(f"COPY ch TO '{changes}/b0.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    r = run("cdc", "--input", changes, "--checkpoint", ckpt)
+    assert "cdc stream drained" in r.stderr
+    r2 = run("search", "--query", "spark stream join", "-k", "5")
+    lines = r2.stdout.strip().splitlines()
+    assert all(ln.split("\t")[1] != top_doc for ln in lines)
+    # draining again on the same checkpoint is a no-op
+    r3 = run("cdc", "--input", changes, "--checkpoint", ckpt)
+    assert run("search", "--query", "spark stream join", "-k", "5").stdout == r2.stdout

@@ -83,6 +83,13 @@ def test_gate_window_holds_flagships():
     # micro-queries (q_embed_near_dup, q_winnow_fps, q_edit_distance,
     # q_ann_filtered, q_bpe_encode, q_curation_report), all still
     # oracle-swept in the overflow.
+    # r8 rotation (r7 verdict item 5): the four serving-CRUD oracles
+    # (q_bm25_serve_deleted/upserted/salted, q_bm25_batch_served)
+    # entered; out went q_tokenize_explode + q_stopword_filter (the
+    # tokenize→filter chain is in-window via q_tf / q_pos_filter /
+    # q_cjk_fmm), q_dedup_ngram_jaccard (hashed-gram machinery in-window
+    # via q_remove_dup_spans + q_dedup_minhash) and q_doc_vector
+    # (q_bm25_mlt_served point-reads the same forward section first).
     for must in (
         "q_tf", "q_df", "q_bm25_rank", "q_dedup_minhash",
         "q_dedup_simhash", "q_semantic_dedup", "q_kmeans",
@@ -93,7 +100,9 @@ def test_gate_window_holds_flagships():
         "q_gopher_filter", "q_c4_line_filter", "q_lm_score_frozen",
         "q_bm25_serve", "q_bm25_prf",
         "q_gopher_ngram_fracs", "q_lm_score_backoff",
-        "q_doc_vector", "q_bm25_mlt_served",
+        "q_bm25_mlt_served",
+        "q_bm25_serve_deleted", "q_bm25_serve_upserted",
+        "q_bm25_serve_salted", "q_bm25_batch_served",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"
 

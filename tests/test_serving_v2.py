@@ -73,16 +73,21 @@ def test_compaction_flips_manifest_atomically(spark, tmp_path):
     assert lay.version == 1 and lay.root == f"{path}/v1"
     assert _topk(spark, path) == want
 
-    # each compaction ends the PREVIOUS version's grace period: the
-    # second fold GCs the bare (v0) tree, the third GCs v1
+    # GC is time-gated (snapshot retention): with the default grace the
+    # superseded trees SURVIVE a back-to-back fold...
     bm25_index_compact(spark, path)
-    assert not os.path.isdir(f"{path}/postings")
-    assert os.path.isdir(f"{path}/v1")  # still in grace for v1 readers
+    assert os.path.isdir(f"{path}/postings")  # v0 still in read grace
+    assert os.path.isdir(f"{path}/v1")
     assert os.path.exists(f"{path}/{MANIFEST_PREFIX}2")
     assert _topk(spark, path) == want
-    bm25_index_compact(spark, path)
+    # ...and an explicit zero-grace fold (maintenance window) reclaims
+    # every superseded tree at its start
+    bm25_index_compact(spark, path, gc_grace_seconds=0)
+    assert not os.path.isdir(f"{path}/postings")
     assert not os.path.isdir(f"{path}/v1")
     assert not os.path.exists(f"{path}/{MANIFEST_PREFIX}1")
+    # v2 is the tree compaction 3 just superseded — it enters ITS grace
+    assert os.path.isdir(f"{path}/v2")
     assert _topk(spark, path) == want
 
 
@@ -397,3 +402,42 @@ def test_cdc_tombstone_threshold_triggers_autofold(spark, tmp_path):
     assert pending is None or pending.count() <= 8 + 5
     # and at least one fold actually happened (the layout is versioned)
     assert _Layout(spark, path).version >= 1
+
+
+def test_queries_concurrent_with_compaction_see_consistent_versions(
+    spark, tmp_path
+):
+    # The verdict-item contract: a reader racing the fold must never
+    # error and must always see a full before- or after-state — mixed
+    # states are impossible by construction (one pointer-file create is
+    # the whole swap).  A hammer thread runs served top-k in a loop
+    # while the main thread folds the index three times.
+    import threading
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+    want = _topk(spark, path)
+
+    results, errors, stop = [], [], threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                results.append(_topk(spark, path))
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for _ in range(3):
+            bm25_index_compact(spark, path)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors[:3]
+    assert results and all(r == want for r in results)
+    assert _topk(spark, path) == want
