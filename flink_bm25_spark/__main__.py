@@ -205,10 +205,8 @@ def main(argv: list[str] | None = None) -> int:
                 docs = load_documents(spark, args.input)
                 serving.bm25_index_save(
                     docs, args.path, n_buckets=args.n_buckets,
-                    hot_df_cap=args.hot_df_cap,
+                    hot_df_cap=args.hot_df_cap, forward=args.forward,
                 )
-                if args.forward:
-                    serving.bm25_index_save_forward(docs, args.path)
                 print(f"index -> {args.path}", file=sys.stderr)
             elif args.action == "add":
                 serving.bm25_index_add(

@@ -65,7 +65,9 @@ from pyspark.sql import functions as F
 from flink_bm25_spark.config import BM25_B, BM25_K1
 from flink_bm25_spark.functions.hashing import h60
 from flink_bm25_spark.operators.bm25 import bm25_score_expr
+from flink_bm25_spark.operators.df_idf import document_frequencies
 from flink_bm25_spark.operators.pipeline import build_corpus_stats
+from flink_bm25_spark.operators.tf import doc_lengths
 from flink_bm25_spark.operators.tokenize import tokenize
 
 
@@ -367,23 +369,23 @@ def _expanded_query_buckets(
     return sorted(buckets)
 
 
-def bm25_index_batch(
+def _index_batch_with_tf(
     documents: DataFrame,
     n_buckets: int = 64,
     tokenizer=tokenize,
-) -> Bm25IndexBatch:
-    """Derive one batch's index relations from raw documents.
-
-    One tokenize + the TF shuffle (shared with the batch pipeline via
-    :func:`build_corpus_stats`), then a doc_id-keyed join denormalizes
-    ``dl`` into the postings so the query path never joins doc lengths.
-    ``n_docs`` counts ALL batch documents (the ``idf = ln(N/(df+1))``
-    population, matching ``df_idf.idf``); ``n_dlen_docs``/``total_dl``
-    count only docs with surviving tokens (the ``avgdl`` population,
-    matching ``bm25_rank``'s ``dlen.agg(avg)``)."""
+) -> tuple[Bm25IndexBatch, DataFrame]:
+    """One batch's index relations PLUS the pinned TF relation they all
+    derive from.  The TF relation is eagerly localCheckpointed
+    (disk-backed): the postings/df/stats section writes are three
+    separate Spark actions — without the pin each one re-runs the whole
+    tokenize + TF-shuffle lineage, and the forward section (when
+    maintained) would re-tokenize a fourth time.  One tokenize per
+    batch, full stop."""
     stats = build_corpus_stats(documents, tokenizer=tokenizer)
+    tf = stats.tf.localCheckpoint(eager=True)
+    dlen = doc_lengths(tf)
     postings = (
-        stats.tf.join(stats.dlen, "doc_id")
+        tf.join(dlen, "doc_id")
         .select(
             _bucket(F.col("word"), n_buckets).alias("bucket"),
             "word",
@@ -392,20 +394,38 @@ def bm25_index_batch(
             "dl",
         )
     )
-    df_parts = stats.df_stats.select(
+    df_parts = document_frequencies(tf).select(
         _bucket(F.col("word"), n_buckets).alias("bucket"), "word", "df"
     )
     stats_parts = (
         documents.agg(F.count("*").cast("long").alias("n_docs"))
         .crossJoin(
-            stats.dlen.agg(
+            dlen.agg(
                 F.count("*").cast("long").alias("n_dlen_docs"),
                 F.sum("dl").cast("long").alias("total_dl"),
             )
         )
         .withColumn("n_buckets", F.lit(n_buckets))
     )
-    return Bm25IndexBatch(postings, df_parts, stats_parts)
+    return Bm25IndexBatch(postings, df_parts, stats_parts), tf
+
+
+def bm25_index_batch(
+    documents: DataFrame,
+    n_buckets: int = 64,
+    tokenizer=tokenize,
+) -> Bm25IndexBatch:
+    """Derive one batch's index relations from raw documents.
+
+    One tokenize + the TF shuffle (pinned by `_index_batch_with_tf`, so
+    the three section writes share it), then a doc_id-keyed join
+    denormalizes ``dl`` into the postings so the query path never joins
+    doc lengths.  ``n_docs`` counts ALL batch documents (the ``idf =
+    ln(N/(df+1))`` population, matching ``df_idf.idf``);
+    ``n_dlen_docs``/``total_dl`` count only docs with surviving tokens
+    (the ``avgdl`` population, matching ``bm25_rank``'s
+    ``dlen.agg(avg)``)."""
+    return _index_batch_with_tf(documents, n_buckets, tokenizer)[0]
 
 
 def merge_index_batches(batches: list[Bm25IndexBatch]) -> Bm25IndexBatch:
@@ -612,6 +632,7 @@ def bm25_index_save(
     n_buckets: int = 64,
     tokenizer=tokenize,
     hot_df_cap: int | None = None,
+    forward: bool = False,
 ) -> None:
     """Build and persist the index from an initial corpus batch
     (mode=overwrite — this CREATES the index as batch 0; grow it with
@@ -635,14 +656,19 @@ def bm25_index_save(
     owner = os.path.join(path, STREAM_OWNER_FILE)
     if _fs_exists(spark, owner):
         _fs_delete(spark, owner)
+    batch, tf = _index_batch_with_tf(documents, n_buckets, tokenizer)
     _write_index_batch(
-        bm25_index_batch(documents, n_buckets, tokenizer),
+        batch,
         path,
         0,
         create=True,
         n_buckets=n_buckets,
         hot_df_cap=hot_df_cap,
     )
+    if forward:
+        # share the pinned TF relation — building the forward section
+        # with the index costs zero extra tokenize passes
+        bm25_index_save_forward(documents, path, tokenizer, tf=tf)
     _touch_stamp(spark, path)
 
 
@@ -700,8 +726,9 @@ def bm25_index_add(
                 "manual batch-id space exhausted; run bm25_index_compact"
                 " to fold batches back to 0"
             )
+    batch, tf = _index_batch_with_tf(documents, n_buckets, tokenizer)
     _write_index_batch(
-        bm25_index_batch(documents, n_buckets, tokenizer),
+        batch,
         lay.root,
         batch_id,
         create=False,
@@ -710,7 +737,8 @@ def bm25_index_add(
     )
     if lay.has("forward"):
         bm25_index_save_forward(
-            documents, path, tokenizer, batch_id=batch_id, create=False
+            documents, path, tokenizer, batch_id=batch_id, create=False,
+            tf=tf,
         )
     _touch_stamp(spark, path)
 
@@ -1014,9 +1042,14 @@ def bm25_index_upsert(
             raise ValueError(
                 "manual batch-id space exhausted; run bm25_index_compact"
             )
-    ids_rel = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    ).distinct()
+    # one distinct shuffle, pinned (disk-backed): the id relation feeds
+    # the victim semi-join, the fbucket aggregate AND the tombstone
+    # write — recomputing it would re-scan a corpus-shaped batch thrice
+    ids_rel = (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # visibility BEFORE this upsert, recomputable on redelivery: only
     # versions older than this batch, under only OLDER tombstones
     deleted_path = lay.sec("deleted")
@@ -1053,7 +1086,7 @@ def bm25_index_upsert(
             "overwrite"
         ).partitionBy(BATCH_COL).parquet(deleted_path)
 
-    batch = bm25_index_batch(documents, n_buckets, tokenizer)
+    batch, tf = _index_batch_with_tf(documents, n_buckets, tokenizer)
     if victims.isEmpty():
         combined = batch
     else:
@@ -1070,7 +1103,7 @@ def bm25_index_upsert(
         n_buckets=n_buckets, hot_df_cap=hot_df_cap,
     )
     bm25_index_save_forward(
-        documents, path, tokenizer, batch_id=batch_id, create=False
+        documents, path, tokenizer, batch_id=batch_id, create=False, tf=tf
     )
     _touch_stamp(spark, path)
 
@@ -1592,6 +1625,7 @@ def bm25_forward_batch(
     documents: DataFrame,
     n_buckets: int = 64,
     tokenizer=tokenize,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """The doc-major (FORWARD) index relation for one batch —
     ``(fbucket, doc_id, dl, terms: array<struct<word, tf>>)``, one row
@@ -1603,10 +1637,15 @@ def bm25_forward_batch(
     doc-keyed layout that serves "fetch THIS document's term vector"
     without touching the term-major postings.  The bucket function is
     plain modulo on the numeric key, so a point lookup prunes to one
-    directory with no hashing at all."""
-    stats = build_corpus_stats(documents, tokenizer=tokenizer)
+    directory with no hashing at all.
+
+    ``tf`` lets a caller that already tokenized the batch (an add /
+    upsert maintaining both sections) share the pinned TF relation
+    instead of paying a second tokenize pass."""
+    if tf is None:
+        tf = build_corpus_stats(documents, tokenizer=tokenizer).tf
     return (
-        stats.tf.groupBy("doc_id")
+        tf.groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("dl"),
             F.sort_array(
@@ -1630,15 +1669,17 @@ def bm25_index_save_forward(
     tokenizer=tokenize,
     batch_id: int = 0,
     create: bool = True,
+    tf: DataFrame | None = None,
 ) -> None:
     """Persist the forward section alongside an EXISTING index (same
     root, ``forward/_batch_id=<i>/fbucket=<b>/``; same idempotent batch
     discipline as the postings).  n_buckets is read from the index's
-    stats partials so both sections always agree."""
+    stats partials so both sections always agree.  ``tf`` forwards a
+    caller's already-pinned TF relation (one tokenize per batch)."""
     spark = documents.sparkSession
     lay = _Layout(spark, path)
     n_buckets = _read_n_buckets(spark, path, lay=lay)
-    fwd = bm25_forward_batch(documents, n_buckets, tokenizer)
+    fwd = bm25_forward_batch(documents, n_buckets, tokenizer, tf=tf)
     tag = F.lit(batch_id).cast("long").alias(BATCH_COL)
     with _overwrite_mode(spark, "static" if create else "dynamic"):
         fwd.select(tag, "*").write.mode("overwrite").partitionBy(

@@ -238,6 +238,9 @@ def maintain_index_cdc_stream(
             if "seq" in batch_df.columns
             else F.struct(F.col(op_col), F.col("text"))
         )
+        # pinned once (disk-backed): the deduped change set feeds both
+        # legs plus their emptiness probes — without the checkpoint the
+        # groupBy re-runs up to four times per micro-batch
         latest = (
             batch_df.groupBy("doc_id")
             .agg(
@@ -246,6 +249,7 @@ def maintain_index_cdc_stream(
                 ).alias("ch")
             )
             .select("doc_id", F.col("ch.op").alias("op"), "ch.text")
+            .localCheckpoint(eager=True)
         )
         deletes = latest.where(F.col("op") == delete_op).select("doc_id")
         upserts = latest.where(F.col("op") != delete_op).select(
