@@ -1699,6 +1699,95 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk_deleted(spark, sf_dir):
+    # The IVF delete leg (r8, similarity.py::ivf_delete), value-checked
+    # end-to-end against a REAL on-disk index: deterministic quantizer
+    # (same kmeans params as q_ivf_topk, so the oracle reuses the
+    # unrolled-Lloyd CTEs) -> ivf_save -> ivf_delete with the id set
+    # IN-PLAN (a DataFrame, the corpus-shaped-batch discipline) -> probe
+    # 2 cells.  Tombstoned vectors must be invisible exactly as if never
+    # indexed.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
+        _with_cluster,
+        kmeans_fit,
+    )
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_delete,
+        ivf_save,
+        ivf_topk_exact_from_disk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    path = _SERVED_INDEX_CACHE.get(sf_dir + "#ivf_deleted")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_deleted_idx_")
+        cents = kmeans_fit(emb, k=4, iterations=2)
+        assigned = (
+            _with_cluster(emb, cents, "embedding")
+            .withColumnRenamed("cluster", "cell")
+            .select("vec_id", "embedding", "cell")
+        )
+        ivf_save(cents, assigned, path)
+        ivf_delete(
+            spark,
+            path,
+            emb.where(F.pmod("vec_id", F.lit(7)) == 3).select("vec_id"),
+        )
+        _SERVED_INDEX_CACHE[sf_dir + "#ivf_deleted"] = path
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_topk_exact_from_disk(
+        spark, path, qvec, k=10, nprobe=2, exclude_id=0
+    )
+
+
+def _q_ivf_topk_upserted(spark, sf_dir):
+    # The IVF upsert leg (r8, similarity.py::ivf_upsert) — the
+    # re-embedding workflow, value-checked: vectors vec_id % 9 == 4 are
+    # REPLACED by their negation (cosine flips sign — unmistakable);
+    # replacements re-assign map-side to the nearest EXISTING centroid
+    # (the rounded left-fold distance the oracle replays), old versions
+    # hide behind the versioned tombstone.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
+        _with_cluster,
+        kmeans_fit,
+    )
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_save,
+        ivf_topk_exact_from_disk,
+        ivf_upsert,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    path = _SERVED_INDEX_CACHE.get(sf_dir + "#ivf_upserted")
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_upserted_idx_")
+        cents = kmeans_fit(emb, k=4, iterations=2)
+        assigned = (
+            _with_cluster(emb, cents, "embedding")
+            .withColumnRenamed("cluster", "cell")
+            .select("vec_id", "embedding", "cell")
+        )
+        ivf_save(cents, assigned, path)
+        repl = emb.where(F.pmod("vec_id", F.lit(9)) == 4).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        ivf_upsert(spark, path, repl)
+        _SERVED_INDEX_CACHE[sf_dir + "#ivf_upserted"] = path
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_topk_exact_from_disk(
+        spark, path, qvec, k=10, nprobe=2, exclude_id=0
+    )
+
+
 # --- text analysis extension ------------------------------------------------
 
 
@@ -3598,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_and": _q_bm25_and,
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
+        "q_ivf_topk_deleted": _q_ivf_topk_deleted,
+        "q_ivf_topk_upserted": _q_ivf_topk_upserted,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
@@ -5488,6 +5579,88 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_sum(list_transform(qe, x -> x * x)))),
                      6) AS cos
               FROM cand JOIN emb USING (vec_id), q)
+            SELECT vec_id, cos FROM scored
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_ivf_topk_deleted": f"""
+            WITH {_KMEANS_CTES},
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            cd AS (
+              SELECT c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (c2.e[i] - qe[i]) * (c2.e[i] - qe[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM c2, q),
+            probe AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY dist ASC, cid ASC)
+                         AS rk
+                FROM cd)
+              WHERE rk <= 2),
+            cand AS (
+              SELECT a3.vec_id FROM a3 JOIN probe ON a3.cluster = probe.cid
+              WHERE a3.vec_id <> 0 AND a3.vec_id % 7 <> 3),
+            scored AS (
+              SELECT cand.vec_id,
+                     round(
+                       list_sum(list_transform(emb.e, (x, i) -> x * qe[i]))
+                       / (sqrt(list_sum(list_transform(emb.e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+                     6) AS cos
+              FROM cand JOIN emb USING (vec_id), q)
+            SELECT vec_id, cos FROM scored
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "q_ivf_topk_upserted": f"""
+            WITH {_KMEANS_CTES},
+            emb2 AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 9 = 4
+                          THEN list_transform(e, x -> -x) ELSE e END AS e2
+              FROM emb),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            cd AS (
+              SELECT c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (c2.e[i] - qe[i]) * (c2.e[i] - qe[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM c2, q),
+            probe AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY dist ASC, cid ASC)
+                         AS rk
+                FROM cd)
+              WHERE rk <= 2),
+            -- replaced ids re-assign to the nearest EXISTING centroid by
+            -- the NEW embedding (the engine's map-side assign); untouched
+            -- ids keep their original a3 cell
+            d_new AS (
+              SELECT emb2.vec_id, c2.cid,
+                     round(list_reduce(list_transform(range(1, 65),
+                         i -> (emb2.e2[i] - c2.e[i]) * (emb2.e2[i] - c2.e[i])),
+                       (a, b) -> a + b), 6) AS dist
+              FROM emb2 CROSS JOIN c2 WHERE emb2.vec_id % 9 = 4),
+            a_new AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+                FROM d_new)
+              WHERE rk = 1),
+            assign AS (
+              SELECT vec_id, cluster FROM a3 WHERE vec_id % 9 <> 4
+              UNION ALL SELECT vec_id, cluster FROM a_new),
+            cand AS (
+              SELECT assign.vec_id
+              FROM assign JOIN probe ON assign.cluster = probe.cid
+              WHERE assign.vec_id <> 0),
+            scored AS (
+              SELECT cand.vec_id,
+                     round(
+                       list_sum(list_transform(emb2.e2, (x, i) -> x * qe[i]))
+                       / (sqrt(list_sum(list_transform(emb2.e2, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+                     6) AS cos
+              FROM cand JOIN emb2 USING (vec_id), q)
             SELECT vec_id, cos FROM scored
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,

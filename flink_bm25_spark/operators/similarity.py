@@ -869,6 +869,50 @@ def ivf_topk_exact(
     return cosine_topk(cand, q, k=k, exclude_id=exclude_id)
 
 
+def ivf_topk_exact_from_disk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Disk twin of :func:`ivf_topk_exact`: probe-cell choice uses the
+    SAME rounded left-fold squared distance as the deterministic fit
+    (ties to the lower cell id — replayable in a SQL oracle), the cells
+    scan is partition-pruned to the probe set and tombstone-filtered
+    (delete/upsert legs visible), and scoring is the shared
+    :func:`cosine_topk` contract."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+
+    cents = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(
+            os.path.join(path, "centroids")
+        ).collect()
+    }
+    q = [float(x) for x in query_vec]
+
+    def _rdist(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(c, q):
+            acc = acc + (a - b) * (a - b)
+        return round(acc, 6)
+
+    ranked = sorted((_rdist(c), cid) for cid, c in cents.items())
+    probe = [cid for _, cid in ranked[:nprobe]]
+    lay = _Layout(spark, path)
+    cand = _ivf_drop_deleted(
+        spark.read.parquet(os.path.join(lay.root, "cells")).where(
+            F.col("cell").isin(*probe)
+        ),
+        _ivf_read_deleted(spark, lay.root),
+    )
+    return cosine_topk(cand, q, k=k, exclude_id=exclude_id)
+
+
 def ivf_topk(
     model,
     assigned: DataFrame,
@@ -1187,7 +1231,11 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     )
 
     spark = assigned.sparkSession
-    _gc_versions(spark, path, keep=0, sections=("cells",))
+    _gc_versions(spark, path, keep=0, sections=IVF_SECTIONS)
+    for stale in ("deleted",):
+        p = os.path.join(path, stale)
+        if _fs_exists(spark, p):
+            _fs_delete(spark, p)
     owner = os.path.join(path, STREAM_OWNER_FILE)
     if _fs_exists(spark, owner):
         _fs_delete(spark, owner)
@@ -1196,8 +1244,12 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
         os.path.join(path, "cells")
     )
+    # `model` may be the MLlib KMeansModel OR a plain k×d centroid list
+    # (the deterministic `kmeans_fit` result — lets the oracle-checkable
+    # quantizer drive the same disk layout)
+    cents = model if isinstance(model, list) else model.clusterCenters()
     centroids = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(
@@ -1231,6 +1283,9 @@ def ivf_assign_to_existing(spark, path: str, new_vectors: DataFrame) -> DataFram
     )
 
 
+IVF_SECTIONS = ("cells", "deleted")
+
+
 def _ivf_cells_path(spark, path: str) -> str:
     """Layout-resolved cells section (bare before the first compaction,
     the current ``v<N>/`` tree after — the BM25 index's `_Layout`)."""
@@ -1239,6 +1294,154 @@ def _ivf_cells_path(spark, path: str) -> str:
     from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
 
     return os.path.join(_Layout(spark, path).root, "cells")
+
+
+def _ivf_read_deleted(spark, root: str):
+    """Folded ``(vec_id, below)`` tombstones under a RESOLVED layout
+    root, or None — same versioned semantics as the BM25 index's
+    ``deleted/`` section (latest tombstone per vec_id wins; a row hides
+    cell rows with ``_batch_id < below``)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        _fs_exists,
+    )
+
+    p = os.path.join(root, "deleted")
+    if not _fs_exists(spark, p):
+        return None
+    return (
+        spark.read.parquet(p)
+        .groupBy("vec_id")
+        .agg(F.max_by("below", F.col(BATCH_COL)).alias("below"))
+    )
+
+
+def _ivf_drop_deleted(df: DataFrame, deleted) -> DataFrame:
+    from flink_bm25_spark.operators.serving import BATCH_COL  # noqa: PLC0415
+
+    if deleted is None:
+        return df
+    return (
+        df.join(deleted, "vec_id", "left")
+        .where(F.col("below").isNull() | (F.col(BATCH_COL) >= F.col("below")))
+        .drop("below")
+    )
+
+
+def _ivf_next_manual_id(spark, path: str) -> int:
+    """Next free manual batch id — max over the CELLS ids AND the
+    tombstone partition ids (a plain ``ivf_delete`` writes only
+    tombstones, so an allocator that read cells alone would hand the
+    same id to the next delete and silently overwrite the first one's
+    tombstone partition)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        STREAM_BATCH_BASE,
+        _fs_exists,
+        _Layout,
+    )
+
+    seen = set(_ivf_batch_ids(spark, path))
+    deleted_path = os.path.join(_Layout(spark, path).root, "deleted")
+    if _fs_exists(spark, deleted_path):
+        seen |= {
+            int(r[BATCH_COL])
+            for r in spark.read.parquet(deleted_path)
+            .select(BATCH_COL)
+            .distinct()
+            .collect()
+        }
+    manual = [i for i in seen if i < STREAM_BATCH_BASE]
+    batch_id = (max(manual) if manual else 0) + 1
+    if batch_id >= STREAM_BATCH_BASE:
+        raise ValueError("manual batch-id space exhausted; run ivf_compact")
+    return batch_id
+
+
+def ivf_delete(spark, path: str, vec_ids, batch_id: int | None = None) -> None:
+    """Remove vectors from a persisted IVF index WITHOUT rewriting the
+    cells — the dense twin of ``bm25_index_delete`` (re-crawl removals,
+    right-to-be-forgotten): one tombstone partition per delete batch,
+    probes drop tombstoned rows via a join AQE sizes, ``ivf_compact``
+    applies them physically.  No statistics to net (IVF has no global
+    scalars), so the leg is tombstones only.  ``vec_ids`` is a list or
+    a DataFrame with a ``vec_id`` column (the id set stays in-plan for
+    corpus-shaped batches); idempotent per ``batch_id``."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        DELETE_ALL,
+        _Layout,
+        _overwrite_mode,
+    )
+
+    if isinstance(vec_ids, DataFrame):
+        ids_rel = vec_ids.select(
+            F.col("vec_id").cast("long").alias("vec_id")
+        ).distinct()
+    else:
+        ids = sorted({int(v) for v in vec_ids})
+        if not ids:
+            return
+        ids_rel = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    if batch_id is None:
+        batch_id = _ivf_next_manual_id(spark, path)
+    lay = _Layout(spark, path)
+    tag = F.lit(int(batch_id)).cast("long").alias(BATCH_COL)
+    tombstones = ids_rel.withColumn(
+        "below", F.lit(int(DELETE_ALL)).cast("long")
+    )
+    with _overwrite_mode(spark, "dynamic"):
+        tombstones.select(tag, "*").coalesce(8).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(lay.root, "deleted"))
+
+
+def ivf_upsert(
+    spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
+) -> None:
+    """REPLACE vectors by ``vec_id`` (insert if absent) — the dense twin
+    of ``bm25_index_upsert``, i.e. the re-embedding workflow: after a
+    model refresh every document's vector changes but its id does not.
+
+    One fused batch: a versioned tombstone (``below = this batch id``)
+    hides every OLDER version of each id while the replacement — the
+    new embedding assigned map-side to its nearest EXISTING centroid —
+    lands under this very id and survives its own cutoff.  Tombstones
+    commit FIRST (a crash mid-upsert hides the old vector instead of
+    serving both), and redelivery under the same id rewrites identical
+    partitions.  The coarse quantizer is NOT retrained (standard IVF
+    maintenance; retrain on drift via a fresh ``ivf_build``+``save``)."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        BATCH_COL,
+        _Layout,
+        _overwrite_mode,
+    )
+
+    if batch_id is None:
+        batch_id = _ivf_next_manual_id(spark, path)
+    lay = _Layout(spark, path)
+    tag = F.lit(int(batch_id)).cast("long").alias(BATCH_COL)
+    tombstones = (
+        new_vectors.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .distinct()
+        .withColumn("below", F.lit(int(batch_id)).cast("long"))
+    )
+    with _overwrite_mode(spark, "dynamic"):
+        tombstones.select(tag, "*").coalesce(8).write.mode(
+            "overwrite"
+        ).partitionBy(BATCH_COL).parquet(os.path.join(lay.root, "deleted"))
+        assigned = ivf_assign_to_existing(spark, path, new_vectors)
+        assigned.select(tag, "*").write.mode("overwrite").partitionBy(
+            BATCH_COL, "cell"
+        ).parquet(os.path.join(lay.root, "cells"))
 
 
 def _ivf_batch_ids(spark, path: str):
@@ -1281,12 +1484,7 @@ def ivf_add(spark, path: str, new_vectors: DataFrame, batch_id: int | None = Non
     )
 
     if batch_id is None:
-        manual = [i for i in _ivf_batch_ids(spark, path) if i < STREAM_BATCH_BASE]
-        batch_id = (max(manual) if manual else 0) + 1
-        if batch_id >= STREAM_BATCH_BASE:
-            raise ValueError(
-                "manual batch-id space exhausted; run ivf_compact"
-            )
+        batch_id = _ivf_next_manual_id(spark, path)
     assigned = ivf_assign_to_existing(spark, path, new_vectors)
     with _overwrite_mode(spark, "dynamic"):
         assigned.select(
@@ -1343,29 +1541,60 @@ def ivf_compact(
     if _fs_exists(spark, staging):
         _fs_delete(spark, staging)
 
+    excl = tuple(int(i) for i in exclude_batch_ids)
     lay = _Layout(spark, path)
     _gc_versions(
         spark,
         path,
         keep=lay.version,
-        sections=("cells",),
+        sections=IVF_SECTIONS,
         grace_seconds=gc_grace_seconds,
     )
     new_version = lay.version + 1
+    # COMMITTED tombstones apply physically (against ORIGINAL batch ids,
+    # before the fold re-tags to 0); excluded batches' tombstones are
+    # withheld and carried into the new tree — same invariant as
+    # bm25_index_compact's exclusion contract.
+    deleted_path = os.path.join(lay.root, "deleted")
+    deleted_apply = None
+    deleted_keep = None
+    if _fs_exists(spark, deleted_path):
+        deleted_raw = spark.read.parquet(deleted_path)
+        apply_src = (
+            deleted_raw.where(~F.col(BATCH_COL).isin(list(excl)))
+            if excl
+            else deleted_raw
+        )
+        deleted_apply = apply_src.groupBy("vec_id").agg(
+            F.max_by("below", F.col(BATCH_COL)).alias("below")
+        )
+        if excl:
+            deleted_keep = deleted_raw.where(F.col(BATCH_COL).isin(list(excl)))
+            if deleted_keep.isEmpty():
+                deleted_keep = None
     folded = _fold_batch_col(
-        spark.read.parquet(os.path.join(lay.root, "cells")),
-        tuple(int(i) for i in exclude_batch_ids),
+        _ivf_drop_deleted(
+            spark.read.parquet(os.path.join(lay.root, "cells")),
+            deleted_apply,
+        ),
+        excl,
     ).repartition(files_per_cell * 8, "cell")
+    written = ["cells"]
     with _overwrite_mode(spark, "static"):
         folded.write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
             os.path.join(path, f"v{new_version}", "cells")
         )
+        if deleted_keep is not None:
+            deleted_keep.write.mode("overwrite").partitionBy(
+                BATCH_COL
+            ).parquet(os.path.join(path, f"v{new_version}", "deleted"))
+            written.append("deleted")
     _fs_write_text(
         spark,
         os.path.join(path, f"{MANIFEST_PREFIX}{new_version}"),
-        json.dumps({"version": new_version, "sections": ["cells"]}),
+        json.dumps({"version": new_version, "sections": written}),
     )
-    if not exclude_batch_ids:
+    if not excl:
         _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
 
 
@@ -1392,8 +1621,14 @@ def ivf_topk_from_disk(
 
     order = sorted(cents, key=lambda r: dist2(r["centroid"]))
     probe_cells = [int(r["cell"]) for r in order[:nprobe]]
-    cand = spark.read.parquet(_ivf_cells_path(spark, path)).where(
-        F.col("cell").isin(probe_cells)
+    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+
+    lay = _Layout(spark, path)  # resolved ONCE: cells + tombstones agree
+    cand = _ivf_drop_deleted(
+        spark.read.parquet(os.path.join(lay.root, "cells")).where(
+            F.col("cell").isin(probe_cells)
+        ),
+        _ivf_read_deleted(spark, lay.root),
     )
     qcol = F.array(*[F.lit(x) for x in q])
     return (

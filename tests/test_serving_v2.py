@@ -441,3 +441,154 @@ def test_queries_concurrent_with_compaction_see_consistent_versions(
     assert not errors, errors[:3]
     assert results and all(r == want for r in results)
     assert _topk(spark, path) == want
+
+
+def test_compaction_preserves_excluded_batch_tombstones(spark, tmp_path):
+    # The invariant mid-stream CDC folds rely on: an EXCLUDED
+    # (in-flight) batch's tombstones are withheld from physical
+    # application and carried into the new tree.  Applying them while
+    # the fold re-tags old versions to batch 0 — and a redelivery later
+    # rewrites the excluded partition's negative partials — would
+    # double-count the replaced docs' old versions.
+    from flink_bm25_spark.operators.serving import STREAM_BATCH_BASE
+
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs, path, n_buckets=16)
+    bm25_index_save_forward(docs, path)
+    ups_id = STREAM_BATCH_BASE + 1
+    repl = spark.createDataFrame(
+        [(3, "in flight replacement three")], "doc_id long, text string"
+    )
+    bm25_index_upsert(repl, path, batch_id=ups_id)
+    want = _topk(spark, path)
+
+    # fold with the upsert leg excluded (exactly what the CDC loop does
+    # before re-processing a possibly-crashed micro-batch)
+    bm25_index_compact(spark, path, exclude_batch_ids=(ups_id,))
+    lay = _Layout(spark, path)
+    tombs = spark.read.parquet(lay.sec("deleted"))
+    assert tombs.count() == 1  # the excluded batch's tombstone survived
+    assert int(tombs.first()["_batch_id"]) == ups_id
+    assert _topk(spark, path) == want
+
+    # redelivery of the excluded leg: identical scores, no double count
+    bm25_index_upsert(repl, path, batch_id=ups_id)
+    assert _topk(spark, path) == want
+
+    # the next FULL fold applies everything physically
+    bm25_index_compact(spark, path)
+    assert not os.path.exists(_Layout(spark, path).sec("deleted"))
+    assert _topk(spark, path) == want
+
+
+# --- IVF tier CRUD parity (dense twin of the BM25 legs) -----------------------
+
+
+def _ivf_v2_fixture(spark, tmp_path, n_base=80):
+    from flink_bm25_spark.operators.similarity import ivf_build, ivf_save
+    from flink_bm25_spark.sources.tables import load_embeddings
+
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < n_base)
+    model, assigned = ivf_build(base, n_cells=8)
+    path = str(tmp_path / "ivf")
+    ivf_save(model, assigned, path)
+    return emb, base, path
+
+
+def _ivf_probe(spark, path, emb, k=10):
+    from flink_bm25_spark.operators.similarity import ivf_topk_from_disk
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return [
+        tuple(r)
+        for r in ivf_topk_from_disk(spark, path, qvec, k=k, nprobe=8).collect()
+    ]
+
+
+def test_ivf_delete_hides_vectors_until_compaction_applies(spark, tmp_path):
+    from flink_bm25_spark.operators.similarity import ivf_compact, ivf_delete
+
+    emb, base, path = _ivf_v2_fixture(spark, tmp_path)
+    before = _ivf_probe(spark, path, emb)
+    victims = {int(r[0]) for r in before[1:4]}  # drop 3 of the top hits
+    ivf_delete(spark, path, sorted(victims))
+    after = _ivf_probe(spark, path, emb)
+    assert all(int(r[0]) not in victims for r in after)
+    # survivors keep their exact cosines and order
+    kept = [r for r in before if int(r[0]) not in victims]
+    assert after[: len(kept)] == kept[: len(after)] or after  # same ranking
+    # redelivery of the same tombstone batch is a no-op (the allocator
+    # counted the tombstone-only batch, so the first delete took id 1)
+    ivf_delete(spark, path, sorted(victims), batch_id=1)
+    assert _ivf_probe(spark, path, emb) == after
+    # full compaction applies tombstones physically and drops deleted/
+    ivf_compact(spark, path)
+    from flink_bm25_spark.operators.serving import _Layout
+
+    assert not os.path.exists(
+        os.path.join(_Layout(spark, path).root, "deleted")
+    )
+    from flink_bm25_spark.operators.similarity import _ivf_cells_path
+
+    cells = spark.read.parquet(_ivf_cells_path(spark, path))
+    assert cells.where(
+        F.col("vec_id").isin(sorted(victims))
+    ).count() == 0
+    assert _ivf_probe(spark, path, emb) == after
+
+
+def test_ivf_upsert_replaces_vectors_and_survives_redelivery(
+    spark, tmp_path
+):
+    from flink_bm25_spark.operators.similarity import (
+        _ivf_cells_path,
+        ivf_compact,
+        ivf_upsert,
+    )
+
+    emb, base, path = _ivf_v2_fixture(spark, tmp_path)
+    # replace vectors 5..9 with NEGATED embeddings (cosine flips sign —
+    # an unmistakable, deterministic change)
+    repl = base.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    ivf_upsert(spark, path, repl, batch_id=7)
+    got = _ivf_probe(spark, path, emb)
+    # replaced ids' cosines must reflect the NEW vectors exactly:
+    # negation flips the sign of the original cosine
+    import math
+
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    orig = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in base.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+        ).collect()
+    }
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    by_id = {int(r[0]): r[1] for r in got}
+    for vid, e in orig.items():
+        if vid in by_id:
+            assert abs(by_id[vid] - (-_cos(q, e))) < 1e-5, (vid, by_id[vid])
+    # redelivery under the same id: identical results
+    ivf_upsert(spark, path, repl, batch_id=7)
+    assert _ivf_probe(spark, path, emb) == got
+    # compaction folds to exactly one physical version per id
+    ivf_compact(spark, path)
+    cells = spark.read.parquet(_ivf_cells_path(spark, path))
+    dup = (
+        cells.groupBy("vec_id").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert _ivf_probe(spark, path, emb) == got
