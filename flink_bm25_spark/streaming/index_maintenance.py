@@ -275,6 +275,106 @@ def maintain_index_cdc_stream(
     q.awaitTermination()
 
 
+def maintain_ivf_cdc_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+    compact_tombstones: int | None = None,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> None:
+    """Drive a CDC stream of ``(op, vec_id, embedding[, seq])`` changes
+    into a persisted IVF index — the dense twin of
+    :func:`maintain_index_cdc_stream`, same discipline end to end:
+    paired per-micro-batch leg ids (delete ``BASE+2b``, upsert
+    ``BASE+2b+1``), per-vector dedupe by ``seq`` (else a deterministic
+    lexicographic max), effectively-once redelivery, mid-stream folds on
+    either the batch-count or the pending-tombstone trigger (both
+    excluding the in-flight legs).  The production shape of continuous
+    re-embedding: a model-refresh pipeline emits upserts, a
+    right-to-be-forgotten feed emits deletes, one loop applies both."""
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        _ivf_batch_ids,
+        _ivf_read_deleted,
+        ivf_compact,
+        ivf_delete,
+        ivf_upsert,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id == 0:
+            marker = os.path.join(path, STREAM_OWNER_FILE)
+            owner = _fs_read_text(spark, marker)
+            if owner is not None and owner != checkpoint:
+                raise RuntimeError(
+                    f"IVF index is owned by streaming checkpoint"
+                    f" {owner!r}; attaching {checkpoint!r} at micro-batch"
+                    " 0 would silently overwrite its partitions. Run a"
+                    " full ivf_compact first."
+                )
+            seen = _ivf_batch_ids(spark, path)
+            if seen and max(seen) > STREAM_BATCH_BASE:
+                raise RuntimeError(
+                    "fresh streaming checkpoint over an IVF index that"
+                    " already holds stream batches: run ivf_compact"
+                    " first, then attach the new checkpoint."
+                )
+            _fs_write_text(spark, marker, checkpoint)
+        del_id = STREAM_BATCH_BASE + 2 * batch_id
+        ups_id = STREAM_BATCH_BASE + 2 * batch_id + 1
+        due = bool(
+            compact_every and batch_id > 0 and batch_id % compact_every == 0
+        )
+        if not due and compact_tombstones:
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                _Layout,
+            )
+
+            pending = _ivf_read_deleted(spark, _Layout(spark, path).root)
+            due = (
+                pending is not None
+                and pending.count() >= int(compact_tombstones)
+            )
+        if due:
+            ivf_compact(spark, path, exclude_batch_ids=(del_id, ups_id))
+        if batch_df.isEmpty():
+            return
+        order = (
+            F.col("seq")
+            if "seq" in batch_df.columns
+            else F.struct(F.col(op_col), F.col("embedding"))
+        )
+        latest = (
+            batch_df.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col(op_col).alias("op"), F.col("embedding")),
+                    order,
+                ).alias("ch")
+            )
+            .select("vec_id", F.col("ch.op").alias("op"), "ch.embedding")
+            .localCheckpoint(eager=True)
+        )
+        deletes = latest.where(F.col("op") == delete_op).select("vec_id")
+        upserts = latest.where(F.col("op") != delete_op).select(
+            "vec_id", "embedding"
+        )
+        if not deletes.isEmpty():
+            ivf_delete(spark, path, deletes, batch_id=del_id)
+        if not upserts.isEmpty():
+            ivf_upsert(spark, path, upserts, batch_id=ups_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def maintain_ivf_stream(
     stream: DataFrame,
     path: str,

@@ -592,3 +592,48 @@ def test_ivf_upsert_replaces_vectors_and_survives_redelivery(
     )
     assert dup == 0
     assert _ivf_probe(spark, path, emb) == got
+
+
+def test_ivf_cdc_stream_applies_mixed_ops(spark, tmp_path):
+    from flink_bm25_spark.streaming.index_maintenance import (
+        maintain_ivf_cdc_stream,
+    )
+
+    emb, base, path = _ivf_v2_fixture(spark, tmp_path)
+    before = _ivf_probe(spark, path, emb)
+    victims = sorted({int(r[0]) for r in before[1:3]})
+    repl_id = int(before[3][0])
+    repl_emb = [
+        -float(x)
+        for x in base.where(F.col("vec_id") == repl_id).first()["embedding"]
+    ]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("delete", int(v), None, i) for i, v in enumerate(victims)]
+        + [("upsert", repl_id, repl_emb, 99)],
+        "op string, vec_id long, embedding array<float>, seq long",
+    ).coalesce(1).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "op string, vec_id long, embedding array<float>, seq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_ivf_cdc_stream(stream, path, str(tmp_path / "ckpt"))
+
+    run()
+    after = _ivf_probe(spark, path, emb)
+    ids_after = {int(r[0]) for r in after}
+    assert not (set(victims) & ids_after)
+    # the replaced vector's cosine flipped sign (or left the top-k)
+    by_id = {int(r[0]): r[1] for r in after}
+    old_cos = dict((int(r[0]), r[1]) for r in before)[repl_id]
+    if repl_id in by_id:
+        assert abs(by_id[repl_id] + old_cos) < 1e-5
+    # restart on the same checkpoint: no redelivery, nothing changes
+    run()
+    assert _ivf_probe(spark, path, emb) == after
