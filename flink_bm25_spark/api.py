@@ -1233,10 +1233,11 @@ class Bm25Index:
             _drop_deleted,
         )
 
+        # the postings path was LAYOUT-RESOLVED at warm() time — reading
+        # the bare path here would silently serve a superseded tree on a
+        # compacted (manifest-versioned) index
         postings = _drop_deleted(
-            self.spark.read.parquet(
-                os.path.join(self.path, "postings")
-            ).where(
+            self.spark.read.parquet(w["postings_path"]).where(
                 F.col("bucket").isin(sorted(buckets))
                 & F.col("word").isin(*terms)
             ),

@@ -637,3 +637,19 @@ def test_ivf_cdc_stream_applies_mixed_ops(spark, tmp_path):
     # restart on the same checkpoint: no redelivery, nothing changes
     run()
     assert _ivf_probe(spark, path, emb) == after
+
+
+def test_warm_search_on_compacted_index_reads_current_tree(spark, tmp_path):
+    # compact (manifest v1) THEN warm: the warm search must read the
+    # layout-resolved postings, not the superseded bare tree
+    docs = load_documents(spark, SF_DIR)
+    path = str(tmp_path / "idx")
+    bm25_index_save(docs.where(F.col("doc_id") < 250), path, n_buckets=16)
+    bm25_index_add(docs.where(F.col("doc_id") >= 250), path)
+    bm25_index_compact(spark, path)
+    # corrupt the superseded bare tree so a stale read is unmistakable
+    shutil.rmtree(f"{path}/postings")
+    want = _topk(spark, path)
+    idx = Bm25Index(spark, path).warm()
+    got = [tuple(r) for r in idx.search(" ".join(TERMS)).collect()]
+    assert got == want
