@@ -1764,6 +1764,31 @@ def _q_ivf_topk_upserted(spark, sf_dir):
     )
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    path = _ivf_upserted_index(spark, sf_dir, emb)
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_topk_exact_from_disk(
+        spark, path, qvec, k=10, nprobe=2, exclude_id=0
+    )
+
+
+def _ivf_upserted_index(spark, sf_dir, emb):
+    """The shared churned-IVF fixture: deterministic build (kmeans_fit,
+    k=4, 2 Lloyd iterations) then ivf_upsert of vec_id % 9 == 4 with
+    NEGATED embeddings — used by the upserted-probe gate query and the
+    staleness-gauge gate query (same cache key, either may build)."""
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
+        _with_cluster,
+        kmeans_fit,
+    )
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_save,
+        ivf_upsert,
+    )
+
     path = _SERVED_INDEX_CACHE.get(sf_dir + "#ivf_upserted")
     if path is None:
         path = tempfile.mkdtemp(prefix="ivf_upserted_idx_")
@@ -1780,11 +1805,23 @@ def _q_ivf_topk_upserted(spark, sf_dir):
         )
         ivf_upsert(spark, path, repl)
         _SERVED_INDEX_CACHE[sf_dir + "#ivf_upserted"] = path
-    qvec = [
-        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    return ivf_topk_exact_from_disk(
-        spark, path, qvec, k=10, nprobe=2, exclude_id=0
+    return path
+
+
+def _q_ivf_stats_churn(spark, sf_dir):
+    # The IVF drift gauge (r9, similarity.py::ivf_stats) over the shared
+    # churned fixture: vec_id % 9 == 4 upserted after the build, so
+    # n_stale / n_tombstoned equal that stratum's size and staleness its
+    # corpus fraction — all value-checkable by plain counting in the
+    # oracle (n_cells is deliberately dropped: replaying the quantizer
+    # just to count cells adds nothing the q_ivf_topk oracle does not
+    # already pin).
+    from flink_bm25_spark.operators.similarity import ivf_stats  # noqa: PLC0415
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    path = _ivf_upserted_index(spark, sf_dir, emb)
+    return ivf_stats(spark, path).select(
+        "n_vectors", "n_stale", "staleness", "n_tombstoned"
     )
 
 
@@ -3689,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_batch": _q_bm25_batch,
         "q_ivf_topk_deleted": _q_ivf_topk_deleted,
         "q_ivf_topk_upserted": _q_ivf_topk_upserted,
+        "q_ivf_stats_churn": _q_ivf_stats_churn,
         "q_ann_batch_topk": _q_ann_batch_topk,
         "q_remove_repeated_spans": _q_remove_repeated_spans,
         "q_normalize_text": _q_normalize_text,
@@ -5611,6 +5649,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cos FROM scored
             ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
+        "q_ivf_stats_churn": """
+        -- the drift gauge by plain counting: churned stratum = vec_id%9==4
+        WITH t AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN vec_id % 9 = 4 THEN 1 ELSE 0 END) AS s
+          FROM embeddings
+        )
+        SELECT CAST(n AS BIGINT) AS n_vectors,
+               CAST(s AS BIGINT) AS n_stale,
+               CAST(s AS DOUBLE) / n AS staleness,
+               CAST(s AS BIGINT) AS n_tombstoned
+        FROM t""",
         "q_ivf_topk_upserted": f"""
             WITH {_KMEANS_CTES},
             emb2 AS (
@@ -7372,7 +7422,7 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(piece, ' ') AS chunk_text
         FROM sl
     """
-    out["q_lm_perplexity"] = """
+    out["q_lm_perplexity"] = r"""
         WITH base AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '\s+'),
@@ -7889,7 +7939,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'tail' END AS bucket
         FROM rk""",
     )
-    out["q_collocations"] = """
+    out["q_collocations"] = r"""
         WITH base AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '\s+'),

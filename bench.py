@@ -101,12 +101,13 @@ def _cpu_times() -> tuple[int, int]:
 def _wait_for_quiet_window() -> float:
     """Block until 1-min loadavg drops below 2 (or the wait budget runs
     out) so the OFFICIAL artifact is recorded from an uncontended window
-    — r5/r6 verdicts both had to re-run contended artifacts by hand.
-    The budget (default 8 min: loadavg is a ~1-min EMA, a test-suite
-    wind-down needs a few minutes to decay) is tunable via
-    ``SPARK_GRAFT_BENCH_WAIT_S``; 0 disables the gate.  Returns seconds
-    waited."""
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "480"))
+    — r5/r6 verdicts both had to re-run contended artifacts by hand, and
+    r8's OFFICIAL artifact was a noise sample because the old 8-min
+    budget ran out mid-load (r8 verdict item 1).  The budget (default 30
+    min — loadavg is a ~1-min EMA and a co-tenant test suite can take
+    20+ min to wind down) is tunable via ``SPARK_GRAFT_BENCH_WAIT_S``; 0
+    disables the gate.  Returns seconds waited."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "1800"))
     waited = 0.0
     while waited < budget and os.getloadavg()[0] >= 2.0:
         time.sleep(15)
@@ -115,11 +116,31 @@ def _wait_for_quiet_window() -> float:
 
 
 def main() -> None:
+    """Capture up to SPARK_GRAFT_BENCH_ATTEMPTS (default 3) windows and
+    emit ONE JSON line: the first `contended: false` capture wins; if
+    every window was loaded, the lowest calib-normalized attempt is
+    emitted (still flagged contended — self-identifying noise)."""
     import __spark_entry__ as entrymod
     from flink_bm25_spark.session import get_spark
 
-    waited_s = _wait_for_quiet_window()
     spark = get_spark(app_name="flink_bm25_spark_bench")
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    best = None
+    for _ in range(max(attempts, 1)):
+        art = _measure(spark, entrymod)
+        if not art["contended"]:
+            best = art
+            break
+        if best is None or (art["value_per_calib"] or 1e9) < (
+            best["value_per_calib"] or 1e9
+        ):
+            best = art
+    print(json.dumps(best))
+    spark.stop()
+
+
+def _measure(spark, entrymod) -> dict:
+    waited_s = _wait_for_quiet_window()
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM + parquet footers with one cheap action.
@@ -174,38 +195,33 @@ def main() -> None:
     # so the headline scalars come FIRST, the big per-query dicts sit in
     # the middle, and the headline repeats at the END under *_tail
     # names — either truncation keeps metric/value/calib/contended.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # r5 verdict item 6: effective core speed swings ~2× on
-                # this shared host — totals are only comparable ACROSS
-                # artifacts as total/calib_sec.  `contended` tags an
-                # artifact recorded under load (loadavg_start above 2):
-                # its raw numbers reflect the machine, not the plans.
-                "value_per_calib": per_calib,
-                "calib_sec": calib_sec,
-                "contended": contended,
-                "extra_total": round(sum(extra.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "loadavg_start": [round(x, 2) for x in loadavg_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "cpu_steal_pct": steal_pct,
-                "quiet_wait_s": waited_s,
-                "iter_spread_max": max(spread.values()) if spread else 0.0,
-                "queries": timings,
-                "queries_extra": extra,
-                "iter_spread": spread,
-                "value_tail": total,
-                "value_per_calib_tail": per_calib,
-                "calib_sec_tail": calib_sec,
-                "contended_tail": contended,
-            }
-        )
-    )
-    spark.stop()
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # r5 verdict item 6: effective core speed swings ~2× on
+        # this shared host — totals are only comparable ACROSS
+        # artifacts as total/calib_sec.  `contended` tags an
+        # artifact recorded under load (loadavg_start above 2):
+        # its raw numbers reflect the machine, not the plans.
+        "value_per_calib": per_calib,
+        "calib_sec": calib_sec,
+        "contended": contended,
+        "extra_total": round(sum(extra.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpu_steal_pct": steal_pct,
+        "quiet_wait_s": waited_s,
+        "iter_spread_max": max(spread.values()) if spread else 0.0,
+        "queries": timings,
+        "queries_extra": extra,
+        "iter_spread": spread,
+        "value_tail": total,
+        "value_per_calib_tail": per_calib,
+        "calib_sec_tail": calib_sec,
+        "contended_tail": contended,
+    }
 
 
 if __name__ == "__main__":

@@ -77,13 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     idx = sub.add_parser(
         "index",
         help="persisted BM25 serving index: the operational CRUD loop"
-        " (create/add/delete/search/mlt/get/compact/stats/cdc)",
+        " (create/add/delete/search/mlt/get/compact/gc/stats/cdc)",
     )
     idx.add_argument(
         "action",
         choices=(
             "create", "add", "upsert", "delete", "search", "mlt", "get",
-            "compact", "stats", "cdc",
+            "compact", "gc", "stats", "cdc",
         ),
     )
     idx.add_argument("--path", required=True, help="index root directory")
@@ -106,6 +106,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="fold every N micro-batches (cdc)")
     idx.add_argument("--compact-tombstones", type=int, default=None,
                      help="fold when pending tombstones cross this (cdc)")
+    idx.add_argument("--grace", type=float, default=300.0,
+                     help="read-grace seconds before superseded version"
+                     " trees are reclaimed (gc)")
 
     exp = sub.add_parser(
         "explain",
@@ -254,6 +257,12 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.path, hot_df_cap=args.hot_df_cap
                 )
                 print("compacted", file=sys.stderr)
+            elif args.action == "gc":
+                n = serving.bm25_index_gc(
+                    spark, args.path, grace_seconds=args.grace
+                )
+                print(f"reclaimed {n} superseded version tree(s)",
+                      file=sys.stderr)
             elif args.action == "cdc":
                 if not args.input or not args.checkpoint:
                     print(
@@ -265,10 +274,22 @@ def main(argv: list[str] | None = None) -> int:
                     maintain_index_cdc_stream,
                 )
 
+                # seq is OPTIONAL (help text contract): hardcoding it
+                # into the stream schema over an input without the
+                # column would read all-null seq — max_by ignores null
+                # ordering keys, the dedupe yields a null struct, and
+                # null op matches NEITHER leg: every event silently
+                # dropped while the command reports success.  Probe the
+                # actual file schema and include seq only when present
+                # (absent -> the loop's deterministic struct fallback).
+                present = {
+                    f.name for f in spark.read.parquet(args.input).schema
+                }
+                schema = "op string, doc_id long, text string"
+                if "seq" in present:
+                    schema += ", seq long"
                 stream = (
-                    spark.readStream.schema(
-                        "op string, doc_id long, text string, seq long"
-                    )
+                    spark.readStream.schema(schema)
                     .option("maxFilesPerTrigger", 1)
                     .parquet(args.input)
                 )

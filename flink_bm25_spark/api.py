@@ -1120,6 +1120,25 @@ class Bm25Index:
         :meth:`search` re-checks it with ONE tiny filesystem read (no
         Spark job); on mismatch the warm state self-cools and the
         query falls back to the cold path."""
+        from flink_bm25_spark.operators.serving import read_write_stamp
+
+        for _ in range(3):
+            self._warm_once()
+            # re-verify: a writer that committed DURING the pin bumped
+            # the stamp past our recorded value — the pinned tree may be
+            # the superseded one, so retry against the now-current tree;
+            # still moving after 3 attempts means a live writer: stay
+            # cold (searches take the always-correct cold path)
+            if (
+                self._warm is not None
+                and read_write_stamp(self.spark, self.path)
+                == self._warm["stamp"]
+            ):
+                break
+            self.cool()
+        return self
+
+    def _warm_once(self) -> None:
         from flink_bm25_spark.operators.serving import (
             _fs_exists,
             _h_driver,
@@ -1128,8 +1147,15 @@ class Bm25Index:
         )
 
         self.cool()
-        lay = _Layout(self.spark, self.path)
+        # stamp BEFORE layout: a compaction committing between the two
+        # reads must produce a mismatch at the first search (self-cool),
+        # never the reverse (post-flip stamp recorded against a pinned
+        # pre-flip tree — the guard would never trip while gc_grace runs
+        # out under the pinned paths).  Reading the stamp first makes
+        # any concurrent writer's bump land AFTER our recorded value, so
+        # the worst case is one wasted warm, not a stale serve.
         stamp = read_write_stamp(self.spark, self.path)
+        lay = _Layout(self.spark, self.path)
         df_rel = self.spark.read.parquet(lay.sec("df")).persist()
         stats_rel = self.spark.read.parquet(lay.sec("stats")).persist()
         stats_rel.count()
@@ -1170,7 +1196,6 @@ class Bm25Index:
             "postings_path": lay.sec("postings"),
             "stamp": stamp,
         }
-        return self
 
     def cool(self) -> None:
         """Drop any warm state (unpersist the cached relations)."""
@@ -1270,6 +1295,14 @@ class Bm25Index:
             hot_df_cap=hot_df_cap,
             gc_grace_seconds=gc_grace_seconds,
         )
+
+    def gc(self, grace_seconds: float = 300.0) -> int:
+        """Reclaim superseded version trees without folding (the
+        fold-once-serve-forever case); returns trees reclaimed.  Warm
+        state stays valid — GC never touches the current tree."""
+        from flink_bm25_spark.operators.serving import bm25_index_gc
+
+        return bm25_index_gc(self.spark, self.path, grace_seconds=grace_seconds)
 
     def stats(self) -> DataFrame:
         from flink_bm25_spark.operators.serving import bm25_index_stats

@@ -57,6 +57,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
+from contextlib import contextmanager
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -132,6 +134,14 @@ WRITE_STAMP_FILE = "_last_write"
 # Manifest pointer files — ``_manifest_v<N>`` names the CURRENT section
 # tree ``<path>/v<N>/``; see `_Layout` for the protocol.
 MANIFEST_PREFIX = "_manifest_v"
+
+# Writer lease — one atomically-created file serializes every MUTATING
+# op (add/delete/upsert/compact/gc, both tiers) across sessions; see
+# `_writer_lock`.  Readers never touch it (reader atomicity is the
+# manifest's job).
+WRITER_LOCK_FILE = "_writer_lock"
+WRITER_LOCK_TIMEOUT_S = 120.0
+WRITER_LOCK_TTL_S = 600.0
 
 # Every section a compaction may produce (also the GC scope for stale
 # version trees and the bare pre-manifest layout).
@@ -233,6 +243,156 @@ def _fs_mtime_ms(spark: SparkSession, path: str) -> int:
     return int(fs.getFileStatus(jpath).getModificationTime())
 
 
+class IndexWriteConflict(RuntimeError):
+    """A mutating op found the manifest version moved under it — a
+    NON-LOCKING concurrent compaction flipped the tree mid-write, so the
+    sections just written sit in a superseded tree a later GC would
+    reclaim.  Retryable: re-running the op (same batch id) re-resolves
+    the current tree and its dynamic partition overwrite converges."""
+
+
+def _fs_create_atomic(spark: SparkSession, path: str, text: str) -> bool:
+    """Create ``path`` with ``text`` ONLY if it does not exist — the
+    mutual-exclusion primitive under `_writer_lock`.  On ``file://`` this
+    is ``java.io.File.createNewFile`` (POSIX ``O_CREAT|O_EXCL``, truly
+    atomic — Hadoop's RawLocalFileSystem create(overwrite=false) is a
+    non-atomic exists-then-create); elsewhere it is the filesystem's own
+    ``create(path, overwrite=false)`` (atomic on HDFS; object stores
+    without atomic create should run maintenance single-writer —
+    DEPLOY.md)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getScheme() == "file":
+        f = jvm.java.io.File(jpath.toUri().getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        if not f.createNewFile():
+            return False
+        _fs_write_text(spark, path, text)
+        return True
+    try:
+        out = fs.create(jpath, False)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        return True
+    except Exception as e:  # noqa: BLE001 — py4j wraps the Java class
+        if "AlreadyExists" in str(e) or "already exists" in str(e).lower():
+            return False
+        raise
+
+
+_WRITER_LOCKS_HELD = threading.local()
+
+
+@contextmanager
+def _writer_lock(
+    spark: SparkSession,
+    path: str,
+    timeout_s: float | None = None,
+    ttl_s: float | None = None,
+):
+    """Serialize MUTATING ops on an index across sessions — the writer
+    fence the manifest protocol needs: without it, an add/delete/upsert
+    racing a compaction in ANOTHER process can land its sections in the
+    tree the fold is about to supersede, and a later GC silently
+    reclaims the write.  One lease file (`WRITER_LOCK_FILE`), taken by
+    every mutator and compaction via atomic create-no-overwrite;
+    re-entrant within a thread (upsert calls save_forward under the same
+    lease).  Readers never take it.
+
+    Crash recovery: a lease older than ``ttl_s`` is presumed abandoned
+    and broken (delete + re-acquire) — best-effort by nature, backed by
+    a read-back token verification after every acquire; the TTL is far
+    above any single op's wall time, so a live writer is never broken.
+    Waiting writers poll with jitter until ``timeout_s``."""
+    held = _WRITER_LOCKS_HELD.__dict__.setdefault("paths", {})
+    if held.get(path):
+        held[path] += 1
+        try:
+            yield
+        finally:
+            held[path] -= 1
+        return
+    import random  # noqa: PLC0415
+    import time  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    timeout_s = WRITER_LOCK_TIMEOUT_S if timeout_s is None else timeout_s
+    ttl_s = WRITER_LOCK_TTL_S if ttl_s is None else ttl_s
+    lock = os.path.join(path, WRITER_LOCK_FILE)
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
+    deadline = time.monotonic() + float(timeout_s)
+    while True:
+        if _fs_create_atomic(spark, lock, token):
+            # read-back: a TTL-breaker racing this create could have
+            # replaced the file — only our own token means we hold it
+            if _fs_read_text(spark, lock) == token:
+                break
+        else:
+            try:
+                age_s = (time.time() * 1000 - _fs_mtime_ms(spark, lock)) / 1e3
+                if age_s >= float(ttl_s):
+                    _fs_delete(spark, lock)  # abandoned lease: break it
+                    continue
+            except Exception:  # noqa: BLE001 — released between list/stat
+                continue
+        if time.monotonic() >= deadline:
+            raise TimeoutError(
+                f"could not acquire the writer lease {lock!r} within"
+                f" {timeout_s}s — another session is mutating this index"
+                " (or crashed less than ttl_s ago); retry, or raise"
+                " timeout_s for long compactions"
+            )
+        time.sleep(random.uniform(0.02, 0.1))
+    held[path] = 1
+    try:
+        yield
+    finally:
+        held.pop(path, None)
+        if _fs_read_text(spark, lock) == token:
+            _fs_delete(spark, lock)
+
+
+def _locked_writer(get_ctx):
+    """Decorator running a mutating op under the index's writer lease —
+    ``get_ctx`` maps the op's args to ``(spark, path)``."""
+    import functools  # noqa: PLC0415
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            spark, path = get_ctx(*args, **kwargs)
+            with _writer_lock(spark, path):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def _verify_tree_current(
+    spark: SparkSession, path: str, version: int
+) -> None:
+    """Belt-and-braces behind `_writer_lock`: after its section writes, a
+    mutator re-lists the manifest — a version moved mid-write means a
+    NON-LOCKING writer (legacy client) folded concurrently and the write
+    landed in a superseded tree.  Raise the retryable conflict INSTEAD of
+    stamping success; the caller re-runs into the current tree (same
+    batch id ⇒ idempotent)."""
+    versions = _list_manifest_versions(spark, path)
+    current = versions[-1] if versions else 0
+    if current != version:
+        raise IndexWriteConflict(
+            f"manifest moved v{version} -> v{current} during the write:"
+            " a concurrent compaction superseded the tree this mutation"
+            " landed in. The write did NOT commit — retry the operation"
+            " (idempotent under the same batch id). Upgrade all writers"
+            " to lease-taking clients to avoid this race."
+        )
+
+
 def _gc_versions(
     spark: SparkSession,
     path: str,
@@ -283,10 +443,25 @@ def _gc_versions(
                 _fs_delete(spark, bare)
 
 
+def _next_stamp(old: str | None) -> str:
+    """The stamp value the next write records, given the current one —
+    ``<counter>-<nonce>``: the counter keeps stamps human-orderable, the
+    per-write random nonce makes every write's value UNIQUE even when
+    two writers interleave their read-modify-write on the same counter
+    base (a plain counter could collide on the same value, letting a
+    warm reader holding the pre-race stamp miss one of the writes)."""
+    import uuid  # noqa: PLC0415
+
+    head = old.split("-", 1)[0].strip() if old else ""
+    cnt = int(head) + 1 if head.isdigit() else 1
+    return f"{cnt}-{uuid.uuid4().hex[:12]}"
+
+
 def _touch_stamp(spark: SparkSession, path: str) -> None:
     old = _fs_read_text(spark, os.path.join(path, WRITE_STAMP_FILE))
-    nxt = int(old.strip()) + 1 if old and old.strip().isdigit() else 1
-    _fs_write_text(spark, os.path.join(path, WRITE_STAMP_FILE), str(nxt))
+    _fs_write_text(
+        spark, os.path.join(path, WRITE_STAMP_FILE), _next_stamp(old)
+    )
 
 
 def read_write_stamp(spark: SparkSession, path: str) -> str | None:
@@ -626,6 +801,7 @@ def _write_index_batch(
             ).parquet(os.path.join(root, "hot"))
 
 
+@_locked_writer(lambda documents, path, *a, **k: (documents.sparkSession, path))
 def bm25_index_save(
     documents: DataFrame,
     path: str,
@@ -686,6 +862,7 @@ def _read_n_buckets(
     return int(row["n_buckets"])
 
 
+@_locked_writer(lambda documents, path, *a, **k: (documents.sparkSession, path))
 def bm25_index_add(
     documents: DataFrame,
     path: str,
@@ -740,6 +917,7 @@ def bm25_index_add(
             documents, path, tokenizer, batch_id=batch_id, create=False,
             tf=tf,
         )
+    _verify_tree_current(spark, path, lay.version)
     _touch_stamp(spark, path)
 
 
@@ -794,6 +972,7 @@ def _drop_deleted(df: DataFrame, deleted: DataFrame | None) -> DataFrame:
     )
 
 
+@_locked_writer(lambda spark, path, *a, **k: (spark, path))
 def bm25_index_delete(
     spark: SparkSession,
     path: str,
@@ -885,6 +1064,7 @@ def bm25_index_delete(
         tombstones.select(tag, "*").coalesce(1).write.mode(
             "overwrite"
         ).partitionBy(BATCH_COL).parquet(lay.sec("deleted"))
+    _verify_tree_current(spark, path, lay.version)
     _touch_stamp(spark, path)
 
 
@@ -975,6 +1155,7 @@ def _write_negative_partials(
     return neg_df, neg_stats, tombstones
 
 
+@_locked_writer(lambda documents, path, *a, **k: (documents.sparkSession, path))
 def bm25_index_upsert(
     documents: DataFrame,
     path: str,
@@ -1105,6 +1286,7 @@ def bm25_index_upsert(
     bm25_index_save_forward(
         documents, path, tokenizer, batch_id=batch_id, create=False, tf=tf
     )
+    _verify_tree_current(spark, path, lay.version)
     _touch_stamp(spark, path)
 
 
@@ -1160,6 +1342,7 @@ def _fold_batch_col(df: DataFrame, exclude: tuple[int, ...]):
     )
 
 
+@_locked_writer(lambda spark, path, *a, **k: (spark, path))
 def bm25_index_compact(
     spark: SparkSession,
     path: str,
@@ -1423,6 +1606,10 @@ def bm25_index_compact(
     # don't exist there — no per-section delete window.
     import json  # noqa: PLC0415
 
+    # fence (belt-and-braces behind the writer lease): a NON-LOCKING
+    # concurrent fold that flipped first would make this flip supersede
+    # a tree it never read — refuse and leave v<new> an orphan to reap
+    _verify_tree_current(spark, path, lay.version)
     _fs_write_text(
         spark,
         os.path.join(path, f"{MANIFEST_PREFIX}{new_version}"),
@@ -1433,6 +1620,43 @@ def bm25_index_compact(
         # ownership so a NEW checkpoint may legally attach
         _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
     _touch_stamp(spark, path)
+
+
+@_locked_writer(lambda spark, path, *a, **k: (spark, path))
+def bm25_index_gc(
+    spark: SparkSession, path: str, grace_seconds: float = 300.0
+) -> int:
+    """Reclaim superseded/orphan version trees WITHOUT folding — the
+    fold-once-serve-forever case: `_gc_versions` otherwise runs only at
+    the start of the NEXT compaction, so an index that compacted once
+    and then only serves carries a full extra on-disk copy of itself
+    indefinitely.  Returns the number of superseded/orphan trees (incl.
+    the bare v0 sections counted as one) reclaimed; respects the same
+    time-based read grace as compaction (readers that resolved an older
+    tree get ``grace_seconds`` from the current manifest's creation to
+    finish).  Runs under the writer lease — a concurrent fold's
+    half-written v<N+1> must not be reaped as an orphan mid-write.
+    Does NOT bump the write stamp: the current tree's content is
+    untouched, warm readers stay valid."""
+    lay = _Layout(spark, path)
+    before = set(_list_manifest_versions(spark, path)) | {
+        int(n[1:])
+        for n in _fs_list_names(spark, path)
+        if n.startswith("v") and n[1:].isdigit()
+    }
+    had_bare = lay.version > 0 and any(
+        _fs_exists(spark, os.path.join(path, s)) for s in SECTIONS
+    )
+    _gc_versions(spark, path, keep=lay.version, grace_seconds=grace_seconds)
+    after = set(_list_manifest_versions(spark, path)) | {
+        int(n[1:])
+        for n in _fs_list_names(spark, path)
+        if n.startswith("v") and n[1:].isdigit()
+    }
+    bare_now = lay.version > 0 and any(
+        _fs_exists(spark, os.path.join(path, s)) for s in SECTIONS
+    )
+    return len(before - after) + (1 if had_bare and not bare_now else 0)
 
 
 def bm25_batch_topk_from_index(
@@ -1663,6 +1887,7 @@ def bm25_forward_batch(
     )
 
 
+@_locked_writer(lambda documents, path, *a, **k: (documents.sparkSession, path))
 def bm25_index_save_forward(
     documents: DataFrame,
     path: str,
@@ -1685,6 +1910,7 @@ def bm25_index_save_forward(
         fwd.select(tag, "*").write.mode("overwrite").partitionBy(
             BATCH_COL, "fbucket"
         ).parquet(lay.sec("forward"))
+    _verify_tree_current(spark, path, lay.version)
     _touch_stamp(spark, path)
 
 

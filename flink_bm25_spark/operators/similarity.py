@@ -1206,6 +1206,31 @@ def feature_hash_embeddings(
     )
 
 
+
+def _ivf_locked(get_ctx):
+    """Writer-lease decorator for the IVF mutators — same lease file and
+    fence as the BM25 tier (``operators/serving.py``): mutations and
+    folds on one index serialize across sessions, so a mutation can
+    never land in a tree a concurrent compaction is about to supersede."""
+    import functools  # noqa: PLC0415
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                _writer_lock,
+            )
+
+            spark, path = get_ctx(*args, **kwargs)
+            with _writer_lock(spark, path):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+@_ivf_locked(lambda model, assigned, path, *a, **k: (assigned.sparkSession, path))
 def ivf_save(model, assigned: DataFrame, path: str) -> None:
     """Persist the IVF index: vectors cell-PARTITIONED on disk (so a
     probe's cell filter becomes partition pruning — the physical
@@ -1239,7 +1264,11 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     owner = os.path.join(path, STREAM_OWNER_FILE)
     if _fs_exists(spark, owner):
         _fs_delete(spark, owner)
-    assigned.select(
+    # post_train marks vectors written AFTER the coarse quantizer was
+    # trained — the staleness gauge `ivf_stats` reads (adds/upserts set
+    # it; compaction carries it; a retrain resets the whole corpus to
+    # False).  Base rows are by definition in-train.
+    assigned.withColumn("post_train", F.lit(False)).select(
         F.lit(0).cast("long").alias(BATCH_COL), "*"
     ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
         os.path.join(path, "cells")
@@ -1362,6 +1391,7 @@ def _ivf_next_manual_id(spark, path: str) -> int:
     return batch_id
 
 
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
 def ivf_delete(spark, path: str, vec_ids, batch_id: int | None = None) -> None:
     """Remove vectors from a persisted IVF index WITHOUT rewriting the
     cells — the dense twin of ``bm25_index_delete`` (re-crawl removals,
@@ -1400,8 +1430,14 @@ def ivf_delete(spark, path: str, vec_ids, batch_id: int | None = None) -> None:
         tombstones.select(tag, "*").coalesce(8).write.mode(
             "overwrite"
         ).partitionBy(BATCH_COL).parquet(os.path.join(lay.root, "deleted"))
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _verify_tree_current,
+    )
+
+    _verify_tree_current(spark, path, lay.version)
 
 
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
 def ivf_upsert(
     spark, path: str, new_vectors: DataFrame, batch_id: int | None = None
 ) -> None:
@@ -1438,10 +1474,17 @@ def ivf_upsert(
         tombstones.select(tag, "*").coalesce(8).write.mode(
             "overwrite"
         ).partitionBy(BATCH_COL).parquet(os.path.join(lay.root, "deleted"))
-        assigned = ivf_assign_to_existing(spark, path, new_vectors)
+        assigned = ivf_assign_to_existing(
+            spark, path, new_vectors
+        ).withColumn("post_train", F.lit(True))
         assigned.select(tag, "*").write.mode("overwrite").partitionBy(
             BATCH_COL, "cell"
         ).parquet(os.path.join(lay.root, "cells"))
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _verify_tree_current,
+    )
+
+    _verify_tree_current(spark, path, lay.version)
 
 
 def _ivf_batch_ids(spark, path: str):
@@ -1458,6 +1501,7 @@ def _ivf_batch_ids(spark, path: str):
     }
 
 
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
 def ivf_add(spark, path: str, new_vectors: DataFrame, batch_id: int | None = None) -> None:
     """Extend a persisted IVF index with a new vector batch WITHOUT
     retraining — standard IVF maintenance (the coarse quantizer is only
@@ -1483,17 +1527,27 @@ def ivf_add(spark, path: str, new_vectors: DataFrame, batch_id: int | None = Non
         _overwrite_mode,
     )
 
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _Layout,
+        _verify_tree_current,
+    )
+
     if batch_id is None:
         batch_id = _ivf_next_manual_id(spark, path)
-    assigned = ivf_assign_to_existing(spark, path, new_vectors)
+    version = _Layout(spark, path).version
+    assigned = ivf_assign_to_existing(
+        spark, path, new_vectors
+    ).withColumn("post_train", F.lit(True))
     with _overwrite_mode(spark, "dynamic"):
         assigned.select(
             F.lit(int(batch_id)).cast("long").alias(BATCH_COL), "*"
         ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
             _ivf_cells_path(spark, path)
         )
+    _verify_tree_current(spark, path, version)
 
 
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
 def ivf_compact(
     spark,
     path: str,
@@ -1589,6 +1643,11 @@ def ivf_compact(
                 BATCH_COL
             ).parquet(os.path.join(path, f"v{new_version}", "deleted"))
             written.append("deleted")
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _verify_tree_current,
+    )
+
+    _verify_tree_current(spark, path, lay.version)
     _fs_write_text(
         spark,
         os.path.join(path, f"{MANIFEST_PREFIX}{new_version}"),
@@ -1596,6 +1655,111 @@ def ivf_compact(
     )
     if not excl:
         _fs_delete(spark, os.path.join(path, STREAM_OWNER_FILE))
+
+
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
+def ivf_gc(spark, path: str, grace_seconds: float = 300.0) -> None:
+    """Reclaim superseded/orphan IVF version trees WITHOUT folding — the
+    dense twin of ``bm25_index_gc`` (fold-once-serve-forever would
+    otherwise carry a full extra cells copy until a fold it never runs);
+    same writer lease + time-based read grace."""
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _gc_versions,
+        _Layout,
+    )
+
+    lay = _Layout(spark, path)
+    _gc_versions(
+        spark,
+        path,
+        keep=lay.version,
+        sections=IVF_SECTIONS,
+        grace_seconds=grace_seconds,
+    )
+
+
+def ivf_stats(spark, path: str) -> DataFrame:
+    """One-row health gauge for a persisted IVF index: ``(n_cells,
+    n_vectors, n_stale, staleness, n_tombstoned)``.
+
+    ``staleness`` is the fraction of VISIBLE vectors written after the
+    coarse quantizer was trained (the ``post_train`` marker adds/upserts
+    set) — the quantity that predicts recall decay under churn: IVF
+    assigns new vectors to FROZEN centroids, so a model-refresh that
+    re-embeds the corpus leaves every vector quantized by a stale
+    codebook (measured in ``scripts/ann_recall.py``; THROUGHPUT.md).
+    Retrain (``ivf_retrain``) resets it to 0.  Pre-r9 indexes without
+    the marker read staleness 0 (their vectors are all in-train by
+    definition until the first r9 mutation).  One aggregate job."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+
+    lay = _Layout(spark, path)
+    cells = spark.read.parquet(os.path.join(lay.root, "cells"))
+    visible = _ivf_drop_deleted(cells, _ivf_read_deleted(spark, lay.root))
+    stale_col = (
+        F.coalesce(F.col("post_train"), F.lit(False))
+        if "post_train" in cells.columns
+        else F.lit(False)
+    )
+    pending = _ivf_read_deleted(spark, lay.root)
+    n_tomb = (
+        pending.agg(F.count("*").alias("n")).select("n")
+        if pending is not None
+        else spark.range(1).select(F.lit(0).cast("long").alias("n"))
+    )
+    gauge = visible.agg(
+        F.countDistinct("cell").cast("int").alias("n_cells"),
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(stale_col.cast("long")).cast("long").alias("n_stale"),
+    )
+    return gauge.crossJoin(n_tomb.withColumnRenamed("n", "n_tombstoned")).select(
+        "n_cells",
+        "n_vectors",
+        F.coalesce(F.col("n_stale"), F.lit(0)).alias("n_stale"),
+        F.when(F.col("n_vectors") > 0,
+               F.coalesce(F.col("n_stale"), F.lit(0)) / F.col("n_vectors"))
+        .otherwise(F.lit(0.0))
+        .alias("staleness"),
+        "n_tombstoned",
+    )
+
+
+@_ivf_locked(lambda spark, path, *a, **k: (spark, path))
+def ivf_retrain(spark, path: str, n_cells: int | None = None, seed: int = 42) -> None:
+    """Retrain the coarse quantizer on the index's CURRENT visible
+    vectors and rebuild in place — the drift playbook's reset step: IVF
+    assigns churned vectors to frozen centroids, recall decays as
+    ``ivf_stats().staleness`` grows, retrain restores it (A/B in
+    ``scripts/ann_recall.py``; THROUGHPUT.md records the exponents).
+
+    Reads the visible set once (tombstones applied), pins it
+    (``localCheckpoint`` — executor-storage-backed, so the subsequent
+    in-place rebuild never reads the tree it is replacing), refits
+    KMeans, and ``ivf_save``s over the same root — which resets the
+    layout to bare v0, clears tombstones (already applied to the read)
+    and releases stream ownership; the CDC loop's automated trigger
+    re-claims ownership right after.  ``n_cells`` defaults to the
+    current codebook size.  At production scale prefer retraining from
+    the source-of-truth embedding table when one exists — this
+    in-place path exists for the maintenance loop, where the index IS
+    the current corpus."""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+
+    lay = _Layout(spark, path)
+    if n_cells is None:
+        n_cells = int(
+            spark.read.parquet(os.path.join(path, "centroids")).count()
+        )
+    visible = _ivf_drop_deleted(
+        spark.read.parquet(os.path.join(lay.root, "cells")),
+        _ivf_read_deleted(spark, lay.root),
+    ).select("vec_id", "embedding").localCheckpoint(eager=True)
+    model, assigned = ivf_build(visible, n_cells=n_cells, seed=seed)
+    ivf_save(model, assigned, path)
 
 
 def ivf_topk_from_disk(

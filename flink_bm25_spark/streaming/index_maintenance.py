@@ -63,37 +63,77 @@ from flink_bm25_spark.operators.serving import (
 )
 
 
-def _claim_stream_ownership(spark, path: str, checkpoint: str) -> None:
+def _claim_stream_ownership(
+    spark, path: str, checkpoint: str, seen_max=None, remedy: str | None = None
+) -> None:
     """Micro-batch-0 guard shared by every index-maintenance loop: refuse
     a FRESH checkpoint attaching to an index that already holds stream
     partitions (its batch ids would restart at 0 and silently overwrite
     the prior stream's partitions), then record this checkpoint as the
-    owner."""
+    owner.
+
+    When the owner marker ALREADY names this checkpoint, micro-batch 0
+    is a crash-redelivery (a leg landed, the checkpoint commit didn't) —
+    the marker proves ownership and the max-batch-id heuristic below
+    must NOT run: it would misread the redelivered batch's own
+    partitions (the CDC loops write ids ``BASE+0``/``BASE+1`` at batch
+    0) as a foreign stream's and permanently fail the restart instead of
+    letting the idempotent overwrite reapply.
+
+    ``seen_max`` supplies the index's highest committed stream batch id
+    (or None) — the pre-marker-era belt-and-braces, consulted only when
+    no marker exists; ``remedy`` names the compaction to run."""
+    remedy = remedy or "bm25_index_compact"
     marker = os.path.join(path, STREAM_OWNER_FILE)
     owner = _fs_read_text(spark, marker)
-    if owner is not None and owner != checkpoint:
+    if owner == checkpoint:
+        return  # crash-redelivery of micro-batch 0: already the owner
+    if owner is not None:
         raise RuntimeError(
             f"index is owned by streaming checkpoint {owner!r};"
             f" attaching {checkpoint!r} at micro-batch 0 would"
-            " silently overwrite its partitions. Run a full"
-            " bm25_index_compact first (folds every committed"
-            " batch to id 0 and releases ownership)."
+            f" silently overwrite its partitions. Run a full {remedy}"
+            " first (folds every committed batch to id 0 and releases"
+            " ownership)."
         )
     # belt-and-braces for pre-marker indexes: stream ids beyond
-    # BASE+0 with a batch-0 delivery can only be a fresh checkpoint
-    seen = _read_stats(spark, path).agg(
-        F.max(BATCH_COL).alias("m")
-    ).first()["m"]
+    # BASE+0 with an UNOWNED batch-0 delivery can only be a fresh
+    # checkpoint over a prior stream's partitions
+    if seen_max is None:
+        def seen_max():
+            row = _read_stats(spark, path).agg(
+                F.max(BATCH_COL).alias("m")
+            ).first()
+            return row["m"]
+    seen = seen_max()
     if seen is not None and int(seen) > STREAM_BATCH_BASE:
         raise RuntimeError(
             "fresh streaming checkpoint over an index that already"
             " holds stream batches (max _batch_id ="
             f" {int(seen)}): restarting ids at 0 would silently"
-            " overwrite them. Run bm25_index_compact on the index"
+            f" overwrite them. Run {remedy} on the index"
             " first (folds every committed batch to id 0), then"
             " attach the new checkpoint."
         )
     _fs_write_text(spark, marker, checkpoint)
+
+
+def _gc_tick(spark, path: str, grace_seconds: float, gc_fn=None) -> None:
+    """Optional per-micro-batch GC: reclaim superseded version trees as
+    soon as their read grace expires instead of waiting for the NEXT
+    fold (a serve-mostly stream may never fold again, and
+    ``_gc_versions`` otherwise only runs at a compaction's start).
+    Cheap when there is nothing versioned: one directory listing
+    short-circuits; the actual reclaim runs under the writer lease."""
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _list_manifest_versions,
+        bm25_index_gc,
+    )
+
+    versions = _list_manifest_versions(spark, path)
+    if not versions:
+        return  # never folded: nothing superseded to reclaim
+    (gc_fn or bm25_index_gc)(spark, path, grace_seconds=grace_seconds)
 
 
 def maintain_index_stream(
@@ -103,6 +143,7 @@ def maintain_index_stream(
     tokenizer=None,
     compact_every: int | None = None,
     hot_df_cap: int | None = None,
+    gc_grace_seconds: float | None = None,
 ) -> None:
     """Drive a ``(doc_id, text, ...)`` document stream into a persisted
     BM25 index until exhausted (availableNow trigger).  The index must
@@ -127,6 +168,8 @@ def maintain_index_stream(
         spark = batch_df.sparkSession
         if batch_id == 0:
             _claim_stream_ownership(spark, path, checkpoint)
+        if gc_grace_seconds is not None:
+            _gc_tick(spark, path, gc_grace_seconds)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             bm25_index_compact(
                 spark,
@@ -159,6 +202,7 @@ def maintain_index_cdc_stream(
     compact_every: int | None = None,
     compact_tombstones: int | None = None,
     hot_df_cap: int | None = None,
+    gc_grace_seconds: float | None = None,
     op_col: str = "op",
     delete_op: str = "delete",
 ) -> None:
@@ -191,10 +235,20 @@ def maintain_index_cdc_stream(
     ``cdc_apply``), else by a deterministic lexicographic max over
     ``(op, text)`` so redelivery reproduces the same choice.
 
+    Driver overhead per micro-batch is ONE control job beyond the legs:
+    the per-leg emptiness probes and the pending-tombstone gauge ride a
+    single unioned aggregate over the checkpointed change set (pinned by
+    ``test_cdc_control_overhead_is_one_job``) — on a high-frequency
+    stream the scheduling floor of extra driver-blocking jobs would
+    otherwise dominate micro-batch latency.
+
     Index hygiene runs from inside the loop, both triggers composable:
     ``compact_every=N`` folds every N micro-batches (file-count bound),
-    and ``compact_tombstones=T`` folds whenever the pending tombstone
-    count crosses T — a delete-heavy stream piles tombstones while the
+    ``compact_tombstones=T`` folds whenever the pending tombstone
+    count crosses T, and ``gc_grace_seconds=G`` adds a per-micro-batch
+    GC tick that reclaims superseded version trees once their read
+    grace expires (a serve-heavy stream may never fold again, which is
+    otherwise the only reclaim point) — a delete-heavy stream piles tombstones while the
     batch count stays low, and the read-side anti-join stops being free
     once ``deleted/`` outgrows broadcast size.  Both exclude the
     in-flight legs' batch ids; compaction withholds excluded batches'
@@ -210,26 +264,10 @@ def maintain_index_cdc_stream(
         spark = batch_df.sparkSession
         if batch_id == 0:
             _claim_stream_ownership(spark, path, checkpoint)
+        if gc_grace_seconds is not None:
+            _gc_tick(spark, path, gc_grace_seconds)
         del_id = STREAM_BATCH_BASE + 2 * batch_id
         ups_id = STREAM_BATCH_BASE + 2 * batch_id + 1
-        due = bool(
-            compact_every and batch_id > 0 and batch_id % compact_every == 0
-        )
-        if not due and compact_tombstones:
-            pending = _read_deleted(spark, path)
-            due = (
-                pending is not None
-                and pending.count() >= int(compact_tombstones)
-            )
-        if due:
-            bm25_index_compact(
-                spark,
-                path,
-                exclude_batch_ids=(del_id, ups_id),
-                hot_df_cap=hot_df_cap,
-            )
-        if batch_df.isEmpty():
-            return
         # one op per doc per micro-batch: latest-by-seq wins when the
         # stream carries event ids, else a deterministic lexicographic
         # max (redelivery must reproduce the same choice)
@@ -239,8 +277,8 @@ def maintain_index_cdc_stream(
             else F.struct(F.col(op_col), F.col("text"))
         )
         # pinned once (disk-backed): the deduped change set feeds both
-        # legs plus their emptiness probes — without the checkpoint the
-        # groupBy re-runs up to four times per micro-batch
+        # legs plus the control aggregate — without the checkpoint the
+        # groupBy re-runs up to three times per micro-batch
         latest = (
             batch_df.groupBy("doc_id")
             .agg(
@@ -251,15 +289,53 @@ def maintain_index_cdc_stream(
             .select("doc_id", F.col("ch.op").alias("op"), "ch.text")
             .localCheckpoint(eager=True)
         )
-        deletes = latest.where(F.col("op") == delete_op).select("doc_id")
-        upserts = latest.where(F.col("op") != delete_op).select(
-            "doc_id", "text"
+        due = bool(
+            compact_every and batch_id > 0 and batch_id % compact_every == 0
         )
-        if not deletes.isEmpty():
-            bm25_index_delete(spark, path, deletes, batch_id=del_id)
-        if not upserts.isEmpty():
+        # ONE driver-blocking control job per micro-batch: both legs'
+        # emptiness probes AND (when armed and not already due) the
+        # pending-tombstone gauge ride a single unioned collect — the
+        # r8 loop paid up to 3 extra jobs of scheduling floor here
+        ctrl = (
+            latest.groupBy((F.col("op") == delete_op).alias("d"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.when(F.col("d"), F.lit("deletes"))
+                .otherwise(F.lit("upserts"))
+                .alias("k"),
+                "n",
+            )
+        )
+        if compact_tombstones and not due:
+            pending = _read_deleted(spark, path)
+            if pending is not None:
+                ctrl = ctrl.unionByName(
+                    pending.agg(F.count("*").alias("n")).select(
+                        F.lit("_pending").alias("k"), "n"
+                    )
+                )
+        counts = {r["k"]: int(r["n"]) for r in ctrl.collect()}
+        if compact_tombstones and not due:
+            due = counts.get("_pending", 0) >= int(compact_tombstones)
+        if due:
+            bm25_index_compact(
+                spark,
+                path,
+                exclude_batch_ids=(del_id, ups_id),
+                hot_df_cap=hot_df_cap,
+            )
+        if counts.get("deletes", 0) > 0:
+            bm25_index_delete(
+                spark,
+                path,
+                latest.where(F.col("op") == delete_op).select("doc_id"),
+                batch_id=del_id,
+            )
+        if counts.get("upserts", 0) > 0:
             bm25_index_upsert(
-                upserts,
+                latest.where(F.col("op") != delete_op).select(
+                    "doc_id", "text"
+                ),
                 path,
                 tokenizer=tok,
                 batch_id=ups_id,
@@ -281,6 +357,8 @@ def maintain_ivf_cdc_stream(
     checkpoint: str,
     compact_every: int | None = None,
     compact_tombstones: int | None = None,
+    gc_grace_seconds: float | None = None,
+    retrain_staleness: float | None = None,
     op_col: str = "op",
     delete_op: str = "delete",
 ) -> None:
@@ -293,7 +371,19 @@ def maintain_ivf_cdc_stream(
     either the batch-count or the pending-tombstone trigger (both
     excluding the in-flight legs).  The production shape of continuous
     re-embedding: a model-refresh pipeline emits upserts, a
-    right-to-be-forgotten feed emits deletes, one loop applies both."""
+    right-to-be-forgotten feed emits deletes, one loop applies both.
+
+    ``retrain_staleness=S`` arms the DRIFT playbook: IVF assigns
+    churned vectors to FROZEN centroids, so recall decays as the
+    post-train fraction grows (measured in ``scripts/ann_recall.py``).
+    When the visible staleness gauge (riding the same single control
+    job) crosses S, the loop runs :func:`~flink_bm25_spark.operators.
+    similarity.ivf_retrain` BEFORE applying the micro-batch's legs —
+    the legs then assign against the FRESH codebook — and re-claims
+    stream ownership (retrain's in-place rebuild releases it).  Safe
+    under redelivery: a leg redelivered across a retrain converges
+    (its upsert tombstones hide the folded copy and rewrite the same
+    embeddings; its deletes re-hide already-absent ids)."""
     from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
         _ivf_batch_ids,
         _ivf_read_deleted,
@@ -305,42 +395,19 @@ def maintain_ivf_cdc_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            marker = os.path.join(path, STREAM_OWNER_FILE)
-            owner = _fs_read_text(spark, marker)
-            if owner is not None and owner != checkpoint:
-                raise RuntimeError(
-                    f"IVF index is owned by streaming checkpoint"
-                    f" {owner!r}; attaching {checkpoint!r} at micro-batch"
-                    " 0 would silently overwrite its partitions. Run a"
-                    " full ivf_compact first."
-                )
-            seen = _ivf_batch_ids(spark, path)
-            if seen and max(seen) > STREAM_BATCH_BASE:
-                raise RuntimeError(
-                    "fresh streaming checkpoint over an IVF index that"
-                    " already holds stream batches: run ivf_compact"
-                    " first, then attach the new checkpoint."
-                )
-            _fs_write_text(spark, marker, checkpoint)
-        del_id = STREAM_BATCH_BASE + 2 * batch_id
-        ups_id = STREAM_BATCH_BASE + 2 * batch_id + 1
-        due = bool(
-            compact_every and batch_id > 0 and batch_id % compact_every == 0
-        )
-        if not due and compact_tombstones:
-            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
-                _Layout,
+            _claim_stream_ownership(
+                spark, path, checkpoint,
+                seen_max=lambda: max(_ivf_batch_ids(spark, path), default=None),
+                remedy="ivf_compact",
+            )
+        if gc_grace_seconds is not None:
+            from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+                ivf_gc,
             )
 
-            pending = _ivf_read_deleted(spark, _Layout(spark, path).root)
-            due = (
-                pending is not None
-                and pending.count() >= int(compact_tombstones)
-            )
-        if due:
-            ivf_compact(spark, path, exclude_batch_ids=(del_id, ups_id))
-        if batch_df.isEmpty():
-            return
+            _gc_tick(spark, path, gc_grace_seconds, gc_fn=ivf_gc)
+        del_id = STREAM_BATCH_BASE + 2 * batch_id
+        ups_id = STREAM_BATCH_BASE + 2 * batch_id + 1
         order = (
             F.col("seq")
             if "seq" in batch_df.columns
@@ -357,14 +424,96 @@ def maintain_ivf_cdc_stream(
             .select("vec_id", F.col("ch.op").alias("op"), "ch.embedding")
             .localCheckpoint(eager=True)
         )
-        deletes = latest.where(F.col("op") == delete_op).select("vec_id")
-        upserts = latest.where(F.col("op") != delete_op).select(
-            "vec_id", "embedding"
+        due = bool(
+            compact_every and batch_id > 0 and batch_id % compact_every == 0
         )
-        if not deletes.isEmpty():
-            ivf_delete(spark, path, deletes, batch_id=del_id)
-        if not upserts.isEmpty():
-            ivf_upsert(spark, path, upserts, batch_id=ups_id)
+        # same single-control-job discipline as the BM25 CDC loop
+        ctrl = (
+            latest.groupBy((F.col("op") == delete_op).alias("d"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.when(F.col("d"), F.lit("deletes"))
+                .otherwise(F.lit("upserts"))
+                .alias("k"),
+                "n",
+            )
+        )
+        if compact_tombstones and not due:
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                _Layout,
+            )
+
+            pending = _ivf_read_deleted(spark, _Layout(spark, path).root)
+            if pending is not None:
+                ctrl = ctrl.unionByName(
+                    pending.agg(F.count("*").alias("n")).select(
+                        F.lit("_pending").alias("k"), "n"
+                    )
+                )
+        if retrain_staleness is not None:
+            from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+                ivf_stats,
+            )
+
+            gauge = (
+                ivf_stats(spark, path)
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit("_n_vec").alias("k"),
+                                F.col("n_vectors").alias("n"),
+                            ),
+                            F.struct(
+                                F.lit("_n_stale").alias("k"),
+                                F.col("n_stale").alias("n"),
+                            ),
+                        )
+                    ).alias("r")
+                )
+                .select("r.k", "r.n")
+            )
+            ctrl = ctrl.unionByName(gauge)
+        counts = {r["k"]: int(r["n"]) for r in ctrl.collect()}
+        if (
+            retrain_staleness is not None
+            and counts.get("_n_vec", 0) > 0
+            and counts.get("_n_stale", 0) / counts["_n_vec"]
+            >= float(retrain_staleness)
+        ):
+            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+                _fs_write_text,
+            )
+            from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+                ivf_retrain,
+            )
+
+            ivf_retrain(spark, path)
+            # the in-place rebuild released stream ownership — re-claim
+            _fs_write_text(
+                spark, os.path.join(path, STREAM_OWNER_FILE), checkpoint
+            )
+            due = False  # freshly rebuilt: a fold would be a no-op pass
+        if compact_tombstones and not due:
+            due = counts.get("_pending", 0) >= int(compact_tombstones)
+        if due:
+            ivf_compact(spark, path, exclude_batch_ids=(del_id, ups_id))
+        if counts.get("deletes", 0) > 0:
+            ivf_delete(
+                spark,
+                path,
+                latest.where(F.col("op") == delete_op).select("vec_id"),
+                batch_id=del_id,
+            )
+        if counts.get("upserts", 0) > 0:
+            ivf_upsert(
+                spark,
+                path,
+                latest.where(F.col("op") != delete_op).select(
+                    "vec_id", "embedding"
+                ),
+                batch_id=ups_id,
+            )
 
     q = (
         stream.writeStream.foreachBatch(_apply)
@@ -380,6 +529,7 @@ def maintain_ivf_stream(
     path: str,
     checkpoint: str,
     compact_every: int | None = None,
+    gc_grace_seconds: float | None = None,
 ) -> None:
     """Drive a ``(vec_id, embedding)`` stream into a persisted IVF index
     (availableNow trigger) — the dense-retrieval twin of
@@ -399,32 +549,17 @@ def maintain_ivf_stream(
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            import os as _os  # noqa: PLC0415
-
-            from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
-                STREAM_OWNER_FILE,
-                _fs_read_text,
-                _fs_write_text,
+            _claim_stream_ownership(
+                spark, path, checkpoint,
+                seen_max=lambda: max(_ivf_batch_ids(spark, path), default=None),
+                remedy="ivf_compact",
+            )
+        if gc_grace_seconds is not None:
+            from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+                ivf_gc,
             )
 
-            marker = _os.path.join(path, STREAM_OWNER_FILE)
-            owner = _fs_read_text(spark, marker)
-            if owner is not None and owner != checkpoint:
-                raise RuntimeError(
-                    f"IVF index is owned by streaming checkpoint"
-                    f" {owner!r}; attaching {checkpoint!r} at micro-batch"
-                    " 0 would silently overwrite its partitions. Run a"
-                    " full ivf_compact first."
-                )
-            seen = _ivf_batch_ids(spark, path)
-            if seen and max(seen) > STREAM_BATCH_BASE:
-                raise RuntimeError(
-                    "fresh streaming checkpoint over an IVF index that"
-                    f" already holds stream batches (max _batch_id ="
-                    f" {max(seen)}): run ivf_compact first, then attach"
-                    " the new checkpoint."
-                )
-            _fs_write_text(spark, marker, checkpoint)
+            _gc_tick(spark, path, gc_grace_seconds, gc_fn=ivf_gc)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             ivf_compact(
                 spark, path,

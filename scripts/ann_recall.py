@@ -138,6 +138,63 @@ def main() -> None:
         f"(archive 250->500, 8 cells, nprobe4): incremental {r_inc:.2f} "
         f"vs fresh rebuild {r_fresh:.2f} (drift {r_fresh - r_inc:+.2f})"
     )
+
+    # UPSERT-churn A/B (r9): the model-refresh scenario — re-embedding
+    # replaces vectors in place, the coarse quantizer stays FROZEN, and
+    # recall decays as ivf_stats().staleness grows; ivf_retrain resets
+    # both.  "New model" = reversed dimensions (same norms, different
+    # geometry — a worst-ish-case codebook mismatch).
+    from pyspark.sql import functions as F
+
+    from flink_bm25_spark.operators.similarity import (
+        ivf_retrain,
+        ivf_stats,
+        ivf_upsert,
+    )
+
+    churn_path = os.path.join(tmp, "churn")
+    mc, ac = ivf_build(emb, n_cells=16)
+    ivf_save(mc, ac, churn_path)
+    churned = emb.select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    ).localCheckpoint(eager=True)
+    qs = churned.where("vec_id % 97 = 0").collect()
+
+    def churn_recall(current) -> float:
+        hits = tot = 0
+        for r in qs:
+            qv = [float(x) for x in r["embedding"]]
+            want = {x["vec_id"] for x in cosine_topk(current, qv, k=10).collect()}
+            got = {
+                x["vec_id"]
+                for x in ivf_topk_from_disk(
+                    spark, churn_path, qv, k=10, nprobe=4
+                ).collect()
+            }
+            hits += len(got & want)
+            tot += 10
+        return hits / tot
+
+    for frac in (0.5, 1.0):
+        ivf_upsert(
+            spark, churn_path,
+            churned.where(f"vec_id < {int(n * frac)}"),
+        )
+        mixed = churned.where(f"vec_id < {int(n * frac)}").unionByName(
+            emb.where(f"vec_id >= {int(n * frac)}").select("vec_id", "embedding")
+        )
+        stale = ivf_stats(spark, churn_path).first()["staleness"]
+        print(
+            f"ivf_upsert churn {int(frac*100)}% (frozen centroids, 16c,"
+            f" nprobe4): staleness {stale:.2f},"
+            f" recall@10 {churn_recall(mixed):.2f}"
+        )
+    ivf_retrain(spark, churn_path)
+    stale = ivf_stats(spark, churn_path).first()["staleness"]
+    print(
+        f"ivf_retrain after 100% churn: staleness {stale:.2f},"
+        f" recall@10 {churn_recall(churned):.2f}"
+    )
     spark.stop()
 
 

@@ -147,3 +147,20 @@ def test_cli_index_cdc(tmp_path):
     # draining again on the same checkpoint is a no-op
     r3 = run("cdc", "--input", changes, "--checkpoint", ckpt)
     assert run("search", "--query", "spark stream join", "-k", "5").stdout == r2.stdout
+
+    # seq is OPTIONAL: an input WITHOUT the column must still apply its
+    # events (the r8 advice bug: a hardcoded 'seq long' schema read
+    # all-null seq and silently dropped every event while reporting
+    # success) — delete the current top doc and verify it is gone
+    top2 = lines[0].split("\t")[1]
+    changes2 = str(tmp_path / "changes_noseq")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch2 (op VARCHAR, doc_id BIGINT, text VARCHAR)")
+    con.execute(f"INSERT INTO ch2 VALUES ('delete', {top2}, NULL)")
+    os.makedirs(changes2, exist_ok=True)
+    con.execute(f"COPY ch2 TO '{changes2}/b0.parquet' (FORMAT PARQUET)")
+    con.close()
+    run("compact")  # full fold releases the first stream's ownership
+    run("cdc", "--input", changes2, "--checkpoint", str(tmp_path / "ckpt2"))
+    r4 = run("search", "--query", "spark stream join", "-k", "5")
+    assert all(ln.split("\t")[1] != top2 for ln in r4.stdout.strip().splitlines())
