@@ -110,6 +110,49 @@ def main(argv: list[str] | None = None) -> int:
                      help="read-grace seconds before superseded version"
                      " trees are reclaimed (gc)")
 
+    ivf = sub.add_parser(
+        "ivf",
+        help="persisted IVF (dense ANN) index: the operational CRUD loop"
+        " (create/add/upsert/delete/search/compact/gc/stats/retrain/cdc)",
+    )
+    ivf.add_argument(
+        "action",
+        choices=(
+            "create", "add", "upsert", "delete", "search", "compact",
+            "gc", "stats", "retrain", "cdc",
+        ),
+    )
+    ivf.add_argument("--path", required=True, help="index root directory")
+    ivf.add_argument("--input", default=None,
+                     help="parquet dir of (vec_id, embedding) — or a dir"
+                     " holding embeddings.parquet (create/add/upsert), or"
+                     " a parquet dir of (op, vec_id, embedding[, seq])"
+                     " changes (cdc)")
+    ivf.add_argument("--vec-ids", default=None,
+                     help="comma-separated ids (delete)")
+    ivf.add_argument("--query-vec", default=None,
+                     help="comma-separated floats (search)")
+    ivf.add_argument("--query-vec-id", type=int, default=None,
+                     help="take the query vector from --input by id (search)")
+    ivf.add_argument("-k", type=int, default=10)
+    ivf.add_argument("--nprobe", type=int, default=4)
+    ivf.add_argument("--n-cells", type=int, default=None,
+                     help="coarse-quantizer cells (create defaults to 16;"
+                     " retrain keeps the current count unless overridden)")
+    ivf.add_argument("--seed", type=int, default=42)
+    ivf.add_argument("--checkpoint", default=None,
+                     help="streaming checkpoint dir (cdc)")
+    ivf.add_argument("--compact-every", type=int, default=None,
+                     help="fold every N micro-batches (cdc)")
+    ivf.add_argument("--compact-tombstones", type=int, default=None,
+                     help="fold when pending tombstones cross this (cdc)")
+    ivf.add_argument("--retrain-staleness", type=float, default=None,
+                     help="retrain the quantizer when the post-train"
+                     " fraction crosses this (cdc)")
+    ivf.add_argument("--grace", type=float, default=300.0,
+                     help="read-grace seconds before superseded version"
+                     " trees are reclaimed (gc)")
+
     exp = sub.add_parser(
         "explain",
         help="print the physical plan of a gate query (plan-first debugging)",
@@ -309,6 +352,112 @@ def main(argv: list[str] | None = None) -> int:
                         f"{r['n_postings']}\t{r['n_terms']}\t"
                         f"{r['n_hot_terms']}\t{r['n_tombstoned']}"
                     )
+        elif args.cmd == "ivf":
+            import os  # noqa: PLC0415
+
+            from flink_bm25_spark.operators import similarity  # noqa: PLC0415
+
+            def load_vectors(path):
+                src_p = os.path.join(path, "embeddings.parquet")
+                if not os.path.exists(src_p):
+                    src_p = path
+                return spark.read.parquet(src_p).select("vec_id", "embedding")
+
+            if args.action in ("create", "add", "upsert", "cdc") and not args.input:
+                print("--input is required for create/add/upsert/cdc",
+                      file=sys.stderr)
+                return 2
+            if args.action == "create":
+                model, assigned = similarity.ivf_build(
+                    load_vectors(args.input), n_cells=args.n_cells or 16,
+                    seed=args.seed,
+                )
+                similarity.ivf_save(model, assigned, args.path)
+                print(f"ivf index -> {args.path}", file=sys.stderr)
+            elif args.action == "add":
+                similarity.ivf_add(spark, args.path, load_vectors(args.input))
+                print(f"batch added -> {args.path}", file=sys.stderr)
+            elif args.action == "upsert":
+                similarity.ivf_upsert(
+                    spark, args.path, load_vectors(args.input)
+                )
+                print(f"batch upserted -> {args.path}", file=sys.stderr)
+            elif args.action == "delete":
+                if not args.vec_ids:
+                    print("--vec-ids is required for delete", file=sys.stderr)
+                    return 2
+                ids = [int(x) for x in args.vec_ids.split(",") if x.strip()]
+                similarity.ivf_delete(spark, args.path, ids)
+                print(f"tombstoned {len(ids)} ids", file=sys.stderr)
+            elif args.action == "search":
+                if args.query_vec:
+                    qvec = [float(x) for x in args.query_vec.split(",")]
+                elif args.query_vec_id is not None and args.input:
+                    from pyspark.sql import functions as F  # noqa: PLC0415
+
+                    row = (
+                        load_vectors(args.input)
+                        .where(F.col("vec_id") == args.query_vec_id)
+                        .first()
+                    )
+                    if row is None:
+                        print("query vec_id not found in --input",
+                              file=sys.stderr)
+                        return 3
+                    qvec = [float(x) for x in row["embedding"]]
+                else:
+                    print("--query-vec or (--query-vec-id + --input) is"
+                          " required for search", file=sys.stderr)
+                    return 2
+                out = similarity.ivf_topk_from_disk(
+                    spark, args.path, qvec, k=args.k, nprobe=args.nprobe
+                )
+                for i, r in enumerate(out.collect(), start=1):
+                    print(f"{i}	{r['vec_id']}	{r['cos']}")
+            elif args.action == "compact":
+                similarity.ivf_compact(spark, args.path)
+                print("compacted", file=sys.stderr)
+            elif args.action == "gc":
+                similarity.ivf_gc(spark, args.path, grace_seconds=args.grace)
+                print("gc done", file=sys.stderr)
+            elif args.action == "stats":
+                r = similarity.ivf_stats(spark, args.path).first()
+                print(
+                    f"{r['n_cells']}	{r['n_vectors']}	{r['n_stale']}	"
+                    f"{r['staleness']:.4f}	{r['n_tombstoned']}"
+                )
+            elif args.action == "retrain":
+                similarity.ivf_retrain(spark, args.path, n_cells=args.n_cells,
+                                       seed=args.seed)
+                print("retrained", file=sys.stderr)
+            elif args.action == "cdc":
+                if not args.checkpoint:
+                    print("--checkpoint is required for cdc", file=sys.stderr)
+                    return 2
+                from flink_bm25_spark.streaming.index_maintenance import (  # noqa: PLC0415
+                    maintain_ivf_cdc_stream,
+                )
+
+                present = {
+                    f.name for f in spark.read.parquet(args.input).schema
+                }
+                schema = "op string, vec_id long, embedding array<float>"
+                if "seq" in present:
+                    schema += ", seq long"
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(args.input)
+                )
+                maintain_ivf_cdc_stream(
+                    stream,
+                    args.path,
+                    args.checkpoint,
+                    compact_every=args.compact_every,
+                    compact_tombstones=args.compact_tombstones,
+                    retrain_staleness=args.retrain_staleness,
+                )
+                print("cdc stream drained", file=sys.stderr)
         elif args.cmd == "explain":
             import importlib.util  # noqa: PLC0415
             import os  # noqa: PLC0415

@@ -332,12 +332,28 @@ def _writer_lock(
                 break
         else:
             try:
-                age_s = (time.time() * 1000 - _fs_mtime_ms(spark, lock)) / 1e3
+                m1 = _fs_mtime_ms(spark, lock)
+                age_s = (time.time() * 1000 - m1) / 1e3
                 if age_s >= float(ttl_s):
-                    _fs_delete(spark, lock)  # abandoned lease: break it
+                    # Abandoned lease: break it by ATOMIC RENAME (one
+                    # breaker wins; the loser's rename raises and it
+                    # re-loops) — a plain delete lets two breakers
+                    # interleave delete/create/delete and BOTH hold.
+                    # The mtime re-check just before the rename ties the
+                    # break to the file observed stale: a fresh lock
+                    # that replaced it since the first stat has a new
+                    # mtime and is never broken.  The residual
+                    # microsecond stat-to-rename window is why the
+                    # holder ALSO read-back-verifies after create and
+                    # the TTL sits far above any op's wall time.
+                    if _fs_mtime_ms(spark, lock) != m1:
+                        continue  # replaced since the stat: not stale
+                    grave = f"{lock}.broken.{uuid.uuid4().hex[:8]}"
+                    _fs_rename(spark, lock, grave)
+                    _fs_delete(spark, grave)
                     continue
-            except Exception:  # noqa: BLE001 — released between list/stat
-                continue
+            except Exception:  # noqa: BLE001 — lost the break race or the
+                continue  # lock was released between list and stat: re-loop
         if time.monotonic() >= deadline:
             raise TimeoutError(
                 f"could not acquire the writer lease {lock!r} within"

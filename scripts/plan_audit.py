@@ -74,6 +74,10 @@ AUDITED = [
         "centroid literals map-side; cell filter = partition pruning shape",
     ),
     (
+        "q_ivf_stats_churn",
+        "drift gauge: ONE aggregate over the visible cells (tombstone fold joined in-plan); no collect of vector data",
+    ),
+    (
         "q_late_interaction",
         "QxD query literals, no join/fanout; MaxSim = one groupBy",
     ),

@@ -164,3 +164,58 @@ def test_cli_index_cdc(tmp_path):
     run("cdc", "--input", changes2, "--checkpoint", str(tmp_path / "ckpt2"))
     r4 = run("search", "--query", "spark stream join", "-k", "5")
     assert all(ln.split("\t")[1] != top2 for ln in r4.stdout.strip().splitlines())
+
+
+def test_cli_ivf_crud(tmp_path):
+    """The dense tier's operational loop end-to-end through the CLI —
+    create/stats/upsert/search/retrain/delete/compact/gc (r9)."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    idx = str(tmp_path / "ivf")
+
+    def run(*args, ok=True):
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_bm25_spark", "ivf", *args,
+             "--path", idx],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+        if ok:
+            assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    run("create", "--input", SF_DIR, "--n-cells", "4")
+    s0 = run("stats").stdout.strip().split("\t")
+    assert int(s0[1]) > 0 and s0[2] == "0" and s0[3] == "0.0000"
+
+    # churn a slice via upsert from a derived parquet dir
+    import duckdb
+
+    churn = str(tmp_path / "churn")
+    os.makedirs(churn)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c AS SELECT vec_id,"
+        " list_transform(embedding, x -> -x) AS embedding"
+        f" FROM '{SF_DIR}/embeddings.parquet' WHERE vec_id < 20"
+    )
+    con.execute(f"COPY c TO '{churn}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    run("upsert", "--input", churn)
+    s1 = run("stats").stdout.strip().split("\t")
+    assert int(s1[2]) == 20 and float(s1[3]) > 0
+
+    r = run("search", "--query-vec-id", "0", "--input", churn, "--nprobe", "4")
+    rows = [ln.split("\t") for ln in r.stdout.strip().splitlines()]
+    assert rows and rows[0][1] == "0"  # the churned vector finds itself
+
+    run("retrain")
+    s2 = run("stats").stdout.strip().split("\t")
+    assert s2[2] == "0" and s2[3] == "0.0000"
+
+    run("delete", "--vec-ids", "0,1,2")
+    r2 = run("search", "--query-vec-id", "0", "--input", churn, "--nprobe", "4")
+    assert all(ln.split("\t")[1] not in ("0", "1", "2")
+               for ln in r2.stdout.strip().splitlines())
+    run("compact")
+    run("gc", "--grace", "0")
+    s3 = run("stats").stdout.strip().split("\t")
+    assert int(s3[1]) == int(s0[1]) - 3 and s3[4] == "0"
