@@ -77,13 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     idx = sub.add_parser(
         "index",
         help="persisted BM25 serving index: the operational CRUD loop"
-        " (create/add/delete/search/mlt/get/compact/gc/stats/cdc)",
+        " (create/add/delete/search/mlt/get/compact/gc/stats/cdc) plus"
+        " snapshots (snapshot/versions/pin/unpin; --version reads)",
     )
     idx.add_argument(
         "action",
         choices=(
             "create", "add", "upsert", "delete", "search", "mlt", "get",
             "compact", "gc", "stats", "cdc",
+            "snapshot", "versions", "pin", "unpin",
         ),
     )
     idx.add_argument("--path", required=True, help="index root directory")
@@ -109,17 +111,23 @@ def main(argv: list[str] | None = None) -> int:
     idx.add_argument("--grace", type=float, default=300.0,
                      help="read-grace seconds before superseded version"
                      " trees are reclaimed (gc)")
+    idx.add_argument("--version", type=int, default=None,
+                     help="read from this pinned snapshot version"
+                     " (search/mlt/get/stats), or the version to"
+                     " pin/unpin")
 
     ivf = sub.add_parser(
         "ivf",
         help="persisted IVF (dense ANN) index: the operational CRUD loop"
-        " (create/add/upsert/delete/search/compact/gc/stats/retrain/cdc)",
+        " (create/add/upsert/delete/search/compact/gc/stats/retrain/cdc)"
+        " plus snapshots (snapshot/versions/pin/unpin; --version reads)",
     )
     ivf.add_argument(
         "action",
         choices=(
             "create", "add", "upsert", "delete", "search", "compact",
             "gc", "stats", "retrain", "cdc",
+            "snapshot", "versions", "pin", "unpin",
         ),
     )
     ivf.add_argument("--path", required=True, help="index root directory")
@@ -152,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     ivf.add_argument("--grace", type=float, default=300.0,
                      help="read-grace seconds before superseded version"
                      " trees are reclaimed (gc)")
+    ivf.add_argument("--version", type=int, default=None,
+                     help="read from this pinned snapshot version"
+                     " (search/stats), or the version to pin/unpin")
 
     exp = sub.add_parser(
         "explain",
@@ -277,18 +288,22 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.query:
                     print("--query is required for search", file=sys.stderr)
                     return 2
-                out = Bm25Index(spark, args.path).search(args.query, k=args.k)
+                out = Bm25Index(spark, args.path).search(
+                    args.query, k=args.k, version=args.version
+                )
                 for r in out.collect():
                     print(f"{r['rk']}\t{r['doc_id']}\t{r['score']}")
             elif args.action == "mlt":
                 out = serving.more_like_this_from_index(
-                    spark, args.path, int(args.doc_id), k=args.k
+                    spark, args.path, int(args.doc_id), k=args.k,
+                    version=args.version,
                 )
                 for r in out.collect():
                     print(f"{r['rk']}\t{r['doc_id']}\t{r['sim']}")
             elif args.action == "get":
                 rows = serving.doc_vector_from_index(
-                    spark, args.path, int(args.doc_id)
+                    spark, args.path, int(args.doc_id),
+                    version=args.version,
                 ).collect()
                 for r in rows:
                     terms = ",".join(f"{t['word']}:{t['tf']}" for t in r["terms"])
@@ -346,12 +361,36 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print("cdc stream drained", file=sys.stderr)
             elif args.action == "stats":
-                for r in serving.bm25_index_stats(spark, args.path).collect():
+                rows = serving.bm25_index_stats(
+                    spark, args.path, version=args.version
+                ).collect()
+                for r in rows:
                     print(
                         f"{r['bucket']}\t{r['n_batches']}\t{r['n_files']}\t"
                         f"{r['n_postings']}\t{r['n_terms']}\t"
                         f"{r['n_hot_terms']}\t{r['n_tombstoned']}"
                     )
+            elif args.action == "snapshot":
+                v = serving.bm25_index_snapshot(
+                    spark, args.path, hot_df_cap=args.hot_df_cap
+                )
+                print(v)
+            elif args.action == "versions":
+                for r in serving.bm25_index_versions(spark, args.path).collect():
+                    print(
+                        f"{r['version']}\t{int(r['current'])}\t"
+                        f"{int(r['pinned'])}\t{int(r['readable'])}"
+                    )
+            elif args.action == "pin":
+                print(serving.bm25_index_pin(
+                    spark, args.path, version=args.version
+                ))
+            elif args.action == "unpin":
+                if args.version is None:
+                    print("--version is required for unpin", file=sys.stderr)
+                    return 2
+                serving.bm25_index_unpin(spark, args.path, args.version)
+                print("unpinned", file=sys.stderr)
         elif args.cmd == "ivf":
             import os  # noqa: PLC0415
 
@@ -410,7 +449,8 @@ def main(argv: list[str] | None = None) -> int:
                           " required for search", file=sys.stderr)
                     return 2
                 out = similarity.ivf_topk_from_disk(
-                    spark, args.path, qvec, k=args.k, nprobe=args.nprobe
+                    spark, args.path, qvec, k=args.k, nprobe=args.nprobe,
+                    version=args.version,
                 )
                 for i, r in enumerate(out.collect(), start=1):
                     print(f"{i}	{r['vec_id']}	{r['cos']}")
@@ -421,11 +461,30 @@ def main(argv: list[str] | None = None) -> int:
                 similarity.ivf_gc(spark, args.path, grace_seconds=args.grace)
                 print("gc done", file=sys.stderr)
             elif args.action == "stats":
-                r = similarity.ivf_stats(spark, args.path).first()
+                r = similarity.ivf_stats(
+                    spark, args.path, version=args.version
+                ).first()
                 print(
                     f"{r['n_cells']}	{r['n_vectors']}	{r['n_stale']}	"
                     f"{r['staleness']:.4f}	{r['n_tombstoned']}"
                 )
+            elif args.action == "snapshot":
+                print(similarity.ivf_snapshot(spark, args.path))
+            elif args.action == "versions":
+                for r in similarity.ivf_versions(spark, args.path).collect():
+                    print(
+                        f"{r['version']}\t{int(r['current'])}\t"
+                        f"{int(r['pinned'])}\t{int(r['readable'])}"
+                    )
+            elif args.action == "pin":
+                print(similarity.ivf_pin(spark, args.path,
+                                         version=args.version))
+            elif args.action == "unpin":
+                if args.version is None:
+                    print("--version is required for unpin", file=sys.stderr)
+                    return 2
+                similarity.ivf_unpin(spark, args.path, args.version)
+                print("unpinned", file=sys.stderr)
             elif args.action == "retrain":
                 similarity.ivf_retrain(spark, args.path, n_cells=args.n_cells,
                                        seed=args.seed)

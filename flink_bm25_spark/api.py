@@ -1206,14 +1206,42 @@ class Bm25Index:
                 self._warm["deleted"].unpersist()
             self._warm = None
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """``(doc_id, score, rk)`` — served BM25 top-k for free text."""
+    def search(
+        self, query: str, k: int = 10, version: int | None = None
+    ) -> DataFrame:
+        """``(doc_id, score, rk)`` — served BM25 top-k for free text.
+        ``version=`` serves from a pinned snapshot tree instead of the
+        current one (:meth:`snapshot` / `bm25_index_pin`); snapshot
+        reads bypass the warm cache (which pins CURRENT-tree state)."""
         from flink_bm25_spark.operators.serving import bm25_topk_from_index
 
         terms = _tokenize_query(query)
+        if version is not None:
+            return bm25_topk_from_index(
+                self.spark, self.path, terms, k=k, version=version
+            )
         if self._warm is not None:
             return self._search_warm(terms, k)
         return bm25_topk_from_index(self.spark, self.path, terms, k=k)
+
+    def snapshot(self, **compact_kwargs) -> int:
+        """Freeze the current state as a pinned immutable version and
+        return its number — query it with ``search(..., version=N)``;
+        release with :meth:`unpin`.  See `bm25_index_snapshot`."""
+        from flink_bm25_spark.operators.serving import bm25_index_snapshot
+
+        self.cool()  # the fold supersedes the tree the cache pinned
+        return bm25_index_snapshot(self.spark, self.path, **compact_kwargs)
+
+    def unpin(self, version: int) -> None:
+        from flink_bm25_spark.operators.serving import bm25_index_unpin
+
+        bm25_index_unpin(self.spark, self.path, version)
+
+    def versions(self) -> DataFrame:
+        from flink_bm25_spark.operators.serving import bm25_index_versions
+
+        return bm25_index_versions(self.spark, self.path)
 
     def _search_warm(self, terms: tuple[str, ...], k: int) -> DataFrame:
         from flink_bm25_spark.operators.serving import (  # noqa: PLC0415

@@ -135,6 +135,16 @@ WRITE_STAMP_FILE = "_last_write"
 # tree ``<path>/v<N>/``; see `_Layout` for the protocol.
 MANIFEST_PREFIX = "_manifest_v"
 
+# Snapshot pins — ``_pin_v<N>`` marks a version tree GC must NEVER
+# reclaim, making the manifest protocol's retained trees first-class
+# snapshots: pin a version, keep querying it (``version=`` on every
+# read entry point) while maintenance rolls the current tree forward —
+# reproducible evals against a frozen corpus state, blue/green index
+# rollout, post-incident forensics.  A pinned tree is immutable once
+# SUPERSEDED (mutations only ever write into the current tree);
+# `bm25_index_snapshot` = pin-then-fold produces exactly that.
+PIN_PREFIX = "_pin_v"
+
 # Writer lease — one atomically-created file serializes every MUTATING
 # op (add/delete/upsert/compact/gc, both tiers) across sessions; see
 # `_writer_lock`.  Readers never touch it (reader atomicity is the
@@ -199,6 +209,30 @@ def _list_manifest_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def _list_pins(spark: SparkSession, path: str) -> set[int]:
+    out = set()
+    for name in _fs_list_names(spark, path):
+        if name.startswith(PIN_PREFIX):
+            suffix = name[len(PIN_PREFIX):]
+            if suffix.isdigit():
+                out.add(int(suffix))
+    return out
+
+
+def _next_version(spark: SparkSession, path: str, current: int) -> int:
+    """The version number the next fold writes: one past EVERY version
+    still on disk — manifest-current, surviving tree directories, and
+    pins — not just ``current + 1``.  A ``*_save`` reset drops the
+    manifest back to bare v0 while pinned snapshot trees survive;
+    counting from the manifest alone would eventually collide with (and
+    clobber) a pinned tree."""
+    taken = {int(current)} | _list_pins(spark, path)
+    for name in _fs_list_names(spark, path):
+        if name.startswith("v") and name[1:].isdigit():
+            taken.add(int(name[1:]))
+    return max(taken) + 1
+
+
 class _Layout:
     """Resolved view of an index's CURRENT version — the reader-atomicity
     mechanism for compaction.
@@ -218,13 +252,43 @@ class _Layout:
     Every public read/write entry point resolves the layout ONCE and
     uses it for all its section paths; mutating ops (add/delete/upsert)
     write into the current tree — their new partition directories
-    appear atomically to readers exactly as before."""
+    appear atomically to readers exactly as before.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``version=`` pins the resolution to a SPECIFIC tree instead of the
+    current one (time-travel read): a superseded tree is immutable, so
+    the read is a consistent snapshot as of the fold that superseded
+    it.  Pin the version (`bm25_index_pin`) or GC reclaims the tree
+    after its read grace.  Pinning the CURRENT version does not freeze
+    it — mutations keep landing in the current tree until the next fold
+    supersedes it (that pin-then-fold pair IS `bm25_index_snapshot`)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, version: int | None = None
+    ):
         self.spark = spark
         self.path = path
         versions = _list_manifest_versions(spark, path)
-        self.version = versions[-1] if versions else 0
+        current = versions[-1] if versions else 0
+        if version is None or int(version) == current:
+            self.version = current
+        else:
+            v = int(version)
+            tree = path if v == 0 else os.path.join(path, f"v{v}")
+            # Pinned resolution goes by TREE DIRECTORY, not manifest —
+            # a pinned tree outlives its manifest pointer (and even a
+            # full ``*_save`` reset to bare v0).  Early, readable
+            # failure for a reclaimed/never-existing tree (v0's root
+            # always exists, so its absence surfaces at the parquet
+            # read instead — same outcome, later).
+            if v > 0 and not _fs_exists(spark, tree):
+                raise FileNotFoundError(
+                    f"index version v{v} is not readable at {path!r}"
+                    f" (current v{current}; on-disk manifests"
+                    f" {versions or [0]}). Superseded trees survive only"
+                    " their read grace unless pinned (bm25_index_pin /"
+                    " ivf_pin)."
+                )
+            self.version = v
         self.root = (
             path if self.version == 0 else os.path.join(path, f"v{self.version}")
         )
@@ -436,7 +500,15 @@ def _gc_versions(
     ``keep=0`` (no manifest / an explicit reset) reclaims everything
     versioned immediately — with no manifest there is nothing a reader
     could have resolved.  ``sections`` names the bare (v0) dirs this
-    index type owns — the BM25 set by default, ``("cells",)`` for IVF."""
+    index type owns — the BM25 set by default, ``("cells",)`` for IVF.
+
+    PINNED versions (``_pin_v<N>``) keep their section TREE through
+    every tier until unpinned — that is the snapshot contract
+    (`bm25_index_pin`).  Their superseded MANIFEST file is still
+    reclaimed normally: manifests are current-version pointers, and a
+    stale one surviving a full reset (``*_save`` rebuilds to bare v0)
+    would hijack the current resolution back to the pinned tree.
+    Pinned reads resolve by tree directory, not manifest."""
     expired = True
     if keep != 0 and grace_seconds > 0:
         import time  # noqa: PLC0415
@@ -444,15 +516,16 @@ def _gc_versions(
         cur = os.path.join(path, f"{MANIFEST_PREFIX}{keep}")
         age_s = (time.time() * 1000 - _fs_mtime_ms(spark, cur)) / 1000.0
         expired = age_s >= grace_seconds
+    pins = _list_pins(spark, path)
     for v in _list_manifest_versions(spark, path):
         if v != keep and (v > keep or expired):
             _fs_delete(spark, os.path.join(path, f"{MANIFEST_PREFIX}{v}"))
     for name in _fs_list_names(spark, path):
         if name.startswith("v") and name[1:].isdigit():
             v = int(name[1:])
-            if v != keep and (v > keep or expired):
+            if v != keep and v not in pins and (v > keep or expired):
                 _fs_delete(spark, os.path.join(path, name))
-    if keep != 0 and expired:
+    if keep != 0 and expired and 0 not in pins:
         for name in sections:
             bare = os.path.join(path, name)
             if _fs_exists(spark, bare):
@@ -1313,6 +1386,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    version: int | None = None,
 ) -> DataFrame:
     """Serve a query from the persisted index: the driver hashes the
     terms to their buckets (``hashlib`` — no Spark job), the postings
@@ -1321,10 +1395,13 @@ def bm25_topk_from_index(
     asserted by ``test_bm25_index_query_prunes_partitions``), and the
     ``word IN (...)`` predicate pushes into parquet row-group skipping
     within them.  Scoring is :func:`bm25_topk_from_partials` — identical
-    scores to ``bm25_rank`` over the same corpus (pinned by test)."""
+    scores to ``bm25_rank`` over the same corpus (pinned by test).
+    ``version=`` serves from a pinned snapshot tree instead of the
+    current one (`bm25_index_pin` / `bm25_index_snapshot`)."""
     if not tuple(query_terms):
         return _empty_topk(spark)
-    lay = _Layout(spark, path)  # resolved ONCE: all-old or all-new sections
+    # resolved ONCE: all-old or all-new sections
+    lay = _Layout(spark, path, version=version)
     n_buckets = _read_n_buckets(spark, path, lay=lay)
     buckets = _expanded_query_buckets(
         spark, path, tuple(query_terms), n_buckets, lay=lay
@@ -1445,7 +1522,7 @@ def bm25_index_compact(
     # GC: superseded trees whose read grace has expired, plus any orphan
     # trees from a compaction that crashed before its flip.
     _gc_versions(spark, path, keep=lay.version, grace_seconds=gc_grace_seconds)
-    new_version = lay.version + 1
+    new_version = _next_version(spark, path, lay.version)
     new_root = os.path.join(path, f"v{new_version}")
 
     df_all = spark.read.parquet(lay.sec("df"))
@@ -1675,6 +1752,109 @@ def bm25_index_gc(
     return len(before - after) + (1 if had_bare and not bare_now else 0)
 
 
+def bm25_index_versions(
+    spark: SparkSession, path: str, sections: tuple[str, ...] = SECTIONS
+) -> DataFrame:
+    """Inventory of the index's on-disk version trees — one row per
+    version: ``(version, current, pinned, readable, manifest_mtime_ms)``
+    (``manifest_mtime_ms`` is null for the bare pre-compaction v0; it is
+    the snapshot's creation instant otherwise).  Driver-side directory
+    listing only, no Spark job.  ``sections`` names the bare v0 dirs
+    this tier owns (the BM25 set by default, ``("cells",)`` for IVF)."""
+    manifests = set(_list_manifest_versions(spark, path))
+    pins = _list_pins(spark, path)
+    trees = {
+        int(n[1:])
+        for n in _fs_list_names(spark, path)
+        if n.startswith("v") and n[1:].isdigit()
+    }
+    current = max(manifests) if manifests else 0
+    have_bare = any(
+        _fs_exists(spark, os.path.join(path, s)) for s in sections
+    )
+    known = manifests | pins | trees | ({0} if have_bare else set())
+    rows = []
+    for v in sorted(known):
+        readable = have_bare if v == 0 else v in trees
+        mpath = os.path.join(path, f"{MANIFEST_PREFIX}{v}")
+        mtime = _fs_mtime_ms(spark, mpath) if v in manifests and v > 0 else None
+        rows.append((v, v == current, v in pins, readable, mtime))
+    return spark.createDataFrame(
+        rows,
+        "version long, current boolean, pinned boolean,"
+        " readable boolean, manifest_mtime_ms long",
+    )
+
+
+@_locked_writer(lambda spark, path, *a, **k: (spark, path))
+def bm25_index_pin(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    sections: tuple[str, ...] = SECTIONS,
+) -> int:
+    """Pin a version tree against GC — the snapshot primitive.  Default
+    pins the CURRENT version; returns the pinned version number.
+
+    A pinned SUPERSEDED tree is an immutable snapshot readable forever
+    via ``version=`` on the read entry points (mutations only ever
+    write into the current tree).  Pinning the current version does not
+    freeze it by itself — it guarantees the tree survives the NEXT fold
+    and becomes immutable then; that pair is `bm25_index_snapshot`.
+    Runs under the writer lease so a pin cannot race the GC that would
+    have reclaimed the tree.  Idempotent.
+
+    Caveat on pinning the bare v0: pins protect against GC, not
+    against an in-place full rebuild (``*_save`` / ``ivf_retrain``)
+    overwriting the root section dirs themselves — use
+    `bm25_index_snapshot`, which always produces a pinned VERSIONED
+    tree, when the snapshot must survive arbitrary maintenance."""
+    lay = _Layout(spark, path, version=version)
+    if lay.version > 0 and not _fs_exists(spark, lay.root):
+        raise FileNotFoundError(
+            f"cannot pin v{lay.version}: tree {lay.root!r} is gone"
+        )
+    if lay.version == 0 and not any(
+        _fs_exists(spark, os.path.join(path, s)) for s in sections
+    ):
+        raise FileNotFoundError(
+            f"cannot pin v0: no bare sections exist at {path!r}"
+        )
+    _fs_create_atomic(
+        spark, os.path.join(path, f"{PIN_PREFIX}{lay.version}"), ""
+    )
+    return lay.version
+
+
+def bm25_index_unpin(spark: SparkSession, path: str, version: int) -> None:
+    """Release a pin — the tree becomes reclaimable by the next GC/fold
+    once the normal read grace allows.  Idempotent."""
+    _fs_delete(spark, os.path.join(path, f"{PIN_PREFIX}{int(version)}"))
+
+
+def bm25_index_snapshot(spark: SparkSession, path: str, **compact_kwargs) -> int:
+    """Freeze the index's current state as a pinned immutable snapshot
+    and return its version number: pin the current tree, then fold —
+    the fold writes the new current ``v<N+1>`` and the pinned ``v<N>``
+    is superseded, hence immutable from that instant on.  Query it with
+    ``version=N`` on any read entry point; release with
+    `bm25_index_unpin` when done.
+
+    A bare pre-compaction index (v0) is PROMOTED into a versioned tree
+    by an extra fold first: a pinned v0 lives in the root section dirs,
+    which an in-place full rebuild (``*_save`` / ``ivf_retrain``)
+    overwrites regardless of pins — snapshots must never sit where
+    routine maintenance writes.  Costs one full compaction (two from
+    bare); every step runs under ONE writer lease hold, so no
+    concurrent mutation lands between the pin and the fold."""
+    with _writer_lock(spark, path):
+        if _Layout(spark, path).version == 0:
+            bm25_index_compact(spark, path, **compact_kwargs)
+        v = bm25_index_pin(spark, path)
+        bm25_index_compact(spark, path, **compact_kwargs)
+    return v
+
+
 def bm25_batch_topk_from_index(
     spark: SparkSession,
     path: str,
@@ -1682,6 +1862,7 @@ def bm25_batch_topk_from_index(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    version: int | None = None,
 ) -> DataFrame:
     """Top-k per query for a RELATION of bag-of-words queries against
     the persisted index — ``(query_id, doc_id, score, rk)``, the served
@@ -1709,7 +1890,7 @@ def bm25_batch_topk_from_index(
             [(int(q), list(t)) for q, t in queries],
             "query_id int, terms array<string>",
         )
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     n_buckets = _read_n_buckets(spark, path, lay=lay)
     words = queries.select(F.explode("terms").alias("word")).distinct()
     sample = words.limit(ISIN_TERM_CAP + 1).collect()
@@ -1803,7 +1984,9 @@ def bm25_batch_topk_from_index(
     )
 
 
-def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
+def bm25_index_stats(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Operational profile of a persisted index — one row per bucket:
     ``(bucket, n_batches, n_files, n_postings, n_terms, n_hot_terms,
     n_tombstoned)``.  The dedup_stats of the serving tier: watch for
@@ -1814,7 +1997,7 @@ def bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
     read an anti-join).  One aggregation over the postings relation;
     batch/file counts ride the same pass via ``input_file_name``; the
     hot/deleted gauges are tiny side reads."""
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     p = spark.read.parquet(lay.sec("postings"))
     out = (
         p.select(
@@ -1931,7 +2114,7 @@ def bm25_index_save_forward(
 
 
 def doc_vector_from_index(
-    spark: SparkSession, path: str, doc_id: int
+    spark: SparkSession, path: str, doc_id: int, version: int | None = None
 ) -> DataFrame:
     """Point lookup — ``(doc_id, dl, terms)`` for ONE document: the
     serving twin of the reference's ``getByPid`` (S2,
@@ -1939,7 +2122,7 @@ def doc_vector_from_index(
     n_buckets`` predicate is computed driver-side (integer modulo, no
     job) and prunes the scan to one directory; the ``doc_id`` equality
     then hits parquet row-group stats inside it."""
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     n_buckets = _read_n_buckets(spark, path, lay=lay)
     return _drop_deleted(
         spark.read.parquet(lay.sec("forward")).where(
@@ -1956,6 +2139,7 @@ def more_like_this_from_index(
     source_doc_id: int,
     k: int = 10,
     max_terms: int = 64,
+    version: int | None = None,
 ) -> DataFrame:
     """Served "more like this" — ``(doc_id, sim, rk)``: the source
     document's term vector becomes a WEIGHTED BM25 query (weight = the
@@ -1979,7 +2163,9 @@ def more_like_this_from_index(
     (ties toward the lexically smaller word — deterministic), the
     Lucene-MLT ``maxQueryTerms`` discipline: a pathological megadoc
     must not expand into a hundred-thousand-term filter."""
-    src_rows = doc_vector_from_index(spark, path, source_doc_id).select(
+    src_rows = doc_vector_from_index(
+        spark, path, source_doc_id, version=version
+    ).select(
         F.explode("terms").alias("t")
     ).select(
         F.col("t.word").alias("word"), F.col("t.tf").alias("tf_src")
@@ -1990,7 +2176,7 @@ def more_like_this_from_index(
         return spark.createDataFrame(
             [], "doc_id long, sim double, rk int"
         )
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     n_buckets = _read_n_buckets(spark, path, lay=lay)
     buckets = _expanded_query_buckets(
         spark, path, tuple(src_terms), n_buckets, lay=lay
@@ -2049,7 +2235,10 @@ def more_like_this_from_index(
 
 
 def doc_vectors_from_index(
-    spark: SparkSession, path: str, doc_ids: list[int]
+    spark: SparkSession,
+    path: str,
+    doc_ids: list[int],
+    version: int | None = None,
 ) -> DataFrame:
     """Multi-get point lookup — ``(doc_id, dl, terms)`` for a SET of
     documents: one scan pruned to the union of the ids' fbucket
@@ -2060,7 +2249,7 @@ def doc_vectors_from_index(
         return spark.createDataFrame(
             [], "doc_id long, dl long, terms array<struct<word:string,tf:bigint>>"
         )
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     return _drop_deleted(
         _forward_scan(spark, path, ids, lay=lay),
         _read_deleted(spark, path, lay=lay),

@@ -1604,7 +1604,9 @@ def ivf_compact(
         sections=IVF_SECTIONS,
         grace_seconds=gc_grace_seconds,
     )
-    new_version = lay.version + 1
+    from flink_bm25_spark.operators.serving import _next_version  # noqa: PLC0415
+
+    new_version = _next_version(spark, path, lay.version)
     # COMMITTED tombstones apply physically (against ORIGINAL batch ids,
     # before the fold re-tags to 0); excluded batches' tombstones are
     # withheld and carried into the new tree — same invariant as
@@ -1678,7 +1680,86 @@ def ivf_gc(spark, path: str, grace_seconds: float = 300.0) -> None:
     )
 
 
-def ivf_stats(spark, path: str) -> DataFrame:
+def _ivf_pin_centroids_stash(path: str, version: int) -> str:
+    import os  # noqa: PLC0415
+
+    return os.path.join(path, "pinned_centroids", f"v{int(version)}")
+
+
+def ivf_versions(spark, path: str) -> DataFrame:
+    """Version-tree inventory for the dense tier — the IVF twin of
+    ``bm25_index_versions`` (same columns, ``cells``-rooted bare
+    layout)."""
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        bm25_index_versions,
+    )
+
+    return bm25_index_versions(spark, path, sections=IVF_SECTIONS)
+
+
+def ivf_pin(spark, path: str, version: int | None = None) -> int:
+    """Pin an IVF version tree against GC (snapshot primitive, the
+    dense twin of ``bm25_index_pin``) and STASH the current coarse
+    codebook next to it: centroids live unversioned at the index root
+    (``ivf_retrain`` replaces them in place), so a pinned tree must
+    carry the codebook its cells were assigned under —
+    ``ivf_topk_from_disk(version=N)`` probes with the stashed codebook,
+    keeping snapshot probe selection stable across later retrains.
+    (Any on-disk tree postdates the last retrain — a retrain rebuilds
+    to bare v0 — so the root codebook AT PIN TIME is exactly the one
+    that assigned the pinned cells.)"""
+    import os  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _writer_lock,
+        bm25_index_pin,
+    )
+
+    with _writer_lock(spark, path):
+        v = bm25_index_pin(spark, path, version=version,
+                           sections=IVF_SECTIONS)
+        spark.read.parquet(os.path.join(path, "centroids")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            _ivf_pin_centroids_stash(path, v)
+        )
+    return v
+
+
+def ivf_unpin(spark, path: str, version: int) -> None:
+    """Release an IVF pin and its stashed codebook — the tree becomes
+    reclaimable by the next GC/fold after the normal grace."""
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _fs_delete,
+        bm25_index_unpin,
+    )
+
+    bm25_index_unpin(spark, path, version)
+    _fs_delete(spark, _ivf_pin_centroids_stash(path, version))
+
+
+def ivf_snapshot(spark, path: str, **compact_kwargs) -> int:
+    """Freeze the IVF index's current state as a pinned immutable
+    snapshot (pin + fold under ONE lease hold — the dense twin of
+    ``bm25_index_snapshot``); returns the frozen version number for
+    ``version=`` reads.  A bare v0 index is promoted into a versioned
+    tree by an extra fold first — ``ivf_retrain`` (routine CDC
+    maintenance) rebuilds the bare root in place, so a snapshot must
+    never live there."""
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _Layout,
+        _writer_lock,
+    )
+
+    with _writer_lock(spark, path):
+        if _Layout(spark, path).version == 0:
+            ivf_compact(spark, path, **compact_kwargs)
+        v = ivf_pin(spark, path)
+        ivf_compact(spark, path, **compact_kwargs)
+    return v
+
+
+def ivf_stats(spark, path: str, version: int | None = None) -> DataFrame:
     """One-row health gauge for a persisted IVF index: ``(n_cells,
     n_vectors, n_stale, staleness, n_tombstoned)``.
 
@@ -1695,7 +1776,7 @@ def ivf_stats(spark, path: str) -> DataFrame:
 
     from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
 
-    lay = _Layout(spark, path)
+    lay = _Layout(spark, path, version=version)
     cells = spark.read.parquet(os.path.join(lay.root, "cells"))
     visible = _ivf_drop_deleted(cells, _ivf_read_deleted(spark, lay.root))
     stale_col = (
@@ -1768,16 +1849,32 @@ def ivf_topk_from_disk(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    version: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a persisted IVF index: centroid selection is a
     driver-side read of the n_cells-row table; the vector scan carries a
     ``cell IN (...)`` predicate that Catalyst turns into PARTITION
     pruning — only ~nprobe/n_cells of the files are opened, which is the
     entire point of the layout (asserted by
-    ``test_ivf_disk_probe_prunes_partitions``)."""
+    ``test_ivf_disk_probe_prunes_partitions``).  ``version=`` serves
+    from a pinned snapshot tree (`ivf_pin` / `ivf_snapshot`), probing
+    with its STASHED codebook — stable results across later
+    retrains."""
     import os  # noqa: PLC0415
 
-    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _fs_exists,
+        _Layout,
+    )
+
+    # resolved ONCE: cells + tombstones agree
+    lay = _Layout(spark, path, version=version)
+    cent_path = os.path.join(path, "centroids")
+    if version is not None:
+        stash = _ivf_pin_centroids_stash(path, lay.version)
+        if _fs_exists(spark, stash):
+            cent_path = stash
+    cents = spark.read.parquet(cent_path).collect()
     q = [float(x) for x in query_vec]
 
     def dist2(c):
@@ -1785,9 +1882,6 @@ def ivf_topk_from_disk(
 
     order = sorted(cents, key=lambda r: dist2(r["centroid"]))
     probe_cells = [int(r["cell"]) for r in order[:nprobe]]
-    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
-
-    lay = _Layout(spark, path)  # resolved ONCE: cells + tombstones agree
     cand = _ivf_drop_deleted(
         spark.read.parquet(os.path.join(lay.root, "cells")).where(
             F.col("cell").isin(probe_cells)

@@ -219,3 +219,45 @@ def test_cli_ivf_crud(tmp_path):
     run("gc", "--grace", "0")
     s3 = run("stats").stdout.strip().split("\t")
     assert int(s3[1]) == int(s0[1]) - 3 and s3[4] == "0"
+
+
+def test_cli_index_snapshot_time_travel(tmp_path):
+    """Snapshot flow through the CLI (r9): freeze, mutate, read both
+    worlds — `--version` serves the frozen tree while the current one
+    moves on; unpin + gc reclaims it."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    idx = str(tmp_path / "idx")
+
+    def run(*args, ok=True):
+        r = subprocess.run(
+            [sys.executable, "-m", "flink_bm25_spark", "index", *args,
+             "--path", idx],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+        if ok:
+            assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    run("create", "--input", SF_DIR, "--n-buckets", "8", "--forward")
+    q = ("search", "--query", "spark stream join", "-k", "5")
+    before = run(*q).stdout
+    top = before.strip().splitlines()[0].split("\t")[1]
+
+    v = run("snapshot").stdout.strip()
+    run("delete", "--doc-ids", top)
+
+    now = run(*q).stdout
+    assert all(ln.split("\t")[1] != top for ln in now.strip().splitlines())
+    frozen = run(*q, "--version", v).stdout
+    assert frozen == before
+
+    vers = {
+        ln.split("\t")[0]: ln.split("\t")
+        for ln in run("versions").stdout.strip().splitlines()
+    }
+    assert vers[v][2] == "1" and vers[v][3] == "1"  # pinned, readable
+
+    run("unpin", "--version", v)
+    run("gc", "--grace", "0")
+    r = run(*q, "--version", v, ok=False)
+    assert r.returncode != 0
