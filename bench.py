@@ -98,16 +98,18 @@ def _cpu_times() -> tuple[int, int]:
         return 0, 0
 
 
-def _wait_for_quiet_window() -> float:
-    """Block until 1-min loadavg drops below 2 (or the wait budget runs
-    out) so the OFFICIAL artifact is recorded from an uncontended window
-    — r5/r6 verdicts both had to re-run contended artifacts by hand, and
-    r8's OFFICIAL artifact was a noise sample because the old 8-min
-    budget ran out mid-load (r8 verdict item 1).  The budget (default 30
-    min — loadavg is a ~1-min EMA and a co-tenant test suite can take
-    20+ min to wind down) is tunable via ``SPARK_GRAFT_BENCH_WAIT_S``; 0
-    disables the gate.  Returns seconds waited."""
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "1800"))
+def _wait_for_quiet_window(budget: float) -> float:
+    """Block until 1-min loadavg drops below 2 (or ``budget`` seconds
+    elapse) so the OFFICIAL artifact is recorded from an uncontended
+    window — r5/r6 verdicts both had to re-run contended artifacts by
+    hand, and r8's OFFICIAL artifact was a noise sample because the old
+    8-min budget ran out mid-load (r8 verdict item 1).  The budget is
+    GLOBAL across retry attempts (``SPARK_GRAFT_BENCH_WAIT_S``, default
+    30 min total — loadavg is a ~1-min EMA and a co-tenant test suite
+    can take 20+ min to wind down; per-attempt budgets could stack past
+    any sane driver timeout and a killed bench emits NO artifact, which
+    is strictly worse than a contended one); 0 disables the gate.
+    Returns seconds waited."""
     waited = 0.0
     while waited < budget and os.getloadavg()[0] >= 2.0:
         time.sleep(15)
@@ -125,9 +127,13 @@ def main() -> None:
 
     spark = get_spark(app_name="flink_bm25_spark_bench")
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "1800"))
+    deadline = time.monotonic() + wait_budget
     best = None
     for _ in range(max(attempts, 1)):
-        art = _measure(spark, entrymod)
+        art = _measure(
+            spark, entrymod, max(0.0, deadline - time.monotonic())
+        )
         if not art["contended"]:
             best = art
             break
@@ -139,8 +145,8 @@ def main() -> None:
     spark.stop()
 
 
-def _measure(spark, entrymod) -> dict:
-    waited_s = _wait_for_quiet_window()
+def _measure(spark, entrymod, wait_budget: float = 0.0) -> dict:
+    waited_s = _wait_for_quiet_window(wait_budget)
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM + parquet footers with one cheap action.
