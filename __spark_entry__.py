@@ -485,6 +485,98 @@ def _q_bm25_serve_deleted(spark, sf_dir):
     return bm25_topk_from_index(spark, path, DEFAULT_QUERY_TERMS, k=10)
 
 
+def _q_bm25_serve_snapshot(spark, sf_dir):
+    # Snapshot isolation, value-checked end-to-end (r9,
+    # serving.py::bm25_index_snapshot): freeze the full corpus as a
+    # pinned immutable version, then DELETE half the corpus from the
+    # CURRENT tree — the pinned read must rank exactly like the
+    # full-corpus pipeline (the oracle re-derives it from scratch), so
+    # the value hash certifies that time-travel reads see none of the
+    # later mutation and that GC/folds never touched the pinned tree.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        bm25_index_delete,
+        bm25_index_save,
+        bm25_index_save_forward,
+        bm25_index_snapshot,
+        bm25_topk_from_index,
+    )
+
+    ent = _SERVED_INDEX_CACHE.get(sf_dir + "#snapshot")
+    if ent is None:
+        path = tempfile.mkdtemp(prefix="bm25_snap_idx_")
+        docs = load_table(spark, "documents", sf_dir)
+        bm25_index_save(docs, path, n_buckets=16)
+        bm25_index_save_forward(docs, path)
+        v = bm25_index_snapshot(spark, path)
+        gone = [
+            r["doc_id"]
+            for r in docs.where(F.col("doc_id") >= 250)
+            .select("doc_id")
+            .collect()
+        ]
+        bm25_index_delete(spark, path, gone)
+        ent = (path, v)
+        _SERVED_INDEX_CACHE[sf_dir + "#snapshot"] = ent
+    path, v = ent
+    return bm25_topk_from_index(
+        spark, path, DEFAULT_QUERY_TERMS, k=10, version=v
+    )
+
+
+def _q_ivf_snapshot_topk(spark, sf_dir):
+    # The dense tier's snapshot isolation (r9, similarity.py::
+    # ivf_snapshot): deterministic quantizer -> ivf_save -> snapshot ->
+    # then CHURN the current tree (re-embed every vector reversed +
+    # delete a slice) — the pinned read with its STASHED codebook must
+    # score exactly like the pristine index, which the q_ivf_topk
+    # oracle re-derives from the original embeddings.
+    import tempfile  # noqa: PLC0415
+
+    from flink_bm25_spark.operators.kmeans import (  # noqa: PLC0415
+        _with_cluster,
+        kmeans_fit,
+    )
+    from flink_bm25_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_delete,
+        ivf_save,
+        ivf_snapshot,
+        ivf_topk_exact_from_disk,
+        ivf_upsert,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ent = _SERVED_INDEX_CACHE.get(sf_dir + "#ivf_snapshot")
+    if ent is None:
+        path = tempfile.mkdtemp(prefix="ivf_snap_idx_")
+        cents = kmeans_fit(emb, k=4, iterations=2)
+        assigned = (
+            _with_cluster(emb, cents, "embedding")
+            .withColumnRenamed("cluster", "cell")
+            .select("vec_id", "embedding", "cell")
+        )
+        ivf_save(cents, assigned, path)
+        v = ivf_snapshot(spark, path)
+        ivf_upsert(
+            spark, path,
+            emb.select("vec_id", F.reverse("embedding").alias("embedding")),
+        )
+        ivf_delete(
+            spark, path,
+            emb.where(F.pmod("vec_id", F.lit(7)) == 3).select("vec_id"),
+        )
+        ent = (path, v)
+        _SERVED_INDEX_CACHE[sf_dir + "#ivf_snapshot"] = ent
+    path, v = ent
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_topk_exact_from_disk(
+        spark, path, qvec, k=10, nprobe=2, exclude_id=0, version=v
+    )
+
+
 _UPSERT_TEXT = "replacement spark document stream xyzzy spark"
 
 
@@ -3672,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_bm25_mlt_served point-reads the same forward section as
         # its first step) — all four stay oracle-swept below.
         "q_bm25_serve_deleted": _q_bm25_serve_deleted,
+        "q_bm25_serve_snapshot": _q_bm25_serve_snapshot,
         "q_bm25_serve_upserted": _q_bm25_serve_upserted,
         "q_bm25_serve_salted": _q_bm25_serve_salted,
         "q_bm25_batch_served": _q_bm25_batch_served,
@@ -3725,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
         "q_ivf_topk_deleted": _q_ivf_topk_deleted,
+        "q_ivf_snapshot_topk": _q_ivf_snapshot_topk,
         "q_ivf_topk_upserted": _q_ivf_topk_upserted,
         "q_ivf_stats_churn": _q_ivf_stats_churn,
         "q_ann_batch_topk": _q_ann_batch_topk,
@@ -7159,6 +7253,9 @@ def oracle_sql() -> dict[str, str]:
     # rolled up with hll_merge; the oracle rebuilds over the union.
     # Their equality IS the distributivity of the sketch, cross-engine.
     out["q_hll_merged"] = out["q_hll_distinct"]
+    # a pinned IVF snapshot read after 100% upsert churn + deletes ==
+    # the pristine index — same derivation as the live q_ivf_topk
+    out["q_ivf_snapshot_topk"] = out["q_ivf_topk"]
     # served batch retrieval answers EXACTLY like the in-memory batch
     # ranker (same fold algebra, disk layout pinned by tests)
     out["q_bm25_batch_served"] = out["q_bm25_batch"]
@@ -7177,6 +7274,10 @@ def oracle_sql() -> dict[str, str]:
     # KEPT corpus only (idf population, avgdl, postings all restricted)
     out["q_bm25_serve_deleted"] = _kept_pipeline_sql(
         "SELECT * FROM documents WHERE doc_id < 250"
+    )
+    # a pinned snapshot read after the delete above == the FULL corpus
+    out["q_bm25_serve_snapshot"] = _kept_pipeline_sql(
+        "SELECT * FROM documents"
     )
     out["q_curation_pipeline"] = _curation_oracle_sql()
     out["q_curation_report"] = _curation_report_oracle_sql()

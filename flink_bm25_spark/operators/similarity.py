@@ -876,22 +876,31 @@ def ivf_topk_exact_from_disk(
     k: int = 10,
     nprobe: int = 2,
     exclude_id: int | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Disk twin of :func:`ivf_topk_exact`: probe-cell choice uses the
     SAME rounded left-fold squared distance as the deterministic fit
     (ties to the lower cell id — replayable in a SQL oracle), the cells
     scan is partition-pruned to the probe set and tombstone-filtered
     (delete/upsert legs visible), and scoring is the shared
-    :func:`cosine_topk` contract."""
+    :func:`cosine_topk` contract.  ``version=`` reads a pinned snapshot
+    tree with its stashed codebook (`ivf_pin` / `ivf_snapshot`)."""
     import os  # noqa: PLC0415
 
-    from flink_bm25_spark.operators.serving import _Layout  # noqa: PLC0415
+    from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+        _fs_exists,
+        _Layout,
+    )
 
+    lay = _Layout(spark, path, version=version)
+    cent_path = os.path.join(path, "centroids")
+    if version is not None:
+        stash = _ivf_pin_centroids_stash(path, lay.version)
+        if _fs_exists(spark, stash):
+            cent_path = stash
     cents = {
         int(r["cell"]): [float(x) for x in r["centroid"]]
-        for r in spark.read.parquet(
-            os.path.join(path, "centroids")
-        ).collect()
+        for r in spark.read.parquet(cent_path).collect()
     }
     q = [float(x) for x in query_vec]
 
@@ -903,7 +912,6 @@ def ivf_topk_exact_from_disk(
 
     ranked = sorted((_rdist(c), cid) for cid, c in cents.items())
     probe = [cid for _, cid in ranked[:nprobe]]
-    lay = _Layout(spark, path)
     cand = _ivf_drop_deleted(
         spark.read.parquet(os.path.join(lay.root, "cells")).where(
             F.col("cell").isin(*probe)

@@ -78,6 +78,10 @@ AUDITED = [
         "drift gauge: ONE aggregate over the visible cells (tombstone fold joined in-plan); no collect of vector data",
     ),
     (
+        "q_bm25_serve_snapshot",
+        "pinned-version serve: same bucket-partition-pruned shape as the live serve, rooted at the frozen tree",
+    ),
+    (
         "q_late_interaction",
         "QxD query literals, no join/fanout; MaxSim = one groupBy",
     ),

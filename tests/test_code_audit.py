@@ -28,6 +28,7 @@ COLLECT_ALLOWED = {
     "__main__.py",              # CLI search: prints the k-row top-k result
     "operators/sinks.py",       # shard manifest: n_shards rows (counts+checksum)
     "operators/serving.py",     # batch-serve: distinct query terms (query-relation-sized)
+    "streaming/index_maintenance.py",  # CDC control aggregate: one collect of ≤3 (op-kind, count) rows per micro-batch
 }
 
 

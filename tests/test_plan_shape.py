@@ -654,6 +654,19 @@ def test_bm25_serve_fold_plan_shape(spark):
     assert "SortMergeJoin" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_bm25_serve_snapshot_plan_shape(spark):
+    # A pinned-version serve must keep the live serve's exact posture:
+    # bucket partition pruning + pushed word filters against the FROZEN
+    # tree, broadcast folds, TakeOrderedAndProject — time travel costs
+    # nothing in plan shape (and drops the tombstone anti-join, since a
+    # superseded tree's pending deletes were folded or never existed).
+    df = QUERIES["q_bm25_serve_snapshot"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bm25_prf_plan_shape(spark):
     # Both passes keep distributed top-k; feedback docs, mined expansion
     # terms, idf and avgdl all broadcast — postings never shuffle for a
