@@ -1300,14 +1300,21 @@ class Bm25Index:
             Bm25IndexBatch(postings, w["df"], w["stats"]), terms, k=k
         )
 
-    def search_batch(self, queries, k: int = 10) -> DataFrame:
+    def search_batch(
+        self, queries, k: int = 10, version: int | None = None
+    ) -> DataFrame:
         """``(query_id, doc_id, score, rk)`` for a relation/list of
-        ``(query_id, terms)`` — one partition-pruned pass for all."""
+        ``(query_id, terms)`` — one partition-pruned pass for all.
+        ``version=`` runs the whole eval set against a pinned snapshot
+        (the reproducible-evals workflow: freeze once, score every
+        candidate eval batch against the same corpus state)."""
         from flink_bm25_spark.operators.serving import (
             bm25_batch_topk_from_index,
         )
 
-        return bm25_batch_topk_from_index(self.spark, self.path, queries, k=k)
+        return bm25_batch_topk_from_index(
+            self.spark, self.path, queries, k=k, version=version
+        )
 
     def compact(
         self,
