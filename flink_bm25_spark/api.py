@@ -1094,7 +1094,7 @@ class Bm25Index:
         self.cool()
         bm25_index_delete(self.spark, self.path, doc_ids, batch_id=batch_id)
 
-    def warm(self) -> "Bm25Index":
+    def warm(self, version: int | None = None) -> "Bm25Index":
         """Pin the index's SMALL relations for a repeated-query workload:
         the df partials and stats rows go to executor memory
         (``persist``), ``n_buckets`` and the hot-term salt map to the
@@ -1119,9 +1119,23 @@ class Bm25Index:
         root-level counter every mutating op bumps) and each
         :meth:`search` re-checks it with ONE tiny filesystem read (no
         Spark job); on mismatch the warm state self-cools and the
-        query falls back to the cold path."""
+        query falls back to the cold path.
+
+        VERSION-PINNED WARM: ``warm(version=N)`` pins a SNAPSHOT tree
+        instead of the current one — the reproducible-eval throughput
+        mode (thousands of queries against one frozen corpus state,
+        one Spark job each).  A superseded pinned tree is immutable,
+        so the per-query staleness re-check is skipped entirely; keep
+        the version pinned (`bm25_index_pin`) for the lifetime of the
+        warm state — a GC reclaiming it mid-eval fails loudly
+        (file-not-found), never silently wrong.  Warming the CURRENT
+        version by number keeps the stamp guard (mutations still land
+        in that tree until the next fold)."""
         from flink_bm25_spark.operators.serving import read_write_stamp
 
+        if version is not None:
+            self._warm_once(version=version)
+            return self
         for _ in range(3):
             self._warm_once()
             # re-verify: a writer that committed DURING the pin bumped
@@ -1138,7 +1152,7 @@ class Bm25Index:
             self.cool()
         return self
 
-    def _warm_once(self) -> None:
+    def _warm_once(self, version: int | None = None) -> None:
         from flink_bm25_spark.operators.serving import (
             _fs_exists,
             _h_driver,
@@ -1155,7 +1169,11 @@ class Bm25Index:
         # any concurrent writer's bump land AFTER our recorded value, so
         # the worst case is one wasted warm, not a stale serve.
         stamp = read_write_stamp(self.spark, self.path)
-        lay = _Layout(self.spark, self.path)
+        current = _Layout(self.spark, self.path).version
+        lay = _Layout(self.spark, self.path, version=version)
+        # a SUPERSEDED pinned tree is immutable — searches skip the
+        # per-query stamp re-check (the whole point of snapshot warm)
+        immutable = version is not None and lay.version != current
         df_rel = self.spark.read.parquet(lay.sec("df")).persist()
         stats_rel = self.spark.read.parquet(lay.sec("stats")).persist()
         stats_rel.count()
@@ -1195,6 +1213,8 @@ class Bm25Index:
             "deleted": deleted,
             "postings_path": lay.sec("postings"),
             "stamp": stamp,
+            "version": lay.version if version is not None else None,
+            "immutable": immutable,
         }
 
     def cool(self) -> None:
@@ -1211,16 +1231,22 @@ class Bm25Index:
     ) -> DataFrame:
         """``(doc_id, score, rk)`` — served BM25 top-k for free text.
         ``version=`` serves from a pinned snapshot tree instead of the
-        current one (:meth:`snapshot` / `bm25_index_pin`); snapshot
-        reads bypass the warm cache (which pins CURRENT-tree state)."""
+        current one (:meth:`snapshot` / `bm25_index_pin`); it rides the
+        warm cache only when the cache was warmed at that SAME version
+        (``warm(version=N)``), else takes the cold pinned read."""
         from flink_bm25_spark.operators.serving import bm25_topk_from_index
 
         terms = _tokenize_query(query)
         if version is not None:
+            if (
+                self._warm is not None
+                and self._warm.get("version") == int(version)
+            ):
+                return self._search_warm(terms, k)
             return bm25_topk_from_index(
                 self.spark, self.path, terms, k=k, version=version
             )
-        if self._warm is not None:
+        if self._warm is not None and self._warm.get("version") is None:
             return self._search_warm(terms, k)
         return bm25_topk_from_index(self.spark, self.path, terms, k=k)
 
@@ -1259,10 +1285,21 @@ class Bm25Index:
             # be fragile against future pre-tokenized callers)
             return _empty_topk(self.spark)
         # staleness guard: one tiny FS read per query — an external
-        # writer (second session, CLI) bumped the stamp since warm()
-        if read_write_stamp(self.spark, self.path) != self._warm["stamp"]:
+        # writer (second session, CLI) bumped the stamp since warm().
+        # A version-warmed SUPERSEDED tree is immutable: skip the check
+        # (snapshot-warm serves survive concurrent maintenance by
+        # construction — that is the reproducible-eval contract).
+        if not self._warm.get("immutable") and (
+            read_write_stamp(self.spark, self.path) != self._warm["stamp"]
+        ):
+            # fall back at the version the caller warmed (a version-
+            # warmed CURRENT tree that moved must not silently serve
+            # the new head under the old version number)
+            warmed_v = self._warm.get("version")
             self.cool()
-            return bm25_topk_from_index(self.spark, self.path, terms, k=k)
+            return bm25_topk_from_index(
+                self.spark, self.path, terms, k=k, version=warmed_v
+            )
         w = self._warm
         if w["hot"] is None:
             # hot map too large to pin: per-query bounded hot probe

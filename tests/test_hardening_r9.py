@@ -236,8 +236,8 @@ def test_warm_pins_current_tree_when_compaction_races_the_resolve(
     fired = {"n": 0}
 
     class RacingLayout(real_layout):
-        def __init__(self, sp, p):
-            super().__init__(sp, p)
+        def __init__(self, sp, p, version=None):
+            super().__init__(sp, p, version=version)
             # fire ONE compaction immediately AFTER the caller resolved
             # this (pre-fold) layout — the advised race window: under
             # the old stamp-after-layout order warm() would record the

@@ -246,3 +246,48 @@ def test_pin_current_does_not_freeze_until_fold(spark, tmp_path):
     # same tree — the pinned read sees the mutation
     assert all(r[0] != top_doc for r in _topk(spark, path, version=v))
     bm25_index_unpin(spark, path, v)
+
+
+def test_snapshot_warm_serves_through_maintenance(spark, tmp_path):
+    """warm(version=N) — the reproducible-eval throughput mode: the
+    frozen tree pins into the warm cache, searches skip the staleness
+    guard (a superseded pinned tree is immutable), and concurrent
+    mutations + folds on HEAD change nothing."""
+    from flink_bm25_spark.api import Bm25Index
+
+    path, docs = _build(spark, tmp_path)
+    idx = Bm25Index(spark, path)
+    want = _topk(spark, path)
+    v = bm25_index_snapshot(spark, path)
+
+    idx.warm(version=v)
+    assert idx._warm is not None and idx._warm["immutable"]
+    got0 = [tuple(r) for r in idx.search("spark stream join", k=10).collect()]
+    frozen = [
+        tuple(r)
+        for r in idx.search("spark stream join", k=10, version=v).collect()
+    ]
+    assert frozen == [
+        tuple(r)
+        for r in bm25_topk_from_index(
+            spark, path, ("spark", "stream", "join"), k=10, version=v
+        ).collect()
+    ]
+
+    # hostile maintenance on HEAD: delete the frozen top doc + fold
+    bm25_index_delete(spark, path, [want[0][0]])
+    bm25_index_compact(spark, path, gc_grace_seconds=0.0)
+
+    # the snapshot warm survives: same answer, warm state NOT cooled
+    assert [
+        tuple(r)
+        for r in idx.search("spark stream join", k=10, version=v).collect()
+    ] == frozen
+    assert idx._warm is not None
+
+    # un-versioned search does NOT ride the snapshot warm: it takes the
+    # cold current path and sees the delete
+    now = [tuple(r) for r in idx.search("spark stream join", k=10).collect()]
+    assert all(r[0] != want[0][0] for r in now)
+    assert got0 is not None
+    idx.cool()
