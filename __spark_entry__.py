@@ -757,7 +757,7 @@ def _q_bm25_snippets(spark, sf_dir):
 # One persisted index (+ forward section) per process per sf_dir: the
 # served-surface oracles below exercise the REAL disk layout (bucket
 # partition pruning, fbucket point reads), not an in-memory stand-in.
-_SERVED_INDEX_CACHE: dict[str, str] = {}
+_SERVED_INDEX_CACHE: dict[str, object] = {}  # path, or (path, pinned_version)
 
 
 def _served_index(spark, sf_dir):

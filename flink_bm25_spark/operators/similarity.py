@@ -1723,14 +1723,20 @@ def ivf_pin(spark, path: str, version: int | None = None) -> int:
         bm25_index_pin,
     )
 
+    from flink_bm25_spark.operators.serving import _fs_exists  # noqa: PLC0415
+
     with _writer_lock(spark, path):
         v = bm25_index_pin(spark, path, version=version,
                            sections=IVF_SECTIONS)
-        spark.read.parquet(os.path.join(path, "centroids")).coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            _ivf_pin_centroids_stash(path, v)
-        )
+        stash = _ivf_pin_centroids_stash(path, v)
+        # write-once: re-pinning an already-pinned version AFTER a
+        # retrain must not replace the stashed codebook with the new
+        # one — the stash's whole meaning is "the codebook that
+        # assigned this tree's cells", fixed at first pin
+        if not _fs_exists(spark, stash):
+            spark.read.parquet(os.path.join(path, "centroids")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(stash)
     return v
 
 

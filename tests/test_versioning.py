@@ -291,3 +291,32 @@ def test_snapshot_warm_serves_through_maintenance(spark, tmp_path):
     assert all(r[0] != want[0][0] for r in now)
     assert got0 is not None
     idx.cool()
+
+
+def test_ivf_repin_after_retrain_keeps_original_codebook(spark, tmp_path):
+    """The stash is write-once: re-pinning an already-pinned version
+    after a retrain must NOT replace the stashed codebook (its meaning
+    is 'the codebook that assigned this tree's cells', fixed at first
+    pin)."""
+    path = str(tmp_path / "ivf")
+    emb = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    model, assigned = ivf_build(emb, n_cells=4, seed=7)
+    ivf_save(model, assigned, path)
+    qv = [float(x) for x in emb.first()["embedding"]]
+
+    v = ivf_snapshot(spark, path)
+    before = [
+        tuple(r)
+        for r in ivf_topk_from_disk(
+            spark, path, qv, k=5, nprobe=2, version=v
+        ).collect()
+    ]
+    ivf_retrain(spark, path, seed=99)  # new codebook at the root
+    assert ivf_pin(spark, path, version=v) == v  # idempotent re-pin
+    after = [
+        tuple(r)
+        for r in ivf_topk_from_disk(
+            spark, path, qv, k=5, nprobe=2, version=v
+        ).collect()
+    ]
+    assert after == before
