@@ -1276,11 +1276,20 @@ def ivf_save(model, assigned: DataFrame, path: str) -> None:
     # trained — the staleness gauge `ivf_stats` reads (adds/upserts set
     # it; compaction carries it; a retrain resets the whole corpus to
     # False).  Base rows are by definition in-train.
-    assigned.withColumn("post_train", F.lit(False)).select(
-        F.lit(0).cast("long").alias(BATCH_COL), "*"
-    ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
-        os.path.join(path, "cells")
-    )
+    # STATIC overwrite scoped explicitly: this is a full rebuild — under
+    # a session left in dynamic partition-overwrite mode (the streaming
+    # sinks' discipline), a plain overwrite would keep every old batch
+    # partition absent from the new data, resurrecting superseded and
+    # tombstoned vectors (caught by the retrain-after-upsert gauge test
+    # running after a dynamic-mode test).
+    from flink_bm25_spark.operators.serving import _overwrite_mode  # noqa: PLC0415
+
+    with _overwrite_mode(spark, "static"):
+        assigned.withColumn("post_train", F.lit(False)).select(
+            F.lit(0).cast("long").alias(BATCH_COL), "*"
+        ).write.mode("overwrite").partitionBy(BATCH_COL, "cell").parquet(
+            os.path.join(path, "cells")
+        )
     # `model` may be the MLlib KMeansModel OR a plain k×d centroid list
     # (the deterministic `kmeans_fit` result — lets the oracle-checkable
     # quantizer drive the same disk layout)

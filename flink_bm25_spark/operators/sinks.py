@@ -47,8 +47,14 @@ def write_tf_parquet(tf_vecs: DataFrame, path: str) -> None:
 def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
     """Hive-style partitioned parquet write — the 100 TB layout: queries
     filtering on a partition column read only matching directories
-    (partition pruning shows as ``PartitionFilters`` in the scan)."""
-    df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+    (partition pruning shows as ``PartitionFilters`` in the scan).
+    STATIC overwrite is scoped explicitly: this is a full-table rewrite,
+    and a session left in dynamic mode (the streaming sinks' setting)
+    would otherwise keep partitions absent from the new data."""
+    from flink_bm25_spark.operators.serving import _overwrite_mode  # noqa: PLC0415
+
+    with _overwrite_mode(df.sparkSession, "static"):
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
 
 
 def write_bucketed_table(
@@ -115,14 +121,17 @@ def write_reference_text(
     out count-desc.  One shuffle total, any number of documents.
     """
     lines = reference_text_lines(tf, k=k, doc_col=doc_col)
-    (
-        lines.repartition(F.col(doc_col))
-        .sortWithinPartitions(doc_col, "rk")
-        .select(F.col(doc_col), F.col("line").alias("value"))
-        .write.mode("overwrite")
-        .partitionBy(doc_col)
-        .text(path)
-    )
+    from flink_bm25_spark.operators.serving import _overwrite_mode  # noqa: PLC0415
+
+    with _overwrite_mode(lines.sparkSession, "static"):  # full rewrite
+        (
+            lines.repartition(F.col(doc_col))
+            .sortWithinPartitions(doc_col, "rk")
+            .select(F.col(doc_col), F.col("line").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy(doc_col)
+            .text(path)
+        )
 
 
 def write_reference_idf(df_stats: DataFrame, path: str) -> None:
@@ -229,7 +238,10 @@ def write_training_shards(
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
-    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    from flink_bm25_spark.operators.serving import _overwrite_mode  # noqa: PLC0415
+
+    with _overwrite_mode(df.sparkSession, "static"):  # full rewrite
+        df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
     data_cols = [c for c in df.columns if c != shard_col]
     row_h = F.xxhash64(*[F.col(c) for c in data_cols])
     per_shard = df.groupBy(shard_col).agg(

@@ -47,13 +47,20 @@ def curate_stream(
         # batch REPLACES its own _batch_id partition, so foreachBatch's
         # at-least-once delivery becomes effectively-once in the sink.
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy(BATCH_COL)
-            .parquet(out_path)
+        # SCOPED dynamic overwrite (restores on exit): setting it bare on
+        # the session leaks into every later full-rebuild overwrite in
+        # the same session, which would then keep stale partitions
+        from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+            _overwrite_mode,
         )
+
+        with _overwrite_mode(spark, "dynamic"):
+            (
+                survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy(BATCH_COL)
+                .parquet(out_path)
+            )
         if state_path is not None:
             # save + reload: truncates the union-chain lineage of the
             # growing state so plan depth stays O(1) per batch

@@ -35,13 +35,20 @@ def screen_stream(
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         survivors = deduper.screen_batch(batch_df)
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy(BATCH_COL)
-            .parquet(out_path)
+        # SCOPED dynamic overwrite (restores on exit): setting it bare on
+        # the session leaks into every later full-rebuild overwrite in
+        # the same session, which would then keep stale partitions
+        from flink_bm25_spark.operators.serving import (  # noqa: PLC0415
+            _overwrite_mode,
         )
+
+        with _overwrite_mode(spark, "dynamic"):
+            (
+                survivors.withColumn(BATCH_COL, F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy(BATCH_COL)
+                .parquet(out_path)
+            )
         if state_path is not None:
             deduper.checkpoint_state(state_path)
 

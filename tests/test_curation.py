@@ -384,23 +384,29 @@ def test_curation_sink_redelivery_is_idempotent(spark, tmp_path):
 
     path = str(tmp_path / "sink")
     df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id bigint, text string")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    for _ in range(2):  # deliver the same batch twice
+    try:
+        for _ in range(2):  # deliver the same batch twice
+            (
+                df.withColumn(BATCH_COL, F.lit(0).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy(BATCH_COL)
+                .parquet(path)
+            )
+        assert spark.read.parquet(path).count() == 2
+        # a different batch id lands in its own partition, untouched
         (
-            df.withColumn(BATCH_COL, F.lit(0).cast("long"))
+            df.withColumn(BATCH_COL, F.lit(1).cast("long"))
             .write.mode("overwrite")
             .partitionBy(BATCH_COL)
             .parquet(path)
         )
-    assert spark.read.parquet(path).count() == 2
-    # a different batch id lands in its own partition, untouched
-    (
-        df.withColumn(BATCH_COL, F.lit(1).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
-        .parquet(path)
-    )
-    assert spark.read.parquet(path).count() == 4
+        assert spark.read.parquet(path).count() == 4
+    finally:
+        # restore: leaking dynamic mode into the session-scoped fixture
+        # changes full-rebuild overwrite semantics for every later test
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
 def test_compact_curated_preserves_rows(spark, tmp_path):

@@ -716,3 +716,39 @@ def test_ivf_cdc_retrain_trigger_fires_and_reclaims_ownership(
     q = [float(x) for x in reversed(base.orderBy("vec_id").first()["embedding"])]
     got = ivf_topk_from_disk(spark, path, q, k=5, nprobe=4).collect()
     assert len(got) == 5
+
+
+def test_full_rebuild_truncates_under_leaked_dynamic_mode(spark, tmp_path):
+    """A session left in dynamic partition-overwrite mode (any streaming
+    sink's setting, or a user's own) must not change full-rebuild
+    semantics: ivf_save over an existing index is a truncating rewrite —
+    under leaked dynamic mode a bare overwrite would keep every old
+    batch partition and resurrect superseded/tombstoned vectors."""
+    from flink_bm25_spark.operators.similarity import (
+        ivf_build,
+        ivf_retrain,
+        ivf_save,
+        ivf_stats,
+        ivf_upsert,
+    )
+    from flink_bm25_spark.sources.tables import load_embeddings
+    from tests.conftest import SF_DIR as _SF
+
+    emb = load_embeddings(spark, _SF).select("vec_id", "embedding").limit(60)
+    path = str(tmp_path / "ivf")
+    model, assigned = ivf_build(emb, n_cells=4, seed=7)
+    ivf_save(model, assigned, path)
+    churn = emb.where(F.col("vec_id") < 30).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ivf_upsert(spark, path, churn)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ivf_retrain(spark, path)  # full rebuild via ivf_save
+        s = ivf_stats(spark, path).first()
+        assert s["n_vectors"] == 60 and s["n_stale"] == 0
+        assert s["n_tombstoned"] == 0
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
