@@ -3696,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN / embeddings / multimodal
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_ivf_topk": _q_ivf_topk,
+        "q_ivf_snapshot_topk": _q_ivf_snapshot_topk,
         "q_late_interaction": _q_late_interaction,
         "q_kmeans": _q_kmeans,
         "q_multimodal_meta": _q_multimodal_meta,
@@ -3748,8 +3749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_curation_report (derived from in-window q_curation_pipeline)
         "q_gopher_ngram_fracs": _q_gopher_ngram_fracs,
         "q_lm_score_backoff": _q_lm_score_backoff,
-        "q_bm25_facets": _q_bm25_facets,
-        "q_bm25_snippets": _q_bm25_snippets,
         "q_bm25_mlt_served": _q_bm25_mlt_served,
         # r8 window rotation (r7 verdict item 5): the four serving-CRUD
         # oracles — delete == rebuild, upsert == rebuild, the salted-
@@ -3768,6 +3767,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_serve_upserted": _q_bm25_serve_upserted,
         "q_bm25_serve_salted": _q_bm25_serve_salted,
         "q_bm25_batch_served": _q_bm25_batch_served,
+        # r9 window rotation: the two SNAPSHOT oracles enter (pinned
+        # BM25 read == full-corpus pipeline; pinned IVF probe after
+        # total churn+retrain == pristine index) — the new time-travel
+        # surface gets the external hard signal.  Out went
+        # q_bm25_facets and q_bm25_snippets, whose ranking core is the
+        # in-window q_bm25_rank/q_bm25_serve math (facets adds one
+        # explode+groupBy over the top-k, snippets a substring
+        # projection) — both stay oracle-swept below.
+        "q_bm25_facets": _q_bm25_facets,
+        "q_bm25_snippets": _q_bm25_snippets,
         # rotated out of the 50-row window (still oracle-swept):
         "q_tokenize_explode": _q_tokenize_explode,
         "q_stopword_filter": _q_stopword_filter,
@@ -3818,7 +3827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not": _q_bm25_not,
         "q_bm25_batch": _q_bm25_batch,
         "q_ivf_topk_deleted": _q_ivf_topk_deleted,
-        "q_ivf_snapshot_topk": _q_ivf_snapshot_topk,
         "q_ivf_topk_upserted": _q_ivf_topk_upserted,
         "q_ivf_stats_churn": _q_ivf_stats_churn,
         "q_ann_batch_topk": _q_ann_batch_topk,

@@ -103,6 +103,10 @@ def test_gate_window_holds_flagships():
         "q_bm25_mlt_served",
         "q_bm25_serve_deleted", "q_bm25_serve_upserted",
         "q_bm25_serve_salted", "q_bm25_batch_served",
+        # r9 rotation: the snapshot (time-travel) oracles enter; out
+        # went q_bm25_facets/q_bm25_snippets, whose ranking core is the
+        # in-window q_bm25_rank/q_bm25_serve math (both stay swept).
+        "q_bm25_serve_snapshot", "q_ivf_snapshot_topk",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"
 
