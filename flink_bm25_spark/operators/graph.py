@@ -23,23 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Result memo keyed by (session, analyzed-plan semantic hash, src, dst).
-# The pointer-jumping loop is DRIVER-eager — its per-round actions run at
-# call time, so Spark's plan-keyed cache can never share the result
-# between two calls over the same pair relation (each call mints fresh
-# localCheckpoint RDDs).  The result is deterministic in the input, so a
-# semantic-hash memo is sound; entries are label relations (tiny), FIFO
-# capped.
-# Key: (applicationId, semanticHash, schema str, src, dst, max_iterations).
-_CC_MEMO: dict[tuple, DataFrame] = {}
-_CC_MEMO_CAP = 32
+# NOTE (r9 optimization round): this module used to memoize component
+# labelings in a module-level dict keyed on (session, plan semantic hash).
+# That let a REPEAT invocation of the same query skip the whole loop —
+# which is result caching across runs, not optimization — so the memo was
+# removed; every call now computes from its input.  ``clear_memo`` stays
+# as a no-op so existing callers keep working.
 
 
 def clear_memo() -> None:
-    """Drop the memoized component labelings.  Call after overwriting
-    files that back a previously-labeled pair relation (the memo keys on
-    the plan, not the data)."""
-    _CC_MEMO.clear()
+    """No-op (kept for API compatibility): the former result memo was
+    removed in the r9 optimization round — every call recomputes."""
 
 
 def connected_components(
@@ -52,26 +46,6 @@ def connected_components(
     ``component`` is the minimum node id reachable in the undirected
     pair graph — a deterministic canonical id.
     """
-    try:
-        # applicationId, not id(session): a Python session object's id can
-        # be reused after a restart, which would resurrect checkpointed
-        # RDDs of a dead SparkContext.  The schema string further guards
-        # the 32-bit semanticHash against collisions.
-        memo_key = (
-            pairs.sparkSession.sparkContext.applicationId,
-            pairs._jdf.queryExecution().analyzed().semanticHash(),
-            str(pairs.schema),
-            src,
-            dst,
-            # part of the result contract: a truncated run (small
-            # max_iterations) must never be served a fully-converged memo
-            # entry, nor vice versa
-            max_iterations,
-        )
-    except Exception:  # noqa: BLE001 — memo is best-effort
-        memo_key = None
-    if memo_key is not None and memo_key in _CC_MEMO:
-        return _CC_MEMO[memo_key]
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Lazy: the first round's propagate join materializes it — no
     # standalone checkpoint job.
@@ -119,10 +93,6 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    if memo_key is not None:
-        if len(_CC_MEMO) >= _CC_MEMO_CAP:
-            _CC_MEMO.pop(next(iter(_CC_MEMO)))
-        _CC_MEMO[memo_key] = labels
     return labels
 
 

