@@ -20,8 +20,19 @@ stage checkpoint) so the plan does not grow with the iteration count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Edge budget for the driver fast path below — broadcast-sized (≤ a few
+# MB of (id, id) tuples), NOT corpus-sized.  Duplicate-pair relations are
+# duplicate-fraction-sized, so most corpora fit; a pathological
+# everything-duplicates corpus exceeds the cap and takes the distributed
+# loop.  Env-tunable like the serving tier's ISIN_TERM_CAP.
+CC_FAST_PATH_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_FAST_EDGES", str(1 << 18))
+)
 
 # NOTE (r9 optimization round): this module used to memoize component
 # labelings in a module-level dict keyed on (session, plan semantic hash).
@@ -45,7 +56,62 @@ def connected_components(
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable in the undirected
     pair graph — a deterministic canonical id.
+
+    Scale-adaptive (r9 optimization round): one bounded probe —
+    ``limit(CC_FAST_PATH_MAX_EDGES + 1).collect()`` — decides the
+    execution strategy, the same cap-and-fallback discipline as the
+    serving tier's ``ISIN_TERM_CAP``.  When the pair relation fits the
+    broadcast-sized budget (duplicate pairs are duplicate-fraction-
+    sized, thin tuples), the components are labeled with a driver
+    union-find over exactly the collected edges: ONE pass over the
+    input instead of 3 shuffles × O(log diameter) rounds × a job per
+    round, and byte-for-byte the same fixpoint (component = min
+    reachable id).  Above the cap the probe's partial result is
+    discarded and the distributed pointer-jumping loop runs unchanged —
+    at 100 TB with a pathological duplicate fraction that is the path
+    taken, so nothing is lost at scale.
     """
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).limit(CC_FAST_PATH_MAX_EDGES + 1).collect()
+    if len(edges) <= CC_FAST_PATH_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in edges:
+            a, b = e["a"], e["b"]
+            if a is None or b is None or a == b:
+                # exactly the distributed loop's semantics: its
+                # `where(a != b)` drops self-loops AND null ids before
+                # the node set is derived, so a node appearing only in
+                # self-loop/null pairs gets no label row on either path
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        # component = MIN member id, independent of union order
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        node_field = pairs.schema[src]
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        out_schema = (
+            f"node {node_field.dataType.simpleString()},"
+            f" component {node_field.dataType.simpleString()}"
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Lazy: the first round's propagate join materializes it — no
     # standalone checkpoint job.

@@ -72,9 +72,9 @@ def _with_cluster(
 # centroids in a module-level dict keyed on (session, plan semantic hash)
 # so a repeat fit over the same plan skipped the Lloyd loop.  That is
 # result caching across runs, not optimization, so the memo was removed;
-# the fit itself was made cheap instead (one declarative plan, ONE
-# collect — see :func:`kmeans_fit`).  ``clear_memo`` stays as a no-op so
-# existing callers keep working.
+# the fit's per-round cost was cut instead (literal-referenced centroids,
+# narrow posexplode stats — see :func:`kmeans_fit`).  ``clear_memo``
+# stays as a no-op so existing callers keep working.
 
 
 def clear_memo() -> None:

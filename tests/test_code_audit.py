@@ -29,6 +29,7 @@ COLLECT_ALLOWED = {
     "operators/sinks.py",       # shard manifest: n_shards rows (counts+checksum)
     "operators/serving.py",     # batch-serve: distinct query terms (query-relation-sized)
     "streaming/index_maintenance.py",  # CDC control aggregate: one collect of ≤3 (op-kind, count) rows per micro-batch
+    "operators/graph.py",  # CC fast path: ONE bounded limit(cap+1) probe; above the cap the distributed loop runs
 }
 
 

@@ -97,6 +97,26 @@ def test_random_graphs_match_union_find(spark):
         assert got == want, f"trial {trial}: n={n} m={m}"
 
 
+def test_cc_distributed_path_equals_fast_path(spark, monkeypatch):
+    """r9: connected_components picks its strategy from a bounded edge
+    probe — force the cap to 0 so the DISTRIBUTED pointer-jumping loop
+    runs, and pin that it labels exactly like the driver union-find fast
+    path (same fixpoint, same node set, self-loops dropped both ways)."""
+    from flink_bm25_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6), (7, 7), (9, 8), (6, 5)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    fast = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    monkeypatch.setattr(graph, "CC_FAST_PATH_MAX_EDGES", 0)
+    dist = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert fast == dist
+    assert fast == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """pagerank == the dense power-iteration reference (same per-round
     rounding) on a small weighted digraph, including a dangling-free
