@@ -427,7 +427,14 @@ def web_intake_pipeline(
         "doc_id",
         by_col,
         strip_markup(F.col(text_col), keep_line_breaks=True).alias(text_col),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r9: line_dedup consumes its input THREE times (the line explode,
+    # the whitespace-layout leg, and the map-side n_lines branch) —
+    # without the checkpoint each leg re-ran the whole strip_markup
+    # regex chain, the most expensive map work in this pipeline
+    # (measured ~1.1 s/invocation at sf0.1).  Lazy: the first action
+    # materializes it; same batch-only caveat as the `cleaned`
+    # checkpoint below.
     # by_col rides line_dedup's n_lines spine (carry) — no second
     # doc-keyed join to re-attach it (r6)
     deduped = line_dedup(stripped, text_col, sep, carry=(by_col,))

@@ -894,24 +894,24 @@ def redact_pii(
     )
 
 
-def _bigram_relation(
+def _token_relation(
     documents: DataFrame, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """``(doc_id, *carry, w1, w2)`` — adjacent-token pairs, map-side
-    (same indexed-transform shape as :func:`bpe_pair_counts`, keeping
-    doc_id).  ``carry`` rides extra per-doc columns (e.g. the group
-    key) through the explode — the grouped LM paths used to re-attach
-    the group with a corpus-sized ``join(documents, "doc_id")``, which
-    is an avoidable doc-keyed shuffle in batch and a stream-stream
-    self-join (illegal in complete mode) when ``documents`` is a
-    stream (r6)."""
-    base = documents.select(
+    """``(doc_id, *carry, _ws)`` — the tokenized document as an array
+    column, the shared spine the LM relations derive from."""
+    return documents.select(
         "doc_id",
         *carry,
         F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit("")).alias(
             "_ws"
         ),
     )
+
+
+def _pairs_from_tokens(
+    base: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(doc_id, *carry, w1, w2)`` from a :func:`_token_relation`."""
     ws = F.col("_ws")
 
     def make_pair(x, i):
@@ -934,6 +934,20 @@ def _bigram_relation(
     )
 
 
+def _bigram_relation(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(doc_id, *carry, w1, w2)`` — adjacent-token pairs, map-side
+    (same indexed-transform shape as :func:`bpe_pair_counts`, keeping
+    doc_id).  ``carry`` rides extra per-doc columns (e.g. the group
+    key) through the explode — the grouped LM paths used to re-attach
+    the group with a corpus-sized ``join(documents, "doc_id")``, which
+    is an avoidable doc-keyed shuffle in batch and a stream-stream
+    self-join (illegal in complete mode) when ``documents`` is a
+    stream (r6)."""
+    return _pairs_from_tokens(_token_relation(documents, carry), carry)
+
+
 def lm_perplexity_scores(
     documents: DataFrame, alpha: float = 0.1
 ) -> DataFrame:
@@ -954,22 +968,22 @@ def lm_perplexity_scores(
     ``ln`` of a count ratio (identical doubles both engines); the
     per-doc average is rounded to 6 dp after the sum.
     """
-    bigrams = _bigram_relation(documents)
+    # ONE tokenization for fit vocabulary, fit bigrams AND scoring
+    # bigrams (r9): the token relation is lazily localCheckpointed and
+    # the three legs replay the materialized arrays — previously each
+    # leg re-tokenized the corpus.  Batch-only by construction (the
+    # ccnet wrappers already checkpoint); the streaming scorer path is
+    # :func:`lm_score` against a persisted model, which is untouched.
+    base = _token_relation(documents).localCheckpoint(eager=False)
+    bigrams = _pairs_from_tokens(base)
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    vocab = (
-        documents.select(
-            F.explode(
-                F.array_distinct(
-                    F.filter(tokenize_expr(F.col("text")), lambda w: w != F.lit(""))
-                )
-            ).alias("w")
-        )
-        .agg(F.countDistinct("w").alias("v"))
-    )
+    vocab = base.select(
+        F.explode(F.array_distinct("_ws")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
     # uni_counts=None: C(w1) derived as the pair-marginal window sum —
     # one pass over pair TYPES, not a second corpus bigram aggregation
     model = lm_model(pair_counts, None, vocab, alpha)
-    return lm_score(documents, model)
+    return lm_score(documents, model, bigrams=bigrams)
 
 
 def ccnet_buckets(
@@ -1038,9 +1052,30 @@ def lm_perplexity_scores_by(
     (group, w1[, w2]), vocabulary per group, scoring joined on
     (group, w1, w2), co-keyed end to end, nothing broadcast except the
     thin (doc_id → group) relation.  Null group keys train and score
-    their own model (null-safe joins)."""
-    model = lm_fit_by(documents, by_col, alpha)
-    return lm_score(documents, model, group_cols=[by_col])
+    their own model (null-safe joins).
+
+    r9: same-corpus fit+score, so the token relation is lazily
+    localCheckpointed and shared across the fit bigrams, the per-group
+    vocabulary and the scoring bigrams — one tokenization instead of
+    three (batch-only; the frozen-model scorers fit and score DISJOINT
+    relations and keep the plain paths)."""
+    base = _token_relation(documents, (by_col,)).localCheckpoint(
+        eager=False
+    )
+    bigrams = _pairs_from_tokens(base, (by_col,))
+    pair_counts = bigrams.groupBy(by_col, "w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    vocab = (
+        base.select(
+            F.col(by_col),
+            F.explode(F.array_distinct("_ws")).alias("w"),
+        )
+        .groupBy(by_col)
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = lm_model(pair_counts, None, vocab, alpha, group_cols=[by_col])
+    return lm_score(documents, model, group_cols=[by_col], bigrams=bigrams)
 
 
 def lm_fit_by(
@@ -1373,6 +1408,7 @@ def lm_score(
     documents: DataFrame,
     model: DataFrame,
     group_cols: list[str] | None = None,
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a fitted :func:`lm_model` relation:
     ``(doc_id, *group_cols, n_bigrams, nll)``.  Map-side bigram
@@ -1385,9 +1421,14 @@ def lm_score(
     should left-join against a backoff column instead.  With
     ``group_cols``, documents must carry those columns (the group
     rides the bigram explode map-side — no doc-keyed join, so the
-    grouped form streams too)."""
+    grouped form streams too).  ``bigrams`` optionally supplies a
+    pre-extracted ``(doc_id, *group_cols, w1, w2)`` relation (r9: the
+    same-corpus fit+score composites pass the checkpointed bigram spine
+    their fit used, so the corpus tokenizes once, not three times);
+    when given, ``documents`` is not read at all."""
     g = list(group_cols or [])
-    bigrams = _bigram_relation(documents, carry=tuple(g))
+    if bigrams is None:
+        bigrams = _bigram_relation(documents, carry=tuple(g))
     if g:
         scored = nullsafe_key_join(bigrams, model, [*g, "w1", "w2"]).select(
             "doc_id", *g, "nl"
