@@ -210,6 +210,55 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
     )
+    # Scale-adaptive (r9): same bounded probe-and-fallback as
+    # connected_components — a broadcast-sized edge relation is ranked on
+    # the driver in one pass over the input (the distributed loop costs 2
+    # eager setup checkpoints + an eager checkpoint job per round), the
+    # identical arithmetic per round: share = w/out_w (same doubles),
+    # rank' = HALF_UP-round((1-d) + d·Σ share·rank, 6) — replicated with
+    # decimal.Decimal so the driver rounds exactly like Spark's round()
+    # (Python's built-in round is half-even).  Σ order differs from the
+    # distributed partial-agg order; the 6-dp round absorbs that, the
+    # same documented caveat as the engine-vs-oracle comparison.  Above
+    # the cap the distributed loop runs unchanged.
+    probe = e.limit(CC_FAST_PATH_MAX_EDGES + 1).collect()
+    if len(probe) <= CC_FAST_PATH_MAX_EDGES:
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        q6 = Decimal("0.000001")
+
+        def _round6(x: float) -> float:
+            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+        out_sum: dict = {}
+        for r in probe:
+            if r["_src"] is None or r["_dst"] is None or r["_w"] is None:
+                continue
+            out_sum[r["_src"]] = out_sum.get(r["_src"], 0) + r["_w"]
+        share_edges = [
+            (r["_src"], r["_dst"], float(r["_w"]) / out_sum[r["_src"]])
+            for r in probe
+            if r["_src"] is not None
+            and r["_dst"] is not None
+            and r["_w"] is not None
+        ]
+        node_set = {s for s, _, _ in share_edges} | {
+            d for _, d, _ in share_edges
+        }
+        rank = {n: 1.0 for n in node_set}
+        for _ in range(iterations):
+            s_in: dict = {}
+            for a, b_, sh in share_edges:
+                s_in[b_] = s_in.get(b_, 0.0) + sh * rank[a]
+            rank = {
+                n: _round6((1.0 - damping) + damping * s_in.get(n, 0.0))
+                for n in node_set
+            }
+        node_field = edges.schema[src]
+        return edges.sparkSession.createDataFrame(
+            list(rank.items()),
+            f"node {node_field.dataType.simpleString()}, rank double",
+        )
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     shares = (
         e.join(out_w, "_src")

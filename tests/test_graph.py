@@ -117,6 +117,21 @@ def test_cc_distributed_path_equals_fast_path(spark, monkeypatch):
     assert fast == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
 
 
+def test_pagerank_distributed_path_equals_fast_path(spark, monkeypatch):
+    """r9: pagerank's driver fast path (HALF_UP decimal rounding, same
+    share arithmetic) must produce exactly the distributed loop's ranks;
+    force the cap to 0 to run the distributed loop and compare."""
+    from flink_bm25_spark.operators import graph
+    from flink_bm25_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 1, 2), (4, 1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    fast = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    monkeypatch.setattr(graph, "CC_FAST_PATH_MAX_EDGES", 0)
+    dist = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert fast == dist
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """pagerank == the dense power-iteration reference (same per-round
     rounding) on a small weighted digraph, including a dangling-free
