@@ -1068,19 +1068,14 @@ def positional_shingles(documents: DataFrame, n: int = 10) -> DataFrame:
     ).select("doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gram")
 
 
-def positional_shingle_hashes(
-    documents: DataFrame, n: int = 10
-) -> DataFrame:
-    """``(doc_id, pos, gh)`` — word n-grams as 64-bit IDENTITY hashes
-    with their 0-based start position.  The span-dedup family only ever
-    uses the gram as an equality key, so the gram text is never built:
-    each slot emits ``xxhash64(w_i, …, w_{i+n-1})`` directly (no
-    concatenation; ~8-byte join/shuffle keys instead of ~60-char
-    strings).  Same hashed-identity semantics as :func:`line_dedup`:
-    a collision falsely merges two grams with probability ~grams²/2⁶⁴
-    — negligible below ~10⁹ distinct grams.  Null tail slots are
-    dropped RELATIONALLY after the explode (interpreted array-level
-    filters cost ~2s per width at sf0.1 — see THROUGHPUT r5)."""
+def _positional_hash_arrays(documents: DataFrame, n: int) -> DataFrame:
+    """``(doc_id, _gs)`` — the per-document positional gram-hash ARRAY
+    (``_gs[i] = struct(pos=i, gh=xxhash64(w_i..w_{i+n-1}))``, null for
+    tail slots).  The shared spine of the span-dedup family: hashing a
+    document's grams is the expensive map work, so composites that need
+    both the positional relation AND the per-doc distinct set derive
+    them from ONE (checkpointed) array relation instead of hashing the
+    corpus twice (r9)."""
     base = documents.select(
         "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
     )
@@ -1096,10 +1091,29 @@ def positional_shingle_hashes(
             F.struct(i.alias("pos"), F.xxhash64(*pieces).alias("gh")),
         )
 
+    return base.select("doc_id", F.transform(ws, make).alias("_gs"))
+
+
+def positional_shingle_hashes(
+    documents: DataFrame, n: int = 10, arrays: DataFrame | None = None
+) -> DataFrame:
+    """``(doc_id, pos, gh)`` — word n-grams as 64-bit IDENTITY hashes
+    with their 0-based start position.  The span-dedup family only ever
+    uses the gram as an equality key, so the gram text is never built:
+    each slot emits ``xxhash64(w_i, …, w_{i+n-1})`` directly (no
+    concatenation; ~8-byte join/shuffle keys instead of ~60-char
+    strings).  Same hashed-identity semantics as :func:`line_dedup`:
+    a collision falsely merges two grams with probability ~grams²/2⁶⁴
+    — negligible below ~10⁹ distinct grams.  Null tail slots are
+    dropped RELATIONALLY after the explode (interpreted array-level
+    filters cost ~2s per width at sf0.1 — see THROUGHPUT r5).
+    ``arrays`` optionally supplies a pre-built (possibly checkpointed)
+    :func:`_positional_hash_arrays` relation (r9)."""
+    rel = arrays if arrays is not None else _positional_hash_arrays(
+        documents, n
+    )
     return (
-        base.select(
-            "doc_id", F.explode(F.transform(ws, make)).alias("g")
-        )
+        rel.select("doc_id", F.explode("_gs").alias("g"))
         .where(F.col("g").isNotNull())
         .select(
             "doc_id", F.col("g.pos").cast("long").alias("pos"), "g.gh"
@@ -1107,31 +1121,46 @@ def positional_shingle_hashes(
     )
 
 
-def _cross_doc_gram_hashes(documents: DataFrame, n: int) -> DataFrame:
+def _cross_doc_gram_hashes(
+    documents: DataFrame, n: int, arrays: DataFrame | None = None
+) -> DataFrame:
     """``(gh)`` — identity hashes of grams appearing in ≥ 2 DISTINCT
     documents.  Per-doc dedup happens map-side on the HASH array
-    (``array_distinct`` over longs — cheaper than over gram strings),
-    so the aggregation's count(*) is a document frequency, exactly the
-    ``shingles``-based form this replaces."""
-    base = documents.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
-    )
-    ws = F.col("_ws")
+    (``array_distinct`` over longs — cheaper than over gram strings,
+    and measured cheaper than a relational (doc_id, gh) distinct over
+    the exploded relation), so the aggregation's count(*) is a document
+    frequency, exactly the ``shingles``-based form this replaces.
+    ``arrays`` optionally supplies the shared
+    :func:`_positional_hash_arrays` relation — the gram hashing itself
+    then runs once for both this and the positional leg (r9)."""
+    if arrays is not None:
+        hashes = arrays.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col("_gs"), lambda g: g["gh"])
+                )
+            ).alias("gh")
+        )
+    else:
+        base = documents.select(
+            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_ws")
+        )
+        ws = F.col("_ws")
 
-    def make(x, i):
-        pieces = [
-            F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
-            for j in range(n)
-        ]
-        return F.when(i + n <= F.size(ws), F.xxhash64(*pieces))
+        def make(x, i):
+            pieces = [
+                F.element_at(ws, (i + F.lit(j + 1)).cast("int"))
+                for j in range(n)
+            ]
+            return F.when(i + n <= F.size(ws), F.xxhash64(*pieces))
 
-    return (
-        base.select(
+        hashes = base.select(
             F.explode(
                 F.array_distinct(F.transform(ws, make))
             ).alias("gh")
         )
-        .where(F.col("gh").isNotNull())
+    return (
+        hashes.where(F.col("gh").isNotNull())
         .groupBy("gh")
         .agg(F.count("*").alias("gdf"))
         .where(F.col("gdf") >= 2)
@@ -1155,11 +1184,15 @@ def duplicated_span_fraction(documents: DataFrame, n: int = 10) -> DataFrame:
     happens between two aggregations with map-side partial combine.
     Docs with zero duplicated spans are reported at 0.0.
     """
-    pos_sh = positional_shingle_hashes(documents, n)
-    # Gram doc-frequency from the map-side DISTINCT-HASH relation — the
-    # positional explode is derived exactly once, and both join sides
-    # carry 8-byte identities, never gram text.
-    cross_doc = _cross_doc_gram_hashes(documents, n)
+    # ONE gram-hashing pass for both legs (r9): the positional-hash
+    # array relation is lazily checkpointed and the positional explode
+    # and the per-doc distinct set both replay it — both join sides
+    # carry 8-byte identities, never gram text.  Batch-only.
+    arrays = _positional_hash_arrays(documents, n).localCheckpoint(
+        eager=False
+    )
+    pos_sh = positional_shingle_hashes(documents, n, arrays=arrays)
+    cross_doc = _cross_doc_gram_hashes(documents, n, arrays=arrays)
     flagged = pos_sh.join(cross_doc, "gh")
     covered = (
         flagged.select(
@@ -1276,10 +1309,14 @@ def remove_duplicated_spans(documents: DataFrame, n: int = 10) -> DataFrame:
     Scale shape: positional n-grams → gram doc-frequency ≥ 2 → covered
     offsets anti-join the token relation (see :func:`_reassemble_without`).
     """
-    pos_sh = positional_shingle_hashes(documents, n)
-    # df side from the map-side distinct-hash relation (see
-    # duplicated_span_fraction) — 8-byte identities on both join sides.
-    cross_doc = _cross_doc_gram_hashes(documents, n)
+    # Shared checkpointed gram-hash arrays: one hashing pass feeds the
+    # positional leg and the df leg (see duplicated_span_fraction, r9);
+    # 8-byte identities on both join sides.  Batch-only.
+    arrays = _positional_hash_arrays(documents, n).localCheckpoint(
+        eager=False
+    )
+    pos_sh = positional_shingle_hashes(documents, n, arrays=arrays)
+    cross_doc = _cross_doc_gram_hashes(documents, n, arrays=arrays)
     return _reassemble_without(documents, pos_sh.join(cross_doc, "gh"), n)
 
 
