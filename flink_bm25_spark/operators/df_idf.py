@@ -73,3 +73,23 @@ def idf(df_stats: DataFrame, n_docs: int) -> DataFrame:
     return df_stats.withColumn(
         "idf", F.log(F.lit(float(n_docs)) / (F.col("df") + F.lit(1)))
     )
+
+
+def idf_relational(df_stats: DataFrame, documents: DataFrame) -> DataFrame:
+    """:func:`idf` with N supplied IN-PLAN as a broadcast 1-row count
+    aggregate instead of a driver-side ``count()`` (r9): every
+    BM25-family query used to pay one full corpus-count job at plan
+    CONSTRUCTION time — at 100 TB that is an extra corpus pass per
+    query.  ``cast(count AS double)`` is the identical double to the
+    former ``lit(float(n))`` for any count below 2^53, so idf values
+    are unchanged."""
+    n_rel = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("_ndocs")
+    )
+    return (
+        df_stats.join(F.broadcast(n_rel))
+        .withColumn(
+            "idf", F.log(F.col("_ndocs") / (F.col("df") + F.lit(1)))
+        )
+        .drop("_ndocs")
+    )

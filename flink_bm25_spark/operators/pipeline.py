@@ -55,7 +55,16 @@ class CorpusStats:
 
     @cached_property
     def idf_stats(self) -> DataFrame:
-        return idf(self.df_stats, self.n_docs)
+        # r9: N joins in as a broadcast 1-row aggregate — touching
+        # idf_stats no longer runs a corpus-count job at construction
+        # time (one full corpus pass per BM25-family query at scale).
+        # Merged stats with pre-seeded n_docs (documents=None) keep the
+        # literal form.
+        if self.documents is None:
+            return idf(self.df_stats, self.n_docs)
+        from flink_bm25_spark.operators.df_idf import idf_relational  # noqa: PLC0415
+
+        return idf_relational(self.df_stats, self.documents)
 
 
 def _parallelize_scan(documents: DataFrame) -> DataFrame:
