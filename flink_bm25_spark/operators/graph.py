@@ -105,12 +105,18 @@ def connected_components(
             m = comp_min.get(r)
             if m is None or n < m:
                 comp_min[r] = n
-        node_field = pairs.schema[src]
         rows = [(n, comp_min[find(n)]) for n in parent]
-        out_schema = (
-            f"node {node_field.dataType.simpleString()},"
-            f" component {node_field.dataType.simpleString()}"
+        # node ids come from BOTH columns — derive the output type from
+        # their union (analysis-only, no job), exactly the widened type
+        # the distributed unionByName below produces when src and dst
+        # differ in width (e.g. int vs long).
+        n_type = (
+            pairs.select(F.col(src).alias("n"))
+            .unionByName(pairs.select(F.col(dst).alias("n")))
+            .schema["n"]
+            .dataType.simpleString()
         )
+        out_schema = f"node {n_type}, component {n_type}"
         return pairs.sparkSession.createDataFrame(rows, out_schema)
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Lazy: the first round's propagate join materializes it — no
@@ -228,36 +234,60 @@ def pagerank(
         q6 = Decimal("0.000001")
 
         def _round6(x: float) -> float:
-            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+            # Spark's round() on a double goes through
+            # BigDecimal.valueOf(Double.toString(x)) — the SHORTEST
+            # decimal repr — so quantize from repr(x), not from the
+            # exact binary expansion (Decimal(2.675) is ..674999…,
+            # which would round DOWN at 2 dp where Spark rounds UP).
+            return float(
+                Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+            )
 
+        # Null/zero semantics replicate the distributed relations
+        # exactly (pinned by the forced-fallback parity tests): a null
+        # src never joins `out_w`, so the edge AND its dst vanish; a
+        # null dst or null weight still contributes both endpoints to
+        # the node set; a null weight, an all-null out-sum or a ZERO
+        # out-sum yields a null share (try_divide), which contributes
+        # nothing; contributions offered TO a null dst are discarded
+        # (a null join key never matches), so a null node ranks
+        # (1 − d) every round.
         out_sum: dict = {}
         for r in probe:
-            if r["_src"] is None or r["_dst"] is None or r["_w"] is None:
+            if r["_src"] is not None and r["_w"] is not None:
+                out_sum[r["_src"]] = out_sum.get(r["_src"], 0) + r["_w"]
+        share_edges = []
+        node_set = set()
+        for r in probe:
+            s, d_, w = r["_src"], r["_dst"], r["_w"]
+            if s is None:
                 continue
-            out_sum[r["_src"]] = out_sum.get(r["_src"], 0) + r["_w"]
-        share_edges = [
-            (r["_src"], r["_dst"], float(r["_w"]) / out_sum[r["_src"]])
-            for r in probe
-            if r["_src"] is not None
-            and r["_dst"] is not None
-            and r["_w"] is not None
-        ]
-        node_set = {s for s, _, _ in share_edges} | {
-            d for _, d, _ in share_edges
-        }
+            node_set.add(s)
+            node_set.add(d_)
+            ow = out_sum.get(s)
+            if w is None or ow is None or ow == 0:
+                continue  # null share: no contribution, nodes still ranked
+            share_edges.append((s, d_, float(w) / ow))
         rank = {n: 1.0 for n in node_set}
         for _ in range(iterations):
             s_in: dict = {}
             for a, b_, sh in share_edges:
-                s_in[b_] = s_in.get(b_, 0.0) + sh * rank[a]
+                if b_ is not None:
+                    s_in[b_] = s_in.get(b_, 0.0) + sh * rank[a]
             rank = {
                 n: _round6((1.0 - damping) + damping * s_in.get(n, 0.0))
                 for n in node_set
             }
-        node_field = edges.schema[src]
+        # widened node type from BOTH endpoint columns, as the
+        # distributed nodes relation's unionByName coerces (no job)
+        n_type = (
+            e.select(F.col("_src").alias("n"))
+            .unionByName(e.select(F.col("_dst").alias("n")))
+            .schema["n"]
+            .dataType.simpleString()
+        )
         return edges.sparkSession.createDataFrame(
-            list(rank.items()),
-            f"node {node_field.dataType.simpleString()}, rank double",
+            list(rank.items()), f"node {n_type}, rank double"
         )
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     shares = (
@@ -265,7 +295,15 @@ def pagerank(
         .select(
             "_src",
             "_dst",
-            (F.col("_w").cast("double") / F.col("_ow")).alias("_share"),
+            # try_divide: a zero out-weight sum is a null share on BOTH
+            # execution paths regardless of the session's ANSI mode
+            # (plain `/` throws DIVIDE_BY_ZERO under ANSI, null
+            # otherwise — the operator's semantics should not depend
+            # on that switch); identical doubles for every non-zero
+            # divisor.
+            F.try_divide(
+                F.col("_w").cast("double"), F.col("_ow")
+            ).alias("_share"),
         )
         .localCheckpoint(eager=True)
     )

@@ -133,6 +133,10 @@ def kmeans_fit(
         assigned = _with_cluster(embeddings, centroids, vec_col)
         stats = (
             assigned.select("cluster", F.posexplode(vec).alias("dim", "val"))
+            # dims beyond the init row's width are ignored, exactly as
+            # the former wide aggregate's element_at(vec, 1..d) never
+            # read them — also fewer rows into the partial aggs
+            .where(F.col("dim") < F.lit(d))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), 6).alias("m"))
         )

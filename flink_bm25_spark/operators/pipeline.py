@@ -58,9 +58,12 @@ class CorpusStats:
         # r9: N joins in as a broadcast 1-row aggregate — touching
         # idf_stats no longer runs a corpus-count job at construction
         # time (one full corpus pass per BM25-family query at scale).
-        # Merged stats with pre-seeded n_docs (documents=None) keep the
-        # literal form.
-        if self.documents is None:
+        # A pre-seeded n_docs (merge_corpus_stats' additive count, or a
+        # consumer that already paid the count job) keeps the literal
+        # form — otherwise merged stats would recount the ENTIRE
+        # old∪new archive in-plan per action, defeating the merge
+        # path's O(append) contract.
+        if self.documents is None or "n_docs" in self.__dict__:
             return idf(self.df_stats, self.n_docs)
         from flink_bm25_spark.operators.df_idf import idf_relational  # noqa: PLC0415
 
