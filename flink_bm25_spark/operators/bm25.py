@@ -54,6 +54,8 @@ def bm25_rank(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    *,
+    _avgdl_row: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query — ``(doc_id, score, rk)``.
 
@@ -61,8 +63,17 @@ def bm25_rank(
     driver-side ``first()`` — so the whole ranking is ONE Spark job and the
     scalar never round-trips through Python.  Ranking ties break on doc_id
     so output is deterministic.
+
+    ``_avgdl_row`` (internal, r10): composites that rank more than once
+    over the same corpus (RM3's two passes) pass ONE materialized
+    ``avg(dl)`` scalar relation so the full-corpus average is not
+    re-aggregated per pass — same value, fused subtree.
     """
-    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
+    avgdl_row = (
+        _avgdl_row
+        if _avgdl_row is not None
+        else dlen.agg(F.avg("dl").alias("avgdl"))
+    )
     matches = tf.where(F.col("word").isin(*query_terms))
     scored = (
         matches.join(F.broadcast(idf_stats.select("word", "idf")), "word")
@@ -339,20 +350,38 @@ def bm25_rank_prf(
     the corpus to ``|query| + fb_terms`` words — never a corpus rescan
     beyond the two postings probes.  Everything is one declarative DAG;
     no term list round-trips through the driver.
+
+    Shared subtrees are fused (r10, batch-only composite): Catalyst
+    executes every ``broadcast(...)`` build as its own job, and this
+    DAG embeds the pruned idf dictionary three times, the avgdl scalar
+    twice, and the whole pass-1 ranking up to four times (fb → mined →
+    mx → qrel each replay it).  One lazy ``localCheckpoint`` per shared
+    relation makes each compute ONCE and every later broadcast replay
+    the materialized rows — identical values, ~10 broadcast-subtree
+    jobs collapse to 4 small ones plus the two ranking passes.
     """
+    idf_sel = idf_stats.select("word", "idf").localCheckpoint(eager=False)
+    avgdl_row = (
+        dlen.agg(F.avg("dl").alias("avgdl")).localCheckpoint(eager=False)
+    )
     fb = (
-        bm25_rank(tf, idf_stats, dlen, query_terms, fb_docs, k1, b)
+        bm25_rank(
+            tf, idf_sel, dlen, query_terms, fb_docs, k1, b,
+            _avgdl_row=avgdl_row,
+        )
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     mined = (
         tf.join(F.broadcast(fb), "doc_id")
         .where(~F.col("word").isin(*query_terms))
-        .join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(F.broadcast(idf_sel), "word")
         .groupBy("word")
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("wgt"))
         .where(F.col("wgt") > 0)
         .orderBy(F.desc("wgt"), F.asc("word"))
         .limit(fb_terms)
+        .localCheckpoint(eager=False)
     )
     mx = mined.agg(F.max("wgt").alias("mx"))
     expansion = mined.crossJoin(F.broadcast(mx)).select(
@@ -365,10 +394,9 @@ def bm25_rank_prf(
     ).select("word", F.lit(float(orig_weight)).alias("qwgt"))
     qrel = original.unionByName(expansion)
 
-    avgdl_row = dlen.agg(F.avg("dl").alias("avgdl"))
     scored = (
         tf.join(F.broadcast(qrel), "word")
-        .join(F.broadcast(idf_stats.select("word", "idf")), "word")
+        .join(F.broadcast(idf_sel), "word")
         .join(dlen, "doc_id")
         .crossJoin(F.broadcast(avgdl_row))
         .select(

@@ -355,6 +355,22 @@ def gopher_ngram_fracs(
         F.col("_g.h").alias("_h"),
         F.col("_g.l").alias("_l"),
     ).agg(F.count("*").alias("_c"))
+    # Unique grams of the dup-only widths contribute exactly 0 to every
+    # rollup aggregate (the dup sums take `otherwise(0)` for _c < 2;
+    # the top argmaxes only read top_ns rows), and most grams are
+    # unique — dropping them between the two aggregations shrinks the
+    # rollup exchange and its conditional-aggregate input by the
+    # unique-gram mass of the 6 dup widths (r10; values unchanged: a
+    # doc present in `counted` keeps its top-width rows, and a doc
+    # whose every row is dropped would have rolled up to all-zero
+    # fractions — exactly what the left-join backfill emits for it).
+    if top_ns:
+        keep = F.col("_n").isin([int(n) for n in top_ns]) | (
+            F.col("_c") >= 2
+        )
+    else:
+        keep = F.col("_c") >= 2
+    counted = counted.where(keep)
     glen = F.col("_l")
     aggs = []
     for n in top_ns:
