@@ -269,12 +269,24 @@ def curation_report(
     ``checkpoint=True`` shares one corpus read across the branches —
     off by default for the same measured reason as ``clean_corpus``.
     """
+    from flink_bm25_spark.config import SHINGLE_SIZE  # noqa: PLC0415
     from flink_bm25_spark.operators.dedup import shingles  # noqa: PLC0415
 
     if checkpoint:
         documents = documents.localCheckpoint(eager=False)
+    # r10: when the dedup and decontamination legs shingle at the same
+    # width (the defaults: SHINGLE_SIZE == decontam_n == 3), build ONE
+    # cached shingle relation and feed both — the cache manager cannot
+    # substitute the duplicate subtree itself (HOF lambda variables
+    # defeat plan equality), so without this the corpus is shingled
+    # twice per action.  Identical relation by construction.
+    shared_sh = None
+    if benchmark is not None and decontam_n == SHINGLE_SIZE:
+        shared_sh = shingles(documents, n=decontam_n).cache()
     scored = quality_scores(documents).select("doc_id", "keep_score")
-    pairs = minhash_dedup_pairs(documents, jaccard_threshold)
+    pairs = minhash_dedup_pairs(
+        documents, jaccard_threshold, shingles_rel=shared_sh
+    )
     losers = (
         dedup_clusters(pairs)
         .where(F.col("doc_id") != F.col("canonical_id"))
@@ -287,7 +299,9 @@ def curation_report(
 
         grams = shingles(benchmark, n=decontam_n).select("gram").distinct()
         contam = (
-            overlap_counts(documents, grams, n=decontam_n)
+            overlap_counts(
+                documents, grams, n=decontam_n, shingles_rel=shared_sh
+            )
             .where(F.col("n_overlap") >= F.lit(min_overlap))
             .select("doc_id")
             .withColumn("_ct", F.lit(True))

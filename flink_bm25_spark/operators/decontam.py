@@ -34,7 +34,10 @@ DEFAULT_NGRAM = 5
 
 
 def overlap_counts(
-    docs: DataFrame, eval_grams: DataFrame, n: int = DEFAULT_NGRAM
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    shingles_rel: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, n_overlap)`` — per-doc count of shingles present in the
     eval gram set.  The streaming-legal core of the contamination check:
@@ -43,10 +46,16 @@ def overlap_counts(
     update-mode stream pays for the per-doc count — so the same plan
     screens a live ingest feed against the benchmark set
     (``test_streaming_overlap_equals_batch``).
+
+    ``shingles_rel`` optionally supplies a pre-built (cached) shingle
+    relation of ``docs`` at width ``n`` (r10): batch composites that
+    already shingled the same corpus pass it so the train side is not
+    re-shingled — Spark's cache manager cannot substitute it
+    automatically because HOF lambda variables defeat plan-equality.
     """
+    sh = shingles_rel if shingles_rel is not None else shingles(docs, n=n)
     return (
-        shingles(docs, n=n)
-        .join(F.broadcast(eval_grams), "gram")
+        sh.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -68,11 +77,16 @@ def contamination(
 
     Both inputs need ``(doc_id, text)``.  The benchmark gram set is
     deduplicated to gram level and broadcast.
+
+    The train shingle relation feeds BOTH the per-doc size aggregate
+    and the overlap probe — it is cached so the corpus is shingled once
+    per action, not twice (r10; batch composite, the streaming-legal
+    path is :func:`overlap_counts` alone).
     """
-    train_sh = shingles(train, n=n)
+    train_sh = shingles(train, n=n).cache()
     eval_grams = shingles(benchmark, n=n).select("gram").distinct()
     sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    overlap = overlap_counts(train, eval_grams, n=n)
+    overlap = overlap_counts(train, eval_grams, n=n, shingles_rel=train_sh)
     # `overlap` holds only docs that matched an eval gram — usually small
     # but DATA-dependent (template contamination can flag a large corpus
     # fraction), so no forced broadcast hint: AQE broadcasts when the

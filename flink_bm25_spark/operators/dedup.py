@@ -724,6 +724,7 @@ def minhash_dedup_pairs(
     n: int = SHINGLE_SIZE,
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
+    shingles_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
@@ -731,6 +732,11 @@ def minhash_dedup_pairs(
     quadratic pair space to same-bucket collisions; the exact Jaccard join
     then runs only over candidates.  The shingle relation feeds both the
     signature and the verify stages, so it is cached for the run.
+
+    ``shingles_rel`` optionally supplies a pre-built (cached) shingle
+    relation of ``documents`` at width ``n`` (r10) so a composite that
+    also probes the same shingles (curation_report's decontamination
+    leg) shares ONE shingle pass — the caller owns the caching.
     """
     # The shingle relation feeds both the signature and the verify stages,
     # and the candidate set is consumed twice inside the verify (doc-level
@@ -740,7 +746,11 @@ def minhash_dedup_pairs(
     # scale this is the standard stage checkpoint between candidate
     # generation and verification.  Caches are left to LRU eviction; an
     # eager unpersist would evict before the caller's action runs.
-    sh = shingles(documents, n).cache()
+    sh = (
+        shingles_rel
+        if shingles_rel is not None
+        else shingles(documents, n).cache()
+    )
     wide = minhash_signatures_wide(sh, num_hashes)
     cands = lsh_candidate_pairs(wide, bands, num_hashes // bands).cache()
     cands.count()
