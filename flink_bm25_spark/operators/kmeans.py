@@ -215,17 +215,23 @@ def simplified_silhouette(
         )
     d = len(first[0])
     vec_d = F.col(vec_col).cast("array<double>")
+    # r10: final centroids via the same narrow groupBy(cluster, dim)
+    # over posexplode as kmeans_fit — the k×d-column wide aggregate
+    # generated (and recompiled) d-dependent code and carried k×d
+    # columns through one agg; the narrow form is plan-d-independent
+    # with map-side partials.  Same arithmetic: avg over exactly the
+    # rows where the dimension exists (element_at past the end was
+    # null and avg skipped it), same 6-dp round.
     cent_rows = (
-        joined.groupBy("cluster")
-        .agg(
-            *[
-                F.round(F.avg(F.element_at(vec_d, i + 1)), 6).alias(f"c{i}")
-                for i in range(d)
-            ]
-        )
+        joined.select("cluster", F.posexplode(vec_d).alias("dim", "val"))
+        .where(F.col("dim") < F.lit(d))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
         .collect()
     )
-    cents = {r["cluster"]: [r[f"c{i}"] for i in range(d)] for r in cent_rows}
+    cents: dict = {}
+    for r in cent_rows:
+        cents.setdefault(r["cluster"], [None] * d)[r["dim"]] = r["m"]
     candidates = F.array(
         *[
             F.struct(

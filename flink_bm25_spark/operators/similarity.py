@@ -714,6 +714,11 @@ def semantic_dedup_pairs(
     from flink_bm25_spark.operators.kmeans import kmeans_assign  # noqa: PLC0415
 
     if k is None:
+        # r10: cache BEFORE the count so resolving k doubles as the
+        # cache fill the k-means fit would otherwise pay in its own
+        # first job — the corpus crosses storage once, not twice (the
+        # fit's cache() on the same plan re-registers this entry).
+        embeddings = embeddings.cache()
         k = _auto_k(embeddings, k_min, target_cluster_size)
     # keep_vector: assignment is map-side codegen, so carrying the vector
     # through costs nothing — re-joining it back on vec_id would shuffle
