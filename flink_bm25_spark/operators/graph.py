@@ -119,13 +119,20 @@ def connected_components(
         out_schema = f"node {n_type}, component {n_type}"
         return pairs.sparkSession.createDataFrame(rows, out_schema)
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Lazy: the first round's propagate join materializes it — no
-    # standalone checkpoint job.
+    # Loop-static edge relation: hash-partitioned ON THE PROPAGATE-JOIN
+    # KEY and cached (r10).  An InMemoryTableScan reports its child's
+    # partitioning, so every round's ``sym ⋈ labels`` reuses this
+    # layout; the former lazy localCheckpoint scanned an ExistingRDD
+    # with UNKNOWN partitioning and re-exchanged the edge relation —
+    # the largest relation in the loop — once per round (verified in
+    # the per-round plan: the sym-side Exchange is gone).  Lazy either
+    # way: the first round's join materializes it.
     sym = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition("a")
+        .cache()
     )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
@@ -290,6 +297,12 @@ def pagerank(
             list(rank.items()), f"node {n_type}, rank double"
         )
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    # Loop-static relations, hash-partitioned on their per-round join
+    # keys and cached (r10, same rationale as the CC loop's sym): the
+    # contribution join reuses shares' hash(_src) layout and the
+    # rank-assembly left join reuses nodes' hash(node) layout every
+    # round, where the former eager localCheckpoints were re-exchanged
+    # per round (ExistingRDD scans report unknown partitioning).
     shares = (
         e.join(out_w, "_src")
         .select(
@@ -305,13 +318,16 @@ def pagerank(
                 F.col("_w").cast("double"), F.col("_ow")
             ).alias("_share"),
         )
-        .localCheckpoint(eager=True)
+        .repartition("_src")
+        .cache()
     )
     nodes = (
         shares.select(F.col("_src").alias("node"))
         .unionByName(shares.select(F.col("_dst").alias("node")))
+        # distinct's final aggregate already leaves this hash(node)-
+        # partitioned — the cache preserves it, no explicit repartition
         .distinct()
-        .localCheckpoint(eager=True)
+        .cache()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
