@@ -103,10 +103,12 @@ def test_gate_window_holds_flagships():
         "q_bm25_mlt_served",
         "q_bm25_serve_deleted", "q_bm25_serve_upserted",
         "q_bm25_serve_salted", "q_bm25_batch_served",
-        # r9 rotation: the snapshot (time-travel) oracles enter; out
-        # went q_bm25_facets/q_bm25_snippets, whose ranking core is the
-        # in-window q_bm25_rank/q_bm25_serve math (both stay swept).
-        "q_bm25_serve_snapshot", "q_ivf_snapshot_topk",
+        # r9 rotation: the snapshot (time-travel) oracles entered; out
+        # went q_bm25_facets/q_bm25_snippets.  r10 counter-rotation
+        # (r9 verdict item 1, sanctioned): facets/snippets return after
+        # the snapshot oracles banked a fully green external check —
+        # the snapshots move to the oracle-swept overflow (51-52).
+        "q_bm25_facets", "q_bm25_snippets",
     ):
         assert must in window, f"{must} fell out of the 50-query gate window"
 

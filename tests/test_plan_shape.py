@@ -668,10 +668,15 @@ def test_bm25_serve_snapshot_plan_shape(spark):
 
 
 def test_bm25_prf_plan_shape(spark):
-    # Both passes keep distributed top-k; feedback docs, mined expansion
+    # Final pass keeps distributed top-k; feedback docs, mined expansion
     # terms, idf and avgdl all broadcast — postings never shuffle for a
-    # join in either pass.
+    # join.  r10: the shared subtrees (pass-1 ranking, pruned idf,
+    # avgdl) are fused behind lazy localCheckpoints, so the final plan
+    # replays them as ExistingRDD scans instead of embedding the pass-1
+    # pipeline (and its TakeOrderedAndProject) up to four times.
     df = QUERIES["q_bm25_prf"](spark, SF_DIR)
     plan = explain_str(df, "simple")
-    assert plan.count("TakeOrderedAndProject") >= 2  # pass-1 fb + final
+    assert plan.count("TakeOrderedAndProject") >= 1  # final top-k
     assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan  # fused shared-subtree replays
+    assert "SortMergeJoin" not in plan  # postings still never shuffle
